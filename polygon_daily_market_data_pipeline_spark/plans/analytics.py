@@ -1,0 +1,679 @@
+"""The engine's analytic query suite over the driver testdata tables.
+
+Every operator in SURVEY.md §2 is exercised here as a (Spark query,
+DuckDB oracle SQL) pair — the reference's semantics (typed load, key
+normalization, window dedup, keyed merges, calendar dim, audit metrics,
+DAX measures: lag %-change, 7-day rolling window, top-N, distinct
+counts) re-expressed over the TPC-H-ish tables so the driver's
+DuckDB-differential check can hash-compare results.
+
+Determinism rules (SURVEY.md §7.3.6):
+- no ``current_timestamp``/``input_file_name`` in compared output;
+- every float aggregate rounded (sum→2dp, avg/ratios→4dp) so Spark's
+  parallel summation order vs DuckDB's serial order can't flip a hash;
+- every LIMIT is preceded by a total ORDER BY (measure DESC, key ASC);
+- every computed column aliased identically in Spark and SQL.
+
+Scale notes per query are in each docstring; the common principles:
+filters/projections sit directly on the parquet scan (pushdown +
+column pruning), dims are broadcast, windows shuffle once on their
+partition key, and aggregations are partial-agg (map-side combine)
+by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.calendar import calendar_attributes
+from polygon_daily_market_data_pipeline_spark.functions.casts import norm_key, safe_divide
+from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
+from polygon_daily_market_data_pipeline_spark.operators.merge import merge_upsert
+from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregation (A7/A8/A9/A10 — the DAX measure surface grouped by key)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                        AS avg_qty,
+           ROUND(AVG(l_discount), 4)                        AS avg_disc,
+           COUNT(*)                                         AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship grouped aggregate (TPC-H Q1 shape): SUM/AVG/SUMX/COUNT
+    measures grouped by flag — the Power BI "by symbol" tables
+    (dax_measures.md:6-31, powerbi/sc/stock_performance.png).
+
+    Scale: pure partial-agg pipeline — map-side combine, single shuffle
+    on the (tiny) group key, whole-stage codegen end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: prior-period lag (W2 — DAX "Daily Change %", dax_measures.md:11-21)
+# ---------------------------------------------------------------------------
+
+@register(
+    "daily_change_pct",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS trade_date,
+               SUM(o_totalprice)         AS total_value
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT trade_date,
+           ROUND(total_value, 2) AS total_value,
+           ROUND(CASE WHEN lag(total_value) OVER (ORDER BY trade_date) IS NULL
+                        OR lag(total_value) OVER (ORDER BY trade_date) = 0
+                      THEN 0
+                      ELSE (total_value - lag(total_value) OVER (ORDER BY trade_date))
+                           / lag(total_value) OVER (ORDER BY trade_date)
+                 END, 6) AS change_pct
+    FROM daily
+    ORDER BY trade_date
+    """,
+)
+def daily_change_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAX Daily Change %: (today − prev-day)/prev-day with DIVIDE(...,0)
+    zero-default (dax_measures.md:20) as a lag window.
+
+    Scale: daily grain after aggregation is small; the un-partitioned
+    window is fine *post-agg*. At 100 TB the pre-agg does the heavy
+    lifting (partial aggs per date), never the window."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("trade_date")
+    ).agg(F.sum("o_totalprice").alias("total_value"))
+    w = Window.orderBy("trade_date")
+    prev = F.lag("total_value").over(w)
+    return (
+        daily.select(
+            "trade_date",
+            F.round("total_value", 2).alias("total_value"),
+            F.round(safe_divide(F.col("total_value") - prev, prev), 6).alias(
+                "change_pct"
+            ),
+        )
+        .orderBy("trade_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: 7-day rolling average over calendar days (W3 — DAX Volume Trend)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_7d_volume",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS trade_date,
+               SUM(l_quantity)          AS total_volume
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT trade_date,
+           ROUND(total_volume, 2) AS total_volume,
+           ROUND(AVG(total_volume) OVER (
+                 ORDER BY trade_date
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
+               AS volume_7d_avg
+    FROM daily
+    ORDER BY trade_date
+    """,
+)
+def rolling_7d_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAX Volume Trend (7D) = AVERAGEX(DATESINPERIOD(..., -7, DAY))
+    (dax_measures.md:33-40): a *calendar-day* range frame, so gaps
+    (weekends/holidays) shrink the window — rows-frames would be wrong.
+    Spark: rangeBetween(-6, 0) over the day number (SURVEY.md §2.5 W3).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("trade_date")).agg(
+        F.sum("l_quantity").alias("total_volume")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("trade_date"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "trade_date",
+            F.round("total_volume", 2).alias("total_volume"),
+            F.round(F.avg("total_volume").over(w), 4).alias("volume_7d_avg"),
+        )
+        .orderBy("trade_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window dedup: top-1 per key (W1 — merge_core.sql:13-16 QUALIFY pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_latest_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           ROUND(l_quantity, 2) AS quantity,
+           ROUND(l_extendedprice, 2) AS extendedprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
+                            l_quantity DESC, l_extendedprice DESC) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def dedup_latest_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's QUALIFY ROW_NUMBER()=1 dedup (latest-wins with a
+    total tie-break order, merge_core.sql:13-16) applied per order key.
+
+    Scale: one shuffle on the partition key; AQE handles skew. This is
+    the canonical "keep latest ingest" operator for CDC-style loads."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deduped = latest_by_key(
+        li,
+        keys=["l_orderkey"],
+        order_by=[
+            F.desc("l_linenumber"),
+            F.desc("l_partkey"),
+            F.desc("l_suppkey"),
+            F.desc("l_quantity"),
+            F.desc("l_extendedprice"),
+        ],
+    )
+    return deduped.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("quantity"),
+        F.round("l_extendedprice", 2).alias("extendedprice"),
+    ).orderBy("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension (P4, F7–F12 — merge_dim_date.sql:7-19)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dim_date_build",
+    """
+    SELECT DISTINCT
+           CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_sk,
+           CAST(o_orderdate AS DATE)                   AS cal_date,
+           CAST(year(o_orderdate) AS INT)              AS year_num,
+           CAST(quarter(o_orderdate) AS INT)           AS quarter_num,
+           CAST(month(o_orderdate) AS INT)             AS month_num,
+           strftime(CAST(o_orderdate AS DATE), '%b')   AS month_name,
+           CAST(day(o_orderdate) AS INT)               AS day_num,
+           strftime(CAST(o_orderdate AS DATE), '%a')   AS day_name,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS day_of_week,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS week_of_year,
+           dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)     AS is_weekend
+    FROM orders
+    ORDER BY date_sk
+    """,
+)
+def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 11-attribute Snowflake date dimension (merge_dim_date.sql:8-18)
+    with the semantic shims of functions/calendar.py: DAYOFWEEK 0=Sunday,
+    3-letter MONTHNAME/DAYNAME, ISO WEEK.
+
+    Scale: DISTINCT over ~dates — trivially small after pre-aggregation;
+    expressions constant-fold and codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    attrs = calendar_attributes(F.col("o_orderdate").cast("date"))
+    return (
+        orders.select(*[expr.alias(name) for name, expr in attrs.items()])
+        .distinct()
+        .orderBy("date_sk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star join (J2/J3 + A10 — fact→dims with broadcast)
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           ROUND(SUM(o_totalprice), 2) AS total_value,
+           COUNT(*)                    AS order_cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim star join chain (the reference's fact build joins the
+    fact to 2 dims — merge_facts_daily.sql:13-14) with explicit
+    broadcast of the small dims (SURVEY.md §2.3 J2/J3).
+
+    Scale: customer/nation/region are dimension-sized → broadcast-hash
+    joins, zero shuffle of the fact until the final small groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N by measure (O2 — "Total Value by SYMBOL" bar chart, A9 SUMX)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top10_parts_by_value",
+    """
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice * l_quantity), 2) AS total_value,
+           ROUND(SUM(l_quantity), 2)                   AS total_volume
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY total_value DESC, l_partkey ASC
+    LIMIT 10
+    """,
+)
+def top10_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by SUMX-style measure (dax_measures.md:23-26 Total Value =
+    SUMX(volume*close); powerbi/sc/market_liquidity.png bar chart).
+    Total order (value DESC, key ASC) makes LIMIT deterministic.
+
+    Scale: partial agg then TakeOrderedAndProject — no global sort of
+    the full aggregate, O(N) + top-k heap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "total_value"
+            ),
+            F.round(F.sum("l_quantity"), 2).alias("total_volume"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pre-merge audit metrics (A2/A3, J1, J4 — premerge_metrics.sql:4-33)
+# ---------------------------------------------------------------------------
+
+@register(
+    "premerge_metrics",
+    """
+    WITH raw_cnt AS (
+        SELECT COUNT(*) AS c FROM lineitem
+    ), keys AS (
+        SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ), key_cnt AS (
+        SELECT COUNT(*) AS c FROM keys
+    ), core_existing AS (
+        SELECT COUNT(*) AS c
+        FROM keys JOIN orders ON o_orderkey = keys.k
+    )
+    SELECT raw_cnt.c                      AS raw_rows,
+           key_cnt.c                      AS distinct_keys,
+           core_existing.c                AS existing_keys,
+           key_cnt.c - core_existing.c    AS inserts_est,
+           core_existing.c                AS updates_est
+    FROM raw_cnt CROSS JOIN key_cnt CROSS JOIN core_existing
+    """,
+)
+def premerge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pre-merge audit (premerge_metrics.sql): three
+    1-row aggregate CTEs (raw count, distinct source keys, keys already
+    present in the target) cross-joined into one metrics row, with
+    insert/update estimates derived arithmetically.
+
+    Scale: counts are partial-agg; the key-existence join is a
+    broadcast of the (small) distinct-keys side in practice; 1×1×1
+    cross joins are free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    raw_cnt = li.agg(F.count(F.lit(1)).alias("raw_rows"))
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    key_cnt = keys.agg(F.count(F.lit(1)).alias("distinct_keys"))
+    existing = (
+        keys.join(orders, keys.k == orders.o_orderkey, "inner")
+        .agg(F.count(F.lit(1)).alias("existing_keys"))
+    )
+    return (
+        raw_cnt.crossJoin(key_cnt)
+        .crossJoin(existing)
+        .select(
+            "raw_rows",
+            "distinct_keys",
+            "existing_keys",
+            (F.col("distinct_keys") - F.col("existing_keys")).alias("inserts_est"),
+            F.col("existing_keys").alias("updates_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Post-merge reconciliation (A4 — postmerge_metrics.sql:4-10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "postmerge_metrics",
+    """
+    SELECT (SELECT COUNT(*) FROM orders)   AS core_rows,
+           (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS fact_keys
+    """,
+)
+def postmerge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge core-vs-fact reconciliation: scalar-subquery counts in
+    one row (postmerge_metrics.sql:4-10). Spark expresses the scalar
+    subqueries as cross-joined 1-row aggregates (Catalyst plans the
+    same thing for real scalar subqueries)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    core = orders.agg(F.count(F.lit(1)).alias("core_rows"))
+    fact = li.agg(
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.countDistinct("l_orderkey").alias("fact_keys"),
+    )
+    return core.crossJoin(fact).select("core_rows", "fact_rows", "fact_keys")
+
+
+# ---------------------------------------------------------------------------
+# Keyed MERGE upsert (J5 — merge_core.sql / merge_facts_daily.sql semantics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_upsert_customer_totals",
+    """
+    WITH target AS (
+        SELECT o_custkey AS custkey,
+               ROUND(SUM(o_totalprice), 2) AS total_value,
+               COUNT(*) AS order_cnt
+        FROM orders WHERE o_orderdate < DATE '1999-01-01'
+        GROUP BY 1
+    ), source AS (
+        SELECT o_custkey AS custkey,
+               ROUND(SUM(o_totalprice), 2) AS total_value,
+               COUNT(*) AS order_cnt
+        FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+        GROUP BY 1
+    )
+    SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+           CASE WHEN s.custkey IS NOT NULL THEN s.total_value
+                ELSE t.total_value END    AS total_value,
+           CASE WHEN s.custkey IS NOT NULL THEN s.order_cnt
+                ELSE t.order_cnt END      AS order_cnt,
+           CASE WHEN s.custkey IS NOT NULL AND t.custkey IS NOT NULL THEN 'U'
+                WHEN s.custkey IS NOT NULL THEN 'I'
+                ELSE 'C' END              AS merge_action
+    FROM target t FULL OUTER JOIN source s ON t.custkey = s.custkey
+    ORDER BY custkey
+    """,
+)
+def merge_upsert_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the library MERGE upsert (operators/merge.py) — matched
+    rows take source values, unmatched target rows carry over, new
+    source keys insert — exactly merge_core.sql:20-32's WHEN MATCHED /
+    WHEN NOT MATCHED branches, on customer-level aggregates split by a
+    date literal."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("date")
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+
+    target = totals(orders.where(F.col("o_orderdate").cast("date") < cutoff))
+    source = totals(orders.where(F.col("o_orderdate").cast("date") >= cutoff))
+
+    # action bookkeeping columns so the oracle can verify branch routing
+    target = target.withColumn("merge_action", F.lit("C"))
+    source = source.withColumn("merge_action", F.lit("I"))
+    merged = merge_upsert(
+        target,
+        source.withColumn("merge_action", F.lit("I")),
+        keys=["custkey"],
+        update_cols=["total_value", "order_cnt", "merge_action"],
+    )
+    # matched rows took source's 'I'; distinguish true inserts from
+    # updates by re-checking membership in target.
+    tkeys = target.select("custkey").withColumn("__in_t", F.lit(True))
+    return (
+        merged.join(tkeys, "custkey", "left")
+        .select(
+            "custkey",
+            "total_value",
+            "order_cnt",
+            F.when(
+                (F.col("merge_action") == "I") & F.col("__in_t").isNotNull(), "U"
+            )
+            .otherwise(F.col("merge_action"))
+            .alias("merge_action"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Insert-only dim merge + surrogate keys (J6 — merge_dim_security.sql)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dim_build_part_types",
+    """
+    SELECT ROW_NUMBER() OVER (ORDER BY symbol) AS security_id, symbol
+    FROM (SELECT DISTINCT UPPER(TRIM(p_type)) AS symbol FROM part)
+    ORDER BY security_id
+    """,
+)
+def dim_build_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow-only dimension build: DISTINCT normalized key + deterministic
+    surrogate id (merge_dim_security.sql:7-14; SURVEY.md §4.3.5 replaces
+    Snowflake IDENTITY with rank-based assignment)."""
+    part = load_table(spark, sf_dir, "part")
+    syms = part.select(norm_key("p_type").alias("symbol")).distinct()
+    w = Window.orderBy("symbol")
+    return syms.withColumn("security_id", F.row_number().over(w)).select(
+        "security_id", "symbol"
+    ).orderBy("security_id")
+
+
+# ---------------------------------------------------------------------------
+# Distinct counts (A6 — DISTINCTCOUNT measure)
+# ---------------------------------------------------------------------------
+
+@register(
+    "active_keys",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS active_parts,
+           COUNT(DISTINCT l_suppkey) AS active_suppliers,
+           COUNT(DISTINCT l_orderkey) AS active_orders
+    FROM lineitem
+    """,
+)
+def active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAX Active Tickers = DISTINCTCOUNT(...) (dax_measures.md:1-4).
+    Exact distinct here (oracle-comparable); at 100 TB swap for
+    approx_count_distinct where tolerance allows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("active_parts"),
+        F.countDistinct("l_suppkey").alias("active_suppliers"),
+        F.countDistinct("l_orderkey").alias("active_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Load gate (A1/F13 — check_loaded.sql) + typed projection (P1/P2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "check_loaded",
+    """
+    SELECT COUNT(*) > 0 AS data_loaded, COUNT(*) AS row_cnt
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) = DATE '1998-03-15'
+    """,
+)
+def check_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-load presence gate: COUNT(*) > 0 under a date-literal
+    partition predicate (check_loaded.sql:4-6). The filter reaches the
+    parquet scan as a pushed predicate — the 100 TB version prunes to
+    one date partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_shipdate").cast("date") == F.lit("1998-03-15").cast("date")
+    ).agg(
+        (F.count(F.lit(1)) > 0).alias("data_loaded"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+
+
+@register(
+    "typed_load_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           UPPER(TRIM(l_returnflag)) AS flag_norm,
+           TRY_CAST(l_quantity AS DECIMAL(18,6))      AS qty,
+           TRY_CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+           TRY_CAST(CAST(l_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS key_num
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def typed_load_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COPY INTO typed projection (copy_to_raw.sql:20-25): safe
+    casts to DECIMAL(18,6)/(38,0) + key normalization. try_cast yields
+    NULL on malformed input instead of failing (ON_ERROR='CONTINUE'
+    analog). Pure projection — no shuffle, fully codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        norm_key("l_returnflag").alias("flag_norm"),
+        F.col("l_quantity").try_cast("decimal(18,6)").alias("qty"),
+        F.col("l_extendedprice").try_cast("decimal(18,6)").alias("price"),
+        F.col("l_orderkey").cast("string").try_cast("decimal(38,0)").alias("key_num"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Set-op union (§2.7 — dim ∪ new rows carryover shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_distinct_labels",
+    """
+    SELECT label FROM (
+        SELECT DISTINCT c_mktsegment AS label FROM customer
+        UNION
+        SELECT DISTINCT o_orderpriority AS label FROM orders
+    ) ORDER BY label
+    """,
+)
+def union_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-distinct — the implicit set semantics of the insert-only
+    merge (SURVEY.md §2.7: dim ∪ (src ∖ dim))."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.select(F.col("c_mktsegment").alias("label")).distinct()
+    b = orders.select(F.col("o_orderpriority").alias("label")).distinct()
+    return a.unionByName(b).distinct().orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream tumbling-window aggregation (§2.9 batch-equivalent)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)               AS event_cnt,
+           ROUND(SUM(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream — the
+    batch twin of the Structured Streaming windowed agg in
+    streaming/ (same logical plan; readStream swaps in for read)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )

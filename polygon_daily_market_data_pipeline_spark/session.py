@@ -1,0 +1,64 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference pins a Snowflake warehouse per script
+(``/root/reference/dags/sql/copy_to_raw.sql:1``); our equivalent is a
+session factory with the configuration we would ship to a 1000-executor
+cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), broadcast threshold tuned, Arrow enabled for the few
+pandas-interop paths, session timezone pinned (the reference computes
+trading dates in a fixed TZ — ``get_securities_data.py:14``; we pin UTC
+so Spark and the DuckDB oracle agree on date arithmetic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "polygon-eod-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime shuffle-partition coalescing, skew-join handling,
+        # dynamic broadcast conversion — essential at 100 TB where static
+        # planning misguesses cardinalities.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the pandas-UDF paths (multimodal, embedding ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dynamic partition overwrite = the reference's FORCE=TRUE +
+        # idempotent per-date re-load (copy_to_raw.sql:38).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # ANSI off: the reference uses TRY_TO_* semantics (NULL on
+        # malformed input, copy_to_raw.sql:21-25); we use try_cast
+        # explicitly but keep permissive arithmetic like Snowflake's
+        # loader path.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

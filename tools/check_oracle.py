@@ -1,0 +1,121 @@
+"""Local DuckDB-differential harness mirroring the driver's t2 check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares row count, column names, and
+an order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _norm(v):
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, decimal.Decimal):
+        return f"{v:.6f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(_norm(r[i]) for i in order) for r in rows
+    )
+    import hashlib
+
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from polygon_daily_market_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("WARN")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols = [c.lower() for c in orel.columns]
+            orows = orel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        scols_l = [c.lower() for c in scols]
+        problems = []
+        if sorted(scols_l) != sorted(ocols):
+            problems.append(f"cols spark={scols_l} duckdb={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rows spark={len(srows)} duckdb={len(orows)}")
+        if not problems:
+            sh = fingerprint(scols_l, [tuple(r) for r in srows])
+            oh = fingerprint(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} duckdb={oh}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name} ({len(srows)} rows)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
