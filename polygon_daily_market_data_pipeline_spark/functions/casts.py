@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 def try_to_decimal(col: Column | str, precision: int = 18, scale: int = 6) -> Column:
     """Snowflake ``TRY_TO_DECIMAL(x, p, s)``: NULL on malformed input."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(c, f"decimal({precision},{scale})")
+    return c.try_cast(f"decimal({precision},{scale})")
 
 
 def try_to_number(col: Column | str, precision: int = 38, scale: int = 0) -> Column:

@@ -1,0 +1,77 @@
+"""The semantic layer: DAX measures as Catalyst Column expressions
+(SURVEY.md §2.4 A6–A10, §2.5 W2/W3, §2.10).
+
+Each measure from ``/root/reference/powerbi/dax_measures.md`` becomes a
+reusable expression or DataFrame function over the star schema — no
+``udf()`` anywhere, so everything stays inside whole-stage codegen,
+which is what matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.casts import safe_divide
+
+
+def active_tickers() -> Column:
+    """``Active Tickers = DISTINCTCOUNT(dim_security[SYMBOL])``
+    (dax_measures.md:1-4)."""
+    return F.countDistinct("symbol").alias("active_tickers")
+
+
+def avg_price() -> Column:
+    """``Avg Price = AVERAGE(fact_daily_price[CLOSE])`` (:6-9)."""
+    return F.avg("close").alias("avg_price")
+
+
+def total_volume() -> Column:
+    """``Total Volume = SUM(fact_daily_price[VOLUME])`` (:28-31)."""
+    return F.sum("volume").alias("total_volume")
+
+
+def total_value() -> Column:
+    """``Total Value = SUMX(fact, VOLUME * CLOSE)`` (:23-26)."""
+    return F.sum(F.col("volume") * F.col("close")).alias("total_value")
+
+
+def with_daily_change_pct(
+    fact: DataFrame,
+    partition_col: str = "symbol",
+    date_col: str = "trade_date",
+    value_col: str = "close",
+) -> DataFrame:
+    """``Daily Change % = DIVIDE(cur - prev, prev, 0)`` where prev is the
+    prior calendar row per symbol (dax_measures.md:11-21) — a lag window,
+    not an as-of join (SURVEY.md §2.3 note)."""
+    w = Window.partitionBy(partition_col).orderBy(date_col)
+    prev = F.lag(value_col).over(w)
+    return fact.withColumn(
+        "daily_change_pct", safe_divide(F.col(value_col) - prev, prev)
+    )
+
+
+def with_volume_trend_7d(
+    daily: DataFrame,
+    date_col: str = "trade_date",
+    volume_col: str = "total_volume",
+) -> DataFrame:
+    """``Volume Trend (7D) = AVERAGEX(DATESINPERIOD(..., -7, DAY), [Total
+    Volume])`` (dax_measures.md:33-40): calendar-day range frame — gaps
+    (weekends) shrink the averaging window, exactly like DATESINPERIOD."""
+    w = Window.orderBy(
+        F.datediff(F.col(date_col), F.lit("1970-01-01").cast("date"))
+    ).rangeBetween(-6, 0)
+    return daily.withColumn("volume_trend_7d", F.avg(volume_col).over(w))
+
+
+def top_n_by_total_value(fact: DataFrame, n: int = 10) -> DataFrame:
+    """The "Total Value by SYMBOL" top-N bar chart
+    (powerbi/sc/market_liquidity.png): deterministic total order."""
+    return (
+        fact.groupBy("symbol")
+        .agg(total_value(), total_volume())
+        .orderBy(F.desc("total_value"), F.asc("symbol"))
+        .limit(n)
+    )

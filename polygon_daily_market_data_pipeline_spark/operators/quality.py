@@ -1,0 +1,100 @@
+"""Data-quality / audit operators (SURVEY.md §2.11 Q1–Q6) — first-class
+in the reference; first-class here.
+
+Semantics preserved exactly:
+- Q1 min-cardinality gate: < MIN_EXPECTED_TICKERS → **fail**
+  (``/root/reference/dags/lib/eod_data_downloader.py:17,138-145``;
+  ``get_securities_data.py:63-68``);
+- Q2 zero rows → **skip**, not fail (``get_securities_data.py:109-112``,
+  AirflowSkipException at ``:122``);
+- Q3 post-load presence check (``check_loaded.sql:4-6``);
+- Q4 pre-merge insert/update estimates (``premerge_metrics.sql:4-33``);
+- Q5 post-merge reconciliation (``postmerge_metrics.sql:4-10``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.casts import norm_key
+
+MIN_EXPECTED_TICKERS = 100  # eod_data_downloader.py:17
+
+
+class DataQualityError(RuntimeError):
+    """Raised when a hard DQ gate fails (Airflow task-failure analog)."""
+
+
+class SkipBatch(Exception):
+    """Raised to skip a batch without failing (AirflowSkipException analog)."""
+
+
+def min_cardinality_gate(
+    df: DataFrame, min_rows: int = MIN_EXPECTED_TICKERS
+) -> int:
+    """Q1/Q2: count rows; 0 → SkipBatch, 0 < n < min_rows → fail.
+
+    One count() action — at scale this is a metadata-cheap aggregate;
+    prefer ``df.observe()`` when the count can piggyback on a write.
+    """
+    n = df.count()
+    if n == 0:
+        raise SkipBatch("no rows for batch — skipping (Q2)")
+    if n < min_rows:
+        raise DataQualityError(
+            f"row_count {n} < MIN_EXPECTED_TICKERS {min_rows} (Q1)"
+        )
+    return n
+
+
+def check_loaded(raw: DataFrame, trade_date) -> bool:
+    """Q3: COUNT(*) > 0 on the loaded date partition (check_loaded.sql)."""
+    n = raw.where(F.col("trade_date") == F.lit(str(trade_date)).cast("date")).count()
+    if n == 0:
+        raise DataQualityError(f"no rows loaded for {trade_date} (Q3)")
+    return True
+
+
+def premerge_metrics(raw_batch: DataFrame, core: DataFrame) -> DataFrame:
+    """Q4 (premerge_metrics.sql:4-33): raw count, distinct keys, keys
+    already in CORE, insert/update estimates — one audit row via
+    1×1×1 cross joins of scalar aggregates."""
+    raw_cnt = raw_batch.agg(F.count(F.lit(1)).alias("raw_rows"))
+    keys = (
+        raw_batch.select(
+            norm_key("symbol").alias("symbol"), "trade_date"
+        ).distinct()
+    )
+    key_cnt = keys.agg(F.count(F.lit(1)).alias("distinct_keys"))
+    existing = (
+        keys.join(
+            core.select(norm_key("symbol").alias("symbol"), "trade_date"),
+            ["symbol", "trade_date"],
+            "inner",
+        ).agg(F.count(F.lit(1)).alias("existing_keys"))
+    )
+    return (
+        raw_cnt.crossJoin(key_cnt)
+        .crossJoin(existing)
+        .select(
+            "raw_rows",
+            "distinct_keys",
+            "existing_keys",
+            (F.col("distinct_keys") - F.col("existing_keys")).alias("inserts_est"),
+            F.col("existing_keys").alias("updates_est"),
+        )
+    )
+
+
+def postmerge_metrics(core: DataFrame, fact: DataFrame, trade_date) -> DataFrame:
+    """Q5 (postmerge_metrics.sql:4-10): core-vs-fact row counts for the
+    run date, one reconciliation row."""
+    d = F.lit(str(trade_date)).cast("date")
+    c = core.where(F.col("trade_date") == d).agg(
+        F.count(F.lit(1)).alias("core_rows")
+    )
+    f_ = fact.where(F.col("trade_date") == d).agg(
+        F.count(F.lit(1)).alias("fact_rows")
+    )
+    return c.crossJoin(f_)

@@ -1,0 +1,74 @@
+"""Unit tests: the DAX semantic layer (A6–A10, W2, W3, O2) on the
+hand-computable multi-day fixture of FIXTURES.md §7."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions import measures
+
+# 2 symbols × 5 days spanning a weekend (Fri 01-05 → Mon 01-08 gap)
+ROWS = [
+    # symbol, date, close, volume
+    ("AAPL", dt.date(2024, 1, 3), 100.0, 10),
+    ("AAPL", dt.date(2024, 1, 4), 110.0, 20),
+    ("AAPL", dt.date(2024, 1, 5), 99.0, 30),
+    ("AAPL", dt.date(2024, 1, 8), 132.0, 40),  # Monday
+    ("MSFT", dt.date(2024, 1, 3), 50.0, 5),
+    ("MSFT", dt.date(2024, 1, 4), 0.0, 5),     # zero close → DIVIDE default
+    ("MSFT", dt.date(2024, 1, 5), 25.0, 5),
+]
+
+
+def _fact(spark):
+    return spark.createDataFrame(
+        ROWS, "symbol string, trade_date date, close double, volume long"
+    )
+
+
+def test_scalar_measures(spark):
+    row = _fact(spark).agg(
+        measures.active_tickers(),
+        measures.avg_price(),
+        measures.total_volume(),
+        measures.total_value(),
+    ).collect()[0]
+    assert row["active_tickers"] == 2
+    assert abs(row["avg_price"] - (100 + 110 + 99 + 132 + 50 + 0 + 25) / 7) < 1e-9
+    assert row["total_volume"] == 115
+    expected_value = 100 * 10 + 110 * 20 + 99 * 30 + 132 * 40 + 50 * 5 + 0 + 25 * 5
+    assert abs(row["total_value"] - expected_value) < 1e-9
+
+
+def test_daily_change_pct_lag_and_zero_divide(spark):
+    out = {
+        (r["symbol"], r["trade_date"]): r["daily_change_pct"]
+        for r in measures.with_daily_change_pct(_fact(spark)).collect()
+    }
+    assert out[("AAPL", dt.date(2024, 1, 3))] == 0.0          # no prev → default
+    assert abs(out[("AAPL", dt.date(2024, 1, 4))] - 0.10) < 1e-9
+    assert abs(out[("AAPL", dt.date(2024, 1, 8))] - (132 - 99) / 99) < 1e-9
+    assert out[("MSFT", dt.date(2024, 1, 5))] == 0.0          # prev==0 → DIVIDE default
+
+
+def test_volume_trend_7d_calendar_frame(spark):
+    daily = (
+        _fact(spark)
+        .groupBy("trade_date")
+        .agg(F.sum("volume").alias("total_volume"))
+    )
+    out = {
+        r["trade_date"]: r["volume_trend_7d"]
+        for r in measures.with_volume_trend_7d(daily).collect()
+    }
+    # Jan 8 window covers Jan 2..8 → days 3,4,5,8 → (15+25+35+40)/4
+    assert abs(out[dt.date(2024, 1, 8)] - (15 + 25 + 35 + 40) / 4) < 1e-9
+    # Jan 3: only itself
+    assert abs(out[dt.date(2024, 1, 3)] - 15.0) < 1e-9
+
+
+def test_top_n_by_total_value(spark):
+    top = measures.top_n_by_total_value(_fact(spark), n=1).collect()
+    assert len(top) == 1 and top[0]["symbol"] == "AAPL"

@@ -1,0 +1,85 @@
+"""Unit tests: MERGE semantics fidelity (SURVEY §7.3.1) — matched-update,
+not-matched-insert, carryover, duplicate-source dedup precondition,
+insert-only merge, deterministic surrogate keys, W1 tie-breaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
+from polygon_daily_market_data_pipeline_spark.operators.merge import (
+    assign_surrogate_keys,
+    insert_only_merge,
+    merge_upsert,
+)
+
+
+def test_merge_upsert_branches(spark):
+    target = spark.createDataFrame(
+        [("A", 1, "old"), ("B", 2, "old")], "k string, v int, tag string"
+    )
+    source = spark.createDataFrame(
+        [("B", 20, "new"), ("C", 30, "new")], "k string, v int, tag string"
+    )
+    out = {
+        r["k"]: r for r in merge_upsert(target, source, keys=["k"]).collect()
+    }
+    assert len(out) == 3
+    assert out["A"]["v"] == 1 and out["A"]["tag"] == "old"   # carryover
+    assert out["B"]["v"] == 20 and out["B"]["tag"] == "new"  # matched update
+    assert out["C"]["v"] == 30                               # insert
+
+
+def test_merge_upsert_partial_update_cols(spark):
+    target = spark.createDataFrame([("A", 1, "keep")], "k string, v int, note string")
+    source = spark.createDataFrame([("A", 9, "clobber")], "k string, v int, note string")
+    row = merge_upsert(target, source, keys=["k"], update_cols=["v"]).collect()[0]
+    assert row["v"] == 9 and row["note"] == "keep"
+
+
+def test_merge_upsert_rerun_converges(spark):
+    """Replaying the same source is a no-op (idempotency §5.1.3)."""
+    target = spark.createDataFrame([("A", 1)], "k string, v int")
+    source = spark.createDataFrame([("A", 5), ("B", 7)], "k string, v int")
+    once = merge_upsert(target, source, keys=["k"])
+    twice = merge_upsert(once, source, keys=["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_insert_only_merge_never_updates(spark):
+    dim = spark.createDataFrame([(1, "AAPL")], "id long, symbol string")
+    src = spark.createDataFrame(
+        [(99, "AAPL"), (2, "MSFT"), (2, "MSFT")], "id long, symbol string"
+    )
+    out = {r["symbol"]: r["id"] for r in insert_only_merge(dim, src, keys=["symbol"]).collect()}
+    assert out["AAPL"] == 1  # existing row untouched despite source id=99
+    assert out["MSFT"] == 2 and len(out) == 2  # source deduped
+
+
+def test_surrogate_keys_deterministic(spark):
+    new = spark.createDataFrame([("Z",), ("A",), ("M",)], "symbol string")
+    ids = {
+        r["symbol"]: r["sid"]
+        for r in assign_surrogate_keys(new, "symbol", "sid", existing_max=10).collect()
+    }
+    assert ids == {"A": 11, "M": 12, "Z": 13}  # rank order, offset by max
+
+
+def test_latest_by_key_tiebreak(spark):
+    """W1: _INGEST_TS DESC then _SRC_FILE DESC (merge_core.sql:15)."""
+    df = spark.createDataFrame(
+        [
+            ("AAPL", "2024-01-05", 1.0, 100, "f1"),
+            ("AAPL", "2024-01-05", 2.0, 200, "f2"),  # same ts, later file
+            ("AAPL", "2024-01-05", 3.0, 100, "f0"),  # earlier ts
+            ("MSFT", "2024-01-05", 9.0, 100, "f1"),
+        ],
+        "symbol string, d string, close double, ts long, src string",
+    )
+    out = {
+        r["symbol"]: r["close"]
+        for r in latest_by_key(
+            df, keys=["symbol", "d"], order_by=[F.desc("ts"), F.desc("src")]
+        ).collect()
+    }
+    assert out == {"AAPL": 2.0, "MSFT": 9.0}

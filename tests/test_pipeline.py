@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests (SURVEY §5.2): full raw→core→dim→fact run,
+layer reconciliation, idempotent re-run, DQ skip/fail gates, typed-load
+null handling."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark import schemas
+from polygon_daily_market_data_pipeline_spark.operators.quality import (
+    DataQualityError,
+    SkipBatch,
+)
+from polygon_daily_market_data_pipeline_spark.pipeline import Warehouse, run_eod_pipeline
+from polygon_daily_market_data_pipeline_spark.sources.csv_landing import typed_raw_load
+from tests.conftest import GOOD_DAY, pad_day
+
+TS = dt.datetime(2024, 1, 5, 23, 0, 0)
+
+
+def _counts(spark, root):
+    wh = Warehouse(spark, root)
+    return {
+        "raw": wh.read("raw_eod_prices", schemas.RAW_EOD_PRICES).count(),
+        "core": wh.read("eod_prices", schemas.CORE_EOD_PRICES).count(),
+        "dim_sec": wh.read("dim_security", schemas.DIM_SECURITY).count(),
+        "dim_date": wh.read("dim_date", schemas.DIM_DATE).count(),
+        "fact": wh.read("fact_daily_price", schemas.FACT_DAILY_PRICE).count(),
+    }
+
+
+def test_typed_load_null_and_dup_handling(spark, landing_csv):
+    path = landing_csv("day.csv", GOOD_DAY)
+    df = typed_raw_load(spark, path, "2024-01-05", ingest_ts=TS)
+    rows = {r["symbol"]: r for r in df.collect()}
+    assert rows["XBAD"]["open"] is None          # try_cast malformed → NULL
+    assert rows["XBAD"]["close"] is None         # NaN sentinel → NULL
+    assert rows["XBAD"]["volume"] is None
+    assert rows["NULLS"]["open"] is None         # '' and NULL sentinels
+    assert rows["AAPL"]["open"] == Decimal("181.500000")
+    assert rows["aapl "]["trade_date"] == dt.date(2024, 1, 5)
+    assert rows["AAPL"]["_src_file"].endswith("day.csv")
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, landing_csv, tmp_path):
+    root = str(tmp_path / "wh")
+    d1 = landing_csv("eod_2024-01-05.csv", pad_day(GOOD_DAY, "2024-01-05"))
+    audits = run_eod_pipeline(spark, root, d1, "2024-01-05", fixed_ts=TS)
+
+    pre = audits["premerge"].collect()[0]
+    post = audits["postmerge"].collect()[0]
+    assert pre["raw_rows"] == 127                # 7 fixture + 120 pad
+    assert pre["distinct_keys"] == 126           # AAPL/aapl merge
+    assert pre["existing_keys"] == 0 and pre["inserts_est"] == 126
+    assert post["core_rows"] == 126 and post["fact_rows"] == 126
+
+    c1 = _counts(spark, root)
+    assert c1["core"] == 126 and c1["dim_sec"] == 126
+    assert c1["dim_date"] == 1 and c1["fact"] == 126
+
+    # AAPL dedup: latest _src_file wins within equal ingest_ts; both rows
+    # share the file here so the tie falls to file — but values must come
+    # from ONE row, normalized symbol.
+    wh = Warehouse(spark, root)
+    core = wh.read("eod_prices", schemas.CORE_EOD_PRICES)
+    aapl = core.where("symbol = 'AAPL'").collect()
+    assert len(aapl) == 1
+
+    # replay the same day → converges (counts unchanged)
+    run_eod_pipeline(spark, root, d1, "2024-01-05", fixed_ts=TS)
+    assert _counts(spark, root) == c1
+
+    # second day: new date partition, dims grow only by new symbols
+    d2_rows = pad_day(
+        ["2024-01-08,AAPL,183.0,184.2,182.1,183.5,49000000",
+         "2024-01-08,NEWCO,10.0,11.0,9.5,10.5,5000"],
+        "2024-01-08",
+    )
+    d2 = landing_csv("eod_2024-01-08.csv", d2_rows)
+    run_eod_pipeline(spark, root, d2, "2024-01-08", fixed_ts=TS)
+    c2 = _counts(spark, root)
+    assert c2["dim_date"] == 2
+    # grow-only dim: pads SYM0000..SYM0119 and AAPL already exist,
+    # so only NEWCO is new
+    assert c2["dim_sec"] == 126 + 1
+    assert c2["core"] == 126 + 122
+
+    # dim ids stable across days (insert-only, no re-keying)
+    dim = wh.read("dim_security", schemas.DIM_SECURITY)
+    assert dim.groupBy("symbol").count().where("count > 1").count() == 0
+
+
+def test_dq_gates_skip_and_fail(spark, landing_csv):
+    empty = landing_csv("empty.csv", [])
+    with pytest.raises(SkipBatch):
+        run_eod_pipeline(spark, "/tmp/unused-wh", empty, "2024-01-05", fixed_ts=TS)
+
+    few = landing_csv("few.csv", GOOD_DAY)  # 7 rows < 100
+    with pytest.raises(DataQualityError):
+        run_eod_pipeline(spark, "/tmp/unused-wh", few, "2024-01-05", fixed_ts=TS)
+
+
+def test_update_branch_refreshes_values(spark, landing_csv, tmp_path):
+    """Re-running a date with revised prices updates CORE in place
+    (merge_core.sql WHEN MATCHED THEN UPDATE)."""
+    root = str(tmp_path / "wh2")
+    v1 = landing_csv("v1.csv", pad_day(["2024-01-05,ACME,1.0,2.0,0.5,1.5,100"], "2024-01-05"))
+    run_eod_pipeline(spark, root, v1, "2024-01-05", fixed_ts=TS)
+    v2 = landing_csv("v2.csv", pad_day(["2024-01-05,ACME,1.0,2.0,0.5,9.9,100"], "2024-01-05"))
+    run_eod_pipeline(spark, root, v2, "2024-01-05",
+                     fixed_ts=TS + dt.timedelta(hours=1))
+    wh = Warehouse(spark, root)
+    core = wh.read("eod_prices", schemas.CORE_EOD_PRICES)
+    acme = core.where("symbol = 'ACME'").collect()
+    assert len(acme) == 1 and acme[0]["close"] == Decimal("9.900000")
+    fact = wh.read("fact_daily_price", schemas.FACT_DAILY_PRICE)
+    fact_acme = fact.join(
+        wh.read("dim_security", schemas.DIM_SECURITY).where("symbol='ACME'"),
+        "security_id",
+    ).collect()
+    assert len(fact_acme) == 1 and fact_acme[0]["close"] == Decimal("9.900000")
