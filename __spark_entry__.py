@@ -22,6 +22,7 @@ from polygon_daily_market_data_pipeline_spark.plans.analytics import (  # noqa: 
     ORACLES,
     QUERIES,
 )
+import polygon_daily_market_data_pipeline_spark.plans.llm_ops  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,142 @@
+"""Text-analysis expressions for LLM-data-pipeline workloads — all
+Catalyst-native (array/lambda built-ins, no Python UDFs), so they run
+JVM-side inside whole-stage codegen at 100 TB.
+
+Portability contract: every expression here has an exact ANSI/DuckDB
+equivalent (md5 is the cross-engine hash primitive — identical lowercase
+hex in Spark, DuckDB, and Python's hashlib), which is what lets the
+dedup/similarity operators carry strong DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small and inlineable into oracle SQL.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est", "que"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4", "you3", "he2", "wo3"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form used by
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def est_bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish token estimate: words plus one extra token per 4 chars of
+    long words (the usual ~4-chars-per-token heuristic, computed
+    deterministically from whitespace tokens)."""
+    t = tokens(col)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + 1 + F.floor(F.length(w) / 4).cast("long"),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (array<string>) — the unit set for
+    Jaccard/MinHash near-dup detection. Empty array when the document
+    has fewer than ``n`` tokens."""
+    t = tokens(col)
+    # NB: sequence(1, 0) DESCENDS in Spark — guard short docs explicitly.
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    return F.array_distinct(sh)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable across
+    engines; the content-hash for exact dedup)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash(col: Column | str, base: int = 131, mod: int = 1_000_003) -> Column:
+    """Polynomial rolling hash over the normalized text's characters
+    (Rabin–Karp style), reduced mod a prime each step so it never
+    overflows in any engine. Order-sensitive, unlike the md5 content
+    hash — detects transpositions."""
+    chars = F.split(normalize_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.coalesce(F.ascii(ch), F.lit(0))) % mod,
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — a quality-score feature."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda w: w.isin(*stopwords)))
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(t)
+    )
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Type/token ratio — low values flag repetitive (low-quality) text."""
+    t = tokens(col)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards stopword presence
+    (natural prose), lexical diversity, and reasonable length —
+    the length/punct/stopword-ratio recipe of heuristic text filters
+    (C4/Gopher-style rules), deterministic and oracle-expressible."""
+    t = tokens(col)
+    n = F.size(t)
+    length_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw * 4, F.lit(1.0))  # saturate at 25% stopwords
+    diversity = distinct_token_ratio(col)
+    return F.round((length_ok + sw_score + diversity) / 3, 6)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratios (the language-ID features)."""
+    t = tokens(col)
+    n = F.greatest(F.size(t), F.lit(1))
+    return {
+        lang: F.size(F.filter(t, lambda w: w.isin(*words))).cast("double") / n
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (language code asc);
+    'und' when no stopword hits at all."""
+    scores = lang_scores(col)
+    # build: greatest score, then first lang (asc) achieving it
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best <= 0, F.lit("und")).otherwise(result)

@@ -1,0 +1,236 @@
+"""Document deduplication operators (LLM-data-pipeline extensions):
+exact content-hash dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+All of these are pure DataFrame algebra over the portable md5 hash
+primitive — no Python UDFs — so they scale JVM-side and carry exact
+DuckDB oracles.
+
+Scale design (the 100 TB story):
+
+- **exact_dedup**: groupBy(md5(normalized)) — one shuffle on a
+  uniformly distributed key; no skew by construction.
+- **shingle-join candidates**: the explode→self-join on shingles is
+  quadratic in a shingle's document frequency. ``df_cap`` drops
+  stop-shingles (standard MinHashLSH practice) so hot keys can't blow
+  up a partition; AQE skew-join splits whatever remains.
+- **MinHash+LSH**: the scale path — signatures are a linear scan;
+  the band join shuffles on (band_idx, band_key), bucket sizes are
+  bounded by collision probability, and the exact-Jaccard verify runs
+  only on candidates. k=16 hashes / 8 bands of 2 rows gives
+  P(candidate) = 1-(1-j²)⁸ ≈ 1 for j ≥ 0.8 — recall loss is
+  negligible far above the threshold.
+- **SimHash**: one linear projection per doc; near-dup = equal
+  fingerprint (or small Hamming distance via banding on nibbles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.text import (
+    fingerprint_md5,
+    word_shingles,
+)
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_ROWS = 2
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized content hash: one surviving
+    (canonical, min-id) row per distinct content.
+
+    Returns (fingerprint, canonical_id, n_dups)."""
+    return (
+        df.select(
+            fingerprint_md5(text_col).alias("fingerprint"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def _pair_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Join shingle arrays onto candidate id pairs and compute exact
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
+
+    Candidates = pairs sharing ≥ 1 shingle (exact for any t > 0 when
+    ``df_cap`` is None); ``df_cap`` drops shingles appearing in more
+    than that many docs — the skew guard for web-scale corpora, at the
+    cost of missing pairs whose only shared shingles are stop-shingles
+    (irrelevant at high thresholds)."""
+    sh = _with_shingles(df, id_col, text_col, shingle_n)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if df_cap is not None:
+        hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
+        ex = ex.join(hot, "s", "left_anti")
+    cands = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signature_cols(
+    shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> list[Column]:
+    """MinHash signature as ``num_hashes`` lexicographic-min md5 values.
+
+    md5(i || ':' || shingle) is a deterministic 'random permutation' of
+    the shingle space; the min under string order is a valid MinHash
+    (P[min_a = min_b] = Jaccard(A,B)). Portable: identical in DuckDB.
+    """
+    def hash_i(i: int) -> Column:
+        # NB: single-arg lambda — PySpark would bind a second parameter
+        # to the array index, shadowing a default-arg closure.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+
+    return [hash_i(i) for i in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) signature table — linear scan, no shuffle."""
+    sh = _with_shingles(df, id_col, text_col, shingle_n)
+    return sh.select(F.col("doc_id"), *minhash_signature_cols(F.col("shingles"), num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    Pipeline: signature scan → band keys (md5 of each band's hashes) →
+    shuffle on (band_idx, band_key) → distinct candidate pairs →
+    exact-Jaccard verify ≥ threshold. Output equals the exhaustive
+    jaccard_pairs result whenever LSH recall ≈ 1 (j ≫ per-band
+    collision floor), while never materializing the all-pairs join.
+    """
+    sh = _with_shingles(df, id_col, text_col, shingle_n)
+    sigs = sh.select(
+        "doc_id", *minhash_signature_cols(F.col("shingles"), num_hashes)
+    )
+    n_bands = num_hashes // band_rows
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * band_rows + r}")
+                                    for r in range(band_rows)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    cands = (
+        band_entries.alias("x")
+        .join(band_entries.alias("y"), ["band_idx", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+
+
+def simhash_32(shingles_or_tokens: Column) -> Column:
+    """32-bit SimHash over an array of strings, built from the 32 md5
+    nibbles: bit p = majority over elements of (nibble p ≥ 8). One
+    linear pass; equal fingerprints ⇒ near-identical token sets.
+    Portable to SQL (same md5 nibble arithmetic)."""
+    arr = shingles_or_tokens
+
+    def vote(p: int) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(
+                F.conv(F.substring(F.md5(s), p + 1, 1), 16, 10).cast("int") >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    bits = [
+        F.when(vote(p) > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        for p in range(32)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    sh = _with_shingles(df, id_col, text_col, shingle_n)
+    return sh.select("doc_id", simhash_32(F.col("shingles")).alias("simhash"))

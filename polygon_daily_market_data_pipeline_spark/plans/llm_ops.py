@@ -1,0 +1,364 @@
+"""LLM-training-data pipeline queries over ``documents``/``embeddings``:
+dedup (exact, Jaccard, MinHash+LSH, SimHash), similarity search, text
+analysis — each registered with a DuckDB oracle built on the same
+portable primitives (md5, list lambdas), so the differential check is
+exact, not statistical.
+
+The ANN-LSH variant is the one deliberately weaker (rows-only) entry:
+its recall-vs-bruteforce is asserted in tests/test_llm_ops.py instead,
+because an approximate index has no ANSI-SQL-equivalent semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    distinct_token_ratio,
+    est_bpe_tokens,
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+)
+from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from polygon_daily_market_data_pipeline_spark.plans.analytics import register
+from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL fragments (DuckDB), mirroring functions/text.py exactly
+# ---------------------------------------------------------------------------
+
+NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+TOKS = f"string_split({NORM}, ' ')"
+# distinct 3-word shingles; empty list for docs with < 3 tokens
+SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+PAIRS_SQL = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_exact_dedup",
+    f"""
+    SELECT md5({NORM}) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*)    AS n_dups
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized content fingerprint.
+    Uniform md5 keys → skew-free shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").orderBy("fingerprint")
+
+
+@register("neardup_jaccard_pairs", PAIRS_SQL)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5). Candidate
+    generation via shared-shingle join (exact for t > 0); the LSH
+    variant below is the same output through the scalable plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("neardup_minhash_lsh", PAIRS_SQL)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands × 2) candidates, exact-Jaccard-verified at
+    0.5 — the 100 TB dedup plan. Oracle = the exhaustive pair SQL: at
+    the observed pair similarities (j ≥ 0.9) band-recall is
+    1-(1-j²)⁸ ≈ 1-2e-6, so LSH output equals the exact answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=16, band_rows=2
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle(k: int) -> str:
+    cols = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(k)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 50),
+    shd AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3)
+    SELECT doc_id,
+           {cols}
+    FROM shd
+    ORDER BY doc_id
+    """
+
+
+@register("minhash_signatures_sample", _minhash_oracle(8))
+def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash signature table (first 50 docs, k=8):
+    the signature scan is the linear-cost half of LSH dedup; verified
+    value-exactly against DuckDB's identical md5-min construction."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=8).orderBy(
+        "doc_id"
+    )
+
+
+def _simhash_oracle() -> str:
+    nib = "strpos('0123456789abcdef', substring(md5(s), {p}, 1)) - 1"
+    terms = []
+    for p in range(32):
+        d = nib.format(p=p + 1)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(sh, s -> "
+            f"CASE WHEN ({d}) >= 8 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {2**p} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 50),
+    shd AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3)
+    SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
+    FROM shd
+    ORDER BY doc_id
+    """
+
+
+@register("simhash_sample", _simhash_oracle())
+def simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (md5-nibble majority vote) for the
+    first 50 docs — near-dup via equal/close fingerprints; one linear
+    pass per doc, no pairwise work until the Hamming-band join."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
+    return simhash_fingerprints(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, {NORM} AS norm, {TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_sum(list_transform(toks, w -> 1 + CAST(floor(length(w)/4) AS BIGINT))) AS BIGINT)
+               AS est_bpe,
+           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+           CAST(list_reduce(
+               list_prepend(0, list_transform(range(1, length(norm)+1),
+                                              i -> ascii(substring(norm, i, 1)))),
+               (a, b) -> (a * 131 + b) % 1000003) AS BIGINT) AS rhash,
+           md5(norm) AS fingerprint,
+           n_chars
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + fingerprinting: whitespace tokens, BPE-ish
+    estimate, type/token ratio, rolling (order-sensitive) hash, md5
+    content hash. All codegen'd array expressions — a linear scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        est_bpe_tokens("text").alias("est_bpe"),
+        F.round(distinct_token_ratio("text"), 6).alias("ttr"),
+        rolling_hash("text").alias("rhash"),
+        fingerprint_md5("text").alias("fingerprint"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               len(list_filter(toks, w -> w IN {LANG_STOPWORDS['en']!r})) * 1.0
+                   / greatest(len(toks), 1) AS sw,
+               len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS ttr
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(sw, 6) AS stopword_ratio,
+           ROUND(((CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                  + least(sw * 4, 1.0) + ttr) / 3, 6) AS quality
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (C4/Gopher-style): length gate,
+    stopword saturation, lexical diversity, equally weighted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    ratios = ",\n               ".join(
+        f"len(list_filter(toks, w -> w IN {words!r})) * 1.0 / greatest(len(toks),1) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {ratios} FROM t),
+    d AS (
+        SELECT doc_id, lang AS label_lang, {best} AS best,
+               CASE WHEN {best} <= 0 THEN 'und' {case} ELSE 'und' END AS detected
+        FROM s
+    )
+    SELECT label_lang, detected, COUNT(*) AS n_docs
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("doc_lang_id", _lang_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (n-gram heuristic family): per-language
+    hit ratios, argmax with asc-code tie-break, confusion counts against
+    the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label_lang"),
+            lang_id("text").alias("detected"),
+        )
+        .groupBy("label_lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label_lang", "detected")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+KNN_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 100
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos
+        FROM q, c WHERE neighbor_id != query_id
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM s
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos
+    FROM r WHERE rank <= 3
+    ORDER BY query_id, rank
+"""
+
+
+@register("embedding_knn_bruteforce", KNN_ORACLE)
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for the first 100 vectors — the ANN baseline.
+    Codegen'd zip_with/aggregate dot products; queries broadcast,
+    corpus stationary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(emb, emb.where("vec_id < 100"), k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rank")
+
+
+@register("embedding_ann_lsh")  # rows-only: approximate index, no SQL twin
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-3 (the scale path: bucket join instead of
+    cross join). No oracle by design — recall vs the brute-force
+    baseline is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_lsh(emb, emb.where("vec_id < 100"), k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props (JSON extraction — the S3 envelope analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the event props column (the engine's
+    semi-structured surface; pushdown-friendly get_json_object)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

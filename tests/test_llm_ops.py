@@ -1,0 +1,139 @@
+"""Unit tests: LLM-data-pipeline operators — dedup family semantics,
+MinHash ≈ Jaccard property, ANN recall vs brute force, multimodal
+mapInPandas plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.text import lang_id, quality_score
+from polygon_daily_market_data_pipeline_spark.operators import multimodal
+from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    cosine_topk_pandas,
+)
+from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "THE  quick   Brown fox jumps over the lazy dog near the river bank"),  # exact dup after norm
+    (3, "the quick brown fox jumps over the lazy dog near the river shore"),   # near dup
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "tiny"),  # < 3 tokens → no shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text").collect()
+    groups = {r["canonical_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 2          # docs 1+2 same fingerprint, min id canon
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_jaccard_and_lsh_agree(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] == 1.0   # identical shingle sets
+    assert (1, 3) in exact and 0.5 <= exact[(1, 3)] < 1.0
+    assert exact == lsh                                # LSH recall 1 here
+    assert all(a < b for a, b in exact)                # canonical pair order
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in
+           simhash_fingerprints(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]  # identical shingle sets → identical simhash
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    ham_14 = bin(out[1] ^ out[4]).count("1")
+    assert ham_13 < ham_14   # near-dup closer than unrelated doc
+    assert 5 not in out      # no shingles → no fingerprint
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market in the morning"),
+            (2, "el gato y la casa es un lugar que en la manana"),
+            (3, "xyzzy plugh qwerty"),  # no stopwords → und
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", lang_id("text").alias("lang"), quality_score("text").alias("q")
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[3]["lang"] == "und"
+    assert out[1]["q"] > out[3]["q"]
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 30")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(emb, queries, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall} collapsed"  # 3 planes × 12 tables
+
+
+def test_pandas_kernel_matches_codegen_kernel(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 10")
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in cosine_topk_bruteforce(emb, queries, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in cosine_topk_pandas(emb, queries, k=3).collect()}
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        Row(media_id=1, kind="image", mime="image/png", width=8, height=8,
+            duration_ms=None, content=bytes(range(64))),
+        Row(media_id=2, kind="video", mime="video/mp4", width=16, height=16,
+            duration_ms=3500, content=b"\x00fakevideo" * 10),
+        Row(media_id=3, kind="image", mime="image/png", width=1, height=1,
+            duration_ms=None, content=b""),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_image_features(media).collect()}
+    assert set(feats) == {1, 3}
+    assert feats[1]["n_bytes"] == 64
+    assert abs(feats[1]["mean_byte"] - 31.5) < 1e-9
+    assert abs(feats[1]["byte_entropy"] - 6.0) < 1e-9  # 64 distinct bytes
+    assert feats[3]["n_bytes"] == 0 and feats[3]["byte_entropy"] == 0.0
+
+    frames = multimodal.sample_video_frames(media, every_ms=1000).collect()
+    assert [f["frame_ms"] for f in frames] == [0, 1000, 2000, 3000]
+    assert len({f["frame_sig"] for f in frames}) == 4  # per-frame sigs differ
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(media, decoder="pillow")
