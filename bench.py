@@ -1,0 +1,81 @@
+"""Per-round benchmark: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}``.
+
+Each query is executed to completion with the ``noop`` sink (full physical
+execution, no driver collect bottleneck), so timings reflect scan + shuffle
++ compute — what would dominate on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from polygon_daily_market_data_pipeline_spark.plans import llm_ops  # noqa: E402,F401
+from polygon_daily_market_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+
+    spark = (
+        SparkSession.builder.appName("bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest SF so q1's timing isn't startup.
+    warm = "/root/testdata/sf0.001"
+    if Path(warm).exists():
+        try:
+            QUERIES["pricing_summary"](spark, warm).collect()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep benching; report the failure
+            timings[name] = -1.0
+            print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
