@@ -32,6 +32,9 @@ from polygon_daily_market_data_pipeline_spark.functions.text import (
     fingerprint_md5,
     word_shingles,
 )
+from polygon_daily_market_data_pipeline_spark.partitioning import (
+    spread_for_compute,
+)
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_ROWS = 2
@@ -43,7 +46,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns (fingerprint, canonical_id, n_dups)."""
     return (
-        df.select(
+        spread_for_compute(df, id_col)
+        .select(
             fingerprint_md5(text_col).alias("fingerprint"),
             F.col(id_col).alias("doc_id"),
         )
@@ -55,28 +59,34 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, spread: bool = True
+) -> DataFrame:
+    # Shingling is the CPU-dense stage (regex normalize + n-gram build
+    # per row): spread it across cores regardless of input split count.
+    if spread:
+        df = spread_for_compute(df, id_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(text_col, n).alias("shingles"),
     ).where(F.size("shingles") > 0)
 
 
-def _pair_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
-    """Join shingle arrays onto candidate id pairs and compute exact
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|)."""
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+def _jaccard_from_inter(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach per-doc shingle counts to (doc_a, doc_b, inter) rows and
+    compute exact Jaccard = inter / (na + nb - inter). ``sizes`` is one
+    small row per doc — AQE broadcasts it; no arrays cross a shuffle."""
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - inter)
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
             ).alias("jaccard"),
         )
     )
@@ -102,16 +112,22 @@ def jaccard_pairs(
     if df_cap is not None:
         hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
         ex = ex.join(hot, "s", "left_anti")
-    cands = (
+    # Shingles are distinct per doc, so COUNT of shared shingle keys IS
+    # |A∩B| — the self-join's two identical sides share one shuffle
+    # (ReusedExchange) and no array ever crosses the wire.
+    pairs = (
         ex.alias("x")
         .join(ex.alias("y"), "s")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
+        .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _pair_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    return _jaccard_from_inter(pairs, sizes).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_signature_cols(
@@ -198,7 +214,23 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _pair_jaccard(cands, sh).where(F.col("jaccard") >= threshold)
+    # Exact-Jaccard verify on candidates only, via shared-shingle counts:
+    # expand each candidate pair by doc_a's shingles, keep the ones doc_b
+    # also has (join on (doc_b, s)), count. Candidate volume is
+    # LSH-bounded, so this join is tiny relative to the corpus.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        cands.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    return _jaccard_from_inter(pairs, sizes).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash_32(shingles_or_tokens: Column) -> Column:

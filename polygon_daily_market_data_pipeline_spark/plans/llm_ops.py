@@ -36,6 +36,7 @@ from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
     minhash_signatures,
     simhash_fingerprints,
 )
+from polygon_daily_market_data_pipeline_spark.partitioning import spread_for_compute
 from polygon_daily_market_data_pipeline_spark.plans.analytics import register
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
 
@@ -202,7 +203,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + fingerprinting: whitespace tokens, BPE-ish
     estimate, type/token ratio, rolling (order-sensitive) hash, md5
     content hash. All codegen'd array expressions — a linear scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -237,7 +238,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (C4/Gopher-style): length gate,
     stopword saturation, lexical diversity, equally weighted."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
@@ -271,7 +272,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (n-gram heuristic family): per-language
     hit ratios, argmax with asc-code tie-break, confusion counts against
     the labeled ``lang`` column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select(
             F.col("lang").alias("label_lang"),
