@@ -1,0 +1,146 @@
+"""Registered streaming queries: each runs a genuine Structured
+Streaming job (``Trigger.AvailableNow`` over the bounded testdata
+directory, memory sink) and returns the drained result, so the DuckDB
+differential checks the STREAMING operator's output value-exactly.
+
+Emission semantics under a 0-second watermark on bounded data are
+deterministic and SQL-expressible:
+
+- windowed aggregate (append mode): a window is emitted iff
+  ``window_end <= max(ts)`` — the final in-progress hour is withheld.
+- stateful sessionizer: a session is emitted iff
+  ``session_end + gap <= max(ts)`` — sessions closed by an observed gap
+  within the stream are emitted by the operator itself, and final
+  sessions are flushed by the event-time timeout when the terminal
+  no-data micro-batch advances the watermark to max(ts); only a session
+  still inside its gap at end-of-stream stays in state.
+
+Both oracles below encode exactly that predicate.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.plans.analytics import register
+from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+    hourly_event_counts,
+    sessionize_stream,
+)
+
+_run_counter = itertools.count()
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of events.parquet (TIMESTAMP(NANOS) read as long,
+    truncated to micros exactly like the batch loader / DuckDB)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def run_available_now(stream_df: DataFrame, name_prefix: str) -> DataFrame:
+    """Drain a streaming DataFrame to a memory sink and return the
+    result table. Checkpoint in a temp dir — each invocation is a fresh,
+    self-contained run (the driver contract calls queries repeatedly)."""
+    name = f"{name_prefix}_{next(_run_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "events_hourly_stream",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT a.hour_start, a.event_type, a.n_events, a.sum_value
+    FROM agg a, mx
+    WHERE a.hour_start + INTERVAL 1 HOUR <= mx.m
+    ORDER BY a.hour_start, a.event_type
+    """,
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate, run as a real streaming
+    job (incremental state + append emission), drained with
+    AvailableNow. Oracle: the batch hourly rollup minus the final
+    in-progress window."""
+    ev = events_stream_source(spark, sf_dir)
+    out = run_available_now(
+        hourly_event_counts(ev, watermark="0 seconds"), "hourly_stream"
+    )
+    return out.orderBy("hour_start", "event_type")
+
+
+@register(
+    "events_sessionize_stream",
+    """
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM s
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    WHERE session_end + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    event-time timeout): 30-minute-gap sessions per user. Oracle: batch
+    gaps-and-islands minus sessions still open at end-of-stream."""
+    ev = events_stream_source(spark, sf_dir)
+    out = run_available_now(sessionize_stream(ev, watermark="0 seconds"), "sess_stream")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id", "session_start")

