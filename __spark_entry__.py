@@ -23,6 +23,7 @@ from polygon_daily_market_data_pipeline_spark.plans.analytics import (  # noqa: 
     QUERIES,
 )
 import polygon_daily_market_data_pipeline_spark.plans.llm_ops  # noqa: E402,F401  (registers queries)
+import polygon_daily_market_data_pipeline_spark.plans.media_ops  # noqa: E402,F401  (registers queries)
 import polygon_daily_market_data_pipeline_spark.plans.streaming_queries  # noqa: E402,F401  (registers queries)
 
 

@@ -21,7 +21,7 @@ sys.path.insert(0, str(_REPO))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from polygon_daily_market_data_pipeline_spark.plans import llm_ops, streaming_queries  # noqa: E402,F401
+from polygon_daily_market_data_pipeline_spark.plans import llm_ops, media_ops, streaming_queries  # noqa: E402,F401
 from polygon_daily_market_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
 
 
