@@ -241,6 +241,92 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ t) —
+    the embedding member of the dedup family (exact/Jaccard/MinHash/
+    SimHash/embedding).
+
+    Block-parallel all-pairs: the normalized matrix is broadcast once
+    (never per-pair — a pairwise join would Arrow-ship O(n²) vectors);
+    each partition computes one |block|×n BLAS matmul and emits only
+    surviving pairs. Valid while one side's matrix fits in executor
+    memory (n·dim·8 bytes); past that, use
+    ``embedding_neardup_pairs_lsh`` (bucket-join candidates, same
+    verify) — the same exact/LSH split as jaccard_pairs vs
+    minhash_lsh_pairs."""
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def block(batches):
+        for pdf in batches:
+            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.value.T  # |block| × n, one BLAS call
+            aid = pdf[id_col].to_numpy(dtype=np.int64)
+            # keep (id_a < id_b) ∧ (cos ≥ t); ids enforce the triangle
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (aid[:, None] < b_ids.value[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": aid[ii],
+                    "id_b": b_ids.value[jj],
+                    "cos": sims[ii, jj],
+                }
+            )
+
+    blocks = spread_for_compute(df.select(id_col, vec_col), id_col)
+    return blocks.mapInPandas(block, "id_a long, id_b long, cos double")
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 3,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates collide in ≥1 hash table,
+    then exact-cosine verified ≥ threshold. Same output schema as the
+    exact variant; recall 1-(1-p^b)^L (asserted in tests)."""
+    dim = len(df.select(vec_col).first()[0])
+    eb = with_lsh_buckets(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", n_planes, n_tables, seed, dim,
+    ).select("table_id", "bucket", "id")
+    cands = (
+        eb.alias("x")
+        .join(eb.alias("y"), ["table_id", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pandas(F.col("v_a"), F.col("v_b")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

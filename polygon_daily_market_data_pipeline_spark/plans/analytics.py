@@ -677,3 +677,48 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical totals — the Power BI grand-total row (SURVEY.md §2.4 note:
+# "expressible as rollup(...)"), as a real ROLLUP over the TPC-H star.
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_rollup_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation): per-nation revenue, per-region subtotals,
+    grand total — one shuffle; Spark expands grouping sets map-side.
+    Dimension joins broadcast (region/nation/customer are SMALL_DIMS)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )

@@ -363,3 +363,34 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+NEARDUP_EMB_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+               AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 4) AS cos
+    FROM s WHERE cos >= 0.45
+    ORDER BY id_a, id_b
+"""
+
+
+@register("neardup_embedding_cosine", NEARDUP_EMB_ORACLE)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, threshold 0.45) — the
+    fifth dedup modality next to exact/Jaccard/MinHash/SimHash. The
+    LSH-bucketed scale variant is recall-tested in tests/test_llm_ops.py."""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.45)
+    return out.select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    ).orderBy("id_a", "id_b")

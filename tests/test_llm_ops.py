@@ -137,3 +137,22 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.extract_image_features(media, decoder="pillow")
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, 0.45).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(emb, 0.45).collect()
+    }
+    assert approx <= exact  # verify step admits no false positives
+    assert len(exact) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} below floor"
