@@ -1,0 +1,80 @@
+"""Physical-plan audits (SURVEY.md §4): the scale properties are
+asserted, not assumed — small dims broadcast (no sort-merge on star
+joins), scans prune columns, predicates push into parquet, per-date
+reads prune partitions. A regression here is a 100 TB performance bug
+even when results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.plans import llm_ops  # noqa: F401
+from polygon_daily_market_data_pipeline_spark.plans.analytics import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def explain(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = explain(QUERIES["revenue_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_broadcasts_and_expands(spark):
+    plan = explain(QUERIES["revenue_rollup_region_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "Expand" in plan  # grouping-sets expansion, one shuffle
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = explain(QUERIES["pricing_summary"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 16-column lineitem pruned to exactly the aggregate inputs
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+    }
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    plan = explain(QUERIES["embedding_knn_bruteforce"](spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,100\)", plan), plan
+
+
+def test_partition_pruning_on_date_partitioned_warehouse(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-05", "AAPL", 1.0), ("2024-01-08", "MSFT", 2.0)],
+        "trade_date string, symbol string, close double",
+    ).withColumn("trade_date", F.to_date("trade_date"))
+    path = str(tmp_path / "core")
+    df.write.partitionBy("trade_date").parquet(path)
+
+    pruned = spark.read.parquet(path).where(F.col("trade_date") == "2024-01-05")
+    plan = explain(pruned)
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "2024-01-05" in m.group(0), plan
+
+
+def test_window_dedup_is_key_partitioned_with_group_limit(spark):
+    plan = explain(QUERIES["dedup_latest_per_order"](spark, SF))
+    # window partitioned by the merge key — never a single-partition window
+    assert re.search(r"windowspecdefinition\(l_orderkey", plan), plan
+    # rn=1 filter pushed into WindowGroupLimit: executors keep only the
+    # per-key top row instead of materializing every duplicate
+    assert "WindowGroupLimit" in plan
