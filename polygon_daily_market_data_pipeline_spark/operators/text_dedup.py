@@ -26,6 +26,7 @@ Scale design (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from polygon_daily_market_data_pipeline_spark.functions.text import (
@@ -60,16 +61,30 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _with_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, spread: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    spread: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     # Shingling is the CPU-dense stage (regex normalize + n-gram build
     # per row): spread it across cores regardless of input split count.
     if spread:
         df = spread_for_compute(df, id_col)
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(text_col, n).alias("shingles"),
     ).where(F.size("shingles") > 0)
+    if persist:
+        # Every dedup plan reads this frame 2-3× (signatures, candidate
+        # explode, size lookup) — persist computes the regex/n-gram scan
+        # once. MEMORY_AND_DISK: spills instead of recomputing at scale;
+        # identical logical plans across queries share the one cache
+        # (build-the-shingle-index-once semantics). LRU eviction bounds
+        # residency.
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def _jaccard_from_inter(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
