@@ -722,3 +722,32 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-shaped aggregation: unique users per (low-cardinality) event type —
+# two-phase distinct count so no reducer owns a whole hot group.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_user_reach",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT user_id) per event_type via the two-phase
+    (dedup-then-count) plan from operators/skew.py: both shuffles are
+    map-side combinable, unlike a direct distinct-aggregate whose
+    reducer count is the number of event types."""
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        two_phase_distinct_count,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return two_phase_distinct_count(
+        events, ["event_type"], "user_id", out_col="n_users"
+    ).orderBy("event_type")

@@ -156,3 +156,17 @@ def test_embedding_neardup_lsh_recall(spark):
     assert len(exact) > 0
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.85, f"LSH recall {recall:.2f} below floor"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.skew import salted_join
+
+    # skewed big side: one hot key with 900 rows, tail of 100 keys
+    big = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(k, f"v{k}") for k in range(1, 102)], "k long, v string")
+    got = sorted(salted_join(big, small, ["k"], n_salts=4).collect())
+    want = sorted(big.join(small, "k").collect())
+    assert got == want
