@@ -394,3 +394,98 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cos", 4).alias("cos")
     ).orderBy("id_a", "id_b")
+
+
+def _corpus_clean_oracle() -> str:
+    ratios = ",\n               ".join(
+        f"len(list_filter(toks, w -> w IN {words!r})) * 1.0 / greatest(len(toks),1) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, {NORM} AS norm, {TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id, norm, toks,
+               len(toks) AS n,
+               len(list_filter(toks, w -> w IN {LANG_STOPWORDS['en']!r})) * 1.0
+                   / greatest(len(toks), 1) AS sw,
+               len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS ttr,
+               {ratios}
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id, norm, n,
+               ROUND(((CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + least(sw * 4, 1.0) + ttr) / 3, 6) AS quality,
+               {best} AS best,
+               CASE WHEN {best} <= 0 THEN 'und' {case} ELSE 'und' END AS detected
+        FROM f
+    ),
+    kept AS (
+        SELECT doc_id, norm, n, quality,
+               ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+        FROM scored
+        WHERE detected = 'en' AND quality >= 0.5
+    )
+    SELECT doc_id, n AS n_tokens, quality
+    FROM kept WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@register("corpus_clean_en", _corpus_clean_oracle())
+def corpus_clean_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning pipeline end-to-end: language gate (en) →
+    heuristic quality gate (≥ 0.5) → exact-dup removal keeping the
+    min-id canonical. One scan, one groupBy-shaped shuffle on the
+    content hash — the flagship training-corpus filter."""
+    from pyspark.sql import Window
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("detected"),
+        fingerprint_md5("text").alias("fp"),
+    ).where((F.col("detected") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_length_percentiles",
+    f"""
+    WITH t AS (SELECT lang, len({TOKS}) AS n FROM documents)
+    SELECT lang,
+           ROUND(quantile_cont(n, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(n, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99,
+           COUNT(*) AS n_docs
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length percentiles per language label (linear
+    interpolation — matches quantile_cont). At 100 TB swap to
+    approx_percentile with a documented error bound; here the exact
+    form keeps the oracle exact."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = docs.select("lang", token_count("text").alias("n"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("n", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
