@@ -327,6 +327,122 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 4,
+) -> "np.ndarray":
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init = the k lowest-id vectors (deterministic, no RNG). Each
+    iteration: executors emit per-partition (cluster → sum, count)
+    partials via mapInPandas — k·dim floats per partition, the classic
+    combiner shape — and the driver reduces them. Nothing corpus-sized
+    ever reaches the driver."""
+    init = (
+        df.orderBy(id_col).limit(k).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    cents = np.array(init, dtype=np.float64)
+
+    for _ in range(iters):
+        b_c = df.sparkSession.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            acc_s = {}
+            acc_n = {}
+            for pdf in batches:
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in np.unique(a):
+                    sel = m[a == c]
+                    acc_s[c] = acc_s.get(c, 0) + sel.sum(axis=0)
+                    acc_n[c] = acc_n.get(c, 0) + len(sel)
+            rows = [
+                {"cluster": int(c), "vsum": acc_s[c].tolist(), "n": int(acc_n[c])}
+                for c in acc_s
+            ]
+            yield pd.DataFrame(rows, columns=["cluster", "vsum", "n"])
+
+        agg = (
+            df.select(vec_col)
+            .mapInPandas(partials, "cluster int, vsum array<double>, n long")
+            .collect()
+        )
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in agg:
+            sums[r.cluster] += np.array(r.vsum)
+            counts[r.cluster] += r.n
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF ANN: corpus inverted by nearest centroid, queries probe their
+    ``n_probe`` closest centroids, exact cosine rerank inside the probed
+    cells — same join shape as the LSH variant (shuffle on cell id,
+    never a cross join), with data-adaptive cells instead of random
+    hyperplanes. Candidate fraction ≈ n_probe/n_clusters."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters)
+    spark = corpus.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf(IntegerType())
+    def cell_of(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    n_probe_ = n_probe
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe_].astype("int32")
+        return pd.Series(list(order))
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pandas(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

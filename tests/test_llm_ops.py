@@ -170,3 +170,23 @@ def test_salted_join_matches_plain_join(spark):
     got = sorted(salted_join(big, small, ["k"], n_salts=4).collect())
     want = sorted(big.join(small, "k").collect())
     assert got == want
+
+
+def test_ivf_topk_recall(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id < 50")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, q, k=3, n_clusters=16, n_probe=6).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
