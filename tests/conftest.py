@@ -13,7 +13,18 @@ from polygon_daily_market_data_pipeline_spark.session import get_spark  # noqa: 
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": wh,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
