@@ -52,21 +52,37 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def run_available_now(stream_df: DataFrame, name_prefix: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name_prefix: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink and return the
     result table. Checkpoint in a temp dir — each invocation is a fresh,
-    self-contained run (the driver contract calls queries repeatedly)."""
+    self-contained run (the driver contract calls queries repeatedly).
+
+    ``state_partitions`` sizes the state store (a stream pins
+    ``spark.sql.shuffle.partitions`` at first start, permanently via the
+    checkpoint): size it to key cardinality × throughput, not to the
+    batch-analytics default — every extra state partition is an extra
+    store to open per micro-batch and, for Pandas-stateful ops, an extra
+    Python worker."""
+    spark = stream_df.sparkSession
     name = f"{name_prefix}_{next(_run_counter)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
 
 
 @register(
