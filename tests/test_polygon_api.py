@@ -78,3 +78,46 @@ def test_csv_serialization_and_idempotent_landing(tmp_path):
     assert api.land_csv(p, "other") is False          # skip-if-exists
     assert open(p).read() == csv_text                 # unchanged
     assert api.land_csv(p, "other", replace=True) is True
+
+
+def test_polygon_eod_datasource(spark):
+    from polygon_daily_market_data_pipeline_spark.sources import polygon_datasource
+
+    polygon_datasource.register(spark)
+    # 2024-01-05 Fri, 06/07 weekend, 08 Mon → 2 trading days
+    df = (
+        spark.read.format("polygon_eod")
+        .option("start", "2024-01-05")
+        .option("end", "2024-01-08")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one InputPartition per date
+    rows = df.count()
+    assert rows == 2 * 120
+    assert dict(df.dtypes)["trade_date"] == "date"
+    assert df.where("trade_date = '2024-01-06'").count() == 0  # weekend empty
+    # deterministic replay: same plan, same data
+    again = (
+        spark.read.format("polygon_eod")
+        .option("start", "2024-01-05")
+        .option("end", "2024-01-08")
+        .load()
+    )
+    assert sorted(df.collect()) == sorted(again.collect())
+
+
+def test_polygon_eod_datasource_dq_floor(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from polygon_daily_market_data_pipeline_spark.sources import polygon_datasource
+
+    polygon_datasource.register(spark)
+    df = (
+        spark.read.format("polygon_eod")
+        .option("dates", "2024-01-05")
+        .option("num_tickers", "5")  # below the 100-ticker DQ floor
+        .load()
+    )
+    with _pytest.raises(Exception) as ei:
+        df.count()
+    assert "TooFewTickers" in str(ei.value) or "resultsCount" in str(ei.value)
