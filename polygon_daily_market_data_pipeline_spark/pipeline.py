@@ -165,3 +165,99 @@ def run_eod_pipeline(
         "premerge": spark.createDataFrame(pre_row, pre.schema),
         "postmerge": post,
     }
+
+
+def backfill(
+    spark: SparkSession,
+    warehouse_root: str,
+    landing_root: str,
+    start: str,
+    end: str,
+    datasource_options: dict[str, str] | None = None,
+    fixed_ts: dt.datetime | None = None,
+) -> list[str]:
+    """Backfill a date range: ingest every date IN PARALLEL through the
+    ``polygon_eod`` DataSource (one task per date — the reference's
+    serial catchup loop becomes a single distributed read), land one CSV
+    dir per trading day (the reference's 1-file-per-day S3 layout), then
+    run the per-date merge pipeline in date order (merges are
+    sequential by nature: each day's upsert reads the prior state).
+
+    Returns the trading dates processed. Idempotent: re-running
+    overwrites the same landing partitions and the merges converge.
+    """
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.sources import polygon_datasource
+
+    polygon_datasource.register(spark)
+    reader = (
+        spark.read.format("polygon_eod").option("start", start).option("end", end)
+    )
+    for k, v in (datasource_options or {}).items():
+        reader = reader.option(k, v)
+    feed = reader.load()
+
+    # one header-ed CSV dir per date: partition column duplicated so the
+    # in-file layout keeps the reference's (trade_date, symbol, ...) order
+    (
+        feed.withColumn("_pdate", F.col("trade_date"))
+        .write.partitionBy("_pdate")
+        .option("header", True)
+        .mode("overwrite")
+        .csv(landing_root)
+    )
+
+    dates = sorted(
+        r[0].isoformat()
+        for r in feed.select("trade_date").distinct().collect()
+    )
+    for d in dates:
+        run_eod_pipeline(
+            spark,
+            warehouse_root,
+            os.path.join(landing_root, f"_pdate={d}"),
+            d,
+            fixed_ts=fixed_ts,
+        )
+    return dates
+
+
+def _main() -> None:
+    import argparse
+
+    from polygon_daily_market_data_pipeline_spark.session import get_spark
+
+    p = argparse.ArgumentParser(
+        description="Daily EOD pipeline (single day or parallel backfill)"
+    )
+    p.add_argument("command", choices=["daily", "backfill"])
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--landing", required=True)
+    p.add_argument("--date", help="trading date for 'daily' (YYYY-MM-DD)")
+    p.add_argument("--start", help="backfill range start")
+    p.add_argument("--end", help="backfill range end")
+    p.add_argument(
+        "--transport", default="synthetic", choices=["synthetic", "http"]
+    )
+    p.add_argument("--api-key", default="")
+    args = p.parse_args()
+
+    spark = get_spark("eod-pipeline")
+    if args.command == "daily":
+        audits = run_eod_pipeline(spark, args.warehouse, args.landing, args.date)
+        for name, df in audits.items():
+            print(name)
+            df.show(truncate=False)
+    else:
+        opts = {"transport": args.transport}
+        if args.api_key:
+            opts["api_key"] = args.api_key
+        done = backfill(
+            spark, args.warehouse, args.landing, args.start, args.end, opts
+        )
+        print(f"backfilled {len(done)} trading days: {done}")
+
+
+if __name__ == "__main__":
+    _main()

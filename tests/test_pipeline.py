@@ -123,3 +123,30 @@ def test_update_branch_refreshes_values(spark, landing_csv, tmp_path):
         "security_id",
     ).collect()
     assert len(fact_acme) == 1 and fact_acme[0]["close"] == Decimal("9.900000")
+
+
+def test_backfill_range_via_datasource(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.pipeline import Warehouse, backfill
+
+    wh_root = str(tmp_path / "wh")
+    landing = str(tmp_path / "landing")
+    # Fri 2024-01-05 .. Mon 2024-01-08 → 2 trading days, weekend skipped
+    dates = backfill(
+        spark, wh_root, landing, "2024-01-05", "2024-01-08",
+        datasource_options={"num_tickers": "120"}, fixed_ts=TS,
+    )
+    assert dates == ["2024-01-05", "2024-01-08"]
+    wh = Warehouse(spark, wh_root)
+    core = wh.read("eod_prices", schemas.CORE_EOD_PRICES)
+    fact = wh.read("fact_daily_price", schemas.FACT_DAILY_PRICE)
+    assert core.count() == 2 * 120
+    assert fact.count() == 2 * 120
+    assert wh.read("dim_security", schemas.DIM_SECURITY).count() == 120
+
+    # idempotent: re-running the same range converges to the same counts
+    backfill(
+        spark, wh_root, landing, "2024-01-05", "2024-01-08",
+        datasource_options={"num_tickers": "120"}, fixed_ts=TS,
+    )
+    assert wh.read("eod_prices", schemas.CORE_EOD_PRICES).count() == 2 * 120
+    assert wh.read("fact_daily_price", schemas.FACT_DAILY_PRICE).count() == 2 * 120
