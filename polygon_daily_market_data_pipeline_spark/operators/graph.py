@@ -1,0 +1,85 @@
+"""Connected components — the clustering step of near-dup dedup.
+
+Pairwise dedup (Jaccard/MinHash/SimHash/embedding) yields EDGES; what a
+corpus pipeline actually deletes is per-CLUSTER: group transitively
+connected docs, keep one canonical per component. This is iterative
+min-label propagation (the simplified Hash-Min / "small-star" scheme):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint — O(component diameter) rounds, each one join +
+one aggregation shuffled on node id. Near-dup graphs are overwhelmingly
+tiny cliques, so 2-3 rounds close almost all corpora. Each round
+``localCheckpoint``s the label frame: iterative plans otherwise grow
+lineage exponentially and re-execute every prior round per action.
+
+The driver-side convergence check (one scalar count per round) is the
+legitimate driver role in iterative algorithms — labels themselves
+never leave the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable. Deterministic."""
+    # undirected: symmetrize once
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: the min of its neighbors' labels
+        neighbor_min = (
+            e.join(labels, e.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_components(pairs: DataFrame) -> DataFrame:
+    """Near-dup pair frame (doc_a, doc_b, …) → (doc_id, cluster_id,
+    is_canonical): the keep/drop decision per document."""
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -489,3 +489,49 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT doc_a, doc_b FROM p0
+        WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION
+        SELECT doc_b, doc_a FROM pr
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           (node = MIN(r)) AS is_canonical
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@register("neardup_clusters", CLUSTERS_ORACLE)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive clusters (iterative min-label
+    propagation) → per-doc keep/drop decision. The oracle computes the
+    same closure with a recursive CTE — the distributed iteration is
+    checked value-exactly, not just structurally."""
+    from polygon_daily_market_data_pipeline_spark.operators.graph import (
+        neardup_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return neardup_components(pairs).orderBy("doc_id")

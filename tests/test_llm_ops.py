@@ -190,3 +190,24 @@ def test_ivf_topk_recall(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
+
+
+def test_connected_components_chain_and_clique(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds), clique 10-11-12,
+    # isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
