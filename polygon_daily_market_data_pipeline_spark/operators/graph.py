@@ -37,11 +37,21 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # The label graph is bounded by the DUPLICATED docs, typically ≪ the
+    # corpus: size the per-round shuffles to the measured edge count
+    # (~50k edges per partition) instead of the session default, so a
+    # small graph iterates at small-job cost while a huge one keeps full
+    # parallelism. One count on the checkpointed edges pays for it.
+    sc = edges.sparkSession.sparkContext
+    n_parts = max(1, min(sc.defaultParallelism, e.count() // 50_000 + 1))
+    e = e.repartition(n_parts, "b")
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .repartition(n_parts, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
