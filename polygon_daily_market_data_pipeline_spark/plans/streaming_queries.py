@@ -39,6 +39,7 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of events.parquet (TIMESTAMP(NANOS) read as long,
     truncated to micros exactly like the batch loader / DuckDB)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match naive-UTC oracle
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (
         spark.readStream.schema(schema)

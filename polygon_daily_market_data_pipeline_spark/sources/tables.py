@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamps are naive; pin the session TZ so hour windows /
+        # date_trunc agree with the (naive-UTC) DuckDB oracle even when
+        # the harness session defaults to another zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         from pyspark.sql.types import LongType
 
