@@ -131,3 +131,48 @@ def test_dedup_stream_drops_replayed_events(spark, tmp_path):
     out = run_available_now(dedup_stream(ev, ["event_id"]), "t_dedup")
     assert out.count() == 10
     assert out.select(SF.countDistinct("event_id")).first()[0] == 10
+
+
+def test_incremental_corpus_dedup(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.streaming.corpus_stream import (
+        CorpusDedupSink,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark structured streaming state stores"
+    sink = CorpusDedupSink(spark, str(tmp_path / "corpus"), threshold=0.5)
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base + " extra")],  # 3 near-dups 1 (j≈0.85)
+        "doc_id long, text string",
+    )
+    sink.process(b1, 0)
+    admitted1 = {r.doc_id for r in sink.admitted().collect()}
+    assert admitted1 == {1, 2}  # 3 rejected as intra-batch near-dup of 1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                        # near-dup of admitted 1
+            (11, "fresh unique text that talks about entirely new things here"),
+            (1, base),                         # exact-id replay
+        ],
+        "doc_id long, text string",
+    )
+    sink.process(b2, 1)
+    admitted2 = {r.doc_id for r in sink.admitted().collect()}
+    assert admitted2 == {1, 2, 11}
+
+    # streaming wiring: a third batch through foreachBatch
+    b3 = spark.createDataFrame(
+        [(20, other + " slightly"), (21, "yet another brand new document body")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "b3src")
+    b3.write.parquet(src)
+    q = sink.attach(
+        spark.readStream.schema(b3.schema).parquet(src),
+        str(tmp_path / "ckpt_corpus"),
+    )
+    q.awaitTermination()
+    admitted3 = {r.doc_id for r in sink.admitted().collect()}
+    assert 21 in admitted3 and 20 not in admitted3  # 20 ~ admitted 2
