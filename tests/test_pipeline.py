@@ -150,3 +150,27 @@ def test_backfill_range_via_datasource(spark, tmp_path):
     )
     assert wh.read("eod_prices", schemas.CORE_EOD_PRICES).count() == 2 * 120
     assert wh.read("fact_daily_price", schemas.FACT_DAILY_PRICE).count() == 2 * 120
+
+
+def test_partition_compaction(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.compaction import (
+        compact_table,
+        data_file_count,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).selectExpr(
+        "cast(date_add('2024-01-05', cast(id % 2 as int)) as date) as trade_date",
+        "id", "id * 1.5 as v",
+    )
+    # fragment: 8 writer tasks per partition
+    df.repartition(8).write.partitionBy("trade_date").parquet(root)
+    before = data_file_count(root + "/trade_date=2024-01-05")
+    assert before >= 8
+
+    n = compact_table(spark, root, "trade_date")
+    assert n == 2
+    assert data_file_count(root + "/trade_date=2024-01-05") == 1
+    out = spark.read.parquet(root)
+    assert out.count() == 1000
+    assert out.selectExpr("sum(v)").first()[0] == sum(i * 1.5 for i in range(1000))
