@@ -243,9 +243,13 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    return _jaccard_from_inter(pairs, sizes).where(
+    out = _jaccard_from_inter(pairs, sizes).where(
         F.col("jaccard") >= threshold
     )
+    # The verified pair set is tiny (near-dup pairs only) and is the
+    # input to downstream stages (clustering, reporting): persist it so
+    # identical dedup plans share one LSH pipeline execution.
+    return out.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def simhash_32(shingles_or_tokens: Column) -> Column:

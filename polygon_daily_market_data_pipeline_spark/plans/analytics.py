@@ -751,3 +751,56 @@ def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_distinct_count(
         events, ["event_type"], "user_id", out_col="n_users"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Local-supplier revenue (TPC-H Q5 shape): the 6-table star join with a
+# same-nation theta condition folded into the equi-keys.
+# ---------------------------------------------------------------------------
+
+@register(
+    "local_supplier_revenue",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS local_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped by suppliers in the customer's own nation — the
+    deepest join in the suite (lineitem⋈orders⋈customer⋈supplier⋈nation)
+    with the same-nation predicate as part of the supplier join keys;
+    all dimension sides broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("local_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation")
+    )
