@@ -804,3 +804,43 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (market-data alignment): each 'click' picks up the latest
+# not-later 'view' value for the same user. Oracle: DuckDB native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_asof_click_view",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id, c.ts, ROUND(c.value, 4) AS click_value,
+           ROUND(v.value, 4) AS view_value_asof
+    FROM clicks c
+    ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.user_id, c.ts
+    """,
+)
+def events_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-merge plan (one shuffle on user_id, one
+    sort — no pairwise expansion): every click aligned with the user's
+    most recent at-or-before view."""
+    from polygon_daily_market_data_pipeline_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where("event_type = 'click'").select("user_id", "ts", "value")
+    views = events.where("event_type = 'view'").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, on="ts", by=["user_id"], value_cols=["value"])
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("click_value"),
+        F.round("value_asof", 4).alias("view_value_asof"),
+    ).orderBy("user_id", "ts")

@@ -65,3 +65,29 @@ def test_norm_key_and_safe_divide(spark):
     ).collect()
     assert rows[0]["k"] == "AAPL" and rows[0]["d"] == 0.0  # DIVIDE(...,0)
     assert rows[1]["k"] == "X" and rows[1]["d"] == 2.0
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(5), "l1"), (1, t(10), "l2"), (1, t(2), "l0"), (2, t(7), "l3")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 30.0), (1, t(10), 100.0), (2, t(9), 90.0)],
+        "k long, ts timestamp, rv double",
+    )
+    got = {
+        (r.k, r.ts.minute, r.rv_asof)
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert got == {
+        (1, 2, None),     # no view at or before 00:02
+        (1, 5, 30.0),     # latest at-or-before is 00:03
+        (1, 10, 100.0),   # equal timestamps match (inclusive)
+        (2, 7, None),     # right row exists only later
+    }
