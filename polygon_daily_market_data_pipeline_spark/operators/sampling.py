@@ -1,0 +1,62 @@
+"""Deterministic sampling and dataset splits — the md5-threshold trick.
+
+Training pipelines need samples and train/val/test splits that are (a)
+deterministic across runs/engines/partitionings, (b) cheap (no shuffle,
+no global sort), (c) stable under corpus growth (a doc's split never
+changes when other docs arrive). ``rand(seed)`` fails (a) across
+engines and partitionings; modulo-on-id fails when ids are not uniform.
+
+The portable primitive: ``md5(key)`` is uniform over 32-hex-digit
+strings, and hex strings compare lexicographically like the numbers
+they encode — so ``md5(key) < hex_threshold(rate)`` is an exact-rate
+deterministic Bernoulli sample that any engine with md5 reproduces
+bit-for-bit (DuckDB oracle included). Splits are disjoint threshold
+ranges of the same hash, so they partition the corpus and never shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hex_threshold(rate: float, digits: int = 32) -> str:
+    """The 32-hex-digit string t with P[md5(x) < t] = rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    scaled = int(rate * (16**digits))
+    return format(min(scaled, 16**digits - 1), f"0{digits}x")
+
+
+def _hash_col(key: Column | str) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(c.cast("string"))
+
+
+def deterministic_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep ~rate of rows, decided solely by md5(key): no shuffle, no
+    RNG state, identical across engines and re-runs."""
+    return df.where(_hash_col(key) < hex_threshold(rate))
+
+
+def split_column(
+    key: Column | str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> Column:
+    """'train' / 'val' / 'test' label from disjoint md5 ranges (test
+    gets the remainder). A row's label never changes as the corpus
+    grows."""
+    h = _hash_col(key)
+    t1, t2 = hex_threshold(train), hex_threshold(train + val)
+    return (
+        F.when(h < F.lit(t1), F.lit("train"))
+        .when(h < F.lit(t2), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_val_test_split(
+    df: DataFrame, key: str, train: float = 0.8, val: float = 0.1
+) -> DataFrame:
+    return df.withColumn("split", split_column(key, train, val))

@@ -844,3 +844,71 @@ def events_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("click_value"),
         F.round("value_asof", 4).alias("view_value_asof"),
     ).orderBy("user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Range join: events inside each user's 30-minute sessions (intervals
+# derived from the gaps-and-islands sessionization) — binned equi-join
+# plan, never a nested loop.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_in_session_ranges",
+    """
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    ),
+    ranges AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+        HAVING COUNT(*) >= 2
+    ),
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT r.user_id, r.session_start, COUNT(err.ts) AS n_errors_in_session
+    FROM ranges r
+    JOIN err ON err.user_id = r.user_id
+            AND err.ts BETWEEN r.session_start AND r.session_end
+    GROUP BY r.user_id, r.session_start
+    ORDER BY r.user_id, r.session_start
+    """,
+)
+def events_in_session_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors inside multi-event (≥2) sessions: session intervals from
+    the batch sessionizer, then a binned range join (operators/
+    rangejoin.py) of error events into those intervals."""
+    import datetime as _dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.rangejoin import (
+        range_join,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        sessionize_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ranges = (
+        sessionize_batch(events.select("user_id", "ts", "value"))
+        .where("n_events >= 2")
+        .select("user_id", "session_start", "session_end")
+    )
+    errors = events.where("event_type = 'error'").select("user_id", "ts")
+    joined = range_join(
+        errors, ranges, "ts", "session_start", "session_end",
+        by=["user_id"], bin_seconds=3600,
+    )
+    return (
+        joined.groupBy("user_id", "session_start")
+        .agg(F.count(F.lit(1)).alias("n_errors_in_session"))
+        .orderBy("user_id", "session_start")
+    )

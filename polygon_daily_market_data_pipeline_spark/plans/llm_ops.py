@@ -535,3 +535,44 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     return neardup_components(pairs).orderBy("doc_id")
+
+
+def _split_oracle() -> str:
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        hex_threshold,
+    )
+
+    t1, t2 = hex_threshold(0.8), hex_threshold(0.9)
+    return f"""
+    SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t1}' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < '{t2}' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """
+
+
+@register("corpus_split_counts", _split_oracle())
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (disjoint md5-threshold
+    ranges): per-split per-language doc and char counts. A doc's split
+    never changes as the corpus grows — the property training pipelines
+    need for leak-free incremental ingestion."""
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -91,3 +91,55 @@ def test_asof_join_semantics(spark):
         (1, 10, 100.0),   # equal timestamps match (inclusive)
         (2, 7, None),     # right row exists only later
     }
+
+
+def test_range_join_binned_vs_naive(spark):
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.rangejoin import range_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    pts = spark.createDataFrame(
+        [(1, t(5)), (1, t(61)), (1, t(200)), (2, t(10))],
+        "k long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, t(0), t(59), "a"), (1, t(60), t(120), "b"), (2, t(0), t(5), "c")],
+        "k long, s timestamp, e timestamp, tag string",
+    )
+    got = {(r.k, r.ts.minute, r.tag) for r in
+           range_join(pts, iv, "ts", "s", "e", by=["k"], bin_seconds=600).collect()}
+    # naive reference
+    import pyspark.sql.functions as SF
+    naive = pts.join(iv, (pts.k == iv.k) & pts.ts.between(iv.s, iv.e)).select(
+        pts.k, pts.ts, iv.tag)
+    want = {(r.k, r.ts.minute, r.tag) for r in naive.collect()}
+    assert got == want == {(1, 5, "a"), (1, 1, "b")}
+
+
+def test_deterministic_sample_and_split(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2  # run-to-run deterministic
+    assert 0.17 < len(s1) / 10000 < 0.23  # near the target rate
+    # sample nesting: a 10% sample is a subset of the 20% sample
+    s_small = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+
+    split = train_val_test_split(df, "doc_id", train=0.8, val=0.1)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 10000 < 0.85
+    # stability: split of a doc is independent of corpus contents
+    half = train_val_test_split(df.where("doc_id < 5000"), "doc_id")
+    full_labels = {(r.doc_id, r.split) for r in split.where("doc_id < 5000").collect()}
+    half_labels = {(r.doc_id, r.split) for r in half.collect()}
+    assert full_labels == half_labels
