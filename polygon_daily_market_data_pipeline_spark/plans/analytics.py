@@ -912,3 +912,92 @@ def events_in_session_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_errors_in_session"))
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (the Power BI matrix visual): event counts per user bucket ×
+# event type as columns. Oracle: portable FILTER aggregates.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit value list (never let pivot scan
+    for distinct values at scale — pass the known domain) → one shuffle,
+    map-side partials per (bucket, type)."""
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    return (
+        events.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .orderBy("user_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (ranked table visuals): top-3 customers by revenue in
+# every nation — WindowGroupLimit keeps k rows per group executor-side.
+# ---------------------------------------------------------------------------
+
+@register(
+    "top3_customers_per_nation",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, c.c_name AS customer,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY nation ORDER BY revenue DESC, customer) AS rnk
+        FROM rev
+    )
+    SELECT nation, customer, revenue, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY nation, rnk
+    """,
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank window partitioned by nation with a total
+    tie-break; the rnk<=3 filter compiles to WindowGroupLimit so only k
+    rows per nation survive the shuffle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_name").alias("customer"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("revenue"), F.asc("customer"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where("rnk <= 3")
+        .orderBy("nation", "rnk")
+    )
