@@ -1001,3 +1001,55 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rnk <= 3")
         .orderBy("nation", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (corr/stddev — the time-series-similarity
+# family): which market segments' daily order values move together.
+# ---------------------------------------------------------------------------
+
+@register(
+    "segment_value_correlations",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d, c.c_mktsegment AS seg,
+               SUM(o.o_totalprice) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           ROUND(corr(a.v, b.v), 4) AS value_corr,
+           ROUND(stddev_samp(a.v), 2) AS stddev_a,
+           COUNT(*) AS n_days
+    FROM daily a JOIN daily b ON a.d = b.d AND a.seg < b.seg
+    GROUP BY 1, 2
+    ORDER BY seg_a, seg_b
+    """,
+)
+def segment_value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily order value between market
+    segments: daily grain is bounded (1 row/day/segment), so the
+    segment-pair self-join on date is a small shuffle regardless of
+    fact size — the heavy lifting is the partial-aggregated daily sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("o_orderdate").alias("d"), F.col("c_mktsegment").alias("seg")
+        )
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    a = daily.select(F.col("d"), F.col("seg").alias("seg_a"), F.col("v").alias("va"))
+    b = daily.select(F.col("d"), F.col("seg").alias("seg_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, ["d"])
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.round(F.corr("va", "vb"), 4).alias("value_corr"),
+            F.round(F.stddev_samp("va"), 2).alias("stddev_a"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

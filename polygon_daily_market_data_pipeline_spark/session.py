@@ -54,6 +54,9 @@ def get_spark(
         # explicitly but keep permissive arithmetic like Snowflake's
         # loader path.
         .config("spark.sql.ansi.enabled", "false")
+        # zstd parquet: ~30-40% smaller than snappy at similar scan
+        # speed — at 100 TB the IO saved dominates the encode cost.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     if master:
         builder = builder.master(master)
