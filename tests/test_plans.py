@@ -112,3 +112,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    plan = explain(QUERIES["events_asof_click_view"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # union-merge form: a window over the per-key sort, not a join at all
+    assert re.search(r"windowspecdefinition\(user_id", plan), plan
+
+
+def test_range_join_is_hash_join_on_bins(spark):
+    plan = explain(QUERIES["events_in_session_ranges"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan  # binned equi-key reaches the join
+
+
+def test_topk_per_group_gets_group_limit(spark):
+    plan = explain(QUERIES["top3_customers_per_nation"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert re.search(r"windowspecdefinition\(nation", plan), plan
