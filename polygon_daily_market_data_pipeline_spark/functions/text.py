@@ -140,3 +140,18 @@ def lang_id(col: Column | str) -> Column:
     for lang in sorted(scores, reverse=True):
         result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
     return F.when(best <= 0, F.lit("und")).otherwise(result)
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text — the shingle
+    unit for scripts without whitespace word boundaries (CJK), where
+    ``word_shingles`` would see one giant token. Same downstream
+    contract as word_shingles (array<string>, empty when too short),
+    so every dedup operator accepts either via its ``shingle_fn``-style
+    composition point."""
+    t = normalize_text(col)
+    ln = F.length(t)
+    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))

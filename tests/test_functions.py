@@ -143,3 +143,29 @@ def test_deterministic_sample_and_split(spark):
     full_labels = {(r.doc_id, r.split) for r in split.where("doc_id < 5000").collect()}
     half_labels = {(r.doc_id, r.split) for r in half.collect()}
     assert full_labels == half_labels
+
+
+def test_char_shingles_cjk(spark):
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        char_shingles,
+        word_shingles,
+    )
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, "深度学习模型训练"), (2, "深度学习模型训练数据"), (3, "ab")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        SF.size(word_shingles("text")).alias("nw"),
+        SF.size(char_shingles("text", 3)).alias("nc"),
+    ).collect()
+    rows = {r.id: (r.nw, r.nc) for r in out}
+    assert rows[1][0] == 0          # word shingles: one giant token, none
+    assert rows[1][1] == 6          # 8 chars → 6 distinct 3-grams
+    assert rows[3] == (0, 0)        # too short for either
+    # near-dup detectable via char shingles: docs 1,2 share 6 of 8 grams
+    a = set(df.where("id=1").select(SF.explode(char_shingles("text", 3))).toPandas().iloc[:, 0])
+    b = set(df.where("id=2").select(SF.explode(char_shingles("text", 3))).toPandas().iloc[:, 0])
+    assert len(a & b) / len(a | b) >= 0.7
