@@ -1053,3 +1053,75 @@ def segment_value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram (binned aggregation): event value distribution per type.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 21
+                     ELSE FLOOR(value * 20.0 / 100.0) + 1 END AS INT) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin histogram of event values per type via width_bucket —
+    the binned-aggregation pattern (one shuffle, map-side partials;
+    bins are computed row-side, never a sort)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0), F.lit(100), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit set operations (INTERSECT / EXCEPT) — completing §2.7 beyond
+# the implicit union of the insert-only merge.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_segments_set_ops",
+    """
+    WITH boths AS (
+        SELECT c_mktsegment AS label FROM customer
+        INTERSECT
+        SELECT UPPER(o_orderpriority) FROM orders
+    ),
+    only_seg AS (
+        SELECT c_mktsegment AS label FROM customer
+        EXCEPT
+        SELECT UPPER(o_orderpriority) FROM orders
+    )
+    SELECT 'both' AS side, label FROM boths
+    UNION ALL
+    SELECT 'segment_only' AS side, label FROM only_seg
+    ORDER BY side, label
+    """,
+)
+def customer_segments_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over label domains — Spark plans both as
+    aggregated joins (left-semi / left-anti after distinct), no sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = customer.select(F.col("c_mktsegment").alias("label"))
+    pri = orders.select(F.upper("o_orderpriority").alias("label"))
+    boths = seg.intersect(pri).select(F.lit("both").alias("side"), "label")
+    only_seg = seg.exceptAll(pri.distinct()).distinct().select(
+        F.lit("segment_only").alias("side"), "label"
+    )
+    return boths.unionByName(only_seg).orderBy("side", "label")
