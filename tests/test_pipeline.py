@@ -174,3 +174,49 @@ def test_partition_compaction(spark, tmp_path):
     out = spark.read.parquet(root)
     assert out.count() == 1000
     assert out.selectExpr("sum(v)").first()[0] == sum(i * 1.5 for i in range(1000))
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from polygon_daily_market_data_pipeline_spark.operators.delete import (
+        delete_where,
+        drop_partitions,
+    )
+
+    root = str(tmp_path / "deltbl")
+    df = spark.createDataFrame(
+        [("2024-01-05", "AAPL", 1.0), ("2024-01-05", "MSFT", 2.0),
+         ("2024-01-08", "AAPL", 3.0), ("2024-01-09", "GOOG", 4.0)],
+        "trade_date string, symbol string, close double",
+    )
+    df.write.partitionBy("trade_date").parquet(root)
+
+    # row-level: delete AAPL everywhere — rewrites only the 2 partitions
+    # containing it; the GOOG partition's files are untouched
+    import os
+    goog_dir = root + "/trade_date=2024-01-09"
+    mtime_before = max(os.path.getmtime(os.path.join(goog_dir, f))
+                       for f in os.listdir(goog_dir))
+    n = delete_where(spark, root, "trade_date", SF.col("symbol") == "AAPL")
+    assert n == 2
+    left = spark.read.parquet(root)
+    assert {(r.symbol, r.close) for r in left.collect()} == {("MSFT", 2.0), ("GOOG", 4.0)}
+    mtime_after = max(os.path.getmtime(os.path.join(goog_dir, f))
+                      for f in os.listdir(goog_dir))
+    assert mtime_before == mtime_after
+
+    # partition-level: metadata-only drop
+    assert drop_partitions(root, "trade_date", ["2024-01-09"]) == 1
+    assert {r.symbol for r in spark.read.parquet(root).collect()} == {"MSFT"}
+
+    # predicate on the partition column itself works row-level too
+    df2 = spark.createDataFrame(
+        [("2024-02-01", "X", 1.0), ("2024-02-02", "Y", 2.0)],
+        "trade_date string, symbol string, close double",
+    )
+    root2 = str(tmp_path / "deltbl2")
+    df2.write.partitionBy("trade_date").parquet(root2)
+    n = delete_where(spark, root2, "trade_date", SF.col("trade_date") == "2024-02-01")
+    assert n == 1
+    assert {r.symbol for r in spark.read.parquet(root2).collect()} == {"Y"}
