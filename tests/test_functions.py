@@ -169,3 +169,45 @@ def test_char_shingles_cjk(spark):
     a = set(df.where("id=1").select(SF.explode(char_shingles("text", 3))).toPandas().iloc[:, 0])
     b = set(df.where("id=2").select(SF.explode(char_shingles("text", 3))).toPandas().iloc[:, 0])
     assert len(a & b) / len(a | b) >= 0.7
+
+
+def test_calendar_shims_wide_date_sweep(spark):
+    """F9-F11 are the highest semantic-divergence risk (SURVEY §7.3.2):
+    sweep 400 dates across leap years, week-53 years, and century
+    boundaries and compare every derived attribute against DuckDB."""
+    import datetime as dt
+
+    import duckdb
+
+    from polygon_daily_market_data_pipeline_spark.functions import calendar as cal
+
+    dates = [dt.date(1992, 1, 1) + dt.timedelta(days=37 * i) for i in range(300)]
+    dates += [  # adversarial edges: leap day, ISO week 53, year ends
+        dt.date(2000, 2, 29), dt.date(2004, 12, 31), dt.date(2005, 1, 1),
+        dt.date(2015, 12, 28), dt.date(2016, 1, 3), dt.date(2020, 12, 31),
+        dt.date(2021, 1, 1), dt.date(1999, 12, 31), dt.date(2100, 3, 1),
+    ]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    attrs = cal.calendar_attributes("d")
+    got = {
+        r["d"].isoformat(): (
+            r["date_sk"], r["year_num"], r["quarter_num"], r["month_num"],
+            r["month_name"], r["day_num"], r["day_name"],
+            r["day_of_week"], r["week_of_year"], r["is_weekend"],
+        )
+        for r in df.select("d", *[v.alias(k) for k, v in attrs.items()]).collect()
+    }
+    con = duckdb.connect()
+    for d in dates:
+        s = d.isoformat()
+        row = con.execute(f"""
+            SELECT CAST(strftime(DATE '{s}', '%Y%m%d') AS INT),
+                   year(DATE '{s}'), quarter(DATE '{s}'), month(DATE '{s}'),
+                   strftime(DATE '{s}', '%b'),
+                   day(DATE '{s}'),
+                   strftime(DATE '{s}', '%a'),
+                   dayofweek(DATE '{s}'),
+                   weekofyear(DATE '{s}'),
+                   dayofweek(DATE '{s}') IN (0, 6)
+        """).fetchone()
+        assert got[s] == row, f"calendar mismatch for {s}: {got[s]} vs {row}"

@@ -220,3 +220,26 @@ def test_delete_where_partition_scoped(spark, tmp_path):
     n = delete_where(spark, root2, "trade_date", SF.col("trade_date") == "2024-02-01")
     assert n == 1
     assert {r.symbol for r in spark.read.parquet(root2).collect()} == {"Y"}
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Upgrade path: a new column added to later RAW partitions must not
+    break whole-table reads — mergeSchema unifies, old partitions read
+    NULL for the new column, and the declared-schema read (the engine's
+    normal path) stays stable either way."""
+    root = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [("2024-01-05", "AAPL", 1.0)], "trade_date string, symbol string, close double"
+    ).write.partitionBy("trade_date").parquet(root)
+    spark.createDataFrame(
+        [("2024-01-08", "MSFT", 2.0, "XNAS")],
+        "trade_date string, symbol string, close double, exchange string",
+    ).write.mode("append").partitionBy("trade_date").parquet(root)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) == {"trade_date", "symbol", "close", "exchange"}
+    rows = {(r.symbol, r.exchange) for r in merged.collect()}
+    assert rows == {("AAPL", None), ("MSFT", "XNAS")}
+
+    declared = spark.read.schema("symbol string, close double").parquet(root)
+    assert declared.count() == 2

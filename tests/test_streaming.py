@@ -176,3 +176,48 @@ def test_incremental_corpus_dedup(spark, tmp_path):
     q.awaitTermination()
     admitted3 = {r.doc_id for r in sink.admitted().collect()}
     assert 21 in admitted3 and 20 not in admitted3  # 20 ~ admitted 2
+
+
+def test_sessionize_state_spans_micro_batches(spark, tmp_path):
+    """A session open at the end of batch 1 must absorb batch 2's
+    events (state continuity) and close only via the later watermark."""
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        sessionize_stream,
+    )
+
+    df1 = _events_df(spark, [(0, 1, 1.0), (10, 1, 2.0)])
+    # batch 2: minute 20 extends the session; minute 120 (user 7) pushes
+    # the watermark far enough to close user 1's session
+    df2 = spark.createDataFrame(
+        [
+            (100, dt.datetime(2024, 1, 1, 0, 20), 1, "click", 4.0, "{}"),
+            (101, dt.datetime(2024, 1, 1, 2, 0), 7, "click", 9.0, "{}"),
+        ],
+        df1.schema,
+    )
+    src = str(tmp_path / "mb_src")
+    df1.write.parquet(src + "/f1")
+    df2.write.parquet(src + "/f2")
+
+    ev = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    name = "t_sess_mb"
+    q = (
+        sessionize_stream(ev, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    u1 = [r for r in rows if r.user_id == 1]
+    assert len(u1) == 1
+    # one merged session across both batches: 3 events, minutes 0..20
+    assert u1[0].n_events == 3 and u1[0].sum_value == 7.0
+    assert u1[0].session_start.minute == 0 and u1[0].session_end.minute == 20
