@@ -196,8 +196,21 @@ def test_sessionize_state_spans_micro_batches(spark, tmp_path):
         df1.schema,
     )
     src = str(tmp_path / "mb_src")
-    df1.write.parquet(src + "/f1")
-    df2.write.parquet(src + "/f2")
+    # exactly ONE data file per intended micro-batch (coalesce(1)): with
+    # maxFilesPerTrigger=1 each file IS a batch, and a multi-file write
+    # would split a batch and expose rows to late-drop by the watermark
+    df1.coalesce(1).write.parquet(src + "/f1")
+    df2.coalesce(1).write.parquet(src + "/f2")
+    # the file source orders micro-batches by modification time — pin
+    # f1 strictly older so batch order is deterministic under load
+    import os
+    import time
+
+    now = time.time()
+    for sub, ts in (("f1", now - 120), ("f2", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (ts, ts))
 
     ev = (
         spark.readStream.schema(df1.schema)
