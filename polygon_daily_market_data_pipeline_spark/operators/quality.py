@@ -98,3 +98,34 @@ def postmerge_metrics(core: DataFrame, fact: DataFrame, trade_date) -> DataFrame
         F.count(F.lit(1)).alias("fact_rows")
     )
     return c.crossJoin(f_)
+
+
+def with_retries(fn, retries: int = 3, delay_s: float = 60.0, logger=None):
+    """Task-level retry wrapper — the Airflow ``retries=3,
+    retry_delay=1m`` analog (get_securities_data.py:79-80), with the
+    failure-callback logging of Q6 (get_securities_data.py:21-26).
+    ``SkipBatch`` passes through (a skip is a decision, not a fault);
+    ``DataQualityError`` and other exceptions retry then re-raise."""
+    import logging
+    import time
+
+    log = logger or logging.getLogger(__name__)
+
+    def run(*args, **kwargs):
+        last = None
+        for attempt in range(1 + retries):
+            try:
+                return fn(*args, **kwargs)
+            except SkipBatch:
+                raise
+            except Exception as exc:  # noqa: BLE001 — mirror Airflow retry-all
+                last = exc
+                log.error(
+                    "task %s failed (attempt %d/%d): %s",
+                    getattr(fn, "__name__", "?"), attempt + 1, 1 + retries, exc,
+                )
+                if attempt < retries:
+                    time.sleep(delay_s)
+        raise last
+
+    return run

@@ -243,3 +243,33 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
 
     declared = spark.read.schema("symbol string, close double").parquet(root)
     assert declared.count() == 2
+
+
+def test_with_retries_semantics():
+    from polygon_daily_market_data_pipeline_spark.operators.quality import (
+        SkipBatch,
+        with_retries,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retries(flaky, retries=3, delay_s=0)() == "ok"
+    assert calls["n"] == 3
+
+    def skips():
+        raise SkipBatch("no data")
+
+    with pytest.raises(SkipBatch):  # skips are never retried
+        with_retries(skips, retries=3, delay_s=0)()
+
+    def always():
+        raise ValueError("hard")
+
+    with pytest.raises(ValueError):
+        with_retries(always, retries=2, delay_s=0)()
