@@ -133,3 +133,27 @@ def test_topk_per_group_gets_group_limit(spark):
     plan = explain(QUERIES["top3_customers_per_nation"](spark, SF))
     assert "WindowGroupLimit" in plan
     assert re.search(r"windowspecdefinition\(nation", plan), plan
+
+
+def test_no_accidental_cartesian_or_nested_loop_anywhere(spark):
+    """Standing invariant over EVERY registered query: no CartesianProduct
+    and no BroadcastNestedLoopJoin, except the explicitly-intended
+    brute-force baselines (broadcast cross join is their definition)."""
+    INTENDED_CROSS = {
+        "embedding_knn_bruteforce",  # O(|Q|·|C|) by definition, Q broadcast
+        "premerge_metrics",          # 1×1×1-row audit cross join (J4)
+        "postmerge_metrics",         # scalar-subquery reconciliation (A4)
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if "stream" in name or name in INTENDED_CROSS:
+            continue
+        plan = explain(fn(spark, SF))
+        bad = [
+            node
+            for node in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if node in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
