@@ -1125,3 +1125,85 @@ def customer_segments_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("segment_only").alias("side"), "label"
     )
     return boths.unionByName(only_seg).orderBy("side", "label")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI): compare the event-value distribution between
+# the first and second half of the stream — the data-quality monitor a
+# continuously-ingesting pipeline runs per batch.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_value_drift_psi",
+    """
+    WITH mid AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m FROM events
+    ),
+    binned AS (
+        SELECT CASE WHEN epoch_us(ts) < (SELECT m FROM mid)
+                    THEN 'ref' ELSE 'cur' END AS period,
+               CAST(CASE WHEN value < 0 THEN 0
+                         WHEN value >= 100 THEN 11
+                         ELSE FLOOR(value * 10.0 / 100.0) + 1 END AS INT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT period, SUM(n) AS t FROM binned GROUP BY 1),
+    frac AS (
+        SELECT b.bucket,
+               MAX(CASE WHEN b.period = 'ref' THEN (b.n + 0.5) / (t.t + 0.5) END) AS p_ref,
+               MAX(CASE WHEN b.period = 'cur' THEN (b.n + 0.5) / (t.t + 0.5) END) AS p_cur
+        FROM binned b JOIN tot t ON b.period = t.period
+        GROUP BY b.bucket
+    )
+    SELECT CAST(ROUND(SUM(
+               (COALESCE(p_cur, 0.0001) - COALESCE(p_ref, 0.0001))
+               * ln(COALESCE(p_cur, 0.0001) / COALESCE(p_ref, 0.0001))
+           ), 6) AS DOUBLE) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM frac
+    """,
+)
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value histogram, first
+    half vs second half of the time range. One binned aggregation per
+    period (map-side partials), a 12-row join, and a scalar fold —
+    distribution monitoring at full scan speed, no sort."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    mid_us = (lo + hi) // 2
+    binned = (
+        events.select(
+            F.when(F.unix_micros(F.col("ts")) < F.lit(mid_us), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+            F.when(F.col("value") < 0, F.lit(0))
+            .when(F.col("value") >= 100, F.lit(11))
+            .otherwise(F.floor(F.col("value") * 10.0 / 100.0) + 1)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("period", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = binned.groupBy("period").agg(F.sum("n").alias("t"))
+    frac = (
+        binned.join(tot, "period")
+        .groupBy("bucket")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "ref", (F.col("n") + 0.5) / (F.col("t") + 0.5))
+            ).alias("p_ref"),
+            F.max(
+                F.when(F.col("period") == "cur", (F.col("n") + 0.5) / (F.col("t") + 0.5))
+            ).alias("p_cur"),
+        )
+    )
+    eps = F.lit(0.0001)
+    p_r, p_c = F.coalesce("p_ref", eps), F.coalesce("p_cur", eps)
+    return frac.agg(
+        F.round(F.sum((p_c - p_r) * F.log(p_c / p_r)), 6).cast("double").alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
