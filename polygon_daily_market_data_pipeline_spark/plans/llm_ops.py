@@ -576,3 +576,89 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT doc_a, doc_b FROM p0
+        WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION SELECT doc_b, doc_a FROM pr
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    q AS (
+        SELECT doc_id,
+               ROUND(((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + least(len(list_filter(toks, w -> w IN {LANG_STOPWORDS['en']!r})) * 4.0
+                              / greatest(len(toks), 1), 1.0)
+                      + len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) / 3,
+                     6) AS quality
+        FROM t
+    ),
+    ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cc.cluster_id
+                   ORDER BY q.quality DESC, cc.doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+        FROM cc JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rnk = 1
+    ORDER BY cluster_id
+"""
+
+
+@register("neardup_keep_best_quality", KEEP_BEST_ORACLE)
+def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup policy: within each near-dup cluster keep
+    the HIGHEST-quality member (not the lowest id) — clusters from the
+    LSH pipeline + label propagation, quality from the heuristic
+    scorer, one window over the (tiny) clustered subset."""
+    from pyspark.sql import Window
+
+    from polygon_daily_market_data_pipeline_spark.operators.graph import (
+        neardup_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    cc = neardup_components(pairs).select("doc_id", "cluster_id")
+    q = spread_for_compute(docs, "doc_id").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("cluster_id")
+    return (
+        cc.join(q, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wn))
+        .where("rnk = 1")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
