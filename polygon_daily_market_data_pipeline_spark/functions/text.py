@@ -155,3 +155,31 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
         F.array().cast("array<int>")
     )
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def chunk_starts(toks: Column, chunk: int, overlap: int) -> Column:
+    """1-based start offsets of sliding chunks: step = chunk − overlap,
+    last chunk may be short; single chunk when the doc fits."""
+    step = chunk - overlap
+    n = F.size(toks)
+    return F.when(n <= chunk, F.array(F.lit(1))).otherwise(
+        F.sequence(F.lit(1), n - overlap, F.lit(step))
+    )
+
+
+def doc_chunks(col: Column | str, chunk: int = 100, overlap: int = 20) -> Column:
+    """array<struct<chunk_idx,int chunk_text,string n_chunk_tokens,int>> —
+    sliding-window chunking for training-data prep, entirely JVM-side
+    (sequence + slice + concat_ws; no UDF). Overlapping windows keep
+    context across boundaries; the last window is allowed to be short
+    rather than dropping tail tokens."""
+    t = tokens(col)
+    starts = chunk_starts(t, chunk, overlap)
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(t, s, chunk)).alias("chunk_text"),
+            F.least(F.size(t) - s + 1, F.lit(chunk)).alias("n_chunk_tokens"),
+        ),
+    )

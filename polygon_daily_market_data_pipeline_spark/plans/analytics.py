@@ -1207,3 +1207,62 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((p_c - p_r) * F.log(p_c / p_r)), 6).cast("double").alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: the built-in gap-session operator (batch AND
+# streaming capable) — same semantics as the custom sessionizer, engine
+# implementation instead of applyInPandasWithState.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_session_window_native",
+    """
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window(ts, gap)``: Spark's native session operator
+    (window.end = last event + gap). One shuffle on user_id; usable
+    unchanged under readStream. Differential-checked against the
+    gaps-and-islands formulation — two independent session definitions
+    must agree exactly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -662,3 +662,50 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+CHUNKS_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 100 THEN [1]
+                    ELSE range(1, len(toks) - 20 + 1, 80) END AS starts
+        FROM t
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(range(1, len(starts) + 1)) - 1 AS chunk_idx,
+               unnest(starts) AS s,
+               toks
+        FROM st
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           md5(array_to_string(toks[s : s + 99], ' ')) AS chunk_md5,
+           CAST(least(len(toks) - s + 1, 100) AS INT) AS n_chunk_tokens
+    FROM ch
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("doc_chunking", CHUNKS_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (100 tokens, 20 overlap) — the
+    tokenize→chunk step of a pretraining pipeline, as pure codegen'd
+    array expressions; one linear pass, rows fan out via explode."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import doc_chunks
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(doc_chunks("text", chunk=100, overlap=20)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.md5("c.chunk_text").alias("chunk_md5"),
+            F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
