@@ -33,6 +33,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -62,6 +62,13 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    if (master or "local").startswith("local") and not os.environ.get(
+        "SPARK_DRIVER_MEMORY"
+    ):
+        # local mode: driver heap IS the executor heap; the 1g default
+        # dies on legitimate AQE broadcasts around 10⁵-row candidate
+        # frames (see SCALE.md scaling probe)
+        builder = builder.config("spark.driver.memory", "8g")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
