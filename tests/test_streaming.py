@@ -234,3 +234,58 @@ def test_sessionize_state_spans_micro_batches(spark, tmp_path):
     # one merged session across both batches: 3 events, minutes 0..20
     assert u1[0].n_events == 3 and u1[0].sum_value == 7.0
     assert u1[0].session_start.minute == 0 and u1[0].session_end.minute == 20
+
+
+def test_stream_landing_to_core_foreachbatch_merge(spark, tmp_path, landing_csv):
+    """The streaming MERGE path: landing CSVs → foreachBatch keyed
+    upsert into CORE. Two days arrive across two stream runs; the
+    second run also REPLAYS day 1 with revised prices — the keyed merge
+    must converge (update, not duplicate)."""
+    import datetime as dt2
+
+    from polygon_daily_market_data_pipeline_spark import schemas
+    from polygon_daily_market_data_pipeline_spark.pipeline import Warehouse
+    from polygon_daily_market_data_pipeline_spark.plans import star
+    from polygon_daily_market_data_pipeline_spark.streaming.eod_stream import (
+        stream_landing_to_core,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "d1.csv").write_text(
+        "trade_date,symbol,open,high,low,close,volume\n"
+        "2024-01-05,AAPL,1,2,0.5,1.5,100\n"
+        "2024-01-05,MSFT,3,4,2.5,3.5,200\n"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def merge_batch(batch_df):
+        for d in [r[0] for r in batch_df.select("trade_date").distinct().collect()]:
+            src = star.core_source_rows(
+                batch_df, d, load_ts=dt2.datetime(2024, 1, 5, 23)
+            )
+            core = wh.read("eod_prices", schemas.CORE_EOD_PRICES)
+            merged = star.core_upsert(core.where(F.col("trade_date") == d), src)
+            wh.overwrite_partitions(merged, "eod_prices", "trade_date")
+
+    q = stream_landing_to_core(
+        spark, str(landing), merge_batch, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination()
+    core = wh.read("eod_prices", schemas.CORE_EOD_PRICES)
+    assert core.count() == 2
+
+    # day 2 arrives + day 1 replayed with a revised AAPL close
+    (landing / "d2.csv").write_text(
+        "trade_date,symbol,open,high,low,close,volume\n"
+        "2024-01-08,GOOG,5,6,4.5,5.5,300\n"
+        "2024-01-05,AAPL,1,2,0.5,9.9,100\n"
+    )
+    q = stream_landing_to_core(
+        spark, str(landing), merge_batch, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination()
+    core = wh.read("eod_prices", schemas.CORE_EOD_PRICES)
+    assert core.count() == 3  # AAPL updated in place, not duplicated
+    aapl = core.where("symbol = 'AAPL'").first()
+    assert float(aapl.close) == 9.9
