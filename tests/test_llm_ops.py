@@ -211,3 +211,40 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_training_shard_export_deterministic(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from polygon_daily_market_data_pipeline_spark.operators.export import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def digest(root):
+        parts = sorted(glob.glob(root + "/part-*"))
+        h = hashlib.md5()
+        for p in parts:
+            with open(p, "rb") as f:
+                h.update(f.read())
+        return len(parts), h.hexdigest()
+
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    n1 = write_training_shards(docs, p1, "doc_id", rows_per_shard=100, seed=7)
+    write_training_shards(docs, p2, "doc_id", rows_per_shard=100, seed=7)
+    write_training_shards(docs, p3, "doc_id", rows_per_shard=100, seed=8)
+
+    files1, d1 = digest(p1)
+    files2, d2 = digest(p2)
+    _, d3 = digest(p3)
+    assert files1 == files2 == 5  # 500 docs / 100 per shard
+    assert d1 == d2               # same seed → byte-identical shards
+    assert d1 != d3               # different seed → different order
+    # no rows lost or duplicated through the shuffle
+    back = spark.read.json(p1)
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
