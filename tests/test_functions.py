@@ -211,3 +211,37 @@ def test_calendar_shims_wide_date_sweep(spark):
                    dayofweek(DATE '{s}') IN (0, 6)
         """).fetchone()
         assert got[s] == row, f"calendar mismatch for {s}: {got[s]} vs {row}"
+
+
+def test_orc_roundtrip_format_breadth(spark, tmp_path):
+    """The warehouse is parquet-first, but the engine reads/writes ORC
+    unchanged (columnar alternatives differ only in the format tag)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    p = str(tmp_path / "nation_orc")
+    src.write.format("orc").save(p)
+    back = spark.read.format("orc").load(p)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_sql_api_equivalence(spark):
+    """Every table registers as a temp view and the SQL API produces the
+    same result as the DataFrame plan (same Catalyst underneath)."""
+    from polygon_daily_market_data_pipeline_spark.plans.analytics import QUERIES
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_tables
+
+    for name, df in load_tables(spark, "/root/testdata/sf0.001").items():
+        df.createOrReplaceTempView(name)
+    got = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4)      AS avg_qty,
+               ROUND(AVG(l_discount), 4)      AS avg_disc,
+               COUNT(*)                       AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """).collect()
+    want = QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
