@@ -83,3 +83,72 @@ def test_latest_by_key_tiebreak(spark):
         ).collect()
     }
     assert out == {"AAPL": 2.0, "MSFT": 9.0}
+
+
+# ---------------------------------------------------------------------------
+# Property-based checks (hypothesis): algebraic laws of the keyed merge
+# on arbitrary key/value multisets.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+kv_lists = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(-5, 5)), max_size=12
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).where("k is not null")
+
+
+def _dedup_last(rows):
+    out = {}
+    for k, v in rows:
+        out[k] = v
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(t=kv_lists, s=kv_lists)
+def test_merge_upsert_model(spark, t, s):
+    """merge(target, dedup(source)) == model: source value wins on
+    matched keys, both sides' unmatched rows survive, key-unique."""
+    tgt = _df(spark, list(_dedup_last(t).items()))
+    src = _df(spark, list(_dedup_last(s).items()))
+    from polygon_daily_market_data_pipeline_spark.operators.merge import merge_upsert
+
+    got = {(r.k, r.v) for r in merge_upsert(tgt, src, ["k"]).collect()}
+    model = dict(_dedup_last(t))
+    model.update(_dedup_last(s))
+    assert got == set(model.items())
+
+
+@settings(max_examples=12, deadline=None)
+@given(t=kv_lists, s=kv_lists)
+def test_merge_upsert_idempotent(spark, t, s):
+    """Replaying the same source converges (the FORCE=TRUE property)."""
+    tgt = _df(spark, list(_dedup_last(t).items()))
+    src = _df(spark, list(_dedup_last(s).items()))
+    from polygon_daily_market_data_pipeline_spark.operators.merge import merge_upsert
+
+    once = merge_upsert(tgt, src, ["k"])
+    twice = merge_upsert(once, src, ["k"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+@settings(max_examples=12, deadline=None)
+@given(t=kv_lists, s=kv_lists)
+def test_insert_only_merge_never_mutates(spark, t, s):
+    """Grow-only law: existing values survive any source; new keys join."""
+    tgt = _df(spark, list(_dedup_last(t).items()))
+    src = _df(spark, s)
+    from polygon_daily_market_data_pipeline_spark.operators.merge import (
+        insert_only_merge,
+    )
+
+    got = {r.k: r.v for r in insert_only_merge(tgt, src, ["k"]).collect()}
+    for k, v in _dedup_last(t).items():
+        assert got[k] == v  # never updated
+    assert set(got) == set(_dedup_last(t)) | {k for k, _ in s}
