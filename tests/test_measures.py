@@ -72,3 +72,19 @@ def test_volume_trend_7d_calendar_frame(spark):
 def test_top_n_by_total_value(spark):
     top = measures.top_n_by_total_value(_fact(spark), n=1).collect()
     assert len(top) == 1 and top[0]["symbol"] == "AAPL"
+
+
+def test_approx_count_distinct_bound(spark):
+    """The 100 TB path for A6 DISTINCTCOUNT: approx_count_distinct
+    (HLL++) within its configured relative standard deviation of the
+    exact answer — the documented accuracy/cost trade."""
+    import pyspark.sql.functions as SF
+
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = events.select(SF.countDistinct("user_id")).first()[0]
+    approx = events.select(
+        SF.approx_count_distinct("user_id", rsd=0.02)
+    ).first()[0]
+    assert abs(approx - exact) / exact <= 0.06  # 3×rsd safety band
