@@ -25,5 +25,10 @@ at 100 TB even though tests run on ``local[*]``.
 """
 
 from polygon_daily_market_data_pipeline_spark.session import get_spark
+from polygon_daily_market_data_pipeline_spark.pipeline import (
+    Warehouse,
+    backfill,
+    run_eod_pipeline,
+)
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "run_eod_pipeline", "backfill", "Warehouse"]
