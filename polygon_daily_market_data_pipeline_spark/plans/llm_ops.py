@@ -27,6 +27,7 @@ from polygon_daily_market_data_pipeline_spark.functions.text import (
 )
 from polygon_daily_market_data_pipeline_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
@@ -330,6 +331,21 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = cosine_topk_lsh(emb, emb.where("vec_id < 100"), k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rank")
+
+
+@register("embedding_ann_ivf")  # rows-only: approximate index, no SQL twin
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 (the data-adaptive scale path: corpus inverted by
+    nearest k-means centroid, queries probe n_probe cells, exact rerank
+    inside the probed cells). Candidate fraction ~= n_probe/n_clusters,
+    so at 100 TB the pairwise work shrinks by that factor versus brute
+    force while the join stays a broadcast on cell id. No oracle by
+    design — recall vs brute force is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(emb, emb.where("vec_id < 100"), k=3)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
     ).orderBy("query_id", "rank")
