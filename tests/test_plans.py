@@ -135,6 +135,18 @@ def test_topk_per_group_gets_group_limit(spark):
     assert re.search(r"windowspecdefinition\(nation", plan), plan
 
 
+def test_ivf_ann_is_broadcast_equi_join_on_cell(spark):
+    """The IVF scale path must be an equi-join on the inverted-list cell
+    id with the (small) probing side broadcast — never a pairwise cross
+    join. This is the property that keeps it O(corpus · n_probe/n_clusters)
+    at 100 TB."""
+    plan = explain(QUERIES["embedding_ann_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan
+
+
 def test_no_accidental_cartesian_or_nested_loop_anywhere(spark):
     """Standing invariant over EVERY registered query: no CartesianProduct
     and no BroadcastNestedLoopJoin, except the explicitly-intended
