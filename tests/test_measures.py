@@ -88,3 +88,25 @@ def test_approx_count_distinct_bound(spark):
         SF.approx_count_distinct("user_id", rsd=0.02)
     ).first()[0]
     assert abs(approx - exact) / exact <= 0.06  # 3×rsd safety band
+
+
+def test_approx_percentile_bound(spark):
+    """The 100 TB path for the percentile family (doc_length_percentiles
+    keeps the exact form so its oracle stays exact): approx_percentile
+    with accuracy a guarantees rank error ≤ 1/a — assert the returned
+    value sits inside the exact-value envelope of that rank band."""
+    import pyspark.sql.functions as SF
+
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    vals = sorted(r[0] for r in events.select("value").collect())
+    n = len(vals)
+    accuracy = 1000  # rank error ≤ n/accuracy
+    for q in (0.5, 0.9, 0.99):
+        approx = events.select(
+            SF.percentile_approx("value", SF.lit(q), SF.lit(accuracy))
+        ).first()[0]
+        lo = vals[max(0, int(q * n) - n // accuracy - 1)]
+        hi = vals[min(n - 1, int(q * n) + n // accuracy + 1)]
+        assert lo <= approx <= hi, (q, approx, lo, hi)
