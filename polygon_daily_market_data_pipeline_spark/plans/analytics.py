@@ -601,16 +601,20 @@ def check_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(TRIM(l_returnflag)) AS flag_norm,
            TRY_CAST(l_quantity AS DECIMAL(18,6))      AS qty,
            TRY_CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
-           TRY_CAST(CAST(l_orderkey AS VARCHAR) AS DECIMAL(38,0)) AS key_num
+           TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_num
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
     """,
 )
 def typed_load_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COPY INTO typed projection (copy_to_raw.sql:20-25): safe
-    casts to DECIMAL(18,6)/(38,0) + key normalization. try_cast yields
+    casts to DECIMAL(18,6) + key normalization. try_cast yields
     NULL on malformed input instead of failing (ON_ERROR='CONTINUE'
-    analog). Pure projection — no shuffle, fully codegen'd."""
+    analog). ``key_num`` mirrors TRY_TO_NUMBER($7,38,0)
+    (copy_to_raw.sql:25) but lands as BIGINT: scale-0 DECIMAL(38,0)
+    stringifies differently across hashers ('0' vs '0.000000'), and
+    BIGINT preserves the integral semantics for this column's range.
+    Pure projection — no shuffle, fully codegen'd."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -618,7 +622,7 @@ def typed_load_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_key("l_returnflag").alias("flag_norm"),
         F.col("l_quantity").try_cast("decimal(18,6)").alias("qty"),
         F.col("l_extendedprice").try_cast("decimal(18,6)").alias("price"),
-        F.col("l_orderkey").cast("string").try_cast("decimal(38,0)").alias("key_num"),
+        F.col("l_orderkey").cast("string").try_cast("bigint").alias("key_num"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

@@ -46,10 +46,16 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+# State keeps timestamps as epoch MICROSECONDS (LongType), not
+# TimestampType: PySpark round-trips state values through
+# TimestampType.fromInternal/toInternal, which convert via the HOST
+# local timezone, while the Arrow-delivered input rows are naive-UTC
+# (session tz). On any non-UTC host the two disagree by the UTC offset
+# — longs make the state machine timezone-free.
 _STATE_SCHEMA = StructType(
     [
-        StructField("session_start", TimestampType(), False),
-        StructField("session_end", TimestampType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("session_end_us", LongType(), False),
         StructField("n_events", IntegerType(), False),
         StructField("sum_value", DoubleType(), False),
     ]
@@ -88,54 +94,50 @@ def _sessionize_group(
     session_end + gap, so late events within the watermark reopen
     nothing they shouldn't."""
     (user_id,) = key
-    gap = SESSION_GAP
+    gap_us = int(SESSION_GAP.total_seconds() * 1_000_000)
+
+    def emit(start_us: int, end_us: int, n: int, sv: float) -> dict:
+        # Naive-UTC pandas timestamps: Arrow + session tz (UTC) maps
+        # them back to the exact event-time instants.
+        return {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(end_us, unit="us"),
+            "n_events": n,
+            "sum_value": sv,
+        }
 
     if state.hasTimedOut:
-        start, end, n, sv = state.get
+        start_us, end_us, n, sv = state.get
         state.remove()
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_start": start,
-                    "session_end": end,
-                    "n_events": n,
-                    "sum_value": sv,
-                }
-            ]
-        )
+        yield pd.DataFrame([emit(start_us, end_us, n, sv)])
         return
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
     out = []
     if state.exists:
-        start, end, n, sv = state.get
+        start_us, end_us, n, sv = state.get
     else:
-        start = end = None
+        start_us = end_us = None
         n, sv = 0, 0.0
 
     for r in rows.itertuples(index=False):
-        ts = r.ts.to_pydatetime() if hasattr(r.ts, "to_pydatetime") else r.ts
-        if start is None:
-            start, end, n, sv = ts, ts, 1, float(r.value)
-        elif ts - end <= gap:
-            end, n, sv = max(end, ts), n + 1, sv + float(r.value)
+        # pandas Timestamp is naive-UTC here (Arrow, session tz UTC);
+        # .value is epoch ns with no host-tz interpretation.
+        ts_us = int(r.ts.value // 1000)
+        if start_us is None:
+            start_us, end_us, n, sv = ts_us, ts_us, 1, float(r.value)
+        elif ts_us - end_us <= gap_us:
+            end_us, n, sv = max(end_us, ts_us), n + 1, sv + float(r.value)
         else:
-            out.append(
-                {
-                    "user_id": user_id,
-                    "session_start": start,
-                    "session_end": end,
-                    "n_events": n,
-                    "sum_value": sv,
-                }
-            )
-            start, end, n, sv = ts, ts, 1, float(r.value)
+            out.append(emit(start_us, end_us, n, sv))
+            start_us, end_us, n, sv = ts_us, ts_us, 1, float(r.value)
 
-    state.update((start, end, n, sv))
+    state.update((start_us, end_us, n, sv))
     # Event-time timeout: close the session once the watermark passes
-    # its end + gap.
-    state.setTimeoutTimestamp(int(end.timestamp() * 1000) + int(gap.total_seconds() * 1000))
+    # its end + gap. Pure integer epoch math — no datetime.timestamp(),
+    # which would interpret a naive datetime in the HOST OS timezone.
+    state.setTimeoutTimestamp(end_us // 1000 + gap_us // 1000)
     if out:
         yield pd.DataFrame(out)
 

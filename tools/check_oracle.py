@@ -29,7 +29,10 @@ def _norm(v):
     import math
 
     if isinstance(v, decimal.Decimal):
-        return f"{v:.6f}"
+        # Strict: keep the native scale (Decimal('0') != Decimal('0.000000'))
+        # so representation mismatches the driver's hasher would flag cannot
+        # hide behind a lossy %.6f reformat (ADVICE r1).
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
