@@ -53,6 +53,11 @@ def merge_upsert(
     update_cols = list(update_cols) if update_cols is not None else non_key
 
     src = source.select(
+        # Explicit presence marker: the join is null-safe on the keys, so a
+        # legitimately-NULL source key can match a NULL-keyed target row —
+        # inferring presence from key nullability would misclassify that
+        # row as unmatched and silently keep stale target values.
+        F.lit(True).alias("__src_present"),
         *[F.col(k).alias(f"__src_{k}") for k in keys],
         *[F.col(c).alias(f"__src_{c}") for c in non_key],
     )
@@ -61,8 +66,12 @@ def merge_upsert(
 
     out_cols: list[Column] = []
     for k in keys:
-        out_cols.append(F.coalesce(target[k], F.col(f"__src_{k}")).alias(k))
-    matched = F.col(f"__src_{keys[0]}").isNotNull()
+        out_cols.append(
+            F.when(F.col("__src_present").isNotNull(), F.col(f"__src_{k}"))
+            .otherwise(target[k])
+            .alias(k)
+        )
+    matched = F.col("__src_present").isNotNull()
     for c in non_key:
         if c in update_cols:
             # matched → source value; source-only → source value;

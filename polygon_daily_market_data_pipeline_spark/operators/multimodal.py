@@ -6,12 +6,13 @@ Arrow-batched ``mapInPandas`` stages — the only place Python belongs in
 the hot path, because media decode is a per-blob C-library call, not a
 relational expression.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libs): ``decoder="fake"`` is a deterministic stand-in that
-derives features from the blob bytes, so the Spark-side plumbing —
-schema, batch iteration, partitioning, UDF signature — is real and
-tested; swapping in Pillow/librosa/pyav is a one-function change
-(``decoder="pillow"`` raises NotImplementedError with the wiring point).
+Decoders: ``decoder="headers"`` is a REAL pure-Python image decode
+(PNG/GIF/BMP/JPEG container headers → format/width/height — exact per
+the format specs, no image library needed); ``decoder="pillow"`` is the
+full-pixel path, import-guarded because this container ships no image
+libs; ``decoder="fake"`` is the deterministic byte-derived stand-in
+kept for oracle-checkable plumbing tests. Audio/video decode
+(librosa/pyav) remains a stub wiring point.
 
 Scale notes: blobs ride in parquet binary columns; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of blobs fits
@@ -47,7 +48,7 @@ MEDIA_SCHEMA = StructType(
 
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, n_bytes long, mean_byte double, byte_entropy double, "
-    "phash string"
+    "phash string, format string, width int, height int"
 )
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_sig string"
@@ -76,24 +77,113 @@ def _fake_decode_features(content: bytes) -> dict:
     }
 
 
+def parse_image_header(content: bytes) -> tuple[str | None, int | None, int | None]:
+    """Real (non-stub) image decode, headers-only: (format, width, height)
+    for PNG / GIF / BMP / JPEG from the container format's own header —
+    pure Python, no image library, exact per the format specs.
+
+    - PNG: 8-byte signature, then the IHDR chunk carries W/H as
+      big-endian u32 at offsets 16/20.
+    - GIF: 'GIF87a'/'GIF89a', logical screen W/H little-endian u16 at 6/8.
+    - BMP: 'BM', BITMAPINFOHEADER W/H little-endian i32 at 18/22.
+    - JPEG: walk the marker segments to the first SOF0–SOF15 frame
+      header (skipping the non-frame DHT/DAC/APPn/RST markers), H/W
+      big-endian u16 at +5/+7 inside the segment.
+
+    Unknown/truncated blobs → (None, None, None) — never raises, so a
+    corrupt blob degrades to NULL metadata instead of failing the stage.
+    """
+    import struct
+
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", content[16:24])
+            return "png", w, h
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", content[6:10])
+            return "gif", w, h
+        if content[:2] == b"BM" and len(content) >= 26:
+            w, h = struct.unpack("<ii", content[18:26])
+            return "bmp", w, abs(h)  # negative height = top-down DIB
+        if content[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            while i + 9 < len(content):
+                if content[i] != 0xFF:
+                    break
+                marker = content[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+                is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+                if is_sof:
+                    h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                    return "jpeg", w, h
+                i += 2 + seg_len
+    except (struct.error, IndexError):
+        pass
+    return None, None, None
+
+
 def extract_image_features(
     media: DataFrame, decoder: str = "fake"
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary image blobs."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder={decoder!r}: wire a real image library (e.g. Pillow) "
-            "into _fake_decode_features's slot; the container ships none."
-        )
+    """Arrow-batched feature extraction over binary image blobs.
+
+    decoder:
+    - ``"fake"``    — deterministic byte-derived features, format/width/
+      height NULL (the oracle-checkable stub).
+    - ``"headers"`` — the same byte features PLUS a real header decode
+      (``parse_image_header``: PNG/GIF/BMP/JPEG dimensions, pure
+      Python). This is a genuine decoder, just headers-only.
+    - ``"pillow"``  — full pixel decode via Pillow, import-guarded: the
+      container ships no image libs, so absence raises
+      NotImplementedError naming the wiring point.
+    """
+    if decoder not in ("fake", "headers", "pillow"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pillow":
+        try:
+            import PIL.Image  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder='pillow' needs Pillow, which this container does "
+                "not ship; use decoder='headers' (pure-Python header "
+                "decode) or install Pillow."
+            ) from e
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = [_fake_decode_features(bytes(b or b"")) for b in pdf["content"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "media_id", pdf["media_id"].to_numpy())
-            yield out
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(b or b"")
+                feats = _fake_decode_features(blob)
+                if decoder == "headers":
+                    fmt, w, h = parse_image_header(blob)
+                elif decoder == "pillow":
+                    import io  # noqa: PLC0415
+
+                    import PIL.Image  # noqa: PLC0415
+
+                    try:
+                        with PIL.Image.open(io.BytesIO(blob)) as img:
+                            fmt, w, h = (img.format or "").lower(), *img.size
+                    except Exception:
+                        fmt, w, h = None, None, None
+                else:
+                    fmt, w, h = None, None, None
+                rows.append(
+                    {"media_id": int(mid), **feats, "format": fmt, "width": w, "height": h}
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "mean_byte", "byte_entropy",
+                    "phash", "format", "width", "height",
+                ],
+            )
 
     return media.where("kind = 'image'").select("media_id", "content").mapInPandas(
         run, IMAGE_FEATURES_SCHEMA

@@ -133,7 +133,7 @@ def with_lsh_buckets(
     n_planes: int,
     n_tables: int,
     seed: int,
-    dim: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: one (table_id, bucket) pair per
     table, exploded to rows. Per-table bucket = sign pattern of
@@ -145,20 +145,34 @@ def with_lsh_buckets(
     per batch (a Pandas UDF): expressing them as Catalyst higher-order
     functions builds a ~n_tables·n_planes·dim-literal expression tree
     whose codegen/eval cost dwarfs the arithmetic (measured 6.6 s vs
-    0.3 s on 2 K × 64-dim rows)."""
-    mat = np.array(
-        [
-            plane
-            for t in range(n_tables)
-            for plane in hyperplanes(dim, n_planes, seed + 1000 * t)
-        ],
-        dtype=np.float64,
-    ).T  # dim × (n_tables · n_planes)
+    0.3 s on 2 K × 64-dim rows).
+
+    ``dim`` is optional: when None the hyperplane matrix is built
+    lazily inside each Python worker from the first Arrow batch's
+    vector width (the planes are a pure deterministic function of
+    (dim, n_planes, n_tables, seed)), so no driver-side ``first()``
+    probe job is ever run."""
     weights = 2 ** np.arange(n_planes)
+
+    def _plane_matrix(d: int) -> "np.ndarray":
+        return np.array(
+            [
+                plane
+                for t in range(n_tables)
+                for plane in hyperplanes(d, n_planes, seed + 1000 * t)
+            ],
+            dtype=np.float64,
+        ).T  # dim × (n_tables · n_planes)
+
+    mat_cache: dict[int, "np.ndarray"] = {} if dim is None else {dim: _plane_matrix(dim)}
 
     @pandas_udf(ArrayType(IntegerType()))
     def bucket_ids(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)  # batch × dim
+        d = m.shape[1]
+        if d not in mat_cache:
+            mat_cache[d] = _plane_matrix(d)
+        mat = mat_cache[d]
         bits = (m @ mat) >= 0.0  # batch × (T·p)
         b = (bits.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
         return pd.Series(list(b.astype("int32")))
@@ -192,14 +206,14 @@ def cosine_topk_lsh(
     # No compute-spread here: the bucket kernel is one BLAS matmul per
     # Arrow batch, so per-row cost is tiny and extra partitions only add
     # Python-worker startup; the scan's own partitioning governs scale-out.
-    dim = len(corpus.select(vec_col).first()[0])
+    # dim is discovered lazily inside the bucket UDF — no first() probe job.
     cb = with_lsh_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "c_vec", n_planes, n_tables, seed, dim,
+        "c_vec", n_planes, n_tables, seed,
     )
     qb = with_lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", n_planes, n_tables, seed, dim,
+        "q_vec", n_planes, n_tables, seed,
     )
     # Dedup candidate id pairs BEFORE attaching vectors: only 16-byte id
     # pairs cross the distinct shuffle, never embeddings. Vectors are
@@ -289,6 +303,85 @@ def embedding_neardup_pairs(
     return blocks.mapInPandas(block, "id_a long, id_b long, cos double")
 
 
+def embedding_neardup_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ t),
+    fully distributed — the scale-safe replacement for the
+    driver-collect variant above.
+
+    Block-pair decomposition: vectors hash into ``n_blocks`` blocks;
+    every unordered block pair (bi ≤ bj) becomes one cogroup task that
+    runs a single |bi|×|bj| BLAS matmul and emits only surviving pairs.
+    Nothing corpus-sized ever reaches the driver (the block-pair frame
+    is B(B+1)/2 tiny rows from a parameter, not data), and per-task
+    memory is 2·(n/B)·dim·8 bytes — size ``n_blocks`` so a block fits
+    an executor. Shuffle cost is the textbook exact-all-pairs price:
+    each vector is replicated B+1 times; when even that is too big
+    (n ≫ 10⁷), near-dup thresholds are high enough in practice for
+    ``embedding_neardup_pairs_lsh`` below (bucket-join candidates)."""
+    spark = df.sparkSession
+
+    def side(key: str) -> DataFrame:
+        # Each side gets its own plan tree (fresh createDataFrame + fresh
+        # projection exprIds) — cogrouping two slices of one shared plan
+        # trips Spark's ambiguous-self-join analyzer.
+        pm = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "bi int, bj int",
+        )
+        vv = df.select(
+            F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
+            .cast("int")
+            .alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        )
+        return vv.join(F.broadcast(pm), vv["blk"] == pm[key]).select(
+            "bi", "bj", "id", "v"
+        )
+
+    left = side("bi")
+    right = side("bj")
+
+    def block_pair(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        a = np.array(lpdf["v"].tolist(), dtype=np.float64)
+        b = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        sims = a @ b.T  # |bi| × |bj|, one BLAS call
+        aid = lpdf["id"].to_numpy(dtype=np.int64)
+        bid = rpdf["id"].to_numpy(dtype=np.int64)
+        diagonal = int(lpdf["bi"].iloc[0]) == int(lpdf["bj"].iloc[0])
+        if diagonal:
+            # same vectors on both sides: id_a < id_b dedups mirror pairs
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (aid[:, None] < bid[None, :])
+            )
+            ia, ib = aid[ii], bid[jj]
+        else:
+            # distinct blocks: every (x, y) is unique to this group —
+            # canonicalize pair order, never filter.
+            ii, jj = np.nonzero(sims >= threshold)
+            ia = np.minimum(aid[ii], bid[jj])
+            ib = np.maximum(aid[ii], bid[jj])
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": sims[ii, jj]})
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(block_pair, "id_a long, id_b long, cos double")
+    )
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float,
@@ -300,11 +393,11 @@ def embedding_neardup_pairs_lsh(
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs: candidates collide in ≥1 hash table,
     then exact-cosine verified ≥ threshold. Same output schema as the
-    exact variant; recall 1-(1-p^b)^L (asserted in tests)."""
-    dim = len(df.select(vec_col).first()[0])
+    exact variant; recall 1-(1-p^b)^L (asserted in tests). dim is
+    discovered lazily inside the bucket UDF — no first() probe job."""
     eb = with_lsh_buckets(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v", n_planes, n_tables, seed, dim,
+        "v", n_planes, n_tables, seed,
     ).select("table_id", "bucket", "id")
     cands = (
         eb.alias("x")

@@ -107,36 +107,56 @@ def _jaccard_from_inter(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
+DEFAULT_SHINGLE_DF_CAP = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    df_cap: int | None = None,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
 
-    Candidates = pairs sharing ≥ 1 shingle (exact for any t > 0 when
-    ``df_cap`` is None); ``df_cap`` drops shingles appearing in more
-    than that many docs — the skew guard for web-scale corpora, at the
-    cost of missing pairs whose only shared shingles are stop-shingles
-    (irrelevant at high thresholds)."""
+    Candidate/verify split: CANDIDATES = pairs sharing ≥ 1 shingle with
+    document frequency ≤ ``df_cap`` (the stop-shingle skew guard — a
+    shingle in d docs contributes d² rows to the self-join, so one hot
+    shingle can melt a partition at web scale); VERIFY = shared-shingle
+    count over the FULL, uncapped shingle sets of candidate pairs, so
+    the cap can never change an emitted Jaccard value — it only costs
+    recall, and only for a pair whose EVERY shared shingle is hotter
+    than ``df_cap`` (at high thresholds such pairs share many shingles,
+    making all-hot effectively impossible). ``df_cap=None`` opts out
+    (fully exhaustive candidates).
+
+    Shingles are distinct per doc, so COUNT of shared shingle keys IS
+    |A∩B|; the candidate self-join's two identical sides share one
+    shuffle (ReusedExchange) and no array ever crosses the wire."""
     sh = _with_shingles(df, id_col, text_col, shingle_n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cand_ex = ex
     if df_cap is not None:
         hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
-        ex = ex.join(hot, "s", "left_anti")
-    # Shingles are distinct per doc, so COUNT of shared shingle keys IS
-    # |A∩B| — the self-join's two identical sides share one shuffle
-    # (ReusedExchange) and no array ever crosses the wire.
-    pairs = (
-        ex.alias("x")
-        .join(ex.alias("y"), "s")
+        cand_ex = ex.join(hot, "s", "left_anti")
+    cands = (
+        cand_ex.alias("x")
+        .join(cand_ex.alias("y"), "s")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
+        .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    # Exact verify on candidates only, against the uncapped shingle sets
+    # (same verify shape as minhash_lsh_pairs).
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        cands.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))

@@ -27,6 +27,7 @@ MIN_EXPECTED_TICKERS = 100  # :17
 RETRY_STATUS_CODES = (429, 500, 502, 503, 504)  # :18
 MAX_RETRIES = 3  # :96-100
 BACKOFF_FACTOR = 1.0
+EXCHANGE_TZ = "America/New_York"  # eod_data_downloader.py:15; get_securities_data.py:14
 
 GROUPED_DAILY_PATH = "/v2/aggs/grouped/locale/us/market/stocks/{date}"  # :66
 POLYGON_FIELDS = ["T", "o", "h", "l", "c", "v"]  # :152
@@ -104,6 +105,43 @@ def download_eod_for_date(
     if resp.status != 200:
         raise RuntimeError(f"polygon request failed: HTTP {resp.status}")
     return extract_results(resp.body)
+
+
+def trading_today(now_utc: dt.datetime | None = None) -> dt.date:
+    """F15: 'today' in exchange-local time, NOT host/UTC time.
+
+    The reference pins the trading calendar to ``America/New_York``
+    (eod_data_downloader.py:15 ``pendulum.timezone``;
+    get_securities_data.py:14,103 ``pendulum.today('America/New_York')``)
+    so a daily run firing at 00:30 UTC still ingests the US trading
+    date that just closed, not the not-yet-traded UTC date. Spark's
+    session TZ stays UTC — only the ingest-driver date math is
+    exchange-local.
+
+    ``now_utc`` (an aware or naive-UTC datetime) is injectable for
+    tests; default is the current wall clock."""
+    from zoneinfo import ZoneInfo  # noqa: PLC0415 (stdlib; keeps module import light)
+
+    tz = ZoneInfo(EXCHANGE_TZ)
+    if now_utc is None:
+        return dt.datetime.now(tz).date()
+    if now_utc.tzinfo is None:
+        now_utc = now_utc.replace(tzinfo=dt.timezone.utc)
+    return now_utc.astimezone(tz).date()
+
+
+def download_latest(
+    api_key: str,
+    lookback_days: int = 5,
+    transport: Transport = _requests_transport,
+    now_utc: dt.datetime | None = None,
+) -> tuple[dt.date, list[dict]]:
+    """The live daily entrypoint: lookback walk anchored at the
+    exchange-local trading date (get_securities_data.py:103 anchors at
+    ``pendulum.today('America/New_York')``)."""
+    return download_with_lookback(
+        trading_today(now_utc), api_key, lookback_days, transport=transport
+    )
 
 
 def download_with_lookback(

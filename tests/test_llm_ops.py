@@ -248,3 +248,125 @@ def test_training_shard_export_deterministic(spark, tmp_path):
     back = spark.read.json(p1)
     assert back.count() == 500
     assert back.select("doc_id").distinct().count() == 500
+
+
+def test_parse_image_header_real_formats():
+    """decoder='headers' is a REAL decode: exact dimensions out of
+    spec-conformant PNG/GIF/BMP/JPEG headers, None for non-images."""
+    import struct
+    import zlib
+
+    from polygon_daily_market_data_pipeline_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    # minimal valid PNG: signature + IHDR(640x480)
+    ihdr = struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 123, -77) + b"\x00" * 8
+    assert parse_image_header(bmp) == ("bmp", 123, 77)  # top-down DIB abs()
+    # JPEG: SOI, APP0 segment, DHT (non-frame C4 must be skipped), SOF0
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03"
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    assert parse_image_header(b"plain text") == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (None, None, None)
+
+
+def test_extract_image_features_headers_decoder(spark):
+    """The headers decoder flows real dimensions through the Arrow batch
+    into typed columns; non-image payloads degrade to NULLs."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 64, 32, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", None, None, None, bytearray(png)),
+            (2, "image", "text/plain", None, None, None, bytearray(b"not an image")),
+            (3, "video", "video/mp4", None, None, 5000, bytearray(b"zz")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_image_features(media, decoder="headers").collect()
+    }
+    assert set(out) == {1, 2}  # kind='image' only
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 64, 32)
+    assert out[1]["n_bytes"] == len(png)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == (None, None, None)
+
+
+def test_embedding_neardup_blocked_equals_collect_exact(spark):
+    """The distributed block-pair plan is value-identical to the
+    driver-collect exact kernel (which stays test-only), across every
+    block-count regime: B > n, B = 1 (single diagonal block), and the
+    mixed diagonal/off-diagonal middle."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blocked,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 16)
+    base[11] = base[3] * 1.7            # exact direction dup → cos 1
+    base[22] = base[5] + 0.05 * rng.randn(16)  # near dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["cos"], 9)) for r in df.collect()
+        )
+
+    expected = canon(embedding_neardup_pairs(emb, threshold=0.8))
+    assert len(expected) >= 2
+    for b in (1, 4, 64):
+        got = canon(embedding_neardup_pairs_blocked(emb, threshold=0.8, n_blocks=b))
+        assert got == expected, f"n_blocks={b}"
+
+
+def test_jaccard_df_cap_is_lossless_for_values(spark):
+    """df_cap prunes CANDIDATES only; the verify runs on full shingle
+    sets, so any emitted pair carries the exact uncapped Jaccard. With a
+    cap of 1 on this corpus (docs 1/2/3 share hot shingles with df 2-3),
+    pairs may drop but no surviving value may change."""
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.1, df_cap=None).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] == 1.0
+    capped = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.1, df_cap=1).collect()
+    }
+    for pair, j in capped.items():
+        assert exact[pair] == j  # never a rescaled/undercounted value
+    # and a generous cap is fully lossless on recall too
+    roomy = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.1, df_cap=100).collect()
+    }
+    assert roomy == exact

@@ -152,3 +152,21 @@ def test_insert_only_merge_never_mutates(spark, t, s):
     for k, v in _dedup_last(t).items():
         assert got[k] == v  # never updated
     assert set(got) == set(_dedup_last(t)) | {k for k, _ in s}
+
+
+def test_merge_upsert_null_key_matched_update(spark):
+    """A legitimately-NULL source key null-safe-matches a NULL-keyed
+    target row and must take the UPDATE branch (source values win) —
+    presence is signalled by an explicit marker, never inferred from
+    key nullability."""
+    target = spark.createDataFrame(
+        [(None, 1, "old"), ("A", 2, "old")], "k string, v int, tag string"
+    )
+    source = spark.createDataFrame(
+        [(None, 10, "new")], "k string, v int, tag string"
+    )
+    out = merge_upsert(target, source, keys=["k"]).collect()
+    assert len(out) == 2  # matched, not inserted as a third row
+    by_key = {r["k"]: r for r in out}
+    assert by_key[None]["v"] == 10 and by_key[None]["tag"] == "new"
+    assert by_key["A"]["v"] == 2 and by_key["A"]["tag"] == "old"

@@ -139,8 +139,15 @@ def test_ivf_ann_is_broadcast_equi_join_on_cell(spark):
     """The IVF scale path must be an equi-join on the inverted-list cell
     id with the (small) probing side broadcast — never a pairwise cross
     join. This is the property that keeps it O(corpus · n_probe/n_clusters)
-    at 100 TB."""
-    plan = explain(QUERIES["embedding_ann_ivf"](spark, SF))
+    at 100 TB. (Asserted on the raw operator — the registered query wraps
+    it in a recall audit whose brute-force baseline is an intended cross
+    join.)"""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain(cosine_topk_ivf(emb, emb.where("vec_id < 100"), k=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan
@@ -153,6 +160,8 @@ def test_no_accidental_cartesian_or_nested_loop_anywhere(spark):
     brute-force baselines (broadcast cross join is their definition)."""
     INTENDED_CROSS = {
         "embedding_knn_bruteforce",  # O(|Q|·|C|) by definition, Q broadcast
+        "embedding_ann_lsh",         # recall audit embeds the bf baseline
+        "embedding_ann_ivf",         # recall audit embeds the bf baseline
         "premerge_metrics",          # 1×1×1-row audit cross join (J4)
         "postmerge_metrics",         # scalar-subquery reconciliation (A4)
     }
@@ -169,3 +178,30 @@ def test_no_accidental_cartesian_or_nested_loop_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_neardup_embedding_registered_plan_is_distributed(spark):
+    """The registered embedding near-dup must be the distributed
+    block-pair plan: building it runs ZERO driver jobs (the old exact
+    variant collect()ed the corpus to the driver at plan-build time),
+    and the physical plan is a cogrouped pandas stage, not a
+    driver-fed broadcast."""
+    sc = spark.sparkContext
+    # Baseline: a known-lazy query against the same table. Any parquet
+    # read may cost one driver-side schema-inference job, so the audit
+    # is comparative: the near-dup build must add NO jobs beyond that
+    # floor (the old exact variant ran a full corpus collect() here).
+    sc.setJobGroup("neardup-build-baseline", "")
+    QUERIES["embedding_knn_bruteforce"](spark, SF)
+    base = len(sc.statusTracker().getJobIdsForGroup("neardup-build-baseline"))
+    group = "neardup-embedding-build-audit"
+    sc.setJobGroup(group, "plan construction must not run corpus jobs")
+    try:
+        df = QUERIES["neardup_embedding_cosine"](spark, SF)
+    finally:
+        sc.setJobGroup("", "")
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) <= base
+    plan = explain(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

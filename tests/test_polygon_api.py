@@ -121,3 +121,40 @@ def test_polygon_eod_datasource_dq_floor(spark):
     with _pytest.raises(Exception) as ei:
         df.count()
     assert "TooFewTickers" in str(ei.value) or "resultsCount" in str(ei.value)
+
+
+def test_trading_today_rolls_at_midnight_eastern():
+    """F15 exchange-TZ semantics: the trading date flips at midnight
+    America/New_York, not midnight UTC (eod_data_downloader.py:15,
+    get_securities_data.py:103). At 00:30 UTC on July 2 it is still
+    20:30 EDT July 1 — a UTC-date anchor would ingest a day that has
+    not traded yet."""
+    assert api.trading_today(
+        dt.datetime(2026, 7, 2, 0, 30, tzinfo=dt.timezone.utc)
+    ) == dt.date(2026, 7, 1)
+    # after the ET rollover (04:00 UTC = 00:00 EDT) it is July 2
+    assert api.trading_today(
+        dt.datetime(2026, 7, 2, 4, 0, tzinfo=dt.timezone.utc)
+    ) == dt.date(2026, 7, 2)
+    # naive datetimes are interpreted as UTC
+    assert api.trading_today(dt.datetime(2026, 7, 2, 0, 30)) == dt.date(2026, 7, 1)
+    # winter (EST, UTC-5): rollover at 05:00 UTC
+    assert api.trading_today(
+        dt.datetime(2026, 1, 10, 4, 59, tzinfo=dt.timezone.utc)
+    ) == dt.date(2026, 1, 9)
+
+
+def test_download_latest_anchors_at_exchange_date():
+    seen = []
+
+    def transport(url, params):
+        seen.append(url)
+        return api.HttpResponse(200, _ok_body())
+
+    # 01:00 UTC July 2 → ET trading date July 1 is the lookback anchor
+    date, rows = api.download_latest(
+        "k", transport=transport,
+        now_utc=dt.datetime(2026, 7, 2, 1, 0, tzinfo=dt.timezone.utc),
+    )
+    assert date == dt.date(2026, 7, 1)
+    assert "2026-07-01" in seen[0] and len(rows) == 150
