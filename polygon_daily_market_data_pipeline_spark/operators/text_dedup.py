@@ -107,7 +107,23 @@ def _jaccard_from_inter(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-DEFAULT_SHINGLE_DF_CAP = 1000
+def _pair_counts(ex: DataFrame) -> DataFrame:
+    """Self-join an exploded (doc_id, s) postings frame on the shingle
+    key and count shared shingles per ordered pair — shingles are
+    distinct per doc, so COUNT of shared keys IS |A∩B| (restricted to
+    the shingles present in ``ex``). The two identical sides share one
+    shuffle (ReusedExchange); no array ever crosses the wire, and the
+    count folds map-side into the pair aggregate — one fused
+    join+groupBy, no candidate materialization or distinct."""
+    return (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
 
 
 def jaccard_pairs(
@@ -116,52 +132,104 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
 
-    Candidate/verify split: CANDIDATES = pairs sharing ≥ 1 shingle with
-    document frequency ≤ ``df_cap`` (the stop-shingle skew guard — a
-    shingle in d docs contributes d² rows to the self-join, so one hot
-    shingle can melt a partition at web scale); VERIFY = shared-shingle
-    count over the FULL, uncapped shingle sets of candidate pairs, so
-    the cap can never change an emitted Jaccard value — it only costs
-    recall, and only for a pair whose EVERY shared shingle is hotter
-    than ``df_cap`` (at high thresholds such pairs share many shingles,
-    making all-hot effectively impossible). ``df_cap=None`` opts out
-    (fully exhaustive candidates).
+    Default (``df_cap=None``) is the fully exhaustive fused plan: one
+    shingle self-join + pair groupBy — COUNT of shared shingle keys IS
+    |A∩B| because shingles are distinct per doc.
 
-    Shingles are distinct per doc, so COUNT of shared shingle keys IS
-    |A∩B|; the candidate self-join's two identical sides share one
-    shuffle (ReusedExchange) and no array ever crosses the wire."""
+    ``df_cap`` is the stop-shingle skew guard for web scale: a shingle
+    in d docs contributes d² rows to the self-join, so one hot key can
+    melt a partition. With the cap on, the plan splits the postings by
+    shingle document frequency:
+
+    - COLD (df ≤ cap): the same fused self-join+count → ``inter_cold``.
+      This also defines the candidate set (pairs sharing ≥ 1 cold
+      shingle).
+    - HOT (df > cap): a correction join of the candidate pairs against
+      the HOT postings only (``ex ⋉ hot`` — empty until a key actually
+      exceeds the cap, bounded by the genuinely hot keys at web scale)
+      → ``inter_hot``.
+
+    Before the correction join, candidates are pruned by an UPPER BOUND:
+    Jaccard is monotone in inter, and inter ≤ inter_cold + min(ha, hb)
+    where ha/hb = each doc's hot-shingle count — so any pair whose bound
+    misses the threshold is dropped without ever touching the hot
+    postings. The correction therefore runs on an output-sized pair set
+    (broadcast joins), not the full candidate set, and is free when no
+    key exceeds the cap. ``inter = inter_cold + inter_hot`` is exact for
+    every emitted pair, so the cap never changes an emitted Jaccard
+    value — it only costs recall, and only for a pair whose EVERY shared
+    shingle is hotter than ``df_cap`` (at high thresholds such pairs
+    share many shingles, making all-hot effectively impossible).
+    Opt-in: callers must pass ``df_cap`` explicitly; the default stays
+    exhaustive."""
     sh = _with_shingles(df, id_col, text_col, shingle_n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    cand_ex = ex
-    if df_cap is not None:
-        hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
-        cand_ex = ex.join(hot, "s", "left_anti")
-    cands = (
-        cand_ex.alias("x")
-        .join(cand_ex.alias("y"), "s")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # Exact verify on candidates only, against the uncapped shingle sets
-    # (same verify shape as minhash_lsh_pairs).
-    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    pairs = (
-        cands.join(ex_a, "doc_a")
-        .join(ex_b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    return _jaccard_from_inter(pairs, sizes).where(
-        F.col("jaccard") >= threshold
+    if df_cap is None:
+        return _jaccard_from_inter(_pair_counts(ex), sizes).where(
+            F.col("jaccard") >= threshold
+        )
+    # The postings frame feeds the df-count, the cold self-join and the
+    # hot correction — persist it so the explode scan runs once.
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
+    cold = _pair_counts(ex.join(hot, "s", "left_anti")).withColumnRenamed(
+        "inter", "inter_cold"
+    )
+    # Per-doc profile: total shingles n + hot-shingle count nh (nh > 0
+    # only for docs that touch a capped key — empty until a key is hot).
+    hot_ex = ex.join(hot, "s")
+    h_cnt = hot_ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nh"))
+    prof = sizes.join(h_cnt, "doc_id", "left").select(
+        "doc_id", "n", F.coalesce("nh", F.lit(0)).alias("nh")
+    )
+    pa = prof.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("nh").alias("ha"),
+    )
+    pb = prof.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("nh").alias("hb"),
+    )
+    bound = F.col("inter_cold") + F.least("ha", "hb")
+    survivors = (
+        cold.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .where(
+            bound.cast("double") / (F.col("na") + F.col("nb") - bound)
+            >= F.lit(threshold)
+        )
+        # Output-sized (threshold survivors + hot near-misses); persisted
+        # so the correction join and the final combine share one compute
+        # of the expensive cold self-join upstream.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hot_a = hot_ex.select(F.col("doc_id").alias("doc_a"), "s")
+    hot_b = hot_ex.select(F.col("doc_id").alias("doc_b"), "s")
+    corr = (
+        survivors.select("doc_a", "doc_b")
+        .join(hot_a, "doc_a")
+        .join(hot_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_hot"))
+    )
+    inter = F.col("inter_cold") + F.coalesce("inter_hot", F.lit(0))
+    return (
+        survivors.join(corr, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

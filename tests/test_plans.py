@@ -205,3 +205,23 @@ def test_neardup_embedding_registered_plan_is_distributed(spark):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_registered_plan_is_fused_no_reexpansion(spark):
+    """The registered Jaccard near-dup must keep the FUSED shape: the
+    shingle self-join aggregates shared-shingle counts directly
+    (groupBy(doc_a, doc_b).count()), never materializing a distinct
+    candidate pair set that is then re-expanded against the full
+    postings frame (the round-3 regression: a pure-distinct Aggregate
+    followed by two re-joins against the uncapped postings tripled
+    runtime and re-shuffled the whole corpus). A pure-distinct
+    Aggregate (grouping list == output list, no aggregate function) in
+    the optimized plan IS that candidate materialization — assert it
+    never comes back."""
+    df = QUERIES["neardup_jaccard_pairs"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    pure_distinct = re.findall(r"Aggregate (\[[^\]]*\]), \1[,\n]", optimized)
+    assert not pure_distinct, pure_distinct
+    plan = explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
