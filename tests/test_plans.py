@@ -53,7 +53,16 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_predicate_pushdown_reaches_scan(spark):
-    plan = explain(QUERIES["embedding_knn_bruteforce"](spark, SF))
+    # as-of join: the event_type literals must reach the parquet scan
+    # (embedding_knn_bruteforce no longer carries its filter into the
+    # final plan — its bounded query set is collected at build time)
+    plan = explain(QUERIES["events_asof_click_view"](spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,click\)", plan), plan
+
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").where("vec_id < 100")
+    plan = explain(emb.select("vec_id"))
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,100\)", plan), plan
 
 
@@ -187,12 +196,17 @@ def test_neardup_embedding_registered_plan_is_distributed(spark):
     and the physical plan is a cogrouped pandas stage, not a
     driver-fed broadcast."""
     sc = spark.sparkContext
-    # Baseline: a known-lazy query against the same table. Any parquet
-    # read may cost one driver-side schema-inference job, so the audit
-    # is comparative: the near-dup build must add NO jobs beyond that
+    # Baseline: a known-lazy read of the same table. Any parquet read
+    # may cost one driver-side schema-inference job, so the audit is
+    # comparative: the near-dup build must add NO jobs beyond that
     # floor (the old exact variant ran a full corpus collect() here).
+    # NB: not embedding_knn_bruteforce — that build now legitimately
+    # collects its bounded 100-row query set, which would inflate the
+    # floor and blunt this assert.
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
     sc.setJobGroup("neardup-build-baseline", "")
-    QUERIES["embedding_knn_bruteforce"](spark, SF)
+    load_table(spark, SF, "embeddings").select("vec_id")
     base = len(sc.statusTracker().getJobIdsForGroup("neardup-build-baseline"))
     group = "neardup-embedding-build-audit"
     sc.setJobGroup(group, "plan construction must not run corpus jobs")
