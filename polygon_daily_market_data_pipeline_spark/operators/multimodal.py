@@ -110,7 +110,13 @@ def parse_image_header(content: bytes) -> tuple[str | None, int | None, int | No
             while i + 9 < len(content):
                 if content[i] != 0xFF:
                     break
+                # spec-legal 0xFF fill/padding bytes may precede any
+                # marker — advance to the last 0xFF of the run
+                while i + 9 < len(content) and content[i + 1] == 0xFF:
+                    i += 1
                 marker = content[i + 1]
+                if marker == 0xD9:  # EOI: no length, nothing follows
+                    break
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue
@@ -123,6 +129,82 @@ def parse_image_header(content: bytes) -> tuple[str | None, int | None, int | No
     except (struct.error, IndexError):
         pass
     return None, None, None
+
+
+def parse_audio_header(
+    content: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """Real (non-stub) audio decode, headers-only: (format, sample_rate,
+    channels, bit_depth, duration_ms) for WAV and AIFF from the
+    container's own header — pure Python, no audio library, exact per
+    the format specs.
+
+    - WAV: 'RIFF' + u32 size + 'WAVE', then a chunk walk — 'fmt ' holds
+      channels (u16 @+2), sample rate (u32 @+4), byte rate (u32 @+8) and
+      bits/sample (u16 @+14), all little-endian; the 'data' chunk size /
+      byte rate gives the duration. Chunks are word-aligned (odd sizes
+      pad one byte).
+    - AIFF: 'FORM' + u32 size + 'AIFF' (big-endian), 'COMM' holds
+      channels (i16), frame count (u32), bit depth (i16) and the sample
+      rate as an 80-bit IEEE-754 extended float (sign/15-bit exponent/
+      64-bit mantissa — decoded by hand below); duration = frames/rate.
+
+    Unknown/truncated blobs → all-None — never raises, so a corrupt
+    blob degrades to NULL metadata instead of failing the stage.
+    """
+    import struct
+
+    try:
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            i = 12
+            rate = ch = bits = byte_rate = data_size = None
+            while i + 8 <= len(content):
+                cid = content[i : i + 4]
+                size = struct.unpack("<I", content[i + 4 : i + 8])[0]
+                if cid == b"fmt " and size >= 16:
+                    ch, rate, byte_rate = struct.unpack(
+                        "<HII", content[i + 10 : i + 20]
+                    )
+                    bits = struct.unpack("<H", content[i + 22 : i + 24])[0]
+                elif cid == b"data":
+                    data_size = size
+                i += 8 + size + (size & 1)  # chunks are word-aligned
+            if rate:
+                dur = (
+                    int(round(data_size * 1000 / byte_rate))
+                    if data_size is not None and byte_rate
+                    else None
+                )
+                return "wav", rate, ch, bits, dur
+            return None, None, None, None, None
+        if content[:4] == b"FORM" and content[8:12] == b"AIFF":
+            i = 12
+            while i + 8 <= len(content):
+                cid = content[i : i + 4]
+                size = struct.unpack(">I", content[i + 4 : i + 8])[0]
+                if cid == b"COMM" and size >= 18:
+                    ch, frames, bits = struct.unpack(
+                        ">hIh", content[i + 8 : i + 16]
+                    )
+                    # 80-bit extended float: 1 sign + 15 exponent bits,
+                    # then a 64-bit mantissa with an EXPLICIT integer bit
+                    se, mant = struct.unpack(">HQ", content[i + 16 : i + 26])
+                    exp = se & 0x7FFF
+                    if exp == 0 and mant == 0:
+                        rate = 0.0
+                    else:
+                        rate = mant / (1 << 63) * 2.0 ** (exp - 16383)
+                        if se & 0x8000:
+                            rate = -rate
+                    rate_i = int(round(rate))
+                    dur = (
+                        int(round(frames * 1000 / rate)) if rate > 0 else None
+                    )
+                    return "aiff", rate_i, ch, bits, dur
+                i += 8 + size + (size & 1)
+    except (struct.error, IndexError):
+        pass
+    return None, None, None, None, None
 
 
 def extract_image_features(
@@ -187,6 +269,78 @@ def extract_image_features(
 
     return media.where("kind = 'image'").select("media_id", "content").mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, mean_byte double, byte_entropy double, "
+    "phash string, format string, sample_rate int, channels int, "
+    "bit_depth int, decoded_ms int"
+)
+
+
+def extract_audio_features(
+    media: DataFrame, decoder: str = "fake"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary audio blobs — the
+    audio twin of ``extract_image_features``.
+
+    decoder:
+    - ``"fake"``    — deterministic byte-derived features; format/rate/
+      channels/bit depth/duration NULL (the oracle-checkable stub).
+    - ``"headers"`` — the same byte features PLUS a real container
+      header decode (``parse_audio_header``: WAV/RIFF and AIFF sample
+      rate, channels, bit depth, duration — pure Python, spec-exact).
+    - ``"librosa"`` — full sample decode, import-guarded: the container
+      ships no audio libs, so absence raises NotImplementedError naming
+      the wiring point.
+    """
+    if decoder not in ("fake", "headers", "librosa"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "librosa":
+        try:
+            import librosa  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder='librosa' needs librosa, which this container "
+                "does not ship; use decoder='headers' (pure-Python "
+                "WAV/AIFF header decode) or install librosa."
+            ) from e
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(b or b"")
+                feats = _fake_decode_features(blob)
+                if decoder == "headers":
+                    fmt, rate, ch, bits, dur = parse_audio_header(blob)
+                else:
+                    fmt = rate = ch = bits = dur = None
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        **feats,
+                        "format": fmt,
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "bit_depth": bits,
+                        "decoded_ms": dur,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "mean_byte", "byte_entropy",
+                    "phash", "format", "sample_rate", "channels",
+                    "bit_depth", "decoded_ms",
+                ],
+            )
+
+    return media.where("kind = 'audio'").select("media_id", "content").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polygon_daily_market_data_pipeline_spark.operators.multimodal import (
+    extract_audio_features,
     extract_image_features,
     sample_video_frames,
 )
@@ -53,6 +54,15 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     WHERE doc_id % 3 = 0
     UNION ALL
     SELECT doc_id AS media_id,
+           'audio' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           substring(md5(text), 1, 16) AS phash,
+           CAST(NULL AS INT) AS frame_idx,
+           CAST(NULL AS INT) AS frame_ms
+    FROM documents
+    WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id AS media_id,
            'video' AS kind,
            CAST(NULL AS BIGINT) AS n_bytes,
            CAST(NULL AS VARCHAR) AS phash,
@@ -65,28 +75,40 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction, BOTH kinds in one registered query
-    (a ``kind`` discriminator + NULL-padded columns union the image-
-    features rows with the video frame-sample rows):
+    """Multimodal feature extraction, ALL THREE kinds in one registered
+    query (a ``kind`` discriminator + NULL-padded columns union the
+    image-features, audio-features and video frame-sample rows):
 
     - image: Arrow-batched mapInPandas feature extraction over binary
       blobs. Oracle checks the content-addressed features (byte length,
       md5 phash); mean_byte/byte_entropy are computed in the same pass
       but have no SQL twin, so they are projected out here and asserted
       in tests/test_llm_ops.py instead.
+    - audio: the audio twin of the image pass (extract_audio_features).
+      Oracle checks the same content-addressed features; the REAL
+      WAV/AIFF header decode (decoder='headers') has no SQL twin over
+      these synthetic text-byte blobs and is asserted in tests.
     - video: frame sampling, 1 row per sampled frame emitted inside the
       same mapInPandas pass (explode-shaped, no second shuffle). Oracle
       checks the sampling cadence; the frame signature is content-hash
       plumbing asserted in tests.
 
-    One query instead of two because the driver's correctness harness
+    One query instead of three because the driver's correctness harness
     evaluates only the first 50 registered queries — the union keeps
-    the real-query count at 50 so frame sampling keeps its
-    differential-correctness row (round-3 blind spot)."""
+    the real-query count at 50 so frame sampling and audio keep their
+    differential-correctness rows (round-3 blind spot)."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_image_features(media).select(
         "media_id",
         F.lit("image").alias("kind"),
+        "n_bytes",
+        "phash",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("frame_ms"),
+    )
+    audio = extract_audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
         "n_bytes",
         "phash",
         F.lit(None).cast("int").alias("frame_idx"),
@@ -100,4 +122,8 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "frame_ms",
     )
-    return feats.unionAll(frames).orderBy("kind", "media_id", "frame_idx")
+    return (
+        feats.unionAll(audio)
+        .unionAll(frames)
+        .orderBy("kind", "media_id", "frame_idx")
+    )

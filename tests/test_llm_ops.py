@@ -370,3 +370,102 @@ def test_jaccard_df_cap_is_lossless_for_values(spark):
         for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.1, df_cap=100).collect()
     }
     assert roomy == exact
+
+
+def test_jpeg_marker_walk_handles_fill_bytes_and_eoi():
+    """Spec-legal 0xFF fill/padding bytes before a marker must be
+    skipped, and EOI (0xD9) carries no length — a padded JPEG decodes
+    its SOF, and an SOF-less JPEG terminates cleanly at EOI instead of
+    reading a bogus seg_len out of entropy-coded data."""
+    import struct
+
+    from polygon_daily_market_data_pipeline_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + struct.pack(">H", 4) + b"JF"  # 2 fill bytes
+        + b"\xff\xff\xc0" + struct.pack(">H", 8) + b"\x08"    # 1 fill byte
+        + struct.pack(">HH", 120, 240) + b"\x03"
+    )
+    assert parse_image_header(padded) == ("jpeg", 240, 120)
+    no_sof = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xd9"          # EOI — then entropy-looking garbage
+        + b"\xff\x00\x12\x34" * 4
+    )
+    assert parse_image_header(no_sof) == (None, None, None)
+
+
+def test_parse_audio_header_real_formats():
+    """decoder='headers' for audio is a REAL decode: exact sample rate /
+    channels / bit depth / duration out of spec-conformant WAV and AIFF
+    containers (AIFF's 80-bit extended-float sample rate decoded by
+    hand), None for non-audio."""
+    import struct
+
+    from polygon_daily_market_data_pipeline_spark.operators.multimodal import (
+        parse_audio_header,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+    data = b"\x00" * (44100 * 4 // 10)  # 100 ms of 16-bit stereo
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size pads
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_audio_header(wav) == ("wav", 44100, 2, 16, 100)
+
+    # AIFF: 48 kHz as 80-bit extended float = (exp 16398, mant 48000<<48)
+    comm = struct.pack(">hIh", 1, 4800, 24) + struct.pack(">HQ", 16398, 48000 << 48)
+    aiff = (
+        b"FORM" + struct.pack(">I", 4 + 8 + len(comm)) + b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+    )
+    assert parse_audio_header(aiff) == ("aiff", 48000, 1, 24, 100)
+
+    assert parse_audio_header(b"plain text") == (None, None, None, None, None)
+    assert parse_audio_header(b"") == (None, None, None, None, None)
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE") == (
+        None, None, None, None, None)  # no fmt chunk
+
+
+def test_extract_audio_features_headers_decoder(spark):
+    """The audio headers decoder flows real container metadata through
+    the Arrow batch into typed columns; non-audio payloads degrade to
+    NULLs; the librosa full-decode path stays an import-guarded stub."""
+    import struct
+
+    import pytest
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = b"\x7f" * 800  # 100 ms of 8-bit mono
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", None, None, None, bytearray(wav)),
+            (2, "audio", "text/plain", None, None, None, bytearray(b"not audio")),
+            (3, "image", "image/png", None, None, None, bytearray(b"zz")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(media, decoder="headers").collect()
+    }
+    assert set(out) == {1, 2}  # kind='audio' only
+    r1 = out[1]
+    assert (r1["format"], r1["sample_rate"], r1["channels"], r1["bit_depth"],
+            r1["decoded_ms"]) == ("wav", 8000, 1, 8, 100)
+    assert r1["n_bytes"] == len(wav)
+    assert out[2]["format"] is None and out[2]["sample_rate"] is None
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_audio_features(media, decoder="librosa")
