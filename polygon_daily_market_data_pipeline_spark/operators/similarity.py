@@ -175,6 +175,10 @@ def with_lsh_buckets(
 
     @pandas_udf(ArrayType(IntegerType()))
     def bucket_ids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            # an empty Arrow batch yields a 0-row 1-D array below —
+            # shape[1] would raise inside the worker
+            return pd.Series([], dtype=object)
         m = np.array(v.tolist(), dtype=np.float64)  # batch × dim
         d = m.shape[1]
         if d not in mat_cache:
@@ -441,6 +445,10 @@ def kmeans_centroids(
     partials via mapInPandas — k·dim floats per partition, the classic
     combiner shape — and the driver reduces them. Nothing corpus-sized
     ever reaches the driver."""
+    # NOT a global sort: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject — each partition keeps its local top-k and
+    # only k rows per partition reach the driver merge. The full scan it
+    # implies is the same scan every Lloyd iteration below pays anyway.
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).toPandas()[vec_col].tolist()
     )

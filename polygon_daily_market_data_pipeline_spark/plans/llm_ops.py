@@ -363,7 +363,9 @@ ANN_AUDIT_ORACLE = """
     "embedding_ann_lsh",
     ANN_AUDIT_ORACLE.format(extra=",\n           TRUE AS every_query_hit"),
 )
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann_lsh(
+    spark: SparkSession, sf_dir: str, sample_every: int = 1
+) -> DataFrame:
     """Hyperplane-LSH ANN top-3 (the scale path: bucket join instead of
     cross join), registered as a RECALL AUDIT: the full ANN pipeline
     runs, joins against the exact brute-force top-3, and emits a 1-row
@@ -372,9 +374,16 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds carry measured margin (deterministic seed: mean recall
     0.953 at sf0.01 / 0.983 at sf0.1 vs 0.85 floor; min per-query hits
     2/3 vs ≥1 floor). Exact per-rank recall is further pinned in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    The audit deliberately pays the brute-force baseline; at production
+    scale pass ``sample_every=N`` to audit the deterministic 1/N query
+    slice (pmod(hash(id), N) = 0) — see SCALE.md, 'ANN recall-audit
+    cost model'."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 100")
+    if sample_every > 1:
+        q = q.where(F.pmod(F.hash("vec_id"), F.lit(sample_every)) == 0)
     k = 3
     audit = _ann_recall_audit(
         cosine_topk_lsh(emb, q, k=k), cosine_topk_pandas(emb, q, k=k), k
@@ -387,7 +396,9 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("embedding_ann_ivf", ANN_AUDIT_ORACLE.format(extra=""))
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann_ivf(
+    spark: SparkSession, sf_dir: str, sample_every: int = 1
+) -> DataFrame:
     """IVF ANN top-3 (the data-adaptive scale path: corpus inverted by
     nearest k-means centroid, queries probe n_probe of n_clusters
     cells — candidate fraction ≈ n_probe/n_clusters, join stays a
@@ -395,9 +406,13 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin. Floor 0.5 vs measured mean recall 0.607 (sf0.01) / 0.620
     (sf0.1) at n_probe=4/16 — these synthetic near-uniform 64-dim
     vectors are IVF's worst case (neighbors straddle cell boundaries);
-    real clustered corpora sit far higher at the same probe fraction."""
+    real clustered corpora sit far higher at the same probe fraction.
+    ``sample_every=N`` audits the deterministic 1/N query slice — see
+    SCALE.md, 'ANN recall-audit cost model'."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 100")
+    if sample_every > 1:
+        q = q.where(F.pmod(F.hash("vec_id"), F.lit(sample_every)) == 0)
     k = 3
     audit = _ann_recall_audit(
         cosine_topk_ivf(emb, q, k=k), cosine_topk_pandas(emb, q, k=k), k

@@ -469,3 +469,20 @@ def test_extract_audio_features_headers_decoder(spark):
     assert out[2]["format"] is None and out[2]["sample_rate"] is None
     with pytest.raises(NotImplementedError):
         multimodal.extract_audio_features(media, decoder="librosa")
+
+
+def test_ann_audit_sample_every_is_deterministic_slice(spark):
+    """sample_every=N audits the pmod(hash(id), N)=0 query slice:
+    deterministic across runs, strictly smaller query set, same gate
+    schema (the production-scale audit mode from SCALE.md)."""
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+        embedding_ann_lsh,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    full = embedding_ann_lsh(spark, sf).collect()[0]
+    a = embedding_ann_lsh(spark, sf, sample_every=4).collect()[0]
+    b = embedding_ann_lsh(spark, sf, sample_every=4).collect()[0]
+    assert a == b  # deterministic
+    assert 0 < a["n_queries"] < full["n_queries"]
+    assert isinstance(a["mean_recall_floor"], bool)
