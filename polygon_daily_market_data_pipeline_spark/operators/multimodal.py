@@ -6,13 +6,15 @@ Arrow-batched ``mapInPandas`` stages — the only place Python belongs in
 the hot path, because media decode is a per-blob C-library call, not a
 relational expression.
 
-Decoders: ``decoder="headers"`` is a REAL pure-Python image decode
-(PNG/GIF/BMP/JPEG container headers → format/width/height — exact per
-the format specs, no image library needed); ``decoder="pillow"`` is the
-full-pixel path, import-guarded because this container ships no image
-libs; ``decoder="fake"`` is the deterministic byte-derived stand-in
-kept for oracle-checkable plumbing tests. Audio/video decode
-(librosa/pyav) remains a stub wiring point.
+Decoders: ``decoder="headers"`` is a REAL pure-Python container decode
+for all three kinds — image (PNG/GIF/BMP/JPEG → format/width/height),
+audio (WAV/AIFF → sample rate/channels/bit depth/duration), video
+(MP4/ISO-BMFF and AVI → dimensions/duration/track count) — exact per
+the format specs, no media library needed. ``decoder="pillow"`` /
+``"librosa"`` / ``"pyav"`` are the full-decode paths, import-guarded
+because this container ships no media libs; ``decoder="fake"`` is the
+deterministic byte-derived stand-in kept for oracle-checkable plumbing
+tests.
 
 Scale notes: blobs ride in parquet binary columns; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of blobs fits
@@ -207,6 +209,108 @@ def parse_audio_header(
     return None, None, None, None, None
 
 
+def parse_video_header(
+    content: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """Real (non-stub) video decode, headers-only: (format, width,
+    height, duration_ms, n_tracks) for MP4/ISO-BMFF and AVI from the
+    container's own structure — pure Python, no video library, exact
+    per the format specs.
+
+    - MP4 (ISO-BMFF): a box walk — u32 big-endian size + 4-char type,
+      size==1 ⇒ 64-bit largesize follows, size==0 ⇒ box runs to EOF.
+      ``moov/mvhd`` gives timescale + duration (version 1 widens the
+      times to u64); duration/timescale → duration_ms. Each
+      ``moov/trak`` counts a track; the first ``tkhd`` with non-zero
+      dimensions supplies width/height, stored as 16.16 fixed point in
+      the box's last 8 bytes.
+    - AVI (RIFF form 'AVI '): the ``avih`` main header inside
+      ``LIST hdrl`` — µs/frame (u32 @0), total frames (@16), stream
+      count (@24), width/height (@32/@36), all little-endian;
+      duration = frames × µs/frame.
+
+    Unknown/truncated blobs → all-None — never raises, so a corrupt
+    blob degrades to NULL metadata instead of failing the stage.
+    """
+    import struct
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size, btype = struct.unpack(">I4s", content[i : i + 8])
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = struct.unpack(">Q", content[i + 8 : i + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    try:
+        if len(content) >= 12 and content[4:8] == b"ftyp":
+            dur_ms = w = h = None
+            n_tracks = 0
+            for btype, s, e in boxes(0, len(content)):
+                if btype != b"moov":
+                    continue
+                for b2, s2, e2 in boxes(s, e):
+                    if b2 == b"mvhd" and e2 - s2 >= 20:
+                        ver = content[s2]
+                        if ver == 1:
+                            ts = struct.unpack(">I", content[s2 + 20 : s2 + 24])[0]
+                            dur = struct.unpack(">Q", content[s2 + 24 : s2 + 32])[0]
+                        else:
+                            ts, dur = struct.unpack(
+                                ">II", content[s2 + 12 : s2 + 20]
+                            )
+                        if ts:
+                            dur_ms = int(round(dur * 1000 / ts))
+                    elif b2 == b"trak":
+                        n_tracks += 1
+                        for b3, s3, e3 in boxes(s2, e2):
+                            if b3 == b"tkhd" and w is None and e3 - s3 >= 8:
+                                tw, th = struct.unpack(">II", content[e3 - 8 : e3])
+                                if tw and th:
+                                    w, h = tw >> 16, th >> 16
+            return "mp4", w, h, dur_ms, (n_tracks or None)
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            i = 12
+            while i + 8 <= len(content):
+                cid = content[i : i + 4]
+                size = struct.unpack("<I", content[i + 4 : i + 8])[0]
+                if cid == b"LIST" and content[i + 8 : i + 12] == b"hdrl":
+                    j = i + 12
+                    while j + 8 <= i + 8 + size:
+                        c2 = content[j : j + 4]
+                        s2 = struct.unpack("<I", content[j + 4 : j + 8])[0]
+                        if c2 == b"avih" and s2 >= 40:
+                            us_pf, _, _, _, frames, _, streams, _, w, h = (
+                                struct.unpack("<10I", content[j + 8 : j + 48])
+                            )
+                            dur = (
+                                int(round(frames * us_pf / 1000))
+                                if us_pf
+                                else None
+                            )
+                            return (
+                                "avi",
+                                w or None,
+                                h or None,
+                                dur,
+                                streams or None,
+                            )
+                        j += 8 + s2 + (s2 & 1)
+                i += 8 + size + (size & 1)
+    except (struct.error, IndexError):
+        pass
+    return None, None, None, None, None
+
+
 def extract_image_features(
     media: DataFrame, decoder: str = "fake"
 ) -> DataFrame:
@@ -349,11 +453,32 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame — the
     explode-shaped mapInPandas pattern (row count grows inside the
-    pass; no join back needed)."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder={decoder!r}: wire pyav/ffmpeg here for real frame decode."
-        )
+    pass; no join back needed).
+
+    decoder:
+    - ``"fake"``    — sampling cadence from the metadata duration
+      column; frame signature is the deterministic byte-derived stub.
+    - ``"headers"`` — a real container decode first
+      (``parse_video_header``: MP4/ISO-BMFF mvhd duration, AVI avih):
+      when the blob parses, its OWN duration drives the cadence;
+      non-container blobs fall back to the metadata duration, so the
+      synthetic-blob oracle is unchanged. Frame signatures stay
+      byte-derived — decoding pixel data needs a codec library.
+    - ``"pyav"``    — full frame decode, import-guarded: the container
+      ships no video libs, so absence raises NotImplementedError
+      naming the wiring point.
+    """
+    if decoder not in ("fake", "headers", "pyav"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pyav":
+        try:
+            import av  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder='pyav' needs PyAV, which this container does not "
+                "ship; use decoder='headers' (pure-Python MP4/AVI header "
+                "decode) or install PyAV."
+            ) from e
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -367,6 +492,10 @@ def sample_video_frames(
             ):
                 blob = bytes(content or b"")
                 dur = int(dur or 0)
+                if decoder == "headers":
+                    _, _, _, real_dur, _ = parse_video_header(blob)
+                    if real_dur is not None:
+                        dur = real_dur
                 for i, ms in enumerate(range(0, max(dur, 1), every_ms)):
                     sig = hashlib.md5(blob + ms.to_bytes(8, "little")).hexdigest()[:12]
                     rows.append((int(mid), i, ms, sig))

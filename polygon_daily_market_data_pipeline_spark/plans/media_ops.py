@@ -5,9 +5,12 @@ derived deterministically from ``documents`` (content = the UTF-8 bytes
 of the text, kind round-robins by doc_id, duration = n_chars) — which
 makes the Arrow/mapInPandas decode plumbing fully exercisable AND
 oracle-checkable: byte length, md5-based phash, and frame-sampling
-cadence all have exact DuckDB twins. The decode kernel itself is the
-deterministic stub (``operators/multimodal.py``); swapping in a real
-image/audio library changes only that kernel, not this plumbing.
+cadence all have exact DuckDB twins. All three kinds run the real
+header decoders (``operators/multimodal.py``: PNG/GIF/BMP/JPEG,
+WAV/AIFF, MP4/AVI — pure Python); on these synthetic text-byte blobs
+the decoders correctly return NULL metadata / fall back to the
+metadata duration, so the oracle is unchanged while the decode path
+exercised is the production one.
 """
 
 from __future__ import annotations
@@ -89,9 +92,11 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       WAV/AIFF header decode (decoder='headers') has no SQL twin over
       these synthetic text-byte blobs and is asserted in tests.
     - video: frame sampling, 1 row per sampled frame emitted inside the
-      same mapInPandas pass (explode-shaped, no second shuffle). Oracle
-      checks the sampling cadence; the frame signature is content-hash
-      plumbing asserted in tests.
+      same mapInPandas pass (explode-shaped, no second shuffle), with
+      the REAL MP4/AVI header decode driving the cadence when a blob
+      parses (decoder='headers'; synthetic blobs fall back to metadata
+      duration, keeping the oracle exact). Frame signatures are
+      content-hash plumbing asserted in tests.
 
     One query instead of three because the driver's correctness harness
     evaluates only the first 50 registered queries — the union keeps
@@ -114,7 +119,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("frame_idx"),
         F.lit(None).cast("int").alias("frame_ms"),
     )
-    frames = sample_video_frames(media, every_ms=1000).select(
+    frames = sample_video_frames(media, every_ms=1000, decoder="headers").select(
         "media_id",
         F.lit("video").alias("kind"),
         F.lit(None).cast("long").alias("n_bytes"),

@@ -486,3 +486,85 @@ def test_ann_audit_sample_every_is_deterministic_slice(spark):
     assert a == b  # deterministic
     assert 0 < a["n_queries"] < full["n_queries"]
     assert isinstance(a["mean_recall_floor"], bool)
+
+
+def test_parse_video_header_real_formats():
+    """decoder='headers' for video is a REAL decode: exact dimensions /
+    duration / track count out of spec-conformant MP4 (ISO-BMFF box
+    walk, 16.16 fixed-point tkhd dims, v0 and v1 mvhd) and AVI (avih
+    main header) containers, None for non-video."""
+    import struct
+
+    from polygon_daily_market_data_pipeline_spark.operators.multimodal import (
+        parse_video_header,
+    )
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+    # mvhd v0: timescale 1000, duration 3500 → 3500 ms
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 3500) + b"\x00" * 80)
+    # tkhd v0: 84-byte body ending in 16.16 fixed-point width/height
+    tkhd = box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 640 << 16, 360 << 16))
+    trak1 = box(b"trak", tkhd)
+    trak2 = box(b"trak", box(b"tkhd", b"\x00" * 84))  # zero dims — counted only
+    mp4 = ftyp + box(b"moov", mvhd + trak1 + trak2)
+    assert parse_video_header(mp4) == ("mp4", 640, 360, 3500, 2)
+
+    # mvhd v1: 64-bit duration (timescale 600, duration 1200 → 2000 ms)
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01" + b"\x00" * 19 + struct.pack(">I", 600) + struct.pack(">Q", 1200),
+    )
+    mp4_v1 = ftyp + box(b"moov", mvhd_v1)
+    assert parse_video_header(mp4_v1) == ("mp4", None, None, 2000, None)
+
+    # AVI: 25 fps × 250 frames → 10000 ms, 2 streams, 320×240
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 40000, 0, 0, 0, 250, 0, 2, 0, 320, 240, 0, 0, 0, 0
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    avi = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    assert parse_video_header(avi) == ("avi", 320, 240, 10000, 2)
+
+    assert parse_video_header(b"plain text") == (None,) * 5
+    assert parse_video_header(b"") == (None,) * 5
+    # truncated mid-box: degrades, never raises
+    assert parse_video_header(mp4[:20]) == ("mp4", None, None, None, None)
+
+
+def test_sample_video_frames_headers_decoder(spark):
+    """The video headers decoder drives the sampling cadence from the
+    container's OWN mvhd duration when the blob parses; non-container
+    blobs fall back to the metadata duration (so the synthetic-blob
+    oracle is unchanged); the pyav full-decode path stays an
+    import-guarded stub."""
+    import struct
+
+    import pytest
+
+    from polygon_daily_market_data_pipeline_spark.operators import multimodal
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 3500) + b"\x00" * 80)
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 4) + box(b"moov", mvhd)
+    media = spark.createDataFrame(
+        [
+            (1, "video", "video/mp4", None, None, 1000, bytearray(mp4)),
+            (2, "video", "text/plain", None, None, 2000, bytearray(b"not a video")),
+            (3, "audio", "audio/wav", None, None, 9000, bytearray(b"zz")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.sample_video_frames(media, every_ms=1000, decoder="headers")
+    frames = {(r["media_id"], r["frame_ms"]) for r in out.collect()}
+    # media 1: real mvhd duration 3500 ms wins over metadata 1000 ms
+    assert {(m, ms) for m, ms in frames if m == 1} == {(1, 0), (1, 1000), (1, 2000), (1, 3000)}
+    # media 2: unparseable blob falls back to metadata duration 2000 ms
+    assert {(m, ms) for m, ms in frames if m == 2} == {(2, 0), (2, 1000)}
+    assert not any(m == 3 for m, _ in frames)  # kind='video' only
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(media, decoder="pyav")
