@@ -239,3 +239,41 @@ def test_jaccard_registered_plan_is_fused_no_reexpansion(spark):
     plan = explain(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_plan_is_codegen_hash_aggregate(spark):
+    """SimHash's registered plan must stay the explode→HashAggregate
+    shape: md5 computed ONCE per shingle, 32 codegen'd SUM(±1) nibble
+    votes — not the per-row Column form whose 32 interpreted aggregate
+    traversals each recompute md5 per element. The HOF form would show
+    `lambdafunction` in the plan; the codegen shape shows Generate
+    (explode) feeding partial/final HashAggregate keyed on doc_id."""
+    plan = explain(QUERIES["simhash_sample"](spark, SF))
+    assert "lambdafunction" not in plan
+    assert "HashAggregate" in plan
+    assert "Generate" in plan and "explode(shingles" in plan
+
+
+def test_minhash_plan_is_shuffle_free_projection(spark):
+    """MinHash signatures must stay the linear-scan projection: each of
+    the k hashes has a DISTINCT md5 input, so a grouped rewrite has no
+    redundancy to reclaim, and min(string) is not hash-aggregatable —
+    an explode→groupBy shape would force SortAggregate plus an
+    exchange of the postings. Assert neither appears: the signature
+    stage is projection-only (the only Exchange/Sort allowed is the
+    final presentation orderBy)."""
+    plan = explain(QUERIES["minhash_signatures_sample"](spark, SF))
+    assert "SortAggregate" not in plan
+    assert "Generate" not in plan  # no explode: signatures are per-row
+
+
+def test_shingle_builder_is_single_regex_pass(spark):
+    """word_shingles must remain the one-pass regexp_extract_all
+    construction: no interpreted transform/slice lambda chain in the
+    shingling stage (the HOF form cost 8-10× more CPU for identical
+    output). Asserted on the registered exhaustive-Jaccard plan, whose
+    only array source is the shingle builder."""
+    df = QUERIES["neardup_jaccard_pairs"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "regexp_extract_all" in optimized
+    assert "lambdafunction" not in optimized
