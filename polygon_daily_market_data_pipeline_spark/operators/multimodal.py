@@ -494,7 +494,9 @@ def sample_video_frames(
                 dur = int(dur or 0)
                 if decoder == "headers":
                     _, _, _, real_dur, _ = parse_video_header(blob)
-                    if real_dur is not None:
+                    # mvhd duration 0 conventionally means "unknown"
+                    # (e.g. fragmented MP4) — fall back to metadata
+                    if real_dur:
                         dur = real_dur
                 for i, ms in enumerate(range(0, max(dur, 1), every_ms)):
                     sig = hashlib.md5(blob + ms.to_bytes(8, "little")).hexdigest()[:12]

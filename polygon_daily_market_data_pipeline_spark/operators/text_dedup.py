@@ -174,7 +174,12 @@ def jaccard_pairs(
             F.col("jaccard") >= threshold
         )
     # The postings frame feeds the df-count, the cold self-join and the
-    # hot correction — persist it so the explode scan runs once.
+    # hot correction — persist it so the explode scan runs once. Like
+    # ``survivors`` below this is a per-call frame with no cross-query
+    # reuse: both stay cached after the caller's action until LRU
+    # eviction (same documented policy as ``_with_shingles``). A caller
+    # that materializes the result and wants the memory back can
+    # ``unpersist()`` the frames exposed as ``result._cached_inputs``.
     ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
     cold = _pair_counts(ex.join(hot, "s", "left_anti")).withColumnRenamed(
@@ -220,7 +225,7 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter_hot"))
     )
     inter = F.col("inter_cold") + F.coalesce("inter_hot", F.lit(0))
-    return (
+    result = (
         survivors.join(corr, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
@@ -231,6 +236,10 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # Cleanup hook for callers that materialize the result (see persist
+    # note above) — lazy evaluation means we cannot unpersist here.
+    result._cached_inputs = (ex, survivors)
+    return result
 
 
 def minhash_signature_cols(

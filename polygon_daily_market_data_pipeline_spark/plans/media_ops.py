@@ -103,7 +103,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real-query count at 50 so frame sampling and audio keep their
     differential-correctness rows (round-3 blind spot)."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    feats = extract_image_features(media).select(
+    feats = extract_image_features(media, decoder="headers").select(
         "media_id",
         F.lit("image").alias("kind"),
         "n_bytes",
@@ -111,7 +111,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("frame_idx"),
         F.lit(None).cast("int").alias("frame_ms"),
     )
-    audio = extract_audio_features(media).select(
+    audio = extract_audio_features(media, decoder="headers").select(
         "media_id",
         F.lit("audio").alias("kind"),
         "n_bytes",

@@ -40,16 +40,21 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated to micros exactly like the batch loader / DuckDB)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # match naive-UTC oracle
+    # naive parquet timestamps must surface as TIMESTAMP (LTZ): the
+    # watermark operator rejects TIMESTAMP_NTZ event-time columns
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(schema["ts"].dataType, LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -43,19 +43,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle comparisons agree.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # timestamps are naive; pin the session TZ so hour windows /
+    # date_trunc agree with the (naive-UTC) DuckDB oracle even when
+    # the harness session defaults to another zone, and read naive
+    # parquet timestamps as TIMESTAMP (LTZ) rather than TIMESTAMP_NTZ —
+    # watermarks, unix_micros and epoch casts require TIMESTAMP, and
+    # with a UTC session the wall-clock values are identical.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamps are naive; pin the session TZ so hour windows /
-        # date_trunc agree with the (naive-UTC) DuckDB oracle even when
-        # the harness session defaults to another zone
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (defense in depth for
+    sessions where the parquet scan already inferred NTZ — e.g. a
+    harness-owned SparkSession that read the footer before our conf
+    pin). Value-preserving under the UTC session TZ pinned above."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
         return df
-    return spark.read.parquet(path)
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def load_tables(

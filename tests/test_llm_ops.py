@@ -568,3 +568,14 @@ def test_sample_video_frames_headers_decoder(spark):
     assert not any(m == 3 for m, _ in frames)  # kind='video' only
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(media, decoder="pyav")
+
+    # mvhd duration 0 means "unknown" (e.g. fragmented MP4): fall back
+    # to the metadata duration instead of collapsing to one frame at 0
+    mvhd0 = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 0) + b"\x00" * 80)
+    mp4_0 = box(b"ftyp", b"isom" + b"\x00" * 4) + box(b"moov", mvhd0)
+    media0 = spark.createDataFrame(
+        [(9, "video", "video/mp4", None, None, 3000, bytearray(mp4_0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out0 = multimodal.sample_video_frames(media0, every_ms=1000, decoder="headers")
+    assert {r["frame_ms"] for r in out0.collect()} == {0, 1000, 2000}
