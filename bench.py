@@ -16,6 +16,14 @@ import sys
 import time
 from pathlib import Path
 
+# One BLAS thread per task: Spark supplies the parallelism (32 local
+# threads here, one core per task on a cluster); letting OpenBLAS also
+# spawn threads inside each pandas-UDF worker oversubscribes the cores.
+# Must be set before any worker imports numpy (workers inherit our env).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
 _REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO))
 
@@ -45,11 +53,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on the smallest SF so q1's timing isn't startup.
+    # Warm-up on the smallest SF so q1's timing isn't startup cost:
+    # one JVM/codegen query, plus one trivial pandas-UDF job to fork the
+    # Python worker pool (32 processes importing numpy/pandas — with
+    # spark.python.worker.reuse the pool is long-lived, so steady-state
+    # is what a cluster would see; without this the first Arrow query
+    # in suite order absorbs the entire pool spin-up).
     warm = "/root/testdata/sf0.001"
     if Path(warm).exists():
         try:
             QUERIES["pricing_summary"](spark, warm).collect()
+            spark.range(0, 64, 1, int(cpus)).mapInPandas(
+                lambda it: it, "id long"
+            ).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
 

@@ -18,6 +18,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# One BLAS thread per task (see bench.py): Spark supplies the
+# parallelism; nested OpenBLAS threads inside pandas-UDF workers only
+# oversubscribe cores. Workers inherit the driver env in local mode; on
+# a cluster ship the same via spark.executorEnv.OPENBLAS_NUM_THREADS.
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
 
 def get_spark(
     app_name: str = "polygon-eod-spark",

@@ -245,3 +245,39 @@ def test_sql_api_equivalence(spark):
     """).collect()
     want = QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_loader_normalizes_ntz_timestamps(spark, tmp_path):
+    """Naive (isAdjustedToUTC=false) parquet timestamps must surface as
+    TIMESTAMP, never TIMESTAMP_NTZ: watermarks, unix_micros and epoch
+    casts reject NTZ event-time columns, and with the pinned UTC session
+    zone the wall-clock values are identical. Covers both the conf-pin
+    path (inferTimestampNTZ=false at read) and the defensive cast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    d = tmp_path / "sfntz"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000, 1_700_000_060_000_000]).cast(
+                pa.timestamp("us")  # no tz -> isAdjustedToUTC=false
+            ),
+        }
+    )
+    pq.write_table(tbl, d / "events.parquet")
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    # value-preserving under UTC: epoch micros round-trip exactly
+    got = sorted(r[0] for r in df.selectExpr("unix_micros(ts)").collect())
+    assert got == [1_700_000_000_000_000, 1_700_000_060_000_000]
+
+    # real testdata: every timestamp-bearing table loads as TIMESTAMP
+    for name in ("events", "orders", "lineitem"):
+        real = load_table(spark, "/root/testdata/sf0.001", name)
+        for f in real.schema.fields:
+            assert "ntz" not in f.dataType.simpleString(), (name, f)
