@@ -289,3 +289,55 @@ def test_stream_landing_to_core_foreachbatch_merge(spark, tmp_path, landing_csv)
     assert core.count() == 3  # AAPL updated in place, not duplicated
     aapl = core.where("symbol = 'AAPL'").first()
     assert float(aapl.close) == 9.9
+
+
+def test_sessionize_tws_matches_batch_and_legacy(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer (Spark 4 successor
+    API: typed state handles + explicit event-time timers) produces the
+    same sessions as the batch gaps-and-islands twin AND the
+    applyInPandasWithState implementation, including the
+    open-session-withheld and timer-eviction semantics.
+
+    TWS needs the protobuf package (state-server protocol); without it
+    the operator must fail fast with the dependency named, and the
+    differential body is skipped (it runs wherever protobuf ships)."""
+    import pytest
+
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        sessionize_stream_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            sessionize_stream_tws(_events_df(spark, [(0, 1, 1.0)]))
+        pytest.skip("protobuf not installed: TWS state server unavailable")
+
+    rows = [
+        (0, 1, 1.0), (10, 1, 2.0), (20, 1, 3.0),   # session A (user 1)
+        (65, 1, 4.0), (70, 1, 5.0),                # session B (user 1)
+        (0, 2, 9.0), (25, 2, 1.5),                 # session C (user 2)
+        (300, 9, 9.9),                             # lone final event (user 9)
+    ]
+    df = _events_df(spark, rows)
+
+    got = run_available_now(
+        sessionize_stream_tws(_stream_events(spark, df, tmp_path), watermark="0 seconds"),
+        "t_sess_tws",
+    )
+    mx = df.agg(F.max("ts")).first()[0]
+    want = sessionize_batch(df).where(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTE") <= F.lit(mx)
+    )
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)  # noqa: E731
+    got_rows = sorted(key(r) for r in got.collect())
+    assert got_rows == sorted(key(r) for r in want.collect())
+    legacy = run_available_now(
+        sessionize_stream(_stream_events(spark, df, tmp_path / "b"), watermark="0 seconds"),
+        "t_sess_legacy",
+    )
+    assert got_rows == sorted(key(r) for r in legacy.collect())
