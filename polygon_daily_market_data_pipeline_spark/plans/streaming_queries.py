@@ -58,8 +58,16 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_available_now(
-    stream_df: DataFrame, name_prefix: str, state_partitions: int | None = 8
+    stream_df: DataFrame,
+    name_prefix: str,
+    state_partitions: int | None = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink and return the
     result table. Checkpoint in a temp dir — each invocation is a fresh,
@@ -70,12 +78,28 @@ def run_available_now(
     checkpoint): size it to key cardinality × throughput, not to the
     batch-analytics default — every extra state partition is an extra
     store to open per micro-batch and, for Pandas-stateful ops, an extra
-    Python worker."""
+    Python worker.
+
+    ``state_store="rocksdb"`` selects the RocksDB provider (bundled
+    rocksdbjni): the default HDFS-backed provider keeps every state row
+    on the JVM heap, so at 100 TB-scale key cardinality (dedup indexes,
+    per-user sessions over months) it OOMs; RocksDB keeps state
+    off-heap + on local SSD with changelog checkpointing. The provider
+    is pinned by the first run's checkpoint — choose it at deploy time,
+    not per-restart. Default None = session setting (in-memory locally:
+    for the small oracle-checked runs it is faster and
+    output-identical, as the parity test asserts)."""
     spark = stream_df.sparkSession
     name = f"{name_prefix}_{next(_run_counter)}"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before_provider = spark.conf.get(provider_key, None)
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store == "rocksdb":
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    elif state_store is not None:
+        raise ValueError(f"unknown state_store {state_store!r}")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -88,6 +112,11 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        if state_store == "rocksdb":
+            if before_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, before_provider)
     return spark.table(name)
 
 

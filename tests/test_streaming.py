@@ -341,3 +341,38 @@ def test_sessionize_tws_matches_batch_and_legacy(spark, tmp_path):
         "t_sess_legacy",
     )
     assert got_rows == sorted(key(r) for r in legacy.collect())
+
+
+def test_sessionize_rocksdb_state_store_parity(spark, tmp_path):
+    """The RocksDB state-store provider (the 100 TB state backend:
+    off-heap + SSD instead of every state row on the JVM heap) produces
+    byte-identical sessions to the default in-memory provider — and the
+    session conf is restored afterwards, since the provider is
+    per-query pinned via its checkpoint."""
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+
+    rows = [
+        (0, 1, 1.0), (10, 1, 2.0), (65, 1, 4.0),
+        (0, 2, 9.0), (300, 9, 9.9),
+    ]
+    df = _events_df(spark, rows)
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)  # noqa: E731
+
+    got_mem = run_available_now(
+        sessionize_stream(_stream_events(spark, df, tmp_path / "a"), watermark="0 seconds"),
+        "t_sess_mem",
+    )
+    got_rdb = run_available_now(
+        sessionize_stream(_stream_events(spark, df, tmp_path / "b"), watermark="0 seconds"),
+        "t_sess_rdb",
+        state_store="rocksdb",
+    )
+    assert sorted(key(r) for r in got_rdb.collect()) == sorted(
+        key(r) for r in got_mem.collect()
+    )
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+        or "RocksDB" not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )
