@@ -1,0 +1,191 @@
+"""Z-order (Morton) data layout — multi-dimensional file pruning.
+
+Compaction (`compaction.py`) fixes file COUNT; this fixes file
+CONTENT: a table queried by more than one predicate column (events by
+user AND by time; lineitem by part AND by supplier) can only cluster
+one of them with a plain sort. Interleaving the bits of both columns
+into one Morton key and range-writing on it gives every file a narrow
+min/max envelope on EVERY z-column, so parquet footer stats prune files
+for point/range predicates on any of them — the same layout lever
+Delta/Iceberg expose as OPTIMIZE ZORDER BY, here as a plain
+parquet-write operator.
+
+At 100 TB this is a scan-cost multiplier: footer-stats pruning happens
+before any task is scheduled, so a 1000-file table where a predicate
+touches 30 files schedules 30 tasks, not 1000. The write itself is one
+range shuffle (same cost class as any global sort-write) and is done
+once per partition at compaction time, amortized over every read.
+
+Everything is JVM-side codegen: bucketing is `width_bucket`, bit
+interleaving is shiftleft/or chains — no UDF, no driver loop over rows
+(the only driver action is one min/max agg per z-column).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 12
+
+
+def morton_key(bucketed: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the low ``bits`` bits of already-bucketed (integer)
+    columns into one long: column j contributes bit i to output bit
+    ``i*len(cols)+j``. Pure shiftleft/and/or expression tree — stays in
+    whole-stage codegen (`bits*len(cols)` terms; 12×2 = 24 ors)."""
+    z = F.lit(0).cast("long")
+    n = len(bucketed)
+    for i in range(bits):
+        for j, c in enumerate(bucketed):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def _bucketize(df: DataFrame, col: str, bits: int) -> Column:
+    """Map a numeric/date/timestamp column to [0, 2^bits) by linear
+    min/max scaling (one tiny driver-side agg; the classic z-order
+    bucketing — Delta OSS likewise uses range ids, not quantiles; for
+    heavily skewed columns pre-transform (log, epoch-day) before
+    z-ordering)."""
+    c = F.col(col)
+    # order-preserving numeric view of temporal types
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        c = c.cast("timestamp").cast("double")
+    elif dt == "date":
+        c = c.cast("timestamp").cast("double")
+    lo, hi = df.select(F.min(c), F.max(c)).first()
+    n = 1 << bits
+    if lo is None or hi is None or float(hi) == float(lo):
+        return F.lit(0)
+    # width_bucket returns 1..n+1; clamp into 0..n-1
+    b = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)), F.lit(n)) - 1
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n - 1))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    n_files: int,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the Morton key of ``zcols`` — each output file covers a
+    compact z-curve segment, i.e. a small hyper-rectangle set in
+    (zcols) space, which is what makes footer min/max stats selective
+    on every z-column at once.
+
+    Files are split on the top ``log2(n_files)`` bits of the key (the
+    z-cell id), not on the continuous key: range-sampling the raw key
+    balances row counts but lands boundaries mid-cell, so every file
+    would straddle two hyper-rectangles and its min/max envelope
+    doubles. Cell-aligned boundaries trade perfectly even file sizes
+    (skewed data ⇒ uneven cells, same trade Delta's OPTIMIZE ZORDER
+    makes) for tight per-file envelopes. ``n_files`` is rounded up to a
+    power of two."""
+    # INT96 timestamps carry no parquet statistics — the whole point
+    # here is footer pruning, so force the stats-bearing INT64 layout.
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    n = 1 << max(1, (n_files - 1).bit_length())
+    key = morton_key([_bucketize(df, c, bits) for c in zcols], bits)
+    cell = F.shiftright(F.col("__z"), bits * len(zcols) - n.bit_length() + 1)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n, cell)
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pruning_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(total_files, files_whose_[min,max]_overlaps_[lo,hi]) from
+    parquet footer statistics — the same decision a Spark scan makes
+    before scheduling tasks. Footer-only: no data pages are read."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _cmp(v):
+        # normalize to naive UTC: Spark writes isAdjustedToUTC
+        # timestamps (stats surface tz-aware), callers pass naive
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
+    lo, hi = _cmp(lo), _cmp(hi)
+    total = overlapping = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fname)).metadata
+            if md.num_rows == 0:
+                # empty range partition: footer-only, nothing to scan
+                continue
+            total += 1
+            fmin = fmax = None
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                smin, smax = _cmp(st.min), _cmp(st.max)
+                fmin = smin if fmin is None else min(fmin, smin)
+                fmax = smax if fmax is None else max(fmax, smax)
+            # missing stats => cannot prune, counts as overlapping
+            if fmin is None or (fmax >= lo and fmin <= hi):
+                overlapping += 1
+    return total, overlapping
+
+
+def bloom_filter_options(ndv_by_col: dict[str, int]) -> dict[str, str]:
+    """Parquet bloom-filter write options for point-lookup columns.
+
+    Min/max envelopes (z-order above) prune RANGE predicates; for
+    equality probes on high-cardinality, unclustered keys (content
+    md5s, event ids) the footer bloom filter is the complementary
+    lever: ~1 byte/value for a 1% false-positive rate lets a scan skip
+    a row group without touching data pages. Usage:
+
+        opts = bloom_filter_options({"event_id": 2_000_000})
+        w = df.write.mode("overwrite")
+        for k, v in opts.items():
+            w = w.option(k, v)
+    """
+    opts: dict[str, str] = {}
+    for col, ndv in ndv_by_col.items():
+        opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
+    return opts
+
+
+def bloom_filter_offsets(spark, file_path: str) -> dict[str, int]:
+    """Per-column bloom-filter footer offsets of one parquet file
+    (-1 = no bloom filter), via parquet-mr on the session classpath —
+    pyarrow/duckdb in this environment do not surface bloom metadata.
+    Introspection/test helper, not a data path."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(file_path)
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
+    rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        out: dict[str, int] = {}
+        cols = rd.getFooter().getBlocks().get(0).getColumns()
+        for i in range(cols.size()):
+            c = cols.get(i)
+            name = ".".join(c.getPath().toArray())
+            out[name] = int(c.getBloomFilterOffset())
+        return out
+    finally:
+        rd.close()

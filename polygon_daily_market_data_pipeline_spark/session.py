@@ -65,6 +65,10 @@ def get_spark(
         # zstd parquet: ~30-40% smaller than snappy at similar scan
         # speed — at 100 TB the IO saved dominates the encode cost.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT64 micros, not the legacy INT96: INT96 timestamps get NO
+        # parquet column statistics, which silently disables footer
+        # min/max file pruning on every time predicate.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if master:
         builder = builder.master(master)

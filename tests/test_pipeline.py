@@ -273,3 +273,87 @@ def test_with_retries_semantics():
 
     with pytest.raises(ValueError):
         with_retries(always, retries=2, delay_s=0)()
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    """Z-order layout: after zorder_write(events, [user_id, ts]), file
+    footer min/max envelopes are narrow on BOTH columns, so a point
+    range on either prunes most files — while a plain ts-sorted write
+    only prunes on ts (every file spans ~the full user_id range). The
+    pruning decision tested is exactly the footer-stats check a scan
+    makes before scheduling tasks."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        pruning_stats,
+        zorder_write,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    n_files = 16
+
+    zpath = str(tmp_path / "ev_z")
+    zorder_write(ev, zpath, ["user_id", "ts"], n_files=n_files)
+    spath = str(tmp_path / "ev_s")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # 5%-wide range on user_id, inside one z-grid quartile (a range
+    # straddling a grid boundary legitimately hits both sides)
+    ids = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo = ids[0] + (ids[1] - ids[0]) * 56 // 100
+    hi = ids[0] + (ids[1] - ids[0]) * 61 // 100
+
+    z_total, z_hit = pruning_stats(zpath, "user_id", lo, hi)
+    s_total, s_hit = pruning_stats(spath, "user_id", lo, hi)
+    # ts-sorted layout cannot prune on user_id: every file overlaps
+    assert s_total == n_files and s_hit == n_files
+    # z-ordered layout prunes most files on the secondary column
+    # (cell-aligned boundaries may leave some cells empty: z_total<=16)
+    assert z_total > n_files // 2
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+
+    # and still prunes on ts (the z-curve keeps both dims compact);
+    # a 5%-of-range ts slice must not touch every file
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = tmax - tmin
+    t_lo, t_hi = tmin + span * 56 // 100, tmin + span * 61 // 100
+    zt_total, zt_hit = pruning_stats(zpath, "ts", t_lo, t_hi)
+    assert zt_hit <= zt_total // 2, (zt_hit, zt_total)
+
+    # layout changes bytes, never rows: same content both layouts
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(spath).count()
+        == ev.count()
+    )
+
+
+def test_bloom_filter_write_options(spark, tmp_path):
+    """Bloom filters land in the footer for exactly the configured
+    columns — the point-lookup complement to z-order's range pruning
+    (equality probe on an unclustered high-cardinality key skips row
+    groups via ~1 byte/value filters instead of reading data pages)."""
+    import glob
+
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        bloom_filter_offsets,
+        bloom_filter_options,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_bloom")
+    w = ev.coalesce(1).write.mode("overwrite")
+    for k, v in bloom_filter_options({"event_id": 1000}).items():
+        w = w.option(k, v)
+    w.parquet(path)
+
+    offs = bloom_filter_offsets(spark, glob.glob(path + "/*.parquet")[0])
+    assert offs["event_id"] >= 0, offs
+    assert all(v == -1 for c, v in offs.items() if c != "event_id"), offs

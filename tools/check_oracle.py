@@ -78,9 +78,11 @@ def main() -> int:
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -116,7 +118,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok    {name} ({len(srows)} rows)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\n{checked - len(failures)}/{checked} ok")
     return 1 if failures else 0
 
 
