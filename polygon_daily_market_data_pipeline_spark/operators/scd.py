@@ -1,0 +1,128 @@
+"""SCD Type-2 dimension maintenance — keyed history with validity
+ranges.
+
+The reference's dimensions are Type-1 (MERGE overwrites attributes in
+place — ``/root/reference/dags/sql/merge_dim_symbol.sql``-style
+update-else-insert), so attribute history is lost. Type-2 keeps one row
+per (business key, version): on change the current row is CLOSED
+(``valid_to`` set, ``is_current`` false) and a new open row inserted.
+
+Spark-first shape: one full-outer-free pass — the incoming batch joins
+the CURRENT slice of the dimension (never the closed history, which at
+100 TB is the bulk of the table), classifying each key as unchanged /
+changed / new; closed history flows through untouched. One broadcast
+or key shuffle on dimension-sized data; fact-sized data never enters.
+
+Point-in-time lookup (``as_of``) is a range predicate on
+(valid_from, valid_to] — the natural companion to the as-of join in
+``operators/asof.py`` for late-arriving facts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = dt.datetime(9999, 12, 31)
+
+
+def scd2_init(
+    source: DataFrame, keys: Sequence[str], effective: str
+) -> DataFrame:
+    """Bootstrap a Type-2 dimension from an initial attribute snapshot.
+    ``effective`` is a timestamp column on the source (load/observation
+    time)."""
+    return source.select(
+        *source.columns,
+        F.col(effective).alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).drop(effective)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective: str,
+) -> DataFrame:
+    """Merge an attribute snapshot into a Type-2 dimension.
+
+    - key in both, any ``tracked`` column differs → close the current
+      row at the source's ``effective`` timestamp and insert a new
+      current row;
+    - key in both, no tracked change → keep the current row (its
+      ``valid_from`` is the FIRST time those values were seen);
+    - key only in source → insert as new current row;
+    - key only in dim → unchanged (no implicit deletes — retirement is
+      an explicit tracked attribute, e.g. ``status='delisted'``).
+
+    Closed history rows pass through untouched and unscanned logic-wise
+    (one filter); only the current slice joins the batch. The caller
+    dedups the source per key (same contract as ``merge_upsert``).
+    """
+    current = dim.where(F.col("is_current"))
+    history = dim.where(~F.col("is_current"))
+
+    src = source.select(
+        F.lit(True).alias("__src_present"),
+        *[F.col(k).alias(f"__src_{k}") for k in keys],
+        *[F.col(c).alias(f"__src_{c}") for c in tracked],
+        F.col(effective).alias("__src_effective"),
+    )
+    cond = [current[k].eqNullSafe(F.col(f"__src_{k}")) for k in keys]
+    joined = current.join(src, cond, "full_outer")
+
+    # presence markers, not key nullability: a legitimately-NULL
+    # business key must not read as "row absent" (same null-safety
+    # contract as merge_upsert's __src_present). The dim side's marker
+    # is is_current — non-null True on every current row by
+    # construction, null only when the full-outer join found no match.
+    cur_present = current["is_current"].isNotNull()
+    matched = F.col("__src_present").isNotNull() & cur_present
+    changed = matched & ~F.struct(
+        *[current[c] for c in tracked]
+    ).eqNullSafe(F.struct(*[F.col(f"__src_{c}") for c in tracked]))
+    src_only = F.col("__src_present").isNotNull() & ~cur_present
+
+    dim_cols = dim.columns
+
+    # current rows: unchanged keep as-is; changed become CLOSED
+    def _kept_col(c: str):
+        if c == "valid_to":
+            return F.when(changed, F.col("__src_effective")).otherwise(current[c])
+        if c == "is_current":
+            return F.when(changed, F.lit(False)).otherwise(current[c])
+        return current[c]
+
+    kept_or_closed = joined.where(cur_present).select(
+        *[_kept_col(c).alias(c) for c in dim_cols]
+    )
+    # new versions: changed keys + brand-new keys
+    inserts = joined.where(changed | src_only).select(
+        *[
+            (
+                F.col(f"__src_{c}")
+                if c in list(keys) + list(tracked)
+                else F.col("__src_effective")
+                if c == "valid_from"
+                else F.lit(OPEN_END).cast("timestamp")
+                if c == "valid_to"
+                else F.lit(True)
+            ).alias(c)
+            for c in dim_cols
+        ]
+    )
+    return history.unionByName(kept_or_closed).unionByName(inserts)
+
+
+def as_of(dim: DataFrame, ts) -> DataFrame:
+    """The dimension as it was at ``ts``: the version whose
+    (valid_from, valid_to] range covers the instant — a pure filter,
+    partition-prunable when the table is laid out by valid_from."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.where((F.col("valid_from") <= t) & (F.col("valid_to") > t))

@@ -170,3 +170,80 @@ def test_merge_upsert_null_key_matched_update(spark):
     by_key = {r["k"]: r for r in out}
     assert by_key[None]["v"] == 10 and by_key[None]["tag"] == "new"
     assert by_key["A"]["v"] == 2 and by_key["A"]["tag"] == "old"
+
+
+def test_scd2_merge_history_and_asof(spark):
+    """Type-2 dimension maintenance: changed attributes close the
+    current row and open a new version, unchanged keys keep their
+    original valid_from, new keys insert, absent keys persist (no
+    implicit deletes), closed history is immutable — and as_of()
+    reconstructs any past snapshot."""
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        as_of,
+        scd2_init,
+        scd2_merge,
+    )
+
+    t0, t1, t2 = (dt.datetime(2024, 1, d, 0, 0) for d in (1, 5, 9))
+    snap = lambda rows, t: spark.createDataFrame(  # noqa: E731
+        [(k, sector, t) for k, sector in rows],
+        "symbol string, sector string, eff timestamp",
+    )
+
+    dim = scd2_init(snap([("AAA", "tech"), ("BBB", "energy")], t0), ["symbol"], "eff")
+    # day 5: AAA changes sector, CCC appears, BBB absent from the batch
+    dim = scd2_merge(
+        dim, snap([("AAA", "fintech"), ("CCC", "materials")], t1),
+        ["symbol"], ["sector"], "eff",
+    )
+    # day 9: AAA unchanged (must NOT open a new version), BBB changes
+    dim = scd2_merge(
+        dim, snap([("AAA", "fintech"), ("BBB", "utilities")], t2),
+        ["symbol"], ["sector"], "eff",
+    )
+
+    rows = {(r.symbol, r.sector): r for r in dim.collect()}
+    assert len(rows) == 5  # AAA×2, BBB×2, CCC×1
+    aaa_old, aaa_new = rows[("AAA", "tech")], rows[("AAA", "fintech")]
+    assert not aaa_old.is_current and aaa_old.valid_to == t1
+    assert aaa_new.is_current and aaa_new.valid_from == t1
+    bbb_old, bbb_new = rows[("BBB", "energy")], rows[("BBB", "utilities")]
+    assert not bbb_old.is_current and bbb_old.valid_to == t2
+    assert bbb_new.is_current and bbb_new.valid_from == t2
+    assert rows[("CCC", "materials")].is_current
+
+    # unchanged AAA kept its day-5 valid_from through the day-9 merge
+    assert aaa_new.valid_from == t1
+
+    # point-in-time snapshots
+    day3 = {(r.symbol, r.sector) for r in as_of(dim, dt.datetime(2024, 1, 3)).collect()}
+    assert day3 == {("AAA", "tech"), ("BBB", "energy")}
+    day7 = {(r.symbol, r.sector) for r in as_of(dim, dt.datetime(2024, 1, 7)).collect()}
+    assert day7 == {("AAA", "fintech"), ("BBB", "energy"), ("CCC", "materials")}
+
+
+def test_scd2_null_business_key(spark):
+    """A legitimately-NULL business key versions like any other key —
+    presence comes from markers, never key nullability (the null-safety
+    contract shared with merge_upsert)."""
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 5)
+    mk = lambda rows, t: spark.createDataFrame(  # noqa: E731
+        [(k, s, t) for k, s in rows], "symbol string, sector string, eff timestamp"
+    )
+    dim = scd2_init(mk([(None, "unknown"), ("AAA", "tech")], t0), ["symbol"], "eff")
+    dim = scd2_merge(dim, mk([(None, "misc")], t1), ["symbol"], ["sector"], "eff")
+    rows = {(r.symbol, r.sector): r for r in dim.collect()}
+    assert len(rows) == 3  # NULL×2 versions + AAA untouched
+    assert not rows[(None, "unknown")].is_current
+    assert rows[(None, "unknown")].valid_to == t1
+    assert rows[(None, "misc")].is_current
+    assert rows[("AAA", "tech")].is_current
