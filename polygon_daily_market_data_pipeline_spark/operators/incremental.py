@@ -41,6 +41,12 @@ _ALGEBRAIC = {
     "count": (F.count, F.sum),  # counts combine by summing
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # COUNT(DISTINCT) is not algebraic — a distinct count of parts does
+    # not combine. The mergeable form is the Datasketches HLL sketch:
+    # partials hold the binary sketch, refreshes union sketches, and
+    # readers estimate with hll_sketch_estimate(col). ~2% error at the
+    # default lgConfigK=12, constant bytes per group per refresh.
+    "ndv_sketch": (F.hll_sketch_agg, F.hll_union_agg),
 }
 
 

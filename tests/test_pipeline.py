@@ -389,6 +389,8 @@ def test_incremental_aggregate_refresh(spark, tmp_path):
         "sum_value": ("sum", "value"),
         "min_value": ("min", "value"),
         "max_value": ("max", "value"),
+        # mergeable HLL: the incremental form of COUNT(DISTINCT user_id)
+        "users_sketch": ("ndv_sketch", "user_id"),
     }
     agg1 = refresh_aggregate(spark, fact, state, ["event_type"], measures, "day")
     assert agg1.count() > 0
@@ -405,12 +407,24 @@ def test_incremental_aggregate_refresh(spark, tmp_path):
             F.sum("value").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            F.countDistinct("user_id").alias("exact_users"),
         )
     )
     key = lambda r: (r.event_type, r.n, round(r.sum_value, 6), r.min_value, r.max_value)  # noqa: E731
     assert sorted(key(r) for r in agg2.collect()) == sorted(
         key(r) for r in full.collect()
     )
+
+    # the unioned-across-refreshes sketch estimates the TRUE distinct
+    # count over all partitions (not a sum of per-refresh counts)
+    est = {
+        r.event_type: r.users
+        for r in agg2.selectExpr(
+            "event_type", "hll_sketch_estimate(users_sketch) AS users"
+        ).collect()
+    }
+    for r in full.collect():
+        assert abs(est[r.event_type] - r.exact_users) <= max(2, 0.05 * r.exact_users)
 
     # pruning-by-construction: a third refresh with nothing new reads
     # only the stored aggregate, and the watermark lists every day
