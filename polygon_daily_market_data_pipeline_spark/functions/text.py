@@ -192,3 +192,32 @@ def doc_chunks(col: Column | str, chunk: int = 100, overlap: int = 20) -> Column
             F.least(F.size(t) - s + 1, F.lit(chunk)).alias("n_chunk_tokens"),
         ),
     )
+
+
+# PII redaction patterns (Java regex — applied JVM-side). Ordered:
+# specific before general so e.g. an email is not half-eaten by the
+# phone pattern's digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 (word-bounded dotted quads)
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 13–19 digit card-like runs, with optional space/dash groups
+    (r"\b(?:\d[ -]?){12,18}\d\b", "<NUMBER>"),
+    # phone-ish: optional +CC, 7–15 digits with separators/parens
+    (r"(?<!\w)\+?\d{1,3}[ .-]?\(?\d{2,4}\)?(?:[ .-]?\d{2,4}){2,4}(?!\w)", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Training-corpus PII scrub: emails, IPv4s, card-like digit runs
+    and phone-ish numbers replaced by typed placeholders. A chain of
+    codegen'd ``regexp_replace`` — one linear scan per pattern, no UDF,
+    so it composes with corpus cleaning at full scan speed. Pattern
+    scope is the standard high-precision set (C4/RefinedWeb-style
+    scrubbing); domain-specific identifiers belong in an added pattern,
+    not a new mechanism."""
+    c = _c(col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

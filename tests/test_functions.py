@@ -281,3 +281,25 @@ def test_loader_normalizes_ntz_timestamps(spark, tmp_path):
         real = load_table(spark, "/root/testdata/sf0.001", name)
         for f in real.schema.fields:
             assert "ntz" not in f.dataType.simpleString(), (name, f)
+
+
+def test_redact_pii(spark):
+    """PII scrub replaces emails, IPs, card-like runs and phone-ish
+    numbers with typed placeholders, leaves prose and short numbers
+    alone, and runs as pure regexp_replace chains (no UDF)."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at jane.doe+x@example.co.uk please", "mail me at <EMAIL> please"),
+        ("server 192.168.0.1 responded", "server <IP> responded"),
+        ("card 4111 1111 1111 1111 on file", "card <NUMBER> on file"),
+        ("call +1 (415) 555-0199 today", "call <PHONE> today"),
+        ("chapter 7 has 3 parts", "chapter 7 has 3 parts"),
+        ("year 2024 was fine", "year 2024 was fine"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(redact_pii("text")).collect()]
+    assert got == [want for _, want in rows]
+
+    plan = df.select(redact_pii("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
