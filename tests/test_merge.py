@@ -247,3 +247,63 @@ def test_scd2_null_business_key(spark):
     assert rows[(None, "unknown")].valid_to == t1
     assert rows[(None, "misc")].is_current
     assert rows[("AAA", "tech")].is_current
+
+
+# ---------------------------------------------------------------------------
+# Property-based SCD2 laws: after ANY sequence of snapshot merges,
+# (1) exactly one current row per live key, (2) versions of a key tile
+# time without overlap (each close is the next open), (3) the current
+# attribute equals the model's latest value, (4) history is append-only
+# (version count never decreases).
+# ---------------------------------------------------------------------------
+
+snapshots = st.lists(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3)), min_size=1, max_size=5),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(snaps=snapshots)
+def test_scd2_properties(spark, snaps):
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        OPEN_END,
+        scd2_init,
+        scd2_merge,
+    )
+
+    def df(rows, t):
+        dedup = {k: v for k, v in rows}  # one row per key per snapshot
+        return spark.createDataFrame(
+            [(k, f"s{v}", t) for k, v in dedup.items()],
+            "key int, attr string, eff timestamp",
+        )
+
+    t = dt.datetime(2024, 1, 1)
+    dim = scd2_init(df(snaps[0], t), ["key"], "eff")
+    model = {k: f"s{v}" for k, v in {k: v for k, v in snaps[0]}.items()}
+    prev_versions = 0
+    for i, snap in enumerate(snaps[1:], start=1):
+        t_i = t + dt.timedelta(days=i)
+        dim = scd2_merge(dim, df(snap, t_i), ["key"], ["attr"], "eff")
+        for k, v in {k: v for k, v in snap}.items():
+            model[k] = f"s{v}"
+        rows = dim.collect()
+        assert len(rows) >= prev_versions  # append-only
+        prev_versions = len(rows)
+
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.key, []).append(r)
+        for k, versions in by_key.items():
+            current = [r for r in versions if r.is_current]
+            assert len(current) == 1, (k, versions)
+            assert current[0].valid_to == OPEN_END
+            assert current[0].attr == model[k]
+            # versions tile time: sorted closes chain into opens
+            seq = sorted(versions, key=lambda r: r.valid_from)
+            for a, b in zip(seq, seq[1:]):
+                assert a.valid_to == b.valid_from, (k, seq)
