@@ -1,0 +1,159 @@
+"""Versioned parquet tables — time travel on a plain filesystem.
+
+The reference's warehouse (Snowflake) gives every table time travel
+(``AT``/``BEFORE``) and uses idempotent re-loads as its recovery story
+(``FORCE=TRUE`` + keyed MERGE — ``copy_to_raw.sql:38``). On plain
+parquet the equivalent is a manifest log: each commit writes data files
+into an immutable directory and then publishes a JSON manifest listing
+the directories visible at that version. The manifest RENAME is the
+atomic commit point — readers never see a half-written version, a
+crashed writer leaves only unreferenced data (cleaned by ``vacuum``),
+and any past version stays readable until vacuumed. This is the
+micro-kernel of what Delta/Iceberg do with their logs; at 100 TB the
+same design holds because a commit's cost is one small JSON write —
+data files are never rewritten or moved.
+
+Semantics:
+- ``mode="overwrite"`` → the new version sees only this commit's files.
+- ``mode="append"``    → the new version sees the previous version's
+  directories plus this commit's.
+- Concurrency: last-manifest-wins per version number; writers racing to
+  the same version fail on the rename (os.rename onto an existing name
+  is atomic-replace on POSIX, so serialize writers externally — same
+  contract as the reference's one-daily-writer DAG).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_versions")
+
+
+def _manifests(table_dir: str) -> list[int]:
+    d = _versions_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    )
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_versions_dir(table_dir), f"{version}.json")) as f:
+        return json.load(f)
+
+
+def commit_version(
+    df: DataFrame, table_dir: str, mode: str = "overwrite"
+) -> int:
+    """Write ``df`` as a new table version; returns the version number.
+    Data lands in an immutable uuid directory; the manifest rename is
+    the commit."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    existing = _manifests(table_dir)
+    version = (existing[-1] + 1) if existing else 0
+
+    data_dir = os.path.join(table_dir, "_data", f"v{version}-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(data_dir)
+
+    dirs = [os.path.relpath(data_dir, table_dir)]
+    if mode == "append" and existing:
+        dirs = _load_manifest(table_dir, existing[-1])["dirs"] + dirs
+
+    manifest = {
+        "version": version,
+        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "mode": mode,
+        "dirs": dirs,
+    }
+    tmp = os.path.join(_versions_dir(table_dir), f"_tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
+    return version
+
+
+def read_version(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: dt.datetime | str | None = None,
+) -> DataFrame:
+    """The table at a version (default: latest), or AT a timestamp
+    (``as_of``: the last version committed at or before it — Snowflake
+    ``AT(TIMESTAMP => ...)`` semantics)."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if version is None and as_of is not None:
+        ts = dt.datetime.fromisoformat(as_of) if isinstance(as_of, str) else as_of
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=dt.timezone.utc)
+        eligible = [
+            v
+            for v in versions
+            if dt.datetime.fromisoformat(_load_manifest(table_dir, v)["committed_at"])
+            <= ts
+        ]
+        if not eligible:
+            raise LookupError(f"no version at or before {ts.isoformat()}")
+        version = eligible[-1]
+    elif version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise LookupError(f"version {version} not in {versions}")
+    m = _load_manifest(table_dir, version)
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in m["dirs"]])
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit log, oldest first: version, timestamp, mode, dir count."""
+    out = []
+    for v in _manifests(table_dir):
+        m = _load_manifest(table_dir, v)
+        out.append(
+            {
+                "version": v,
+                "committed_at": m["committed_at"],
+                "mode": m["mode"],
+                "n_dirs": len(m["dirs"]),
+            }
+        )
+    return out
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> int:
+    """Drop manifests older than the last ``keep_last`` and delete data
+    directories no kept version references (including debris from
+    crashed commits). Returns the number of data dirs removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _manifests(table_dir)
+    keep = versions[-keep_last:]
+    referenced = set()
+    for v in keep:
+        referenced.update(_load_manifest(table_dir, v)["dirs"])
+    for v in versions[:-keep_last]:
+        os.remove(os.path.join(_versions_dir(table_dir), f"{v}.json"))
+    removed = 0
+    data_root = os.path.join(table_dir, "_data")
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = os.path.join("_data", d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed += 1
+    return removed
