@@ -2,9 +2,39 @@
 each is a composition of DataFrame algebra that Catalyst can optimize."""
 
 from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
+from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+    refresh_aggregate,
+)
+from polygon_daily_market_data_pipeline_spark.operators.layout import (
+    bloom_filter_options,
+    zorder_write,
+)
 from polygon_daily_market_data_pipeline_spark.operators.merge import (
     insert_only_merge,
     merge_upsert,
 )
+from polygon_daily_market_data_pipeline_spark.operators.scd import (
+    as_of,
+    scd2_init,
+    scd2_merge,
+)
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    read_version,
+    vacuum,
+)
 
-__all__ = ["latest_by_key", "insert_only_merge", "merge_upsert"]
+__all__ = [
+    "latest_by_key",
+    "insert_only_merge",
+    "merge_upsert",
+    "refresh_aggregate",
+    "bloom_filter_options",
+    "zorder_write",
+    "as_of",
+    "scd2_init",
+    "scd2_merge",
+    "commit_version",
+    "read_version",
+    "vacuum",
+]

@@ -157,3 +157,26 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
                 shutil.rmtree(os.path.join(data_root, d))
                 removed += 1
     return removed
+
+
+def rollback(table_dir: str, to_version: int) -> int:
+    """Publish a NEW version whose visibility equals ``to_version`` —
+    history is never rewritten (the bad version stays inspectable until
+    vacuumed), which is what makes rollback safe under concurrent
+    readers. Returns the new version number."""
+    versions = _manifests(table_dir)
+    if to_version not in versions:
+        raise LookupError(f"version {to_version} not in {versions}")
+    src = _load_manifest(table_dir, to_version)
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "mode": f"rollback({to_version})",
+        "dirs": src["dirs"],
+    }
+    tmp = os.path.join(_versions_dir(table_dir), f"_tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
+    return version

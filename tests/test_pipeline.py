@@ -471,11 +471,21 @@ def test_versioned_table_time_travel(spark, tmp_path):
     ts1 = history(t)[1]["committed_at"]
     assert get(as_of=ts1) == [1, 2, 3]
 
+    # rollback publishes a NEW version with the old visibility
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import rollback
+
+    v3 = rollback(t, to_version=1)
+    assert v3 == 3
+    assert get() == [1, 2, 3]
+    assert get(version=2) == [9]  # the rolled-back version stays readable
+    commit_version(df(9), t, mode="overwrite")  # restore for vacuum phase
+    assert get() == [9]
+
     # crash debris: an orphan data dir no manifest references
     os.makedirs(os.path.join(t, "_data", "vX-orphan"))
     removed = vacuum(t, keep_last=1)
-    # removed: v0's dir (v2 doesn't reference it), v1's own dir, orphan
-    assert removed == 3
+    # removed: v0's dir, v1's dir, v2's dir, orphan (only v4's kept)
+    assert removed == 4
     assert get() == [9]
     import pytest
 
