@@ -71,9 +71,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ``\\S+`` runs ARE the split-on-space tokens, matches arrive in
     document order, and array_distinct keeps first occurrence — same
     construction, same array."""
+    return F.array_distinct(word_ngrams_all(col, n))
+
+
+def word_ngrams_all(col: Column | str, n: int = 3) -> Column:
+    """ALL overlapping n-word grams in document order (multiset — one
+    entry per window, duplicates kept). The distinct form above is the
+    Jaccard/MinHash unit set; this form feeds frequency-sensitive
+    signals (repetition_stats). Same single codegen'd lookahead pass."""
     norm = normalize_text(col)
     pat = r"(?:^|\s)(?=(" + r"\S+" + (r" \S+" * (n - 1)) + r"))"
-    return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
 
 
 def fingerprint_md5(col: Column | str) -> Column:
@@ -221,3 +229,25 @@ def redact_pii(col: Column | str) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def repetition_stats(col: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style repetition signals, all codegen'd: the fraction
+    of duplicate lines and of duplicate {2,3}-gram tokens in a document.
+    High values flag boilerplate/spam for corpus filtering — apply as
+    thresholds alongside quality_score."""
+    c = _c(col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    out = {
+        "dup_line_frac": F.when(
+            F.size(lines) > 0,
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+        ).otherwise(F.lit(0.0)),
+    }
+    for n in (2, 3):
+        grams = word_ngrams_all(c, n)
+        out[f"dup_{n}gram_frac"] = F.when(
+            F.size(grams) > 0,
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0))
+    return out

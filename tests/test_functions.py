@@ -303,3 +303,39 @@ def test_redact_pii(spark):
 
     plan = df.select(redact_pii("text"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats(spark):
+    """Repetition signals: a boilerplate doc (same line repeated) scores
+    dup_line_frac near 1, clean prose near 0; n-gram duplication catches
+    within-line repetition that line-dedup misses; plan stays JVM-side."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nbuy now"),
+            (2, "the quick brown fox\njumps over the lazy dog"),
+            (3, "spam spam spam spam spam spam spam spam"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", *[c.alias(n) for n, c in repetition_stats("text").items()]
+        ).collect()
+    }
+    assert got[1].dup_line_frac == 0.75          # 4 lines, 1 distinct
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].dup_2gram_frac == 0.0
+    assert got[3].dup_line_frac == 0.0           # one line...
+    assert got[3].dup_2gram_frac > 0.8           # ...but pure repetition
+    assert got[4].dup_line_frac == 0.0           # empty: no NaN/NULL
+
+    plan = docs.select(
+        *[c.alias(n) for n, c in repetition_stats("text").items()]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
