@@ -491,3 +491,41 @@ def test_versioned_table_time_travel(spark, tmp_path):
 
     with pytest.raises(LookupError):
         read_version(spark, t, version=0)
+
+
+def test_quantile_bucketize_handles_skew(spark):
+    """Zipf-skewed columns defeat linear min/max bucketing (almost all
+    mass lands in bucket 0 — one giant z-cell); quantile bucketing
+    splits by rank so buckets carry equal data share. The assignment is
+    a chain of `bits` codegen'd WHEN/element_at steps (binary search),
+    never a Python UDF."""
+    import math
+
+    from polygon_daily_market_data_pipeline_spark.operators.layout import _bucketize
+
+    # log-uniform on [1, 1000]: continuous heavy head at small values
+    # (a point mass could never split — equal values share a bucket)
+    df = spark.range(20000).selectExpr(
+        "pow(1000.0, (id % 2000) / 2000.0) as v"
+    )
+    bits = 4  # 16 buckets
+
+    def spread(method):
+        b = _bucketize(df, "v", bits, method)
+        counts = [r["cnt"] for r in df.select(b.alias("b")).groupBy("b").agg(
+            F.count("*").alias("cnt")).collect()]
+        top = max(counts) / sum(counts)
+        return len(counts), top
+
+    lin_buckets, lin_top = spread("linear")
+    q_buckets, q_top = spread("quantile")
+    # linear: the heavy head collapses into one dominant bucket
+    assert lin_top > 0.5, (lin_buckets, lin_top)
+    # quantile: no bucket dominates, most buckets populated
+    assert q_top < 0.3, (q_buckets, q_top)
+    assert q_buckets >= 8
+
+    plan = df.select(
+        _bucketize(df, "v", bits, "quantile").alias("b")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
