@@ -277,3 +277,36 @@ def test_shingle_builder_is_single_regex_pass(spark):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "regexp_extract_all" in optimized
     assert "lambdafunction" not in optimized
+
+
+def test_zorder_key_and_pack_plan_shapes(spark):
+    """Round-5 layout/packing operators keep their scale-designed plan
+    shapes: the Morton key is pure codegen'd projection (no UDF, no
+    extra shuffle before the range write), quantile bucket assignment
+    is expression-only, and pack_sequences has exactly ONE exchange
+    (the deterministic range shuffle) feeding the per-partition
+    packer."""
+    from polygon_daily_market_data_pipeline_spark.operators.export import (
+        pack_sequences,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        _bucketize,
+        morton_key,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "user_id")
+    key = morton_key(
+        [_bucketize(ev, "user_id", 8), _bucketize(ev, "ts", 8)], 8
+    )
+    plan = explain(ev.select(key.alias("z")))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # key is a projection over the scan
+
+    chunks = spark.createDataFrame(
+        [(i, f"t{i}", 10) for i in range(50)],
+        "chunk_id long, chunk_text string, n_tokens long",
+    )
+    pplan = explain(pack_sequences(chunks, target_tokens=100))
+    assert len(re.findall(r"\(\d+\) Exchange", pplan)) == 1
+    assert "rangepartitioning" in pplan
