@@ -138,3 +138,59 @@ def refresh_aggregate(
     with open(wm_path, "w") as f:
         json.dump({"partitions": done + new}, f)
     return spark.read.parquet(agg_path)
+
+
+def streaming_aggregate_sink(
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+    state_dir: str,
+):
+    """foreachBatch sink maintaining a materialized aggregate from a
+    stream — the streaming twin of ``refresh_aggregate``: each
+    micro-batch contributes an aggregate-sized partial which combines
+    into the stored table (never a history rescan). Exactly-once comes
+    from the pair (source checkpoint, processed-batch watermark): a
+    replayed batch id is skipped, so retries converge.
+
+    Usage::
+
+        q = (events.writeStream
+             .foreachBatch(streaming_aggregate_sink(
+                 ["event_type"], {"n": ("count", "event_id")}, state_dir))
+             .option("checkpointLocation", ckpt).start())
+    """
+    import shutil
+    import uuid
+
+    agg_path = os.path.join(state_dir, "agg")
+    wm_path = os.path.join(state_dir, "_batches.json")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        done: list[int] = []
+        if os.path.exists(wm_path):
+            with open(wm_path) as f:
+                done = json.load(f)["batches"]
+        if batch_id in done:
+            return  # replay after a crash between commit and checkpoint
+        partial = partial_aggregate(batch_df, group_cols, measures)
+        spark = batch_df.sparkSession
+        if os.path.exists(agg_path):
+            combined = combine_aggregates(
+                spark.read.parquet(agg_path), partial, group_cols, measures
+            )
+        else:
+            combined = partial
+        tmp = os.path.join(state_dir, f"_agg_{uuid.uuid4().hex}")
+        combined.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(agg_path):
+            old = agg_path + "._old"
+            os.rename(agg_path, old)
+            os.rename(tmp, agg_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, agg_path)
+        with open(wm_path, "w") as f:
+            json.dump({"batches": done + [batch_id]}, f)
+
+    return sink

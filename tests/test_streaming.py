@@ -376,3 +376,54 @@ def test_sessionize_rocksdb_state_store_parity(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
         or "RocksDB" not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def test_streaming_aggregate_sink_incremental_mv(spark, tmp_path):
+    """Streaming materialized-view maintenance: micro-batches combine
+    into the stored aggregate (foreachBatch + algebraic partials), the
+    final table equals a batch groupBy over all input, and a replayed
+    batch id is a no-op (exactly-once under retries)."""
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        streaming_aggregate_sink,
+    )
+
+    rows = [(m, u, float(u)) for m in range(4) for u in range(1, 6)]
+    df = _events_df(spark, rows)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    sink = streaming_aggregate_sink(
+        ["user_id"],
+        {"n": ("count", "event_id"), "sum_value": ("sum", "value")},
+        str(tmp_path / "state"),
+    )
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.n, r.sum_value)
+        for r in spark.read.parquet(str(tmp_path / "state" / "agg")).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.sum_value)
+        for r in df.groupBy("user_id")
+        .agg(F.count("event_id").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+
+    # replaying an already-committed batch id changes nothing
+    sink(df.limit(3), batch_id=0)
+    again = {
+        r.user_id: (r.n, r.sum_value)
+        for r in spark.read.parquet(str(tmp_path / "state" / "agg")).collect()
+    }
+    assert again == got
