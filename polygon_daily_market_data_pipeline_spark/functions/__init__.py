@@ -15,6 +15,14 @@ from polygon_daily_market_data_pipeline_spark.functions.calendar import (
     month_abbrev,
     week_of_year,
 )
+from polygon_daily_market_data_pipeline_spark.functions.text import (
+    lang_id,
+    quality_score,
+    redact_pii,
+    repetition_stats,
+    token_count,
+    word_shingles,
+)
 
 __all__ = [
     "norm_key",
@@ -27,4 +35,10 @@ __all__ = [
     "is_weekend",
     "month_abbrev",
     "week_of_year",
+    "lang_id",
+    "quality_score",
+    "redact_pii",
+    "repetition_stats",
+    "token_count",
+    "word_shingles",
 ]
