@@ -180,3 +180,42 @@ def rollback(table_dir: str, to_version: int) -> int:
         json.dump(manifest, f)
     os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
     return version
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    zcols: list[str],
+    n_files: int,
+    bits: int | None = None,
+    bucketize: str = "linear",
+) -> int:
+    """Delta-style ``OPTIMIZE ... ZORDER BY``: publish a new version
+    with IDENTICAL rows laid out z-ordered on ``zcols`` — readers of
+    the old version are untouched (its files are never moved), the new
+    version's scans prune on every z-column, and ``vacuum`` reclaims
+    the pre-optimize layout once it ages out. Returns the new version
+    number."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        DEFAULT_BITS,
+        zorder_write,
+    )
+
+    df = read_version(spark, table_dir)
+    versions = _manifests(table_dir)
+    version = versions[-1] + 1
+    data_dir = os.path.join(table_dir, "_data", f"v{version}-{uuid.uuid4().hex}")
+    zorder_write(
+        df, data_dir, zcols, n_files, bits=bits or DEFAULT_BITS, bucketize=bucketize
+    )
+    manifest = {
+        "version": version,
+        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "mode": f"optimize_zorder({','.join(zcols)})",
+        "dirs": [os.path.relpath(data_dir, table_dir)],
+    }
+    tmp = os.path.join(_versions_dir(table_dir), f"_tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
+    return version

@@ -529,3 +529,52 @@ def test_quantile_bucketize_handles_skew(spark):
         _bucketize(df, "v", bits, "quantile").alias("b")
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_optimize_zorder_versioned(spark, tmp_path):
+    """OPTIMIZE ZORDER as a versioned commit: the new version holds the
+    same rows re-laid-out (z-ordered, prunable on both columns), the
+    pre-optimize version stays byte-stable and readable, and vacuum
+    reclaims its files afterwards."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        pruning_stats,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        optimize_zorder,
+        read_version,
+        vacuum,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t = str(tmp_path / "vt")
+    v0 = commit_version(ev.repartition(16), t)
+    v1 = optimize_zorder(spark, t, ["user_id", "ts"], n_files=16)
+    assert (v0, v1) == (0, 1)
+
+    # identical content, different layout
+    a = read_version(spark, t, version=0)
+    b = read_version(spark, t, version=1)
+    assert a.count() == b.count() == ev.count()
+    assert sorted(r.event_id for r in a.select("event_id").collect()) == sorted(
+        r.event_id for r in b.select("event_id").collect()
+    )
+
+    # the optimized version prunes on the secondary dimension
+    import os
+
+    ids = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo = ids[0] + (ids[1] - ids[0]) * 56 // 100
+    hi = ids[0] + (ids[1] - ids[0]) * 61 // 100
+    m1 = __import__("json").load(
+        open(os.path.join(t, "_versions", "1.json"))
+    )
+    zdir = os.path.join(t, m1["dirs"][0])
+    total, hit = pruning_stats(zdir, "user_id", lo, hi)
+    assert hit <= total // 2, (hit, total)
+
+    vacuum(t, keep_last=1)
+    assert read_version(spark, t).count() == ev.count()
