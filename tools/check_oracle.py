@@ -23,7 +23,7 @@ TABLES = (
 )
 
 
-def _norm(v):
+def _norm(v, spark_side=False):
     import datetime
     import decimal
     import math
@@ -38,18 +38,27 @@ def _norm(v):
             return "nan"
         return f"{v:.6f}"
     if isinstance(v, datetime.datetime):
+        # PySpark's collect() materializes TIMESTAMP through the HOST
+        # timezone (not the session TZ); DuckDB returns naive UTC
+        # wall-clock. Re-anchor Spark-side naive datetimes to UTC so
+        # the compare is host-TZ-independent (a no-op on a UTC host —
+        # which the driver harness is; see BASELINE.md).
+        if spark_side and v.tzinfo is None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        elif v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, list):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
+        return "[" + ",".join(_norm(x, spark_side) for x in v) + "]"
     return str(v)
 
 
-def fingerprint(cols, rows):
+def fingerprint(cols, rows, spark_side=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "|".join(_norm(r[i]) for i in order) for r in rows
+        "|".join(_norm(r[i], spark_side) for i in order) for r in rows
     )
     import hashlib
 
@@ -109,7 +118,7 @@ def main() -> int:
         if len(srows) != len(orows):
             problems.append(f"rows spark={len(srows)} duckdb={len(orows)}")
         if not problems:
-            sh = fingerprint(scols_l, [tuple(r) for r in srows])
+            sh = fingerprint(scols_l, [tuple(r) for r in srows], spark_side=True)
             oh = fingerprint(ocols, orows)
             if sh != oh:
                 problems.append(f"hash spark={sh} duckdb={oh}")
