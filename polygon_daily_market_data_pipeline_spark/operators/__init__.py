@@ -4,6 +4,7 @@ each is a composition of DataFrame algebra that Catalyst can optimize."""
 from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
 from polygon_daily_market_data_pipeline_spark.operators.incremental import (
     refresh_aggregate,
+    streaming_aggregate_sink,
 )
 from polygon_daily_market_data_pipeline_spark.operators.layout import (
     bloom_filter_options,
@@ -20,7 +21,9 @@ from polygon_daily_market_data_pipeline_spark.operators.scd import (
 )
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
+    optimize_zorder,
     read_version,
+    rollback,
     vacuum,
 )
 
@@ -29,12 +32,15 @@ __all__ = [
     "insert_only_merge",
     "merge_upsert",
     "refresh_aggregate",
+    "streaming_aggregate_sink",
     "bloom_filter_options",
     "zorder_write",
     "as_of",
     "scd2_init",
     "scd2_merge",
     "commit_version",
+    "optimize_zorder",
     "read_version",
+    "rollback",
     "vacuum",
 ]
