@@ -3,6 +3,8 @@ each is a composition of DataFrame algebra that Catalyst can optimize."""
 
 from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
 from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+    invalidate_partitions,
+    read_aggregate,
     refresh_aggregate,
     streaming_aggregate_sink,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "latest_by_key",
     "insert_only_merge",
     "merge_upsert",
+    "invalidate_partitions",
+    "read_aggregate",
     "refresh_aggregate",
     "streaming_aggregate_sink",
     "bloom_filter_options",

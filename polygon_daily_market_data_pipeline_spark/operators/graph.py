@@ -84,10 +84,23 @@ def connected_components(
     return labels
 
 
-def neardup_components(pairs: DataFrame) -> DataFrame:
+def neardup_components(
+    pairs: DataFrame, release_pairs: bool = False
+) -> DataFrame:
     """Near-dup pair frame (doc_a, doc_b, …) → (doc_id, cluster_id,
-    is_canonical): the keep/drop decision per document."""
+    is_canonical): the keep/drop decision per document.
+
+    ``release_pairs=True`` unpersists the (typically cached) pair frame
+    once the component computation no longer needs it — safe because
+    ``connected_components`` eagerly checkpoints the symmetrized edge
+    frame up front, so every later action reads the checkpoint, never
+    the pair plan. Terminal consumers (the registered cluster query)
+    use this so a dedup run leaves no per-call caches behind."""
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    if release_pairs:
+        pairs.unpersist()
+        for f in getattr(pairs, "_cached_inputs", ()):
+            f.unpersist()
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),

@@ -7,22 +7,37 @@ CORE table every run (Snowflake makes that cheap at 12K rows/day); at
 avoidable scan in a warehouse. For ALGEBRAIC aggregates (sum, count,
 min, max — and avg as sum/count at read time) the refresh is
 incremental: aggregate ONLY the new partitions, then combine with the
-stored aggregate by key. Scan cost is O(new data), not O(history).
+stored partials by key. Scan cost is O(new data), not O(history).
 
-Design: the aggregate table lives as parquet next to a JSON watermark
-listing processed partitions. A refresh partition-prunes the fact scan
-to unprocessed partitions (the pruning is asserted in tests via
-``inputFiles``), combines partials via a full-outer key merge (the
-same shape as ``merge_upsert``), and swaps the table atomically —
-rerunning a crashed refresh is idempotent because the watermark only
-advances after the swap.
+Design — a manifest log of per-refresh partials:
 
-MIN/MAX caveat: incremental maintenance is append-only. Deletes or
-in-place updates to history invalidate min/max (not sum/count-of-adds);
-this engine mutates facts only by partition replace (`delete.py`,
-`compaction.py`), so the contract is: after replacing a processed
-partition, drop it from the watermark and refresh — the combine is
-idempotent per partition because partials are per-partition-set.
+- Each refresh writes the partial aggregate of the NEW partitions into
+  an immutable uuid directory, then atomically publishes a single JSON
+  manifest (tmp write + rename — the ``versioned.py`` pattern) listing
+  every live partial directory together with the exact partition set it
+  covers. The manifest is simultaneously the aggregate pointer AND the
+  watermark: a crash between the partial write and the manifest rename
+  leaves only an unreferenced directory (debris, cleaned on the next
+  publish), never a double-counted partition — rerunning a crashed
+  refresh is idempotent by construction.
+- The current aggregate is the key-combine of all live partials (an
+  aggregate-sized union + groupBy, never a fact scan). Refreshes
+  compact the entry list back to one partial once it exceeds
+  ``compact_threshold``, bounding read-time combine cost.
+- Partition replace/delete is handled by ``invalidate_partitions``:
+  because every partial records exactly which partitions it covers,
+  dropping the entries that contain a replaced partition removes the
+  old contribution EXACTLY (no subtraction needed — subtraction is
+  impossible for min/max and sketches). The partitions those entries
+  also covered simply become un-covered and are rescanned on the next
+  refresh. Compaction widens that rescan (one entry covers everything
+  after a compact), which is the documented trade: granularity of
+  invalidation vs read-time combine cost.
+
+MIN/MAX caveat: incremental maintenance is append-only per partial.
+Deletes or in-place updates to history are ONLY correct through
+``invalidate_partitions`` + refresh; mutating a covered partition
+without invalidating it corrupts every measure, not just min/max.
 """
 
 from __future__ import annotations
@@ -31,6 +46,7 @@ import json
 import os
 import shutil
 import uuid
+from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,13 +65,16 @@ _ALGEBRAIC = {
     "ndv_sketch": (F.hll_sketch_agg, F.hll_union_agg),
 }
 
+_MANIFEST = "_manifest.json"
+DEFAULT_COMPACT_THRESHOLD = 8
+
 
 def partial_aggregate(
     df: DataFrame, group_cols: list[str], measures: dict[str, tuple[str, str]]
 ) -> DataFrame:
     """One map-side-combinable groupBy producing the partial rows:
     ``measures`` maps output name -> (op, input col), op in
-    sum/count/min/max."""
+    sum/count/min/max/ndv_sketch."""
     aggs = []
     for name, (op, col) in measures.items():
         if op not in _ALGEBRAIC:
@@ -88,6 +107,114 @@ def list_partitions(fact_path: str, partition_col: str) -> list[str]:
     )
 
 
+# --- manifest log -----------------------------------------------------------
+
+
+def _load_manifest(state_dir: str) -> dict:
+    path = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return {"entries": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _publish_manifest(state_dir: str, manifest: dict) -> None:
+    """Atomic single-file commit: the rename makes the new partial set
+    (and therefore the new watermark) visible in one step. Single-writer
+    contract, same as ``versioned.commit_version``."""
+    tmp = os.path.join(state_dir, f"_tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(state_dir, _MANIFEST))
+
+
+def _gc_unreferenced(state_dir: str, manifest: dict) -> None:
+    """Best-effort removal of partial dirs the manifest no longer
+    references (compacted-away entries, crashed-refresh debris)."""
+    live = {e["dir"] for e in manifest["entries"]}
+    for d in os.listdir(state_dir):
+        if d.startswith("partial-") and d not in live:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
+def covered_partitions(state_dir: str) -> list[str]:
+    """The watermark: every fact partition whose contribution is in a
+    live partial."""
+    out: set[str] = set()
+    for e in _load_manifest(state_dir)["entries"]:
+        out.update(e.get("partitions", []))
+    return sorted(out)
+
+
+def covered_batches(state_dir: str) -> set[int]:
+    """Streaming watermark: every micro-batch id in a live partial."""
+    out: set[int] = set()
+    for e in _load_manifest(state_dir)["entries"]:
+        out.update(e.get("batches", []))
+    return out
+
+
+def read_aggregate(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """The current aggregate: key-combine of all live partials (0 or 1
+    aggregate-sized shuffles — never a fact scan)."""
+    entries = _load_manifest(state_dir)["entries"]
+    if not entries:
+        raise FileNotFoundError(f"no aggregate committed in {state_dir}")
+    frames = [
+        spark.read.parquet(os.path.join(state_dir, e["dir"])) for e in entries
+    ]
+    agg = frames[0]
+    for f in frames[1:]:
+        agg = combine_aggregates(agg, f, group_cols, measures)
+    return agg
+
+
+def _append_partial(
+    state_dir: str,
+    partial: DataFrame,
+    cover: dict,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+    compact_threshold: int,
+) -> None:
+    """Write one partial dir, optionally compact, then publish the
+    manifest — the publish commits partial + watermark together."""
+    spark = partial.sparkSession
+    manifest = _load_manifest(state_dir)
+    part_dir = f"partial-{uuid.uuid4().hex}"
+    partial.write.mode("errorifexists").parquet(os.path.join(state_dir, part_dir))
+    entries = manifest["entries"] + [{"dir": part_dir, **cover}]
+
+    if len(entries) > compact_threshold:
+        # fold every live partial into one: aggregate-sized work, and
+        # the compacted entry's cover is the union of its inputs'
+        frames = [
+            spark.read.parquet(os.path.join(state_dir, e["dir"])) for e in entries
+        ]
+        agg = frames[0]
+        for f in frames[1:]:
+            agg = combine_aggregates(agg, f, group_cols, measures)
+        compact_dir = f"partial-{uuid.uuid4().hex}"
+        agg.write.mode("errorifexists").parquet(
+            os.path.join(state_dir, compact_dir)
+        )
+        merged: dict = {"dir": compact_dir}
+        for key in ("partitions", "batches"):
+            vals = [e[key] for e in entries if key in e]
+            if vals:
+                merged[key] = sorted({v for lst in vals for v in lst})
+        entries = [merged]
+
+    manifest["entries"] = entries
+    _publish_manifest(state_dir, manifest)
+    _gc_unreferenced(state_dir, manifest)
+
+
 def refresh_aggregate(
     spark: SparkSession,
     fact_path: str,
@@ -95,62 +222,74 @@ def refresh_aggregate(
     group_cols: list[str],
     measures: dict[str, tuple[str, str]],
     partition_col: str,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
 ) -> DataFrame:
     """Bring the stored aggregate up to date with the fact table's
     partitions; returns the refreshed aggregate DataFrame. Scans ONLY
-    partitions not yet in the watermark."""
+    partitions not yet covered by a live partial; the partial and the
+    watermark commit together in one manifest rename (crash-idempotent
+    — see module docstring)."""
     os.makedirs(state_dir, exist_ok=True)
-    wm_path = os.path.join(state_dir, "_watermark.json")
-    agg_path = os.path.join(state_dir, "agg")
-    done: list[str] = []
-    if os.path.exists(wm_path):
-        with open(wm_path) as f:
-            done = json.load(f)["partitions"]
-
+    done = set(covered_partitions(state_dir))
     new = [p for p in list_partitions(fact_path, partition_col) if p not in done]
-    if not new:
-        return spark.read.parquet(agg_path)
-
-    # basePath keeps the partition column in the schema while the scan
-    # reads only the new partition directories — partition pruning by
-    # construction, not by filter.
-    new_scan = (
-        spark.read.option("basePath", fact_path)
-        .parquet(*[os.path.join(fact_path, p) for p in new])
-    )
-    partial = partial_aggregate(new_scan, group_cols, measures)
-    if os.path.exists(agg_path):
-        combined = combine_aggregates(
-            spark.read.parquet(agg_path), partial, group_cols, measures
+    if new:
+        # basePath keeps the partition column in the schema while the
+        # scan reads only the new partition directories — partition
+        # pruning by construction, not by filter.
+        new_scan = (
+            spark.read.option("basePath", fact_path)
+            .parquet(*[os.path.join(fact_path, p) for p in new])
         )
-    else:
-        combined = partial
+        partial = partial_aggregate(new_scan, group_cols, measures)
+        _append_partial(
+            state_dir,
+            partial,
+            {"partitions": new},
+            group_cols,
+            measures,
+            compact_threshold,
+        )
+    return read_aggregate(spark, state_dir, group_cols, measures)
 
-    tmp = os.path.join(state_dir, f"_agg_{uuid.uuid4().hex}")
-    combined.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(agg_path):
-        old = agg_path + "._old"
-        os.rename(agg_path, old)
-        os.rename(tmp, agg_path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, agg_path)
-    with open(wm_path, "w") as f:
-        json.dump({"partitions": done + new}, f)
-    return spark.read.parquet(agg_path)
+
+def invalidate_partitions(
+    state_dir: str, partitions: Iterable[str]
+) -> list[str]:
+    """Partition replace/delete support: drop every live partial whose
+    cover intersects ``partitions``. Because a partial's contribution is
+    exactly its recorded partition set, dropping the entry removes the
+    old data's contribution EXACTLY — no subtraction, so this is correct
+    for min/max and sketches, not just sums. Returns the partitions that
+    lost coverage (they will be rescanned by the next refresh)."""
+    targets = set(partitions)
+    manifest = _load_manifest(state_dir)
+    keep, dropped_cover = [], set()
+    for e in manifest["entries"]:
+        if targets & set(e.get("partitions", [])):
+            dropped_cover.update(e.get("partitions", []))
+        else:
+            keep.append(e)
+    manifest["entries"] = keep
+    _publish_manifest(state_dir, manifest)
+    _gc_unreferenced(state_dir, manifest)
+    return sorted(dropped_cover)
 
 
 def streaming_aggregate_sink(
     group_cols: list[str],
     measures: dict[str, tuple[str, str]],
     state_dir: str,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
 ):
     """foreachBatch sink maintaining a materialized aggregate from a
     stream — the streaming twin of ``refresh_aggregate``: each
-    micro-batch contributes an aggregate-sized partial which combines
-    into the stored table (never a history rescan). Exactly-once comes
-    from the pair (source checkpoint, processed-batch watermark): a
-    replayed batch id is skipped, so retries converge.
+    micro-batch contributes an aggregate-sized partial which joins the
+    manifest log (never a history rescan). Exactly-once comes from the
+    pair (source checkpoint, manifest batch watermark): the partial and
+    the processed-batch id commit in ONE manifest rename, so a crash at
+    any point either fully includes the batch or leaves debris that the
+    replay overwrites — a replayed batch id already in the manifest is
+    skipped.
 
     Usage::
 
@@ -158,39 +297,22 @@ def streaming_aggregate_sink(
              .foreachBatch(streaming_aggregate_sink(
                  ["event_type"], {"n": ("count", "event_id")}, state_dir))
              .option("checkpointLocation", ckpt).start())
-    """
-    import shutil
-    import uuid
 
-    agg_path = os.path.join(state_dir, "agg")
-    wm_path = os.path.join(state_dir, "_batches.json")
+    Read the current view with ``read_aggregate(spark, state_dir, ...)``.
+    """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_dir, exist_ok=True)
-        done: list[int] = []
-        if os.path.exists(wm_path):
-            with open(wm_path) as f:
-                done = json.load(f)["batches"]
-        if batch_id in done:
+        if batch_id in covered_batches(state_dir):
             return  # replay after a crash between commit and checkpoint
         partial = partial_aggregate(batch_df, group_cols, measures)
-        spark = batch_df.sparkSession
-        if os.path.exists(agg_path):
-            combined = combine_aggregates(
-                spark.read.parquet(agg_path), partial, group_cols, measures
-            )
-        else:
-            combined = partial
-        tmp = os.path.join(state_dir, f"_agg_{uuid.uuid4().hex}")
-        combined.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(agg_path):
-            old = agg_path + "._old"
-            os.rename(agg_path, old)
-            os.rename(tmp, agg_path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, agg_path)
-        with open(wm_path, "w") as f:
-            json.dump({"batches": done + [batch_id]}, f)
+        _append_partial(
+            state_dir,
+            partial,
+            {"batches": [batch_id]},
+            group_cols,
+            measures,
+            compact_threshold,
+        )
 
     return sink

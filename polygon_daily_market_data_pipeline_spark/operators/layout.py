@@ -118,21 +118,33 @@ def zorder_write(
     makes) for tight per-file envelopes. ``n_files`` is rounded up to a
     power of two."""
     # INT96 timestamps carry no parquet statistics — the whole point
-    # here is footer pruning, so force the stats-bearing INT64 layout.
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    n = 1 << max(1, (n_files - 1).bit_length())
-    key = morton_key([_bucketize(df, c, bits, bucketize) for c in zcols], bits)
-    cell = F.shiftright(F.col("__z"), bits * len(zcols) - n.bit_length() + 1)
-    (
-        df.withColumn("__z", key)
-        .repartitionByRange(n, cell)
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # here is footer pruning, so force the stats-bearing INT64 layout
+    # for THIS write only (restore the session conf afterwards).
+    conf = df.sparkSession.conf
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prior = conf.get(ts_key, None)
+    conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        n = 1 << max(1, (n_files - 1).bit_length())
+        key = morton_key(
+            [_bucketize(df, c, bits, bucketize) for c in zcols], bits
+        )
+        cell = F.shiftright(
+            F.col("__z"), bits * len(zcols) - n.bit_length() + 1
+        )
+        (
+            df.withColumn("__z", key)
+            .repartitionByRange(n, cell)
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prior is None:
+            conf.unset(ts_key)
+        else:
+            conf.set(ts_key, prior)
 
 
 def pruning_stats(path: str, col: str, lo, hi) -> tuple[int, int]:

@@ -64,7 +64,28 @@ def scd2_merge(
     Closed history rows pass through untouched and unscanned logic-wise
     (one filter); only the current slice joins the batch. The caller
     dedups the source per key (same contract as ``merge_upsert``).
+
+    The dimension's columns must be exactly ``keys`` + ``tracked`` +
+    the three SCD columns: an attribute the merge doesn't track has no
+    well-defined value on inserted rows (``scd2_init`` carries whatever
+    the source had, but a merge can't), so it is rejected up front —
+    list it in ``tracked`` or drop it before merging.
     """
+    expected = set(keys) | set(tracked) | {"valid_from", "valid_to", "is_current"}
+    extra = sorted(set(dim.columns) - expected)
+    missing = sorted(expected - set(dim.columns))
+    if extra or missing:
+        raise ValueError(
+            "scd2_merge: dim columns must be keys + tracked + "
+            "(valid_from, valid_to, is_current); "
+            f"unexpected={extra} missing={missing} — add untracked "
+            "attributes to `tracked` or drop them before merging"
+        )
+    src_missing = sorted(
+        (set(keys) | set(tracked) | {effective}) - set(source.columns)
+    )
+    if src_missing:
+        raise ValueError(f"scd2_merge: source is missing columns {src_missing}")
     current = dim.where(F.col("is_current"))
     history = dim.where(~F.col("is_current"))
 

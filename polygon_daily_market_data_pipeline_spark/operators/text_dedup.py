@@ -107,6 +107,22 @@ def _jaccard_from_inter(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
+def unpersist_after_action(
+    result: DataFrame, inputs: tuple[DataFrame, ...]
+) -> DataFrame:
+    """Terminal-action cleanup for per-call caches: materialize the
+    (output-sized) ``result`` into its own cache with one eager action,
+    then unpersist every per-call ``inputs`` frame — downstream actions
+    hit the result cache, never the released inputs. The result cache is
+    the single remaining per-call frame; it is caller-owned
+    (``result.unpersist()``) and LRU-bounded otherwise."""
+    result = result.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    for df in inputs:
+        df.unpersist(blocking=True)
+    return result
+
+
 def _pair_counts(ex: DataFrame) -> DataFrame:
     """Self-join an exploded (doc_id, s) postings frame on the shingle
     key and count shared shingles per ordered pair — shingles are
@@ -176,10 +192,11 @@ def jaccard_pairs(
     # The postings frame feeds the df-count, the cold self-join and the
     # hot correction — persist it so the explode scan runs once. Like
     # ``survivors`` below this is a per-call frame with no cross-query
-    # reuse: both stay cached after the caller's action until LRU
-    # eviction (same documented policy as ``_with_shingles``). A caller
-    # that materializes the result and wants the memory back can
-    # ``unpersist()`` the frames exposed as ``result._cached_inputs``.
+    # reuse, so it is RELEASED before return: ``unpersist_after_action``
+    # materializes the output-sized result into its own cache and
+    # unpersists both per-call frames. The shared shingle index
+    # (``_with_shingles``) stays cached deliberately — identical dedup
+    # plans in the same session reuse it.
     ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     hot = ex.groupBy("s").count().where(F.col("count") > df_cap).select("s")
     cold = _pair_counts(ex.join(hot, "s", "left_anti")).withColumnRenamed(
@@ -236,9 +253,11 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    # Cleanup hook for callers that materialize the result (see persist
-    # note above) — lazy evaluation means we cannot unpersist here.
-    result._cached_inputs = (ex, survivors)
+    # Terminal-action cleanup (see persist note above): after this the
+    # only per-call cached frame is the materialized result itself,
+    # exposed via ``_cached_inputs`` for callers that want it freed too.
+    result = unpersist_after_action(result, (ex, survivors))
+    result._cached_inputs = (result,)
     return result
 
 

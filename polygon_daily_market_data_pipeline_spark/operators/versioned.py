@@ -17,10 +17,20 @@ Semantics:
 - ``mode="overwrite"`` → the new version sees only this commit's files.
 - ``mode="append"``    → the new version sees the previous version's
   directories plus this commit's.
-- Concurrency: last-manifest-wins per version number; writers racing to
-  the same version fail on the rename (os.rename onto an existing name
-  is atomic-replace on POSIX, so serialize writers externally — same
-  contract as the reference's one-daily-writer DAG).
+- Concurrency: one writer per version number, ENFORCED. The manifest is
+  published with a fail-if-exists link (os.link of the temp file onto
+  the final name — POSIX link(2) fails with EEXIST instead of
+  replacing, unlike os.rename which silently clobbers), so of two
+  writers racing to the same version number exactly one succeeds and
+  the loser gets ``FileExistsError`` — its data directory becomes
+  unreferenced debris that ``vacuum`` reclaims. This closes the
+  lost-append race for ``optimize_zorder``/``rollback`` too: they
+  compute their target version from the latest manifest, so a
+  concurrent append that lands first makes their publish fail rather
+  than silently dropping the append. ``optimize_zorder`` additionally
+  takes ``expected_version`` to fail BEFORE its (expensive) rewrite.
+  The intended operating mode is still the reference's one-daily-writer
+  DAG; the enforcement is the safety net, not a coordination protocol.
 """
 
 from __future__ import annotations
@@ -54,12 +64,36 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
+    """Fail-if-exists atomic publish: write to a temp name, then
+    os.link onto the final name — link(2) raises EEXIST if the version
+    was already committed (os.rename would atomically REPLACE it and
+    silently drop the loser's commit)."""
+    vdir = _versions_dir(table_dir)
+    tmp = os.path.join(vdir, f"_tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    final = os.path.join(vdir, f"{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {version} already committed in {table_dir} — "
+            "concurrent writer won the race; re-read the latest version "
+            "and retry (this commit's data dir is unreferenced debris "
+            "until vacuum)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
 def commit_version(
     df: DataFrame, table_dir: str, mode: str = "overwrite"
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
-    Data lands in an immutable uuid directory; the manifest rename is
-    the commit."""
+    Data lands in an immutable uuid directory; the fail-if-exists
+    manifest publish is the commit — a racing writer to the same
+    version number raises ``FileExistsError``."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
@@ -79,10 +113,7 @@ def commit_version(
         "mode": mode,
         "dirs": dirs,
     }
-    tmp = os.path.join(_versions_dir(table_dir), f"_tmp_{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
+    _publish_manifest(table_dir, version, manifest)
     return version
 
 
@@ -175,10 +206,7 @@ def rollback(table_dir: str, to_version: int) -> int:
         "mode": f"rollback({to_version})",
         "dirs": src["dirs"],
     }
-    tmp = os.path.join(_versions_dir(table_dir), f"_tmp_{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
+    _publish_manifest(table_dir, version, manifest)
     return version
 
 
@@ -189,20 +217,36 @@ def optimize_zorder(
     n_files: int,
     bits: int | None = None,
     bucketize: str = "linear",
+    expected_version: int | None = None,
 ) -> int:
     """Delta-style ``OPTIMIZE ... ZORDER BY``: publish a new version
     with IDENTICAL rows laid out z-ordered on ``zcols`` — readers of
     the old version are untouched (its files are never moved), the new
     version's scans prune on every z-column, and ``vacuum`` reclaims
     the pre-optimize layout once it ages out. Returns the new version
-    number."""
+    number.
+
+    Concurrency: the rewrite reads the CURRENT version, so an append
+    landing between the read and the publish would be missing from the
+    optimized layout — the fail-if-exists publish turns that race into
+    a ``FileExistsError`` for whichever writer loses (never a silent
+    drop). Pass ``expected_version`` (the version you intend to
+    optimize) to fail cheaply BEFORE the rewrite if the table has
+    already moved on."""
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
         DEFAULT_BITS,
         zorder_write,
     )
 
-    df = read_version(spark, table_dir)
     versions = _manifests(table_dir)
+    if expected_version is not None and (
+        not versions or versions[-1] != expected_version
+    ):
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1] if versions else 'empty'} — re-read and retry"
+        )
+    df = read_version(spark, table_dir)
     version = versions[-1] + 1
     data_dir = os.path.join(table_dir, "_data", f"v{version}-{uuid.uuid4().hex}")
     zorder_write(
@@ -214,8 +258,5 @@ def optimize_zorder(
         "mode": f"optimize_zorder({','.join(zcols)})",
         "dirs": [os.path.relpath(data_dir, table_dir)],
     }
-    tmp = os.path.join(_versions_dir(table_dir), f"_tmp_{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{version}.json"))
+    _publish_manifest(table_dir, version, manifest)
     return version

@@ -631,7 +631,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    return neardup_components(pairs).orderBy("doc_id")
+    return neardup_components(pairs, release_pairs=True).orderBy("doc_id")
 
 
 def _split_oracle() -> str:

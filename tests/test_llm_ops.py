@@ -626,3 +626,30 @@ def test_pack_sequences(spark):
     assert sorted((r.seq_id, r.text) for r in packed) != sorted(
         (r.seq_id, r.text) for r in other
     )
+
+
+def test_jaccard_registered_query_releases_per_call_caches(spark):
+    """The df_cap plan persists two per-call frames (postings +
+    survivors); ``unpersist_after_action`` must release both before the
+    query returns, leaving only the intentional caches: the shared
+    shingle index and the materialized output-sized result (exposed as
+    ``_cached_inputs`` so terminal consumers can free it too)."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import jaccard_pairs
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    sc = spark.sparkContext
+    for rdd in dict(sc._jsc.getPersistentRDDs()).values():
+        rdd.unpersist()
+    assert len(dict(sc._jsc.getPersistentRDDs())) == 0
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", threshold=0.5, df_cap=100)
+    out.collect()  # the driver's action
+
+    live = dict(sc._jsc.getPersistentRDDs())
+    assert len(live) <= 2, f"leftover per-call caches: {live}"
+
+    # terminal consumers can free the result cache through the hook
+    for f in out._cached_inputs:
+        f.unpersist(blocking=True)
+    assert len(dict(sc._jsc.getPersistentRDDs())) <= 1  # shingle index only

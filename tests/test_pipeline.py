@@ -427,13 +427,110 @@ def test_incremental_aggregate_refresh(spark, tmp_path):
         assert abs(est[r.event_type] - r.exact_users) <= max(2, 0.05 * r.exact_users)
 
     # pruning-by-construction: a third refresh with nothing new reads
-    # only the stored aggregate, and the watermark lists every day
-    import json
+    # only the stored partials, and the watermark lists every day
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        covered_partitions,
+    )
 
-    wm = json.load(open(os.path.join(state, "_watermark.json")))
-    assert wm["partitions"] == days
+    assert covered_partitions(state) == days
     agg3 = refresh_aggregate(spark, fact, state, ["event_type"], measures, "day")
-    assert all("/state/agg/" in f or "\\state\\agg\\" in f for f in agg3.inputFiles())
+    assert all("/state/partial-" in f.replace("\\", "/") for f in agg3.inputFiles())
+
+
+def test_incremental_refresh_partition_replace_and_crash(spark, tmp_path):
+    """The two recovery stories the manifest log exists for:
+
+    1. Partition replace: invalidate_partitions drops the partials
+       covering the replaced day, and the next refresh re-aggregates it
+       — the result equals a full recompute of the NEW data (the old
+       contribution is gone exactly, including min/max).
+    2. Crash between partial write and manifest publish: debris dir is
+       ignored by readers and the rerun re-covers the same partitions
+       once (no double count).
+    """
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        covered_partitions,
+        invalidate_partitions,
+        refresh_aggregate,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fact = str(tmp_path / "fact")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact)
+    days = sorted(d for d in os.listdir(fact) if d.startswith("day="))
+    state = str(tmp_path / "state")
+    measures = {
+        "n": ("count", "event_id"),
+        "sum_value": ("sum", "value"),
+        "max_value": ("max", "value"),
+    }
+    # low compact threshold on purpose: compaction must not break
+    # invalidation correctness (it only widens the rescan)
+    refresh_aggregate(
+        spark, fact, state, ["event_type"], measures, "day", compact_threshold=2
+    )
+
+    # --- replace one day's data with a shrunken version ---
+    victim = days[len(days) // 2]
+    vic_path = os.path.join(fact, victim)
+    shrunk = (
+        spark.read.option("basePath", fact)
+        .parquet(vic_path)
+        .where(F.col("value") > 50)
+        .drop("day")
+    )
+    tmp_out = str(tmp_path / "shrunk")
+    shrunk.write.mode("overwrite").parquet(tmp_out)
+    import shutil
+
+    shutil.rmtree(vic_path)
+    os.rename(tmp_out, vic_path)
+
+    rescan = invalidate_partitions(state, [victim])
+    assert victim in rescan
+    assert victim not in covered_partitions(state)
+
+    agg = refresh_aggregate(
+        spark, fact, state, ["event_type"], measures, "day", compact_threshold=2
+    )
+    full = (
+        spark.read.parquet(fact)
+        .groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    key = lambda r: (r.event_type, r.n, round(r.sum_value, 6), r.max_value)  # noqa: E731
+    assert sorted(key(r) for r in agg.collect()) == sorted(
+        key(r) for r in full.collect()
+    )
+
+    # --- crash story: an orphan partial dir (no manifest entry) is
+    # invisible to readers and to the watermark ---
+    orphan = os.path.join(state, "partial-deadbeefcafe")
+    spark.createDataFrame(
+        [("view", 10**9, 10**9.0, 10**9.0)], "event_type string, n long, sum_value double, max_value double"
+    ).write.parquet(orphan)
+    before = sorted(key(r) for r in agg.collect())
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        read_aggregate,
+    )
+
+    after = sorted(
+        key(r)
+        for r in read_aggregate(spark, state, ["event_type"], measures).collect()
+    )
+    assert after == before
+    # next successful publish garbage-collects the debris
+    invalidate_partitions(state, [])
+    assert not os.path.exists(orphan)
 
 
 def test_versioned_table_time_travel(spark, tmp_path):

@@ -384,6 +384,7 @@ def test_streaming_aggregate_sink_incremental_mv(spark, tmp_path):
     final table equals a batch groupBy over all input, and a replayed
     batch id is a no-op (exactly-once under retries)."""
     from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        read_aggregate,
         streaming_aggregate_sink,
     )
 
@@ -408,9 +409,12 @@ def test_streaming_aggregate_sink_incremental_mv(spark, tmp_path):
     )
     q.awaitTermination()
 
+    measures = {"n": ("count", "event_id"), "sum_value": ("sum", "value")}
     got = {
         r.user_id: (r.n, r.sum_value)
-        for r in spark.read.parquet(str(tmp_path / "state" / "agg")).collect()
+        for r in read_aggregate(
+            spark, str(tmp_path / "state"), ["user_id"], measures
+        ).collect()
     }
     want = {
         r.user_id: (r.n, r.sum_value)
@@ -424,6 +428,8 @@ def test_streaming_aggregate_sink_incremental_mv(spark, tmp_path):
     sink(df.limit(3), batch_id=0)
     again = {
         r.user_id: (r.n, r.sum_value)
-        for r in spark.read.parquet(str(tmp_path / "state" / "agg")).collect()
+        for r in read_aggregate(
+            spark, str(tmp_path / "state"), ["user_id"], measures
+        ).collect()
     }
     assert again == got
