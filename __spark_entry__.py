@@ -25,6 +25,7 @@ from polygon_daily_market_data_pipeline_spark.plans.analytics import (  # noqa: 
 import polygon_daily_market_data_pipeline_spark.plans.llm_ops  # noqa: E402,F401  (registers queries)
 import polygon_daily_market_data_pipeline_spark.plans.media_ops  # noqa: E402,F401  (registers queries)
 import polygon_daily_market_data_pipeline_spark.plans.streaming_queries  # noqa: E402,F401  (registers queries)
+import polygon_daily_market_data_pipeline_spark.plans.warehouse_ops  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -29,7 +29,12 @@ sys.path.insert(0, str(_REPO))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from polygon_daily_market_data_pipeline_spark.plans import llm_ops, media_ops, streaming_queries  # noqa: E402,F401
+from polygon_daily_market_data_pipeline_spark.plans import (  # noqa: E402,F401
+    llm_ops,
+    media_ops,
+    streaming_queries,
+    warehouse_ops,
+)
 from polygon_daily_market_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
 
 
@@ -85,19 +90,26 @@ def main() -> None:
 
     # Outlier re-time: this VM shows one-off per-query spikes up to 8×
     # on identical plans (GC/host contention — see BASELINE.md canary
-    # note). A query far above the suite median gets ONE re-run and
-    # reports the min; reruns are disclosed in the JSON so the record
-    # shows which numbers were noise-suppressed.
+    # note). A query far above the suite median gets TWO re-runs and
+    # reports the MEDIAN of the three samples — min-of-rerun would bias
+    # down systematically; the median forgives a one-off spike but keeps
+    # a genuine regression visible. First runs stay disclosed in the
+    # JSON so the record shows which numbers were noise-suppressed.
     ok = sorted(t for t in timings.values() if t >= 0)
     reruns: dict[str, float] = {}
     if ok:
         median = ok[len(ok) // 2]
         for name, t in list(timings.items()):
             if t >= max(5 * median, 3.0) and "stream" not in name:
-                t2 = run_once(name, QUERIES[name])
-                if 0 <= t2 < t:
+                samples = [t]
+                for _ in range(2):
+                    t2 = run_once(name, QUERIES[name])
+                    if t2 >= 0:
+                        samples.append(t2)
+                retimed = sorted(samples)[len(samples) // 2]
+                if retimed != t:
                     reruns[name] = t  # keep the original for the record
-                    timings[name] = t2
+                    timings[name] = retimed
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {
@@ -107,6 +119,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Machine-speed canary (BASELINE.md): zz_sentinel_tail is a fixed
+    # tiny workload, so suite_total / canary compares rounds on a
+    # VM-speed-independent scale. Both raw and normalized are emitted.
+    canary = timings.get("zz_sentinel_tail", -1.0)
+    if canary > 0:
+        out["canary_sec"] = canary
+        out["value_canary_norm"] = round(total / canary, 1)
     if reruns:
         out["outlier_first_runs"] = reruns
     print(json.dumps(out))

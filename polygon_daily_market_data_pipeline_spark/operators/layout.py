@@ -147,45 +147,75 @@ def zorder_write(
             conf.set(ts_key, prior)
 
 
-def pruning_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
-    """(total_files, files_whose_[min,max]_overlaps_[lo,hi]) from
-    parquet footer statistics — the same decision a Spark scan makes
-    before scheduling tasks. Footer-only: no data pages are read."""
+def _cmp_stat(v):
+    # normalize to naive UTC: Spark writes isAdjustedToUTC
+    # timestamps (stats surface tz-aware), callers pass naive
     import datetime
 
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _file_envelopes(path: str, cols: list[str]):
+    """Per nonempty parquet file: {col: (min, max)} from footer
+    statistics, or {col: None} when any row group lacks stats (cannot
+    prune). Footer-only — no data pages are read."""
     import pyarrow.parquet as pq
 
-    def _cmp(v):
-        # normalize to naive UTC: Spark writes isAdjustedToUTC
-        # timestamps (stats surface tz-aware), callers pass naive
-        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        return v
-
-    lo, hi = _cmp(lo), _cmp(hi)
-    total = overlapping = 0
     for root, _dirs, files in os.walk(path):
-        for fname in files:
+        for fname in sorted(files):
             if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(root, fname)).metadata
             if md.num_rows == 0:
                 # empty range partition: footer-only, nothing to scan
                 continue
-            total += 1
-            fmin = fmax = None
-            idx = md.schema.to_arrow_schema().get_field_index(col)
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    fmin = fmax = None
-                    break
-                smin, smax = _cmp(st.min), _cmp(st.max)
-                fmin = smin if fmin is None else min(fmin, smin)
-                fmax = smax if fmax is None else max(fmax, smax)
-            # missing stats => cannot prune, counts as overlapping
-            if fmin is None or (fmax >= lo and fmin <= hi):
-                overlapping += 1
+            arrow_schema = md.schema.to_arrow_schema()
+            env: dict = {}
+            for col in cols:
+                idx = arrow_schema.get_field_index(col)
+                fmin = fmax = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        fmin = fmax = None
+                        break
+                    smin, smax = _cmp_stat(st.min), _cmp_stat(st.max)
+                    fmin = smin if fmin is None else min(fmin, smin)
+                    fmax = smax if fmax is None else max(fmax, smax)
+                env[col] = None if fmin is None else (fmin, fmax)
+            yield env
+
+
+def pruning_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(total_files, files_whose_[min,max]_overlaps_[lo,hi]) from
+    parquet footer statistics — the same decision a Spark scan makes
+    before scheduling tasks."""
+    return pruning_stats_multi(path, {col: (lo, hi)})
+
+
+def pruning_stats_multi(path: str, preds: dict) -> tuple[int, int]:
+    """(total_files, files_overlapping_EVERY_predicate) for a
+    conjunctive predicate ``{col: (lo, hi), ...}`` — the footer-stats
+    decision for ``col1 BETWEEN .. AND col2 BETWEEN ..`` scans, which is
+    where z-order beats any single-column sort: a file is scheduled only
+    if its envelope intersects ALL ranges. Missing stats on a column
+    count as overlapping (cannot prune)."""
+    preds = {c: (_cmp_stat(lo), _cmp_stat(hi)) for c, (lo, hi) in preds.items()}
+    total = overlapping = 0
+    for env in _file_envelopes(path, list(preds)):
+        total += 1
+        hit = True
+        for col, (lo, hi) in preds.items():
+            if env[col] is None:
+                continue  # cannot prune on this column
+            fmin, fmax = env[col]
+            if fmax < lo or fmin > hi:
+                hit = False
+                break
+        if hit:
+            overlapping += 1
     return total, overlapping
 
 

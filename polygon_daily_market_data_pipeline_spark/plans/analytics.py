@@ -374,20 +374,28 @@ def top10_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), core_existing AS (
         SELECT COUNT(*) AS c
         FROM keys JOIN orders ON o_orderkey = keys.k
+    ), loaded AS (
+        SELECT COUNT(*) AS c FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) = DATE '1998-03-15'
     )
     SELECT raw_cnt.c                      AS raw_rows,
            key_cnt.c                      AS distinct_keys,
            core_existing.c                AS existing_keys,
            key_cnt.c - core_existing.c    AS inserts_est,
-           core_existing.c                AS updates_est
-    FROM raw_cnt CROSS JOIN key_cnt CROSS JOIN core_existing
+           core_existing.c                AS updates_est,
+           loaded.c > 0                   AS data_loaded,
+           loaded.c                       AS loaded_rows
+    FROM raw_cnt CROSS JOIN key_cnt CROSS JOIN core_existing CROSS JOIN loaded
     """,
 )
 def premerge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's pre-merge audit (premerge_metrics.sql): three
     1-row aggregate CTEs (raw count, distinct source keys, keys already
     present in the target) cross-joined into one metrics row, with
-    insert/update estimates derived arithmetically.
+    insert/update estimates derived arithmetically. Also carries the
+    Q3/A1/F13 post-load presence gate (check_loaded.sql:4-6 — COUNT(*)>0
+    under a date-literal partition predicate, pushed to the scan), which
+    previously held its own query slot.
 
     Scale: counts are partial-agg; the key-existence join is a
     broadcast of the (small) distinct-keys side in practice; 1×1×1
@@ -401,15 +409,24 @@ def premerge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.join(orders, keys.k == orders.o_orderkey, "inner")
         .agg(F.count(F.lit(1)).alias("existing_keys"))
     )
+    loaded = li.where(
+        F.col("l_shipdate").cast("date") == F.lit("1998-03-15").cast("date")
+    ).agg(
+        (F.count(F.lit(1)) > 0).alias("data_loaded"),
+        F.count(F.lit(1)).alias("loaded_rows"),
+    )
     return (
         raw_cnt.crossJoin(key_cnt)
         .crossJoin(existing)
+        .crossJoin(loaded)
         .select(
             "raw_rows",
             "distinct_keys",
             "existing_keys",
             (F.col("distinct_keys") - F.col("existing_keys")).alias("inserts_est"),
             F.col("existing_keys").alias("updates_est"),
+            "data_loaded",
+            "loaded_rows",
         )
     )
 
@@ -569,30 +586,11 @@ def active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Load gate (A1/F13 — check_loaded.sql) + typed projection (P1/P2)
+# Typed projection (P1/P2). The A1/F13 load gate (check_loaded.sql) that
+# previously held a slot here is folded into premerge_metrics' oracle
+# (data_loaded/loaded_rows columns), freeing the slot for the
+# warehouse-maintenance union query (plans/warehouse_ops.py).
 # ---------------------------------------------------------------------------
-
-@register(
-    "check_loaded",
-    """
-    SELECT COUNT(*) > 0 AS data_loaded, COUNT(*) AS row_cnt
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) = DATE '1998-03-15'
-    """,
-)
-def check_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The post-load presence gate: COUNT(*) > 0 under a date-literal
-    partition predicate (check_loaded.sql:4-6). The filter reaches the
-    parquet scan as a pushed predicate — the 100 TB version prunes to
-    one date partition."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.where(
-        F.col("l_shipdate").cast("date") == F.lit("1998-03-15").cast("date")
-    ).agg(
-        (F.count(F.lit(1)) > 0).alias("data_loaded"),
-        F.count(F.lit(1)).alias("row_cnt"),
-    )
-
 
 @register(
     "typed_load_projection",

@@ -1,0 +1,375 @@
+"""Registered warehouse-maintenance query: the round-5 operator layer
+(SCD2, incremental/streaming materialized aggregates, versioned tables
+with time travel + rollback) exercised end-to-end as ONE union query
+with a mechanical DuckDB twin, so the driver's differential check
+covers what previously rested on self-written tests alone.
+
+Every branch runs a deterministic script derived from the driver
+testdata tables (customer / orders / events), writes its state under a
+per-process temp directory rebuilt on each call, and emits audit rows
+of a fixed shape::
+
+    (check_name string, n_rows bigint, n_aux bigint, val double)
+
+The DuckDB oracle reproduces each branch's expected numbers directly
+from the base tables — e.g. the SCD2 history count is |keys| + |new
+keys| + |changed keys|, a versioned table's AS OF count is a date
+filter — so the comparison is value-exact, not shape-only.
+
+Float-sum discipline: ``val`` is either an exact-integer sum (SCD2 key
+sums), an order-insensitive MAX, or a ROUND(...,2) over an
+orders-sized sum where accumulated double drift is ≤1e-4 — never a
+rounded global sum over a table big enough for summation order to
+reach the rounding boundary (events sums are compared Spark-vs-Spark
+with an explicit 0.01 tolerance instead).
+
+Scale notes: each branch is the operator's real plan — the SCD2 merge
+joins only the current slice, the incremental refresh scans only new
+partitions (O(new data)), versioned commits move manifests not data,
+and the streaming MV combines aggregate-sized partials per micro-batch.
+The scripted inputs scale with sf (modulo-filtered), so bench timings
+track the operators, not fixture constants.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+    read_aggregate,
+    refresh_aggregate,
+    streaming_aggregate_sink,
+)
+from polygon_daily_market_data_pipeline_spark.operators.scd import (
+    as_of,
+    scd2_init,
+    scd2_merge,
+)
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    history,
+    read_version,
+    rollback,
+)
+from polygon_daily_market_data_pipeline_spark.plans.analytics import register
+from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+_TS1 = "2024-01-01 00:00:00"
+_TS2 = "2024-02-01 00:00:00"
+# versioned/incremental batch boundary — testdata orders span
+# 1995-01-01..2001-08-01, so the cut splits them roughly in half
+_CUT = "1998-01-01 00:00:00"
+
+_SCHEMA = "check_name string, n_rows bigint, n_aux bigint, val double"
+
+
+def _row(df: DataFrame, name: str) -> DataFrame:
+    """Tag a 1-row (n_rows, n_aux, val) aggregate with its check name."""
+    return df.select(
+        F.lit(name).alias("check_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_aux").cast("long").alias("n_aux"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Two-batch SCD2 script on customer: batch 1 = the snapshot at TS1;
+    batch 2 (TS2) re-observes a SUBSET of keys (custkey % 3 != 2 — the
+    missing keys exercise 'only in dim'), moves every 10th key's segment
+    (the 'changed' path), and adds brand-new keys (custkey+10M for every
+    100th — the 'only in source' path)."""
+    cust = load_table(spark, sf_dir, "customer")
+    b1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_TS1).cast("timestamp").alias("eff"),
+    )
+    b2 = (
+        cust.where(F.col("c_custkey") % 3 != 2)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("ZZ_MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("ZZ_NEW").alias("segment"),
+            )
+        )
+        .withColumn("eff", F.lit(_TS2).cast("timestamp"))
+    )
+    dim = scd2_merge(
+        scd2_init(b1, ["c_custkey"], "eff"), b2, ["c_custkey"], ["segment"], "eff"
+    )
+    hist = dim.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("is_current"), 1)).alias("n_aux"),
+        F.sum(F.when(~F.col("is_current"), F.col("c_custkey"))).alias("val"),
+    )
+    at1, at2 = as_of(dim, _TS1), as_of(dim, _TS2)
+    asof = (
+        at1.agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(
+            at2.agg(
+                F.count(F.lit(1)).alias("n_aux"),
+                F.count(F.when(F.col("segment") == "ZZ_MOVED", 1)).alias("val"),
+            )
+        )
+    )
+    return [_row(hist, "scd2_history"), _row(asof, "scd2_asof")]
+
+
+def _incremental_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Partitioned fact + two-step incremental refresh: load pre-cut
+    years, refresh, append the rest, refresh again — the second refresh
+    scans only the new year partitions. Emits the refreshed rollup and
+    an explicit equality row against a full recompute (tolerance 0.01,
+    Spark-vs-Spark, so double summation order cannot flake)."""
+    fact = os.path.join(base, "fact")
+    state = os.path.join(base, "inc_state")
+    part = ord_df.withColumn("oyear", F.year("o_orderdate"))
+    cut = F.lit(_CUT).cast("timestamp")
+    measures = {
+        "n": ("count", "o_orderkey"),
+        "sum_total": ("sum", "o_totalprice"),
+    }
+    part.where(F.col("o_orderdate") < cut).write.partitionBy("oyear").mode(
+        "overwrite"
+    ).parquet(fact)
+    refresh_aggregate(spark, fact, state, ["o_orderpriority"], measures, "oyear")
+    part.where(F.col("o_orderdate") >= cut).write.partitionBy("oyear").mode(
+        "append"
+    ).parquet(fact)
+    agg = refresh_aggregate(
+        spark, fact, state, ["o_orderpriority"], measures, "oyear"
+    )
+    rollup = agg.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n").alias("n_aux"),
+        F.round(F.sum("sum_total"), 2).alias("val"),
+    )
+    full = (
+        spark.read.parquet(fact)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("o_orderkey").alias("fn"),
+            F.sum("o_totalprice").alias("fsum"),
+        )
+    )
+    equals = (
+        agg.join(full, "o_orderpriority", "full_outer")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("n").isNull()
+                    | F.col("fn").isNull()
+                    | (F.col("n") != F.col("fn"))
+                    | (F.abs(F.col("sum_total") - F.col("fsum")) > 0.01),
+                    1,
+                )
+            ).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_aux"),
+            F.lit(0.0).alias("val"),
+        )
+    )
+    return [_row(rollup, "incremental_refresh"), _row(equals, "incremental_equals_full")]
+
+
+def _versioned_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Versioned-table script: v0 = pre-cut orders (overwrite), v1 =
+    append of the rest, v2 = rollback to v0. Time travel by version and
+    by timestamp (AS OF v1's commit instant) plus rollback-as-forward-
+    commit, each reduced to counts/sums the oracle recomputes from the
+    date filter."""
+    tdir = os.path.join(base, "vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    commit_version(ord_df.where(F.col("o_orderdate") < cut), tdir, mode="overwrite")
+    v1 = commit_version(
+        ord_df.where(F.col("o_orderdate") >= cut), tdir, mode="append"
+    )
+    v2 = rollback(tdir, to_version=0)
+    t_v1 = [h for h in history(tdir) if h["version"] == v1][0]["committed_at"]
+
+    def _summarize(df: DataFrame, aux) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(aux).alias("n_aux"),
+            F.round(F.sum("o_totalprice"), 2).alias("val"),
+        )
+
+    return [
+        _row(_summarize(read_version(spark, tdir, version=0), 0), "versioned_v0"),
+        _row(
+            _summarize(read_version(spark, tdir, as_of=t_v1), v1), "versioned_asof"
+        ),
+        _row(_summarize(read_version(spark, tdir), v2), "versioned_rollback"),
+    ]
+
+
+def _streaming_mv_rows(
+    spark: SparkSession, sf_dir: str, base: str
+) -> list[DataFrame]:
+    """Streaming materialized-view maintenance as a real streaming job:
+    events (user_id % 4 == 1) drain through foreachBatch into the
+    manifest-logged aggregate, then the stored view's rollup and an
+    equality row against the batch recompute (0.01 tolerance) are
+    emitted. The oracle recomputes the rollup from the events table."""
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        events_stream_source,
+    )
+
+    state = os.path.join(base, "mv_state")
+    measures = {"n": ("count", "event_id"), "sum_value": ("sum", "value")}
+    ev = events_stream_source(spark, sf_dir).where(F.col("user_id") % 4 == 1)
+    q = (
+        ev.writeStream.foreachBatch(
+            streaming_aggregate_sink(["event_type"], measures, state)
+        )
+        .option("checkpointLocation", os.path.join(base, "mv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mv = read_aggregate(spark, state, ["event_type"], measures)
+    # oracle-facing val = MAX of per-group ROUNDED sums: per-group
+    # magnitude keeps double drift ≪ the 4dp boundary, and MAX is
+    # order-insensitive — a global sum over events would not be.
+    rollup = mv.select(F.round("sum_value", 4).alias("rs"), "n").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n").alias("n_aux"),
+        F.max("rs").alias("val"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 1)
+        .groupBy("event_type")
+        .agg(F.count("event_id").alias("bn"), F.sum("value").alias("bsum"))
+    )
+    equals = (
+        mv.join(batch, "event_type", "full_outer")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("n").isNull()
+                    | F.col("bn").isNull()
+                    | (F.col("n") != F.col("bn"))
+                    | (F.abs(F.col("sum_value") - F.col("bsum")) > 0.01),
+                    1,
+                )
+            ).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_aux"),
+            F.lit(0.0).alias("val"),
+        )
+    )
+    return [_row(rollup, "streaming_mv"), _row(equals, "streaming_mv_equals_batch")]
+
+
+_ORACLE = f"""
+    WITH b2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'ZZ_MOVED'
+                    ELSE c_mktsegment END AS segment
+        FROM customer WHERE c_custkey % 3 <> 2
+        UNION ALL
+        SELECT c_custkey + 10000000, 'ZZ_NEW'
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    changed AS (
+        SELECT b2.c_custkey FROM b2
+        JOIN customer c ON b2.c_custkey = c.c_custkey
+        WHERE b2.segment <> c.c_mktsegment
+    ),
+    newk AS (SELECT c_custkey FROM b2 WHERE c_custkey >= 10000000),
+    ord AS (SELECT * FROM orders WHERE o_custkey % 4 = 1),
+    ord_v0 AS (SELECT * FROM ord WHERE o_orderdate < TIMESTAMP '{_CUT}'),
+    ev AS (SELECT * FROM events WHERE user_id % 4 = 1),
+    ev_groups AS (
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
+        FROM ev GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 'scd2_history' AS check_name,
+               (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk)
+                   + (SELECT COUNT(*) FROM changed)              AS n_rows,
+               (SELECT COUNT(*) FROM customer)
+                   + (SELECT COUNT(*) FROM newk)                 AS n_aux,
+               CAST((SELECT COALESCE(SUM(c_custkey), 0) FROM changed)
+                    AS DOUBLE)                                   AS val
+        UNION ALL
+        SELECT 'scd2_asof',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk),
+               CAST((SELECT COUNT(*) FROM changed) AS DOUBLE)
+        UNION ALL
+        SELECT 'incremental_refresh',
+               (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
+               (SELECT COUNT(*) FROM ord),
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+        UNION ALL
+        SELECT 'incremental_equals_full',
+               0,
+               (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
+               CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT 'versioned_v0',
+               (SELECT COUNT(*) FROM ord_v0),
+               0,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
+        UNION ALL
+        SELECT 'versioned_asof',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+        UNION ALL
+        SELECT 'versioned_rollback',
+               (SELECT COUNT(*) FROM ord_v0),
+               2,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
+        UNION ALL
+        SELECT 'streaming_mv',
+               (SELECT COUNT(*) FROM ev_groups),
+               (SELECT COUNT(*) FROM ev),
+               (SELECT MAX(rs) FROM ev_groups)
+        UNION ALL
+        SELECT 'streaming_mv_equals_batch',
+               0,
+               (SELECT COUNT(*) FROM ev_groups),
+               CAST(0.0 AS DOUBLE)
+    ) ORDER BY check_name
+"""
+
+
+@register("warehouse_maintenance", _ORACLE)
+def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 + incremental refresh + versioned time travel + streaming MV
+    in one oracle-checked union (see module docstring). State lives in a
+    per-process temp dir rebuilt per call, so reruns are deterministic."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"wh_maint_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    ord_df = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 4 == 1)
+    rows = (
+        _scd2_rows(spark, sf_dir)
+        + _incremental_rows(spark, ord_df, base)
+        + _versioned_rows(spark, ord_df, base)
+        + _streaming_mv_rows(spark, sf_dir, base)
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("check_name")

@@ -307,3 +307,73 @@ def test_scd2_properties(spark, snaps):
             seq = sorted(versions, key=lambda r: r.valid_from)
             for a, b in zip(seq, seq[1:]):
                 assert a.valid_to == b.valid_from, (k, seq)
+
+
+def test_scd2_asof_join_late_facts_point_in_time(spark):
+    """SCD2 × as-of integration: late-arriving facts enriched with the
+    dimension attribute AS OF each fact's own event time, two ways that
+    must agree — (a) per-instant `as_of` slices, (b) one distributed
+    `asof_join` of facts against the dim's version starts (valid_from is
+    the version's effective instant; versions are contiguous, so latest
+    valid_from <= ts IS the covering version). Expected frame is
+    hand-computed."""
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.asof import asof_join
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        as_of,
+        scd2_init,
+        scd2_merge,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    t2 = dt.datetime(2024, 3, 1)
+
+    def snap(rows, eff):
+        return spark.createDataFrame(
+            [(s, r, eff) for s, r in rows], "symbol string, rating string, eff timestamp"
+        )
+
+    dim = scd2_init(snap([("AAA", "A-"), ("BBB", "B+")], t0), ["symbol"], "eff")
+    dim = scd2_merge(dim, snap([("AAA", "A+"), ("BBB", "B+")], t1), ["symbol"], ["rating"], "eff")
+    dim = scd2_merge(dim, snap([("AAA", "AA"), ("CCC", "C")], t2), ["symbol"], ["rating"], "eff")
+
+    facts = spark.createDataFrame(
+        [
+            ("AAA", dt.datetime(2024, 1, 15), 10.0),   # era 1 -> A-
+            ("AAA", dt.datetime(2024, 2, 1), 20.0),    # boundary: t1 inclusive -> A+
+            ("AAA", dt.datetime(2024, 2, 15), 30.0),   # era 2 -> A+
+            ("AAA", dt.datetime(2024, 5, 1), 40.0),    # era 3 -> AA
+            ("BBB", dt.datetime(2024, 4, 1), 50.0),    # unchanged key -> B+
+            ("CCC", dt.datetime(2024, 1, 20), 60.0),   # before key existed -> NULL
+            ("CCC", dt.datetime(2024, 3, 2), 70.0),    # new key, era 3 -> C
+        ],
+        "symbol string, ts timestamp, qty double",
+    )
+    expected = {
+        ("AAA", dt.datetime(2024, 1, 15)): "A-",
+        ("AAA", dt.datetime(2024, 2, 1)): "A+",
+        ("AAA", dt.datetime(2024, 2, 15)): "A+",
+        ("AAA", dt.datetime(2024, 5, 1)): "AA",
+        ("BBB", dt.datetime(2024, 4, 1)): "B+",
+        ("CCC", dt.datetime(2024, 1, 20)): None,
+        ("CCC", dt.datetime(2024, 3, 2)): "C",
+    }
+
+    # (a) per-instant slice: filter the dim AS OF each distinct fact ts
+    for (sym, ts), want in expected.items():
+        sl = as_of(dim, ts).where(F.col("symbol") == sym).collect()
+        got = sl[0]["rating"] if sl else None
+        assert got == want, f"as_of({ts}) {sym}: {got} != {want}"
+
+    # (b) one distributed asof_join over all facts at once
+    versions = dim.select("symbol", F.col("valid_from").alias("ts"), "rating")
+    enriched = asof_join(
+        facts, versions, on="ts", by=["symbol"], value_cols=["rating"]
+    )
+    got = {
+        (r.symbol, r.ts): r.rating_asof
+        for r in enriched.collect()
+    }
+    assert got == expected

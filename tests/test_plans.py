@@ -173,6 +173,7 @@ def test_no_accidental_cartesian_or_nested_loop_anywhere(spark):
         "embedding_ann_ivf",         # recall audit embeds the bf baseline
         "premerge_metrics",          # 1×1×1-row audit cross join (J4)
         "postmerge_metrics",         # scalar-subquery reconciliation (A4)
+        "warehouse_maintenance",     # 1-row audit-branch cross joins
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -310,3 +311,53 @@ def test_zorder_key_and_pack_plan_shapes(spark):
     pplan = explain(pack_sequences(chunks, target_tokens=100))
     assert len(re.findall(r"\(\d+\) Exchange", pplan)) == 1
     assert "rangepartitioning" in pplan
+
+
+def test_zorder_two_column_pruning_at_bench_scale(spark, tmp_path):
+    """VERDICT r5 #5: same-scale-as-bench (sf0.1) evidence for the
+    z-order claim. A ~5%-per-column TWO-column predicate
+    (user_id range AND ts range) on a z-ordered events table must
+    schedule ≤ 1/3 of the files a ts-sorted layout schedules — the
+    sorted layout prunes only on ts, so its file count is the pruning
+    floor z-order has to beat. Measured counts are recorded in
+    SCALE.md."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        pruning_stats_multi,
+        zorder_write,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    n_files = 64
+
+    zpath = str(tmp_path / "ev_z")
+    zorder_write(ev, zpath, ["user_id", "ts"], n_files=n_files)
+    spath = str(tmp_path / "ev_s")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    ids = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo = ids[0] + (ids[1] - ids[0]) * 40 // 100
+    hi = ids[0] + (ids[1] - ids[0]) * 45 // 100
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = tmax - tmin
+    t_lo, t_hi = tmin + span * 40 // 100, tmin + span * 45 // 100
+    preds = {"user_id": (lo, hi), "ts": (t_lo, t_hi)}
+
+    z_total, z_hit = pruning_stats_multi(zpath, preds)
+    s_total, s_hit = pruning_stats_multi(spath, preds)
+    # the sorted layout prunes on ts only: ~5% of files + boundary
+    assert s_hit < s_total, (s_hit, s_total)
+    # z-order prunes on the conjunction: at most 1/3 of the sorted
+    # layout's scheduled files, and a small fraction of its own files
+    assert z_hit * 3 <= s_hit, {
+        "z": (z_hit, z_total), "sorted": (s_hit, s_total)
+    }
+    assert z_hit * 4 <= z_total, (z_hit, z_total)
+    print(f"ZORDER-SF01 z={z_hit}/{z_total} sorted={s_hit}/{s_total}")

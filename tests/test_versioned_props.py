@@ -1,0 +1,137 @@
+"""Property tests for the versioned-table layer (operators/versioned.py)
+under crash, concurrency, and random op interleavings — the manifest
+log's contract is that a published version is IMMUTABLE and readable
+until vacuumed, no matter what later commits/rollbacks/optimizes do.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _publish_manifest,
+    commit_version,
+    history,
+    optimize_zorder,
+    read_version,
+    rollback,
+    vacuum,
+)
+
+
+def _df(spark, tag: int, n: int = 4):
+    return spark.range(n).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(tag).cast("long").alias("tag"),
+        (F.col("id") * 10 + tag).cast("double").alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted((r.k, r.tag, r.v) for r in df.collect())
+
+
+def test_concurrent_publish_loser_gets_error(spark, tmp_path):
+    """Two writers racing to the same version number: the second publish
+    must raise FileExistsError, never silently replace the first
+    (os.rename would atomic-replace; the os.link publish fails)."""
+    t = str(tmp_path / "vt")
+    v0 = commit_version(_df(spark, 0), t)
+    assert v0 == 0
+    with pytest.raises(FileExistsError, match="already committed"):
+        _publish_manifest(t, 0, {"version": 0, "committed_at": "x", "mode": "overwrite", "dirs": []})
+    # the winner's data is untouched
+    assert _rows(read_version(spark, t, version=0)) == _rows(_df(spark, 0))
+    # and the loser's temp file did not leak into the version listing
+    assert [h["version"] for h in history(t)] == [0]
+
+
+def test_optimize_expected_version_precondition(spark, tmp_path):
+    """optimize_zorder(expected_version=...) fails BEFORE the rewrite
+    when a concurrent append moved the table on; without the
+    precondition the publish itself still fails rather than dropping
+    the append."""
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+    commit_version(_df(spark, 1), t, mode="append")  # concurrent appender won
+    with pytest.raises(FileExistsError, match="expected latest version 0"):
+        optimize_zorder(spark, t, ["k", "v"], n_files=2, expected_version=0)
+    # no debris version was created by the failed optimize
+    assert [h["version"] for h in history(t)] == [0, 1]
+    # with the right expectation it succeeds and preserves rows
+    v2 = optimize_zorder(spark, t, ["k", "v"], n_files=2, expected_version=1)
+    assert _rows(read_version(spark, t, version=v2)) == _rows(
+        _df(spark, 0).unionByName(_df(spark, 1))
+    )
+
+
+def test_crash_debris_is_invisible_and_vacuumable(spark, tmp_path):
+    """A crashed writer (data dir written, manifest never published)
+    must not affect readers, and vacuum reclaims the debris without
+    touching any kept version's dirs."""
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+    commit_version(_df(spark, 1), t, mode="append")
+    # crashed commit: data landed, manifest missing
+    debris = os.path.join(t, "_data", "v99-deadbeef")
+    _df(spark, 99).write.parquet(debris)
+    before = _rows(read_version(spark, t))
+    assert _rows(read_version(spark, t)) == before
+    removed = vacuum(t, keep_last=2)
+    assert removed == 1 and not os.path.exists(debris)
+    # both kept versions still fully readable after vacuum
+    assert _rows(read_version(spark, t, version=0)) == _rows(_df(spark, 0))
+    assert _rows(read_version(spark, t, version=1)) == before
+
+
+def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
+    """Seeded random interleavings of commit/append/rollback/optimize/
+    vacuum with a model checker: after EVERY op, every still-kept
+    version must read back exactly the rows the model says it had when
+    published (pinned-reader immutability), and vacuumed versions must
+    raise instead of returning wrong data. 10 seeds × 10 ops = 100
+    randomized operations."""
+    for seed in range(10):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"vt_{seed}")
+        model: dict[int, list] = {}  # version -> expected sorted rows
+        tag = seed * 1000
+        tag += 1
+        v = commit_version(_df(spark, tag), t)
+        model[v] = _rows(_df(spark, tag))
+        for _step in range(10):
+            op = rng.choice(["overwrite", "append", "rollback", "optimize", "vacuum"])
+            versions = sorted(model)
+            if op == "overwrite":
+                tag += 1
+                v = commit_version(_df(spark, tag), t)
+                model[v] = _rows(_df(spark, tag))
+            elif op == "append":
+                tag += 1
+                v = commit_version(_df(spark, tag), t, mode="append")
+                model[v] = sorted(model[versions[-1]] + _rows(_df(spark, tag)))
+            elif op == "rollback":
+                src = rng.choice(versions)
+                v = rollback(t, to_version=src)
+                model[v] = model[src]
+            elif op == "optimize":
+                v = optimize_zorder(
+                    spark, t, ["k", "v"], n_files=2,
+                    expected_version=versions[-1],
+                )
+                model[v] = model[versions[-1]]
+            else:  # vacuum
+                keep = rng.randint(1, len(versions))
+                vacuum(t, keep_last=keep)
+                for old in versions[:-keep]:
+                    del model[old]
+                    with pytest.raises(LookupError):
+                        read_version(spark, t, version=old)
+            for kept, expected in model.items():
+                assert _rows(read_version(spark, t, version=kept)) == expected, (
+                    f"seed={seed} step={_step} op={op} version={kept}"
+                )
