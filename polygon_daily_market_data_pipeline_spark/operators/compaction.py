@@ -9,7 +9,9 @@ Design: size is measured from the filesystem (no data scan), the
 rewrite is one coalesce-write of just that partition (partition-scoped
 like every other mutation in this engine), and the write goes through a
 temp dir + atomic-ish rename so a crashed compaction never leaves a
-half-partition visible.
+half-partition visible. Rows are layout-moved, never changed, so
+incrementally-maintained aggregates over the table stay valid — unlike
+``delete.py`` mutations, which require ``invalidate_partitions``.
 """
 
 from __future__ import annotations

@@ -13,6 +13,12 @@ symbol, a user's data, a bad batch) without rewriting the table.
 At 100 TB the row-level path touches ⌈matching partitions⌉ of data,
 never the table — the same partition-scoped-mutation rule as every
 other write in this engine.
+
+Downstream contract: any incrementally-maintained aggregate over the
+table (``operators/incremental.py``) must be told about a mutated
+partition via ``invalidate_partitions(state_dir, [...])`` before its
+next refresh — the aggregate's partials are append-only and cannot
+subtract a partition's old contribution.
 """
 
 from __future__ import annotations
