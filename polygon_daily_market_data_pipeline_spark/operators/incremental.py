@@ -262,6 +262,7 @@ def invalidate_partitions(
     for min/max and sketches, not just sums. Returns the partitions that
     lost coverage (they will be rescanned by the next refresh)."""
     targets = set(partitions)
+    os.makedirs(state_dir, exist_ok=True)  # no-op before the first refresh
     manifest = _load_manifest(state_dir)
     keep, dropped_cover = [], set()
     for e in manifest["entries"]:

@@ -675,3 +675,83 @@ def test_optimize_zorder_versioned(spark, tmp_path):
 
     vacuum(t, keep_last=1)
     assert read_version(spark, t).count() == ev.count()
+
+
+def test_incremental_random_sequences_match_full_recompute(spark, tmp_path):
+    """Seeded random interleavings of add-partition / replace-partition
+    (+invalidate) / refresh against a Python model: after EVERY refresh
+    the stored aggregate must equal the model's full recompute over the
+    CURRENT fact data (count/sum/max — max is the measure subtraction
+    could never fix), and the watermark must cover exactly the live
+    partitions. Varying compact_threshold exercises compaction's
+    interaction with invalidation (compacted entries only widen the
+    rescan, never corrupt it)."""
+    import os
+    import random
+    import shutil as sh
+
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        covered_partitions,
+        invalidate_partitions,
+        refresh_aggregate,
+    )
+
+    measures = {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")}
+
+    def write_day(fact, day, rows):
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{fact}/d={day}")
+
+    def model_agg(data):
+        out: dict[str, tuple[int, int, int]] = {}
+        for rows in data.values():
+            for k, v in rows:
+                n, s, mx = out.get(k, (0, 0, None))
+                out[k] = (n + 1, s + v, v if mx is None else max(mx, v))
+        return out
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        fact = str(tmp_path / f"fact{seed}")
+        state = str(tmp_path / f"state{seed}")
+        os.makedirs(fact)
+        data: dict[int, list] = {}
+        day = 0
+
+        def rand_rows():
+            return [
+                (rng.choice("ab"), rng.randrange(100))
+                for _ in range(rng.randint(1, 5))
+            ]
+
+        # start with two days so replace always has a target
+        for _ in range(2):
+            data[day] = rand_rows()
+            write_day(fact, day, data[day])
+            day += 1
+
+        for _step in range(10):
+            op = rng.choice(["add", "replace", "refresh", "refresh"])
+            if op == "add":
+                data[day] = rand_rows()
+                write_day(fact, day, data[day])
+                day += 1
+            elif op == "replace":
+                d = rng.choice(sorted(data))
+                data[d] = rand_rows()
+                sh.rmtree(f"{fact}/d={d}")
+                write_day(fact, d, data[d])
+                invalidate_partitions(state, [f"d={d}"])
+            else:
+                agg = refresh_aggregate(
+                    spark, fact, state, ["k"], measures, "d",
+                    compact_threshold=rng.choice([1, 2, 8]),
+                )
+                got = {r.k: (r.n, r.s, r.mx) for r in agg.collect()}
+                assert got == model_agg(data), (
+                    f"seed={seed} step={_step}"
+                )
+                assert covered_partitions(state) == sorted(
+                    f"d={d}" for d in data
+                )
