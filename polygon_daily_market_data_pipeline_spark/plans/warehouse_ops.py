@@ -137,7 +137,11 @@ def _incremental_rows(
     Spark-vs-Spark, so double summation order cannot flake)."""
     fact = os.path.join(base, "fact")
     state = os.path.join(base, "inc_state")
-    part = ord_df.withColumn("oyear", F.year("o_orderdate"))
+    # one file per year dir: the scripted fact is small at any bench SF,
+    # so per-file overhead, not bytes, dominates the write+rescan cost
+    part = ord_df.withColumn("oyear", F.year("o_orderdate")).repartition(
+        "oyear"
+    )
     cut = F.lit(_CUT).cast("timestamp")
     measures = {
         "n": ("count", "o_orderkey"),
@@ -195,9 +199,12 @@ def _versioned_rows(
     date filter."""
     tdir = os.path.join(base, "vt")
     cut = F.lit(_CUT).cast("timestamp")
-    commit_version(ord_df.where(F.col("o_orderdate") < cut), tdir, mode="overwrite")
+    # few-file commits for the same reason as the fact write above
+    commit_version(
+        ord_df.where(F.col("o_orderdate") < cut).coalesce(4), tdir, mode="overwrite"
+    )
     v1 = commit_version(
-        ord_df.where(F.col("o_orderdate") >= cut), tdir, mode="append"
+        ord_df.where(F.col("o_orderdate") >= cut).coalesce(4), tdir, mode="append"
     )
     v2 = rollback(tdir, to_version=0)
     t_v1 = [h for h in history(tdir) if h["version"] == v1][0]["committed_at"]

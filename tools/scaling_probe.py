@@ -77,9 +77,82 @@ def _exact(docs):
     return exact_dedup(docs, "doc_id", "text")
 
 
+def probe_refresh(spark, sf_dir: str) -> None:
+    """Incremental-MV claim: refresh cost is O(new data), flat in
+    history size, while a full recompute grows with history. Builds a
+    day-partitioned events fact at 1×/2×/4× history (day-offset
+    self-union — same per-day volume), fully refreshes it untimed, then
+    times (a) one refresh after one fixed-size new day arrives and
+    (b) the full-recompute groupBy over the whole fact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        refresh_aggregate,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    span = ev.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("d")
+    ).first()["d"]
+    measures = {"n": ("count", "event_id"), "s": ("sum", "value")}
+    new_day = ev.where(F.col("day") == ev.agg(F.min("day")).first()[0]).withColumn(
+        "day", F.date_add("day", 10_000)
+    )
+    results = []
+    for k in (1, 4, 16):
+        hist = ev
+        for i in range(1, k):
+            hist = hist.unionByName(
+                ev.withColumn("day", F.date_add("day", i * span))
+            )
+        base = tempfile.mkdtemp(prefix=f"refresh_probe_{k}x_")
+        fact, state = f"{base}/fact", f"{base}/state"
+        hist.repartition("day").write.partitionBy("day").parquet(fact)
+        refresh_aggregate(spark, fact, state, ["event_type"], measures, "day")
+        new_day.coalesce(1).write.mode("append").partitionBy("day").parquet(fact)
+        t0 = time.monotonic()
+        refresh_aggregate(
+            spark, fact, state, ["event_type"], measures, "day"
+        ).write.format("noop").mode("overwrite").save()
+        t_incr = time.monotonic() - t0
+        t0 = time.monotonic()
+        (
+            spark.read.parquet(fact)
+            .groupBy("event_type")
+            .agg(F.count("event_id"), F.sum("value"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        t_full = time.monotonic() - t0
+        n_days = len(
+            [d for d in __import__("os").listdir(fact) if d.startswith("day=")]
+        )
+        results.append((k, n_days, t_incr, t_full))
+        shutil.rmtree(base, ignore_errors=True)
+    pts = ", ".join(
+        f"{k}x({d}d) incr={ti:.2f}s full={tf:.2f}s" for k, d, ti, tf in results
+    )
+    print(f"refresh_mv: {pts}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
+
+    if "refresh_mv" in names:
+        from polygon_daily_market_data_pipeline_spark.session import get_spark
+
+        probe_refresh(get_spark("scaling-probe"), sf_dir)
+        names = [n for n in names if n != "refresh_mv"]
+        if not names:
+            return
 
     from polygon_daily_market_data_pipeline_spark.session import get_spark
 
