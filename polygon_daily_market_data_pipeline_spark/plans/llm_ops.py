@@ -21,6 +21,7 @@ from polygon_daily_market_data_pipeline_spark.functions.text import (
     fingerprint_md5,
     lang_id,
     quality_score,
+    repetition_stats,
     rolling_hash,
     stopword_ratio,
     token_count,
@@ -231,25 +232,38 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(toks) AS n,
                len(list_filter(toks, w -> w IN {LANG_STOPWORDS['en']!r})) * 1.0
                    / greatest(len(toks), 1) AS sw,
-               len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS ttr
+               len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS ttr,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS grams
         FROM t
     )
     SELECT doc_id,
            ROUND(sw, 6) AS stopword_ratio,
            ROUND(((CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
-                  + least(sw * 4, 1.0) + ttr) / 3, 6) AS quality
+                  + least(sw * 4, 1.0) + ttr) / 3, 6) AS quality,
+           ROUND(CASE WHEN len(grams) > 0
+                      THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                      ELSE 0.0 END, 6) AS dup_2gram_frac
     FROM f
     ORDER BY doc_id
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (C4/Gopher-style): length gate,
-    stopword saturation, lexical diversity, equally weighted."""
+    stopword saturation, lexical diversity, equally weighted — plus the
+    Gopher repetition signal (duplicate-2-gram fraction,
+    ``functions.text.repetition_stats``), which previously had pytest
+    coverage only. The oracle rebuilds the 2-gram multiset from the
+    shared token expression, so the repetition filter is value-checked,
+    not shape-checked. (The PII scrubber stays pytest-only by design:
+    its phone pattern needs lookbehind, which DuckDB's RE2 lacks.)"""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    rep = repetition_stats("text")
     return docs.select(
         "doc_id",
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         quality_score("text").alias("quality"),
+        F.round(rep["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
     ).orderBy("doc_id")
 
 
