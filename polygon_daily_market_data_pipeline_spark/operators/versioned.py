@@ -64,6 +64,23 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _commit_ts(table_dir: str, existing: list[int]) -> str:
+    """Strictly-monotonic commit timestamp: AT-timestamp reads
+    (``read_version(as_of=...)``) resolve 'last version committed at or
+    before t', which is ambiguous if two commits share a clock
+    microsecond (possible under a coarse or stepped clock). Bump past
+    the previous manifest's instant when needed so version order and
+    commit-time order never disagree."""
+    now = dt.datetime.now(dt.timezone.utc)
+    if existing:
+        prev = dt.datetime.fromisoformat(
+            _load_manifest(table_dir, existing[-1])["committed_at"]
+        )
+        if now <= prev:
+            now = prev + dt.timedelta(microseconds=1)
+    return now.isoformat()
+
+
 def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
     """Fail-if-exists atomic publish: write to a temp name, then
     os.link onto the final name — link(2) raises EEXIST if the version
@@ -109,7 +126,7 @@ def commit_version(
 
     manifest = {
         "version": version,
-        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "committed_at": _commit_ts(table_dir, existing),
         "mode": mode,
         "dirs": dirs,
     }
@@ -202,7 +219,7 @@ def rollback(table_dir: str, to_version: int) -> int:
     version = versions[-1] + 1
     manifest = {
         "version": version,
-        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "committed_at": _commit_ts(table_dir, versions),
         "mode": f"rollback({to_version})",
         "dirs": src["dirs"],
     }
@@ -254,7 +271,7 @@ def optimize_zorder(
     )
     manifest = {
         "version": version,
-        "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "committed_at": _commit_ts(table_dir, versions),
         "mode": f"optimize_zorder({','.join(zcols)})",
         "dirs": [os.path.relpath(data_dir, table_dir)],
     }

@@ -135,3 +135,34 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 assert _rows(read_version(spark, t, version=kept)) == expected, (
                     f"seed={seed} step={_step} op={op} version={kept}"
                 )
+
+
+def test_commit_timestamps_strictly_monotonic(spark, tmp_path):
+    """Rapid commits must publish strictly-increasing committed_at
+    instants, so AT-timestamp reads resolve each version unambiguously
+    even when the clock does not advance between commits (forced here
+    by pre-writing a manifest stamped in the future)."""
+    import datetime as dt
+    import json
+    import os
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+    # simulate a coarse/stepped clock: v0's instant is in the future
+    mpath = os.path.join(t, "_versions", "0.json")
+    m = json.load(open(mpath))
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=5)
+    m["committed_at"] = future.isoformat()
+    json.dump(m, open(mpath, "w"))
+
+    commit_version(_df(spark, 1), t, mode="append")
+    v2 = rollback(t, to_version=0)
+    hs = history(t)
+    stamps = [dt.datetime.fromisoformat(h["committed_at"]) for h in hs]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps), hs
+    # AT each version's own instant resolves that version
+    for h in hs:
+        got = read_version(spark, t, as_of=h["committed_at"])
+        want = read_version(spark, t, version=h["version"])
+        assert _rows(got) == _rows(want), h
+    assert v2 == 2
