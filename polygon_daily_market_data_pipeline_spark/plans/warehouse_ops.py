@@ -112,7 +112,11 @@ def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     hist = dim.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("is_current"), 1)).alias("n_aux"),
-        F.sum(F.when(~F.col("is_current"), F.col("c_custkey"))).alias("val"),
+        # coalesce mirrors the oracle's COALESCE(SUM(...), 0): an empty
+        # changed-set must read 0.0, not NULL
+        F.coalesce(
+            F.sum(F.when(~F.col("is_current"), F.col("c_custkey"))), F.lit(0)
+        ).alias("val"),
     )
     at1, at2 = as_of(dim, _TS1), as_of(dim, _TS2)
     asof = (
