@@ -244,15 +244,24 @@ def _streaming_mv_rows(
     state = os.path.join(base, "mv_state")
     measures = {"n": ("count", "event_id"), "sum_value": ("sum", "value")}
     ev = events_stream_source(spark, sf_dir).where(F.col("user_id") % 4 == 1)
-    q = (
-        ev.writeStream.foreachBatch(
-            streaming_aggregate_sink(["event_type"], measures, state)
+    # Bound the micro-batch shuffle width like run_available_now does:
+    # in a vanilla driver session (200 default shuffle partitions, no
+    # AQE) each foreachBatch groupBy would otherwise shuffle the tiny
+    # per-batch partial across 200 tasks.
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(
+                streaming_aggregate_sink(["event_type"], measures, state)
+            )
+            .option("checkpointLocation", os.path.join(base, "mv_ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(base, "mv_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     mv = read_aggregate(spark, state, ["event_type"], measures)
     # oracle-facing val = MAX of per-group ROUNDED sums: per-group
     # magnitude keeps double drift ≪ the 4dp boundary, and MAX is
