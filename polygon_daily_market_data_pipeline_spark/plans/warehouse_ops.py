@@ -376,6 +376,11 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 + incremental refresh + versioned time travel + streaming MV
     in one oracle-checked union (see module docstring). State lives in a
     per-process temp dir rebuilt per call, so reruns are deterministic."""
+    # the date-cut literals compare against TIMESTAMP columns: pin the
+    # session to UTC so a non-UTC driver session cannot shift the
+    # boundary relative to the naive-UTC DuckDB oracle (same contract
+    # as events_stream_source)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     base = os.path.join(
         tempfile.gettempdir(),
         f"wh_maint_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
