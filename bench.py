@@ -71,6 +71,28 @@ def main() -> None:
             spark.range(0, 64, 1, int(cpus)).mapInPandas(
                 lambda it: it, "id long"
             ).write.format("noop").mode("overwrite").save()
+            # Streaming machinery warm-up (state-store provider, stream
+            # execution threads, memory-sink plumbing): a 1-row
+            # AvailableNow stream, so the first real streaming query's
+            # timing reflects its plan, not one-time startup — the same
+            # separation already applied to the Python worker pool.
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="bench_stream_warm_")
+            spark.range(1).write.mode("overwrite").parquet(f"{d}/src")
+            (
+                spark.readStream.schema("id long")
+                .parquet(f"{d}/src")
+                .groupBy("id")
+                .count()
+                .writeStream.format("memory")
+                .queryName("warm_stream")
+                .outputMode("complete")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
         except Exception:
             pass
 
