@@ -20,6 +20,9 @@ from polygon_daily_market_data_pipeline_spark.operators.scd import (
     as_of,
     scd2_init,
     scd2_merge,
+    scd2_store_init,
+    scd2_store_merge,
+    scd2_store_read,
 )
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
@@ -42,6 +45,9 @@ __all__ = [
     "as_of",
     "scd2_init",
     "scd2_merge",
+    "scd2_store_init",
+    "scd2_store_merge",
+    "scd2_store_read",
     "commit_version",
     "optimize_zorder",
     "read_version",

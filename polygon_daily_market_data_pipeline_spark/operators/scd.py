@@ -147,3 +147,109 @@ def as_of(dim: DataFrame, ts) -> DataFrame:
     partition-prunable when the table is laid out by valid_from."""
     t = F.lit(ts).cast("timestamp")
     return dim.where((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+
+
+# --- storage-aware form: append-only history, replace-only current --------
+#
+# ``scd2_merge`` is the LOGICAL merge: it returns the whole dimension,
+# so persisting its result rewrites closed history that the merge never
+# touched — fine for a frame-in/frame-out pipeline, wrong as a storage
+# plan once history dwarfs the current slice. The stored form keeps
+#
+#     dim_dir/current/            one row per key (replaceable)
+#     dim_dir/history/batch=<ts>/ rows CLOSED by that batch (append-only)
+#
+# so a merge writes O(|current| + |batch|) bytes and history bytes are
+# written exactly once, ever. Crash/replay contract (single writer,
+# batches applied in effective-ts order): a batch's ``batch=<effective>``
+# delta directory is written at most once — once its ``_SUCCESS`` marker
+# exists the content is FINAL (it was computed from the pre-batch
+# current slice) and a rerun must NOT recompute it, because after the
+# current swap the same batch recomputes an empty delta. Reruns
+# therefore skip the delta write and only redo the current swap, which
+# is idempotent by SCD semantics (re-applying a snapshot changes
+# nothing). A crash mid-delta-write leaves no ``_SUCCESS`` and the
+# rerun rewrites it from the still-unswapped current slice. This is the
+# idempotent-replay story of the reference's FORCE=TRUE re-loads.
+
+
+def _hist_dir(dim_dir: str) -> str:
+    import os
+
+    return os.path.join(dim_dir, "history")
+
+
+def scd2_store_init(
+    source: DataFrame, dim_dir: str, keys: Sequence[str], effective: str
+) -> None:
+    """Bootstrap the stored layout from an initial snapshot."""
+    import os
+
+    scd2_init(source, keys, effective).write.mode("overwrite").parquet(
+        os.path.join(dim_dir, "current")
+    )
+    os.makedirs(_hist_dir(dim_dir), exist_ok=True)
+
+
+def scd2_store_merge(
+    spark,
+    dim_dir: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective: str,
+) -> None:
+    """Apply one snapshot batch to the stored dimension. Reads ONLY the
+    current slice; appends the batch's closed rows as one immutable
+    ``history/batch=<ts>`` delta; swaps the current slice via a temp
+    dir + rename. Semantics are exactly ``scd2_merge`` restricted to a
+    history-free dim (asserted by tests comparing against the logical
+    merge)."""
+    import os
+    import shutil
+    import uuid
+
+    current = spark.read.parquet(os.path.join(dim_dir, "current"))
+    # scd2_merge on a history-free dim returns precisely
+    # closed-delta ∪ new-current
+    merged = scd2_merge(current, source, keys, tracked, effective)
+    eff_ts = source.agg(F.max(effective)).first()[0]
+    if eff_ts is None:
+        return  # empty batch: dim unchanged, nothing to write
+    batch_tag = eff_ts.strftime("%Y%m%dT%H%M%S%f")
+
+    delta_dir = os.path.join(_hist_dir(dim_dir), f"batch={batch_tag}")
+    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+        # first (or crash-replayed pre-swap) application: the closed
+        # delta is computed from the pre-batch current slice. Once
+        # _SUCCESS exists the delta is final — see module comment.
+        closed = merged.where(~F.col("is_current"))
+        closed.write.mode("overwrite").parquet(delta_dir)
+    new_current = merged.where(F.col("is_current"))
+    tmp = os.path.join(dim_dir, f"_current_{uuid.uuid4().hex}")
+    new_current.write.parquet(tmp)
+    old = os.path.join(dim_dir, "current")
+    retire = os.path.join(dim_dir, f"_old_{uuid.uuid4().hex}")
+    os.rename(old, retire)
+    os.rename(tmp, old)
+    shutil.rmtree(retire)
+
+
+def scd2_store_read(spark, dim_dir: str) -> DataFrame:
+    """The full Type-2 dimension (current ∪ all history deltas) —
+    identical frame to the logical ``scd2_merge`` chain. History deltas
+    carry no duplicate rows by construction (each batch closes a row at
+    most once, in its own directory)."""
+    import os
+
+    cur = spark.read.parquet(os.path.join(dim_dir, "current"))
+    hist_root = _hist_dir(dim_dir)
+    deltas = [
+        os.path.join(hist_root, d)
+        for d in sorted(os.listdir(hist_root))
+        if d.startswith("batch=")
+    ]
+    out = cur
+    for d in deltas:
+        out = out.unionByName(spark.read.parquet(d))
+    return out

@@ -377,3 +377,118 @@ def test_scd2_asof_join_late_facts_point_in_time(spark):
         for r in enriched.collect()
     }
     assert got == expected
+
+
+def test_scd2_stored_layout_matches_logical_merge(spark, tmp_path):
+    """Storage-aware SCD2 (append-only history deltas + replace-only
+    current slice): after any batch chain the stored read must equal
+    the logical scd2_merge chain row-for-row, merges must never rewrite
+    an existing history delta (files untouched), and re-applying the
+    last batch (crash replay) must converge to the same state."""
+    import datetime as dt
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+        scd2_store_init,
+        scd2_store_merge,
+        scd2_store_read,
+    )
+
+    def snap(rows, eff):
+        return spark.createDataFrame(
+            [(s, r, eff) for s, r in rows], "symbol string, rating string, eff timestamp"
+        )
+
+    batches = [
+        snap([("AAA", "A-"), ("BBB", "B+")], dt.datetime(2024, 1, 1)),
+        snap([("AAA", "A+"), ("BBB", "B+"), ("CCC", "C")], dt.datetime(2024, 2, 1)),
+        snap([("AAA", "AA"), ("CCC", "C-")], dt.datetime(2024, 3, 1)),
+    ]
+    d = str(tmp_path / "dim")
+    scd2_store_init(batches[0], d, ["symbol"], "eff")
+    logical = scd2_init(batches[0], ["symbol"], "eff")
+
+    def mtimes():
+        out = {}
+        hist = os.path.join(d, "history")
+        for b in os.listdir(hist):
+            p = os.path.join(hist, b)
+            out[b] = max(
+                os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        return out
+
+    key = lambda r: (r.symbol, r.rating, r.valid_from, r.valid_to, r.is_current)  # noqa: E731
+    for b in batches[1:]:
+        before = mtimes()
+        scd2_store_merge(spark, d, b, ["symbol"], ["rating"], "eff")
+        logical = scd2_merge(logical, b, ["symbol"], ["rating"], "eff")
+        after = mtimes()
+        # existing deltas were not rewritten
+        for name, mt in before.items():
+            assert after[name] == mt, name
+        assert sorted(map(key, scd2_store_read(spark, d).collect())) == sorted(
+            map(key, logical.collect())
+        )
+
+    # crash replay: re-applying the final batch converges (same state)
+    state = sorted(map(key, scd2_store_read(spark, d).collect()))
+    scd2_store_merge(spark, d, batches[-1], ["symbol"], ["rating"], "eff")
+    assert sorted(map(key, scd2_store_read(spark, d).collect())) == state
+
+
+def test_scd2_stored_crash_between_delta_and_swap(spark, tmp_path, monkeypatch):
+    """Crash simulation: the history delta lands (with _SUCCESS) but the
+    current-slice swap never happens. The rerun must keep the existing
+    delta (not recompute it into emptiness) and redo the swap, ending in
+    the same state as an uninterrupted merge."""
+    import datetime as dt
+    import os as _os
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+        scd2_store_init,
+        scd2_store_merge,
+        scd2_store_read,
+    )
+
+    def snap(rows, eff):
+        return spark.createDataFrame(
+            [(s, r, eff) for s, r in rows], "symbol string, rating string, eff timestamp"
+        )
+
+    b1 = snap([("AAA", "A-"), ("BBB", "B+")], dt.datetime(2024, 1, 1))
+    b2 = snap([("AAA", "A+"), ("CCC", "C")], dt.datetime(2024, 2, 1))
+    d = str(tmp_path / "dim")
+    scd2_store_init(b1, d, ["symbol"], "eff")
+
+    real_rename = _os.rename
+
+    def exploding_rename(src, dst):
+        if "_old_" in dst or "_current_" in src:
+            raise OSError("simulated crash before current swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", exploding_rename)
+    try:
+        scd2_store_merge(spark, d, b2, ["symbol"], ["rating"], "eff")
+        raise AssertionError("expected simulated crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # delta landed, current slice still pre-batch
+    hist = _os.path.join(d, "history")
+    assert any(b.startswith("batch=") for b in _os.listdir(hist))
+
+    scd2_store_merge(spark, d, b2, ["symbol"], ["rating"], "eff")  # replay
+    logical = scd2_merge(
+        scd2_init(b1, ["symbol"], "eff"), b2, ["symbol"], ["rating"], "eff"
+    )
+    key = lambda r: (r.symbol, r.rating, r.valid_from, r.valid_to, r.is_current)  # noqa: E731
+    assert sorted(map(key, scd2_store_read(spark, d).collect())) == sorted(
+        map(key, logical.collect())
+    )
