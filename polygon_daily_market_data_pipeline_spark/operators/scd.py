@@ -179,15 +179,36 @@ def _hist_dir(dim_dir: str) -> str:
     return os.path.join(dim_dir, "history")
 
 
+def _swap_current(dim_dir: str, new_data_dir: str) -> None:
+    """Atomically repoint ``current`` (a symlink) at a freshly-written
+    data directory: build a temp symlink, rename it over ``current`` —
+    rename(2) replaces atomically, so a concurrent reader resolves
+    either the old or the new slice, never a missing path. The retired
+    data directory is removed after the flip."""
+    import os
+    import shutil
+    import uuid
+
+    link = os.path.join(dim_dir, "current")
+    old_target = os.path.realpath(link) if os.path.lexists(link) else None
+    tmp_link = os.path.join(dim_dir, f"_link_{uuid.uuid4().hex}")
+    os.symlink(os.path.basename(new_data_dir), tmp_link)
+    os.rename(tmp_link, link)
+    if old_target and os.path.isdir(old_target):
+        shutil.rmtree(old_target, ignore_errors=True)
+
+
 def scd2_store_init(
     source: DataFrame, dim_dir: str, keys: Sequence[str], effective: str
 ) -> None:
     """Bootstrap the stored layout from an initial snapshot."""
     import os
+    import uuid
 
-    scd2_init(source, keys, effective).write.mode("overwrite").parquet(
-        os.path.join(dim_dir, "current")
-    )
+    os.makedirs(dim_dir, exist_ok=True)
+    data = os.path.join(dim_dir, f"current_{uuid.uuid4().hex}")
+    scd2_init(source, keys, effective).write.parquet(data)
+    _swap_current(dim_dir, data)
     os.makedirs(_hist_dir(dim_dir), exist_ok=True)
 
 
@@ -206,7 +227,6 @@ def scd2_store_merge(
     history-free dim (asserted by tests comparing against the logical
     merge)."""
     import os
-    import shutil
     import uuid
 
     current = spark.read.parquet(os.path.join(dim_dir, "current"))
@@ -226,30 +246,25 @@ def scd2_store_merge(
         closed = merged.where(~F.col("is_current"))
         closed.write.mode("overwrite").parquet(delta_dir)
     new_current = merged.where(F.col("is_current"))
-    tmp = os.path.join(dim_dir, f"_current_{uuid.uuid4().hex}")
-    new_current.write.parquet(tmp)
-    old = os.path.join(dim_dir, "current")
-    retire = os.path.join(dim_dir, f"_old_{uuid.uuid4().hex}")
-    os.rename(old, retire)
-    os.rename(tmp, old)
-    shutil.rmtree(retire)
+    data = os.path.join(dim_dir, f"current_{uuid.uuid4().hex}")
+    new_current.write.parquet(data)
+    _swap_current(dim_dir, data)
 
 
 def scd2_store_read(spark, dim_dir: str) -> DataFrame:
     """The full Type-2 dimension (current ∪ all history deltas) —
-    identical frame to the logical ``scd2_merge`` chain. History deltas
-    carry no duplicate rows by construction (each batch closes a row at
-    most once, in its own directory)."""
+    identical frame to the logical ``scd2_merge`` chain. History is ONE
+    partition-discovered scan (``batch=<ts>`` is a partition column,
+    dropped on read), not a per-delta union loop — thousands of batch
+    deltas stay one scan node with partition pruning available on
+    ``batch``. Deltas carry no duplicate rows by construction (each
+    batch closes a row at most once, in its own directory)."""
     import os
 
     cur = spark.read.parquet(os.path.join(dim_dir, "current"))
     hist_root = _hist_dir(dim_dir)
-    deltas = [
-        os.path.join(hist_root, d)
-        for d in sorted(os.listdir(hist_root))
-        if d.startswith("batch=")
-    ]
-    out = cur
-    for d in deltas:
-        out = out.unionByName(spark.read.parquet(d))
-    return out
+    has_delta = any(d.startswith("batch=") for d in os.listdir(hist_root))
+    if not has_delta:
+        return cur
+    hist = spark.read.parquet(hist_root).drop("batch")
+    return cur.unionByName(hist)

@@ -468,7 +468,7 @@ def test_scd2_stored_crash_between_delta_and_swap(spark, tmp_path, monkeypatch):
     real_rename = _os.rename
 
     def exploding_rename(src, dst):
-        if "_old_" in dst or "_current_" in src:
+        if "_link_" in src:
             raise OSError("simulated crash before current swap")
         return real_rename(src, dst)
 
