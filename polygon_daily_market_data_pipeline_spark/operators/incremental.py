@@ -69,6 +69,71 @@ _MANIFEST = "_manifest.json"
 DEFAULT_COMPACT_THRESHOLD = 8
 
 
+def histogram_measures(
+    col: str, lo: float, hi: float, nb: int = 32, prefix: str = "hist"
+) -> dict:
+    """Mergeable fixed-boundary histogram as ``nb`` count measures —
+    the incremental form of percentile/median tracking, the way
+    ``ndv_sketch`` is the incremental form of COUNT(DISTINCT). Exact
+    percentiles are not algebraic (they don't combine across refreshes);
+    bucket counts over FIXED boundaries are: each refresh adds the new
+    partitions' counts, and any quantile reads off the cumulative
+    histogram with ≤ one-bucket-width error. Values outside [lo, hi)
+    clamp into the edge buckets so totals stay conserved. Returns a
+    measures fragment to merge into a ``refresh_aggregate`` /
+    ``streaming_aggregate_sink`` measures dict; read quantiles with
+    ``percentile_from_histogram``."""
+    if nb < 2:
+        raise ValueError("need at least 2 buckets")
+    width = (float(hi) - float(lo)) / nb
+    if width <= 0:
+        raise ValueError("hi must be > lo")
+    c = F.col(col)
+    out: dict = {}
+    for i in range(nb):
+        b_lo, b_hi = lo + i * width, lo + (i + 1) * width
+        cond = (c >= b_lo) & (c < b_hi)
+        if i == 0:
+            cond = c < b_hi  # clamp underflow
+        if i == nb - 1:
+            cond = c >= b_lo  # clamp overflow
+        # count of a when-expression counts its non-null rows — reuses
+        # the existing algebraic 'count' (combines by summing)
+        out[f"{prefix}_{i}"] = ("count", F.when(cond & c.isNotNull(), 1))
+    return out
+
+
+def percentile_from_histogram(
+    q: float, lo: float, hi: float, nb: int = 32, prefix: str = "hist"
+):
+    """Column expression estimating the q-quantile (0..1) from the
+    ``histogram_measures`` bucket-count columns via linear
+    interpolation inside the covering bucket — pure codegen arithmetic
+    over the (tiny) aggregate row, error ≤ one bucket width."""
+    width = (float(hi) - float(lo)) / nb
+    counts = [F.col(f"{prefix}_{i}") for i in range(nb)]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    target = F.lit(q) * total.cast("double")
+    expr = F.lit(float(hi))  # fallback: everything below target
+    cum = F.lit(0).cast("double")
+    # build from the first bucket up, nesting WHENs so the FIRST bucket
+    # whose cumulative count reaches the target wins
+    branches = []
+    for i in range(nb):
+        prev_cum = cum
+        cum = cum + counts[i].cast("double")
+        frac = F.when(
+            counts[i] > 0, (target - prev_cum) / counts[i].cast("double")
+        ).otherwise(F.lit(0.0))
+        est = F.lit(lo + i * width) + frac * F.lit(width)
+        branches.append((cum >= target, est))
+    for cond, est in reversed(branches):
+        expr = F.when(cond, est).otherwise(expr)
+    return expr
+
+
 def partial_aggregate(
     df: DataFrame, group_cols: list[str], measures: dict[str, tuple[str, str]]
 ) -> DataFrame:

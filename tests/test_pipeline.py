@@ -755,3 +755,69 @@ def test_incremental_random_sequences_match_full_recompute(spark, tmp_path):
                 assert covered_partitions(state) == sorted(
                     f"d={d}" for d in data
                 )
+
+
+def test_incremental_histogram_percentiles(spark, tmp_path):
+    """Mergeable histogram measures: bucket counts accumulated across
+    two incremental refreshes are EXACTLY the single-shot histogram
+    (counts are algebraic), and the read-time quantile estimator lands
+    within one bucket width of the true percentile."""
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        histogram_measures,
+        percentile_from_histogram,
+        refresh_aggregate,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    lo, hi, nb = 0.0, 1000.0, 40
+    fact = str(tmp_path / "fact")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact)
+    days = sorted(d for d in os.listdir(fact) if d.startswith("day="))
+    hidden = str(tmp_path / "hidden")
+    os.rename(os.path.join(fact, days[-1]), hidden)
+
+    state = str(tmp_path / "state")
+    measures = {"n": ("count", "event_id")}
+    measures.update(histogram_measures("value", lo, hi, nb))
+    refresh_aggregate(spark, fact, state, ["event_type"], measures, "day")
+    os.rename(hidden, os.path.join(fact, days[-1]))
+    agg = refresh_aggregate(spark, fact, state, ["event_type"], measures, "day")
+
+    # exact-count equality vs a single-shot histogram over all data
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        partial_aggregate,
+    )
+
+    single = partial_aggregate(
+        spark.read.parquet(fact), ["event_type"], measures
+    )
+    got = {r.event_type: [r[f"hist_{i}"] for i in range(nb)] for r in agg.collect()}
+    want = {r.event_type: [r[f"hist_{i}"] for i in range(nb)] for r in single.collect()}
+    assert got == want
+
+    # quantile estimates within a bucket width of the exact percentile
+    est = agg.select(
+        "event_type",
+        percentile_from_histogram(0.5, lo, hi, nb).alias("p50"),
+        percentile_from_histogram(0.9, lo, hi, nb).alias("p90"),
+    ).collect()
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in spark.read.parquet(fact)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    width = (hi - lo) / nb
+    for r in est:
+        e50, e90 = exact[r.event_type]
+        assert abs(r.p50 - e50) <= width, (r.event_type, r.p50, e50)
+        assert abs(r.p90 - e90) <= width, (r.event_type, r.p90, e90)
