@@ -171,6 +171,14 @@ def as_of(dim: DataFrame, ts) -> DataFrame:
 # nothing). A crash mid-delta-write leaves no ``_SUCCESS`` and the
 # rerun rewrites it from the still-unswapped current slice. This is the
 # idempotent-replay story of the reference's FORCE=TRUE re-loads.
+#
+# Filesystem contract: the current-slice flip uses a symlink rename, so
+# this layout targets POSIX filesystems (local disk, NFS, HDFS-with-
+# symlinks). On object stores (no atomic rename/symlink) keep the same
+# append-only-history idea but publish the current slice through a
+# manifest log instead — ``operators/versioned.py`` is exactly that
+# commit protocol and composes: store current as a versioned table,
+# history as plain append-only prefixes.
 
 
 def _hist_dir(dim_dir: str) -> str:
