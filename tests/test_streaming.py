@@ -433,3 +433,75 @@ def test_streaming_aggregate_sink_incremental_mv(spark, tmp_path):
         ).collect()
     }
     assert again == got
+
+
+def test_streaming_mv_sketch_and_histogram_measures(spark, tmp_path):
+    """The streaming MV sink with the NON-trivial mergeable measures:
+    HLL NDV sketches (combine = hll_union_agg) and fixed-boundary
+    histogram buckets (combine = sum) must accumulate across
+    micro-batches to the same values a single batch aggregation gives —
+    histogram counts exactly, the sketch estimate within HLL error of
+    the true distinct count."""
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        histogram_measures,
+        partial_aggregate,
+        percentile_from_histogram,
+        read_aggregate,
+        streaming_aggregate_sink,
+    )
+
+    rows = [(m, u % 7, float((m * 37) % 100)) for m in range(60) for u in range(3)]
+    df = _events_df(spark, rows)
+    src = str(tmp_path / "src")
+    df.coalesce(4).write.parquet(src)
+
+    lo, hi, nb = 0.0, 100.0, 10
+    measures = {
+        "n": ("count", "event_id"),
+        "users_sketch": ("ndv_sketch", "user_id"),
+    }
+    measures.update(histogram_measures("value", lo, hi, nb))
+    state = str(tmp_path / "state")
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(src)
+        .writeStream.foreachBatch(
+            streaming_aggregate_sink(["event_type"], measures, state)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    mv = read_aggregate(spark, state, ["event_type"], measures)
+    batch = partial_aggregate(df, ["event_type"], measures)
+    hist_cols = [f"hist_{i}" for i in range(nb)]
+    got = {r.event_type: [r[c] for c in hist_cols] for r in mv.collect()}
+    want = {r.event_type: [r[c] for c in hist_cols] for r in batch.collect()}
+    assert got == want  # bucket counts combine EXACTLY across batches
+
+    est = mv.selectExpr(
+        "event_type", "hll_sketch_estimate(users_sketch) AS users"
+    ).collect()
+    exact = {
+        r.event_type: r.u
+        for r in df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for r in est:
+        assert abs(r.users - exact[r.event_type]) <= max(2, 0.05 * exact[r.event_type])
+
+    p50 = mv.select(
+        "event_type", percentile_from_histogram(0.5, lo, hi, nb).alias("p")
+    ).collect()
+    true50 = {
+        r.event_type: r.p
+        for r in df.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p"))
+        .collect()
+    }
+    for r in p50:
+        assert abs(r.p - true50[r.event_type]) <= (hi - lo) / nb
