@@ -8,6 +8,24 @@ a markdown table to PLANS.md. Regenerate with:
 
     python tools/plan_audit.py [sf_dir] [out_md]
 
+Counting is a WALK OF THE JVM PLAN TREE, not a regex over
+``explain()`` text, because the string form multi-counts at every level
+once caches and AQE are involved: each occurrence of an
+``InMemoryTableScan`` reprints the cached relation's full miss-recovery
+lineage, and every nested ``AdaptiveSparkPlan`` prints BOTH its final
+and initial plans (the round-6 diff showed `neardup_jaccard_pairs` at
+"202 exchanges" by regex when the executed work has 9). The walk counts
+what an action actually runs:
+
+- each cached relation's build plan is descended into ONCE per query
+  (a second ``InMemoryTableScan`` of the same relation reads the block
+  manager, so repeats contribute only the scan);
+- ``AdaptiveSparkPlan`` contributes its current (final, if executed)
+  plan only — never the superseded initial plan;
+- ``ReusedExchange`` is a pointer to an exchange counted at its first
+  site, so it neither counts nor descends;
+- query-stage wrappers are transparent.
+
 The two ``*_stream`` queries are excluded: their builders RUN the
 stream to a memory sink, so the returned frame's plan is a memory scan,
 not the streaming plan (those are audited in tests/test_streaming.py).
@@ -24,13 +42,66 @@ sys.path.insert(0, str(_REPO))
 
 SKIP = {"events_hourly_stream", "events_sessionize_stream"}
 
-SIGNALS = {
-    "exchanges": r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)",
-    "broadcast_joins": r"BroadcastHashJoin",
-    "sortmerge_joins": r"SortMergeJoin",
-    "nested_loop": r"BroadcastNestedLoopJoin|CartesianProduct",
-    "python_eval": r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas|Cogroup",
+# JVM SparkPlan simple class name -> signal bucket
+NODE_SIGNALS = {
+    "ShuffleExchangeExec": "exchanges",
+    "BroadcastHashJoinExec": "broadcast_joins",
+    "SortMergeJoinExec": "sortmerge_joins",
+    "BroadcastNestedLoopJoinExec": "nested_loop",
+    "CartesianProductExec": "nested_loop",
+    "ArrowEvalPythonExec": "python_eval",
+    "BatchEvalPythonExec": "python_eval",
+    "MapInPandasExec": "python_eval",
+    "FlatMapGroupsInPandasExec": "python_eval",
+    "FlatMapCoGroupsInPandasExec": "python_eval",
+    "FlatMapGroupsInPandasWithStateExec": "python_eval",
 }
+SIGNAL_COLS = [
+    "exchanges",
+    "broadcast_joins",
+    "sortmerge_joins",
+    "nested_loop",
+    "python_eval",
+]
+
+
+def _children(node) -> list:
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def count_signals(jvm, root) -> dict[str, int]:
+    """Walk a JVM SparkPlan, tallying NODE_SIGNALS for the work one
+    action executes (see module docstring for the cache/AQE/reuse
+    rules)."""
+    counts = dict.fromkeys(SIGNAL_COLS, 0)
+    seen_caches: set[int] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name == "ReusedExchangeExec":
+            continue
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if name.endswith("QueryStageExec"):
+            # AQE stage wrappers (shuffle/broadcast/table-cache/result)
+            # hold their plan out-of-band, not in children()
+            stack.append(node.plan())
+            continue
+        if name == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = jvm.System.identityHashCode(rel.cacheBuilder())
+            if key not in seen_caches:
+                seen_caches.add(key)
+                stack.append(rel.cachedPlan())
+            continue
+        sig = NODE_SIGNALS.get(name)
+        if sig is not None:
+            counts[sig] += 1
+        stack.extend(_children(node))
+    return counts
 
 
 def audit(sf_dir: str) -> list[dict]:
@@ -39,15 +110,16 @@ def audit(sf_dir: str) -> list[dict]:
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark.sparkContext._jvm
     rows = []
     for name, fn in ent.queries().items():
         if name in SKIP:
             continue
         df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        row = {"query": name}
-        for sig, pat in SIGNALS.items():
-            row[sig] = len(re.findall(pat, plan))
+        qe = df._jdf.queryExecution()
+        row = {"query": name, **count_signals(jvm, qe.executedPlan())}
+        # pushed-filter evidence still comes from the scan's string form
+        plan = qe.executedPlan().toString()
         row["pushed_filters"] = "yes" if "PushedFilters: [" in plan and not re.search(
             r"PushedFilters: \[\]", plan
         ) else ("n/a" if "PushedFilters" not in plan else "none")
@@ -59,14 +131,20 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else _REPO / "PLANS.md"
     rows = audit(sf_dir)
-    cols = ["query", *SIGNALS.keys(), "pushed_filters"]
+    cols = ["query", *SIGNAL_COLS, "pushed_filters"]
     lines = [
         "# PLANS — physical-plan audit of the registered suite",
         "",
-        f"Generated by `python tools/plan_audit.py {sf_dir}`. Initial",
-        "(pre-AQE-finalization) physical plans; AQE may further convert",
-        "sort-merge joins to broadcast and coalesce exchanges at runtime,",
-        "so these counts are upper bounds. The invariants pinned in",
+        f"Generated by `python tools/plan_audit.py {sf_dir}`. Counts come",
+        "from a walk of the JVM plan tree that mirrors what one action",
+        "executes: each cached relation's build is counted once per query",
+        "(later scans of the same relation read the block manager),",
+        "`AdaptiveSparkPlan` contributes only its current plan, and",
+        "`ReusedExchange` neither counts nor descends — a regex over the",
+        "explain string would multi-count all three. Plans audited before",
+        "AQE finalization are upper bounds (AQE may still convert",
+        "sort-merge joins to broadcast and coalesce exchanges at runtime).",
+        "The invariants pinned in",
         "`tests/test_plans.py` (zero nested-loop joins suite-wide, required",
         "broadcasts, WindowGroupLimit, partition pruning) are the hard",
         "gates; this table is the per-query evidence.",
