@@ -29,6 +29,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     optimize_zorder,
     read_version,
     rollback,
+    scan_version,
     vacuum,
 )
 
@@ -52,5 +53,6 @@ __all__ = [
     "optimize_zorder",
     "read_version",
     "rollback",
+    "scan_version",
     "vacuum",
 ]

@@ -157,35 +157,51 @@ def _cmp_stat(v):
     return v
 
 
-def _file_envelopes(path: str, cols: list[str]):
-    """Per nonempty parquet file: {col: (min, max)} from footer
-    statistics, or {col: None} when any row group lacks stats (cannot
-    prune). Footer-only — no data pages are read."""
-    import pyarrow.parquet as pq
-
+def list_parquet_files(path: str) -> list[str]:
+    """Data files under ``path`` (recursive), sorted, markers skipped."""
+    out = []
     for root, _dirs, files in os.walk(path):
-        for fname in sorted(files):
+        for fname in files:
             if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
                 continue
-            md = pq.ParquetFile(os.path.join(root, fname)).metadata
-            if md.num_rows == 0:
-                # empty range partition: footer-only, nothing to scan
-                continue
-            arrow_schema = md.schema.to_arrow_schema()
-            env: dict = {}
-            for col in cols:
-                idx = arrow_schema.get_field_index(col)
+            out.append(os.path.join(root, fname))
+    return sorted(out)
+
+
+def file_envelope(fpath: str, cols: list[str]) -> tuple[int, dict] | None:
+    """(num_rows, {col: (min, max) | None}) for one parquet file from
+    footer statistics — None per column when any row group lacks stats
+    (cannot prune), None overall for an empty file (nothing to scan).
+    Footer-only; no data pages are read. Safe to call executor-side."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    if md.num_rows == 0:
+        return None
+    arrow_schema = md.schema.to_arrow_schema()
+    env: dict = {}
+    for col in cols:
+        idx = arrow_schema.get_field_index(col)
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
                 fmin = fmax = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        fmin = fmax = None
-                        break
-                    smin, smax = _cmp_stat(st.min), _cmp_stat(st.max)
-                    fmin = smin if fmin is None else min(fmin, smin)
-                    fmax = smax if fmax is None else max(fmax, smax)
-                env[col] = None if fmin is None else (fmin, fmax)
-            yield env
+                break
+            smin, smax = _cmp_stat(st.min), _cmp_stat(st.max)
+            fmin = smin if fmin is None else min(fmin, smin)
+            fmax = smax if fmax is None else max(fmax, smax)
+        env[col] = None if fmin is None else (fmin, fmax)
+    return md.num_rows, env
+
+
+def _file_envelopes(path: str, cols: list[str]):
+    """Per nonempty parquet file: {col: (min, max)} from footer
+    statistics, or {col: None} when any row group lacks stats."""
+    for fpath in list_parquet_files(path):
+        res = file_envelope(fpath, cols)
+        if res is not None:
+            yield res[1]
 
 
 def pruning_stats(path: str, col: str, lo, hi) -> tuple[int, int]:

@@ -17,6 +17,16 @@ Semantics:
 - ``mode="overwrite"`` → the new version sees only this commit's files.
 - ``mode="append"``    → the new version sees the previous version's
   directories plus this commit's.
+- ``stats_cols=[...]`` → the manifest additionally records each data
+  file's footer [min, max] envelope on those columns (collected
+  distributed, one footer read per file), and ``scan_version`` uses
+  them to prune the FILE LIST on the driver before Spark schedules any
+  task — Delta-style data skipping. Spark's own parquet footer
+  skipping runs inside each already-scheduled task, so at 100K files
+  the manifest prune is what collapses a selective range scan from
+  100K tasks to the handful whose envelopes intersect; with
+  ``optimize_zorder`` (which indexes its z-columns by default) every
+  z-column's predicate prunes.
 - Concurrency: one writer per version number, ENFORCED. The manifest is
   published with a fail-if-exists link (os.link of the temp file onto
   the final name — POSIX link(2) fails with EEXIST instead of
@@ -36,12 +46,14 @@ Semantics:
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _versions_dir(table_dir: str) -> str:
@@ -104,13 +116,120 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+# --- per-file column statistics (data skipping) -----------------------------
+#
+# Delta-style: the manifest records each data file's [min, max] envelope
+# on the indexed columns, collected from parquet FOOTERS at commit time
+# (no data pages read). ``scan_version`` then prunes the file list on
+# the driver BEFORE Spark schedules a single task — Spark's own
+# footer-stats skipping runs per already-scheduled task, so at 100 TB /
+# 100K files the manifest prune is what turns a 2-column range query on
+# a z-ordered table into tens of tasks instead of 100K. Stats state is
+# file-count-sized (a few MB of JSON per 100K files), collection is
+# distributed (one footer read per file, fanned out over executors).
+
+
+def _stat_to_json(v) -> dict:
+    """Tagged JSON encoding of a footer min/max value — the tag makes
+    the value round-trip back to a comparable Python object."""
+    if isinstance(v, bool):
+        return {"t": "bool", "v": v}
+    if isinstance(v, int):
+        return {"t": "int", "v": v}
+    if isinstance(v, float):
+        return {"t": "float", "v": v}
+    if isinstance(v, str):
+        return {"t": "str", "v": v}
+    if isinstance(v, bytes):
+        return {"t": "str", "v": v.decode("utf-8", "replace")}
+    if isinstance(v, dt.datetime):  # before date: datetime IS a date
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    raise TypeError(f"unsupported stats value type {type(v).__name__}")
+
+
+def _stat_from_json(j: dict):
+    t, v = j["t"], j["v"]
+    if t == "ts":
+        return dt.datetime.fromisoformat(v)
+    if t == "date":
+        return dt.date.fromisoformat(v)
+    if t == "dec":
+        return decimal.Decimal(v)
+    return v
+
+
+def _collect_file_stats(
+    spark: SparkSession, table_dir: str, data_dir: str, cols: list[str]
+) -> dict:
+    """{file relpath: {"rows": n, "stats": {col: [minJ, maxJ] | None}}}
+    for every parquet file under ``data_dir`` — footer reads fanned out
+    over executors via mapInPandas; the collected result is
+    file-count-sized, never data-sized."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        file_envelope,
+        list_parquet_files,
+    )
+
+    files = list_parquet_files(data_dir)
+    if not files:
+        return {}
+
+    def read_footers(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                res = file_envelope(p, cols)
+                if res is None:  # empty file: never matches anything
+                    rows.append((p, 0, json.dumps(None)))
+                else:
+                    nrows, env = res
+                    enc = {
+                        c: None
+                        if env[c] is None
+                        else [_stat_to_json(env[c][0]), _stat_to_json(env[c][1])]
+                        for c in cols
+                    }
+                    rows.append((p, nrows, json.dumps(enc)))
+            yield pd.DataFrame(rows, columns=["path", "rows", "stats"])
+
+    paths = spark.createDataFrame([(p,) for p in files], "path string")
+    n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    collected = (
+        paths.repartition(n_tasks)
+        .mapInPandas(read_footers, "path string, rows long, stats string")
+        .collect()
+    )
+    return {
+        os.path.relpath(r["path"], table_dir): {
+            "rows": r["rows"],
+            "stats": json.loads(r["stats"]),
+        }
+        for r in collected
+    }
+
+
 def commit_version(
-    df: DataFrame, table_dir: str, mode: str = "overwrite"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
     manifest publish is the commit — a racing writer to the same
-    version number raises ``FileExistsError``."""
+    version number raises ``FileExistsError``.
+
+    ``stats_cols`` indexes the named columns for data skipping: the
+    manifest records each new file's footer [min, max] envelope, and
+    ``scan_version`` prunes files against it before task scheduling.
+    Append commits carry the previous version's file stats forward;
+    files from commits made without stats simply stay unprunable."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
@@ -121,8 +240,13 @@ def commit_version(
     df.write.mode("errorifexists").parquet(data_dir)
 
     dirs = [os.path.relpath(data_dir, table_dir)]
+    files: dict = {}
+    if stats_cols:
+        files = _collect_file_stats(df.sparkSession, table_dir, data_dir, stats_cols)
     if mode == "append" and existing:
-        dirs = _load_manifest(table_dir, existing[-1])["dirs"] + dirs
+        prev = _load_manifest(table_dir, existing[-1])
+        dirs = prev["dirs"] + dirs
+        files = {**prev.get("files", {}), **files}
 
     manifest = {
         "version": version,
@@ -130,19 +254,17 @@ def commit_version(
         "mode": mode,
         "dirs": dirs,
     }
+    if files:
+        manifest["files"] = files
     _publish_manifest(table_dir, version, manifest)
     return version
 
 
-def read_version(
-    spark: SparkSession,
+def _resolve_manifest(
     table_dir: str,
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
-) -> DataFrame:
-    """The table at a version (default: latest), or AT a timestamp
-    (``as_of``: the last version committed at or before it — Snowflake
-    ``AT(TIMESTAMP => ...)`` semantics)."""
+) -> dict:
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
@@ -163,8 +285,115 @@ def read_version(
         version = versions[-1]
     elif version not in versions:
         raise LookupError(f"version {version} not in {versions}")
-    m = _load_manifest(table_dir, version)
+    return _load_manifest(table_dir, version)
+
+
+def read_version(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: dt.datetime | str | None = None,
+) -> DataFrame:
+    """The table at a version (default: latest), or AT a timestamp
+    (``as_of``: the last version committed at or before it — Snowflake
+    ``AT(TIMESTAMP => ...)`` semantics)."""
+    m = _resolve_manifest(table_dir, version, as_of)
     return spark.read.parquet(*[os.path.join(table_dir, d) for d in m["dirs"]])
+
+
+def prune_files(
+    table_dir: str, manifest: dict, predicates: dict
+) -> tuple[list[str], int]:
+    """(surviving file paths, total files) for a conjunctive range
+    predicate ``{col: (lo, hi)}`` (either bound may be None for
+    open-ended) against the manifest's per-file stats. A file with no
+    recorded stats — or no recorded stats on a predicate column — is
+    kept (cannot prune is never wrong); a file recorded as empty is
+    dropped. Same envelope-intersection decision as
+    ``layout.pruning_stats_multi``, but against the manifest instead of
+    re-reading footers."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        _cmp_stat,
+        list_parquet_files,
+    )
+
+    stats = manifest.get("files", {})
+    norm = {
+        c: (
+            None if lo is None else _cmp_stat(lo),
+            None if hi is None else _cmp_stat(hi),
+        )
+        for c, (lo, hi) in predicates.items()
+    }
+    all_files = [
+        f
+        for d in manifest["dirs"]
+        for f in list_parquet_files(os.path.join(table_dir, d))
+    ]
+    kept = []
+    for fpath in all_files:
+        ent = stats.get(os.path.relpath(fpath, table_dir))
+        if ent is None:
+            kept.append(fpath)  # no stats: cannot prune
+            continue
+        if ent["rows"] == 0:
+            continue  # empty file: matches nothing
+        keep = True
+        for col, (lo, hi) in norm.items():
+            rng = (ent["stats"] or {}).get(col)
+            if rng is None:
+                continue  # no stats on this column
+            fmin, fmax = _stat_from_json(rng[0]), _stat_from_json(rng[1])
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                keep = False
+                break
+        if keep:
+            kept.append(fpath)
+    return kept, len(all_files)
+
+
+def scan_version(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: dict,
+    version: int | None = None,
+    as_of: dt.datetime | str | None = None,
+) -> DataFrame:
+    """Data-skipping read: ``read_version`` restricted by a conjunctive
+    range predicate ``{col: (lo, hi)}``, with the file list pruned
+    against the manifest's per-file stats BEFORE Spark schedules tasks.
+    The residual filter is applied too, so the result is value-identical
+    to ``read_version(...).where(<predicates>)`` — the stats only decide
+    which files are worth scheduling. On a z-ordered table
+    (``optimize_zorder(..., stats_cols=...)``) every z-column's
+    predicate prunes."""
+    m = _resolve_manifest(table_dir, version, as_of)
+    kept, _total = prune_files(table_dir, m, predicates)
+    if kept:
+        df = spark.read.parquet(*kept)
+    else:
+        # nothing can match: read one file for the schema; the residual
+        # filter below empties it (that file was pruned, so no row passes)
+        from polygon_daily_market_data_pipeline_spark.operators.layout import (
+            list_parquet_files,
+        )
+
+        any_files = [
+            f
+            for d in m["dirs"]
+            for f in list_parquet_files(os.path.join(table_dir, d))
+        ]
+        if not any_files:
+            raise FileNotFoundError(f"version has no data files in {table_dir}")
+        df = spark.read.parquet(any_files[0])
+    for col, (lo, hi) in predicates.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+    if not kept:
+        df = df.where(F.lit(False))
+    return df
 
 
 def history(table_dir: str) -> list[dict]:
@@ -223,6 +452,8 @@ def rollback(table_dir: str, to_version: int) -> int:
         "mode": f"rollback({to_version})",
         "dirs": src["dirs"],
     }
+    if "files" in src:  # visibility set is src's — so are its file stats
+        manifest["files"] = src["files"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -235,6 +466,7 @@ def optimize_zorder(
     bits: int | None = None,
     bucketize: str = "linear",
     expected_version: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Delta-style ``OPTIMIZE ... ZORDER BY``: publish a new version
     with IDENTICAL rows laid out z-ordered on ``zcols`` — readers of
@@ -275,5 +507,13 @@ def optimize_zorder(
         "mode": f"optimize_zorder({','.join(zcols)})",
         "dirs": [os.path.relpath(data_dir, table_dir)],
     }
+    # stats_cols defaults to the z-columns: the rewrite exists to give
+    # every file a tight envelope on them, so index exactly those for
+    # scan_version's manifest prune
+    idx_cols = zcols if stats_cols is None else stats_cols
+    if idx_cols:
+        files = _collect_file_stats(spark, table_dir, data_dir, idx_cols)
+        if files:
+            manifest["files"] = files
     _publish_manifest(table_dir, version, manifest)
     return version

@@ -1,0 +1,142 @@
+"""Data skipping on versioned tables: manifest-recorded per-file
+[min, max] envelopes (operators/versioned.py stats_cols / scan_version)
+must (a) be value-exact — scan_version(preds) ≡
+read_version().where(preds) — and (b) actually shrink the scheduled
+file list, which is the whole point: Spark's own parquet footer
+skipping runs per already-scheduled task, while the manifest prune
+happens before any task exists.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _resolve_manifest,
+    commit_version,
+    optimize_zorder,
+    prune_files,
+    read_version,
+    rollback,
+    scan_version,
+)
+
+N_FILES = 16
+
+
+def _events(spark, n=4000, tag=0):
+    """id-clustered frame written as N_FILES range-partitioned files, so
+    per-file id envelopes are tight and a narrow id predicate should
+    prune most files."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("grp"),
+            F.lit(tag).alias("tag"),
+            (F.col("id").cast("double") / 100).alias("v"),
+            F.to_timestamp(
+                F.lit("2024-01-01 00:00:00") # anchor
+            ).alias("base_ts"),
+        )
+        .withColumn("ts", F.col("base_ts") + F.make_interval(mins=F.col("k")))
+        .drop("base_ts")
+        .repartitionByRange(N_FILES, "k")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scan_equals_read_filter_and_prunes(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark), t, stats_cols=["k", "ts"])
+    preds = {"k": (100, 299)}
+    got = scan_version(spark, t, preds)
+    want = read_version(spark, t).where(F.col("k").between(100, 299))
+    assert _rows(got) == _rows(want)
+    # a 5% range must not schedule all files
+    kept, total = prune_files(t, _resolve_manifest(t), preds)
+    assert total == N_FILES
+    assert len(kept) <= 3, (len(kept), total)
+    assert len(got.inputFiles()) == len(kept)
+
+
+def test_timestamp_predicate_prunes(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark), t, stats_cols=["k", "ts"])
+    lo = dt.datetime(2024, 1, 1, 1, 0)
+    hi = dt.datetime(2024, 1, 1, 3, 0)  # minutes 60..180 of 4000
+    got = scan_version(spark, t, {"ts": (lo, hi)})
+    want = read_version(spark, t).where(F.col("ts").between(F.lit(lo), F.lit(hi)))
+    assert _rows(got) == _rows(want)
+    kept, total = prune_files(t, _resolve_manifest(t), {"ts": (lo, hi)})
+    assert len(kept) < total
+
+
+def test_open_ended_bounds(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark), t, stats_cols=["k"])
+    got = scan_version(spark, t, {"k": (3800, None)})
+    want = read_version(spark, t).where(F.col("k") >= 3800)
+    assert _rows(got) == _rows(want)
+    kept, total = prune_files(t, _resolve_manifest(t), {"k": (3800, None)})
+    assert len(kept) <= 2 < total
+
+
+def test_append_carries_stats_and_unstatted_files_stay(spark, tmp_path):
+    """Append commits merge file stats; a commit made WITHOUT stats
+    leaves its files unprunable (always scanned) but never wrong."""
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark, n=1000, tag=0), t, stats_cols=["k"])
+    commit_version(
+        _events(spark, n=1000, tag=1), t, mode="append"
+    )  # no stats
+    commit_version(
+        _events(spark, n=1000, tag=2), t, mode="append", stats_cols=["k"]
+    )
+    preds = {"k": (0, 59)}
+    got = scan_version(spark, t, preds)
+    want = read_version(spark, t).where(F.col("k").between(0, 59))
+    assert _rows(got) == _rows(want)
+    kept, total = prune_files(t, _resolve_manifest(t), preds)
+    # tag-1's 16 files all survive (no stats); tag-0/tag-2 prune to ~1 each
+    assert total == 3 * N_FILES
+    assert N_FILES < len(kept) <= N_FILES + 4
+
+
+def test_all_files_pruned_returns_empty_with_schema(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark, n=500), t, stats_cols=["k"])
+    got = scan_version(spark, t, {"k": (10_000, 20_000)})
+    assert got.count() == 0
+    assert got.columns == read_version(spark, t).columns
+
+
+def test_zorder_conjunctive_prune_and_rollback_keeps_stats(spark, tmp_path):
+    """optimize_zorder indexes its z-columns by default; a conjunctive
+    two-column range predicate prunes on BOTH, and a rollback to the
+    optimized version carries the stats (its visibility set is the
+    optimized files)."""
+    t = str(tmp_path / "vt")
+    df = _events(spark, n=4000)
+    commit_version(df, t)
+    v1 = optimize_zorder(spark, t, ["k", "grp"], n_files=N_FILES, bits=8)
+    preds = {"k": (0, 399), "grp": (2, 3)}
+    got = scan_version(spark, t, preds, version=v1)
+    want = (
+        read_version(spark, t, version=v1)
+        .where(F.col("k").between(0, 399) & F.col("grp").between(2, 3))
+    )
+    assert _rows(got) == _rows(want)
+    kept, total = prune_files(t, _resolve_manifest(t, version=v1), preds)
+    assert len(kept) < total
+    # rollback publishes a new version with the optimized stats intact
+    commit_version(_events(spark, n=10, tag=9), t)  # move the table on
+    v3 = rollback(t, v1)
+    kept3, total3 = prune_files(t, _resolve_manifest(t, version=v3), preds)
+    assert (len(kept3), total3) == (len(kept), total)
+    assert _rows(scan_version(spark, t, preds, version=v3)) == _rows(want)
