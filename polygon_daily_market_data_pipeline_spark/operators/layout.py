@@ -64,10 +64,14 @@ def _bucketize(
       values pile into few buckets, widening file envelopes.
     - ``quantile``: rank-uniform buckets from ``approxQuantile``
       boundaries (a driver-side sketch — scalable at any table size),
-      assigned by a BIT-BY-BIT binary search over the boundary array:
-      ``bits`` chained WHEN/element_at expressions, fully codegen'd —
-      no per-element lambda, no 2^bits CASE chain. Equal data share per
-      bucket regardless of skew.
+      assigned by a binary search over the boundary array expressed as
+      an ``aggregate`` HOF fold over the ``bits`` bit weights. The fold
+      evaluates ITERATIVELY at runtime, so the expression stays
+      constant-sized — the previous formulation (``bits`` chained WHENs
+      each referencing the accumulator Column several times) expanded
+      the shared DAG into a ~4^bits-node tree at Column→Expression
+      conversion and OOM'd the driver at the default bits=12. Equal
+      data share per bucket regardless of skew, O(bits) compares/row.
     """
     c = _numeric_view(df, col)
     n = 1 << bits
@@ -77,14 +81,17 @@ def _bucketize(
         if not bounds or bounds[0] == bounds[-1]:
             return F.lit(0)
         arr = F.lit(bounds)  # 1-indexed via element_at below
-        b = F.lit(0)
-        for k in range(bits - 1, -1, -1):
-            cand = b + F.lit(1 << k)
-            # boundary index `cand` separates buckets cand-1 | cand
-            b = F.when(
-                (cand <= F.lit(n - 1)) & (c >= F.element_at(arr, cand)), cand
-            ).otherwise(b)
-        return b
+        weights = F.lit([1 << k for k in range(bits - 1, -1, -1)])
+        # boundary index `acc + w` separates buckets acc+w-1 | acc+w
+        return F.aggregate(
+            weights,
+            F.lit(0),
+            lambda acc, w: F.when(
+                (acc + w <= F.lit(n - 1))
+                & (c >= F.element_at(arr, (acc + w).cast("int"))),
+                acc + w,
+            ).otherwise(acc),
+        )
     if method != "linear":
         raise ValueError(f"unknown bucketize method {method!r}")
     lo, hi = df.select(F.min(c), F.max(c)).first()
@@ -126,17 +133,21 @@ def zorder_write(
     conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
         n = 1 << max(1, (n_files - 1).bit_length())
-        key = morton_key(
-            [_bucketize(df, c, bits, bucketize) for c in zcols], bits
-        )
+        # materialize each bucketized column ONCE: morton_key references
+        # every input `bits` times, and inlining a non-trivial bucket
+        # expression (the quantile fold carries a 2^bits-element
+        # boundary array) at each reference bloats the plan for nothing
+        bcols = {f"__zb_{i}": _bucketize(df, c, bits, bucketize) for i, c in enumerate(zcols)}
+        key = morton_key([F.col(name) for name in bcols], bits)
         cell = F.shiftright(
             F.col("__z"), bits * len(zcols) - n.bit_length() + 1
         )
         (
-            df.withColumn("__z", key)
+            df.withColumns(bcols)
+            .withColumn("__z", key)
             .repartitionByRange(n, cell)
             .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop("__z", *bcols)
             .write.mode("overwrite")
             .parquet(path)
         )

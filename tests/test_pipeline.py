@@ -594,8 +594,8 @@ def test_quantile_bucketize_handles_skew(spark):
     """Zipf-skewed columns defeat linear min/max bucketing (almost all
     mass lands in bucket 0 — one giant z-cell); quantile bucketing
     splits by rank so buckets carry equal data share. The assignment is
-    a chain of `bits` codegen'd WHEN/element_at steps (binary search),
-    never a Python UDF."""
+    an `aggregate` HOF fold over the bit weights (binary search that
+    stays constant-sized as an expression), never a Python UDF."""
     import math
 
     from polygon_daily_market_data_pipeline_spark.operators.layout import _bucketize
@@ -626,6 +626,26 @@ def test_quantile_bucketize_handles_skew(spark):
         _bucketize(df, "v", bits, "quantile").alias("b")
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_quantile_bucketize_default_bits_expression_stays_small(spark):
+    """Regression: the pre-fix quantile search chained `bits` WHENs,
+    each referencing the accumulator Column ~4 times — Column→Expression
+    conversion expands that shared DAG into a ~4^bits tree, which
+    OOM'd the driver at the DEFAULT bits=12 (quantile z-order was
+    effectively unusable except at toy bit widths). The aggregate-fold
+    form must build, evaluate, and bucket monotonically at bits=12."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import _bucketize
+
+    df = spark.range(2000).selectExpr("cast(id as double) as v")
+    b = _bucketize(df, "v", 12, "quantile")
+    rows = (
+        df.select("v", b.alias("b")).orderBy("v").collect()
+    )
+    buckets = [r["b"] for r in rows]
+    assert buckets == sorted(buckets)  # monotone in v
+    assert 0 <= buckets[0] and buckets[-1] <= (1 << 12) - 1
+    assert len(set(buckets)) > 100  # rank-uniform: many buckets in use
 
 
 def test_optimize_zorder_versioned(spark, tmp_path):

@@ -142,17 +142,74 @@ def probe_refresh(spark, sf_dir: str) -> None:
     print(f"refresh_mv: {pts}")
 
 
+def probe_skipping(spark, sf_dir: str) -> None:
+    """Data-skipping claim at bench scale: a selective conjunctive
+    range scan through ``scan_version`` (manifest file-stats prune,
+    then residual filter) schedules a small fraction of a z-ordered
+    table's files and beats the same filter over ``read_version``
+    (which schedules every file and relies on per-task footer
+    skipping). Prints files-scheduled and wall-clock for both."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        optimize_zorder,
+        read_version,
+        scan_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    lo_u, hi_u, lo_t, hi_t = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts"), F.max("ts")
+    ).first()
+    u_span, t_span = hi_u - lo_u, hi_t - lo_t
+    preds = {
+        "user_id": (lo_u, lo_u + int(u_span * 0.05)),
+        "ts": (lo_t, lo_t + t_span * 0.05),
+    }
+    base = tempfile.mkdtemp(prefix="skip_probe_")
+    try:
+        commit_version(ev, base)
+        v = optimize_zorder(spark, base, ["user_id", "ts"], n_files=64)
+        for label, df in (
+            ("scan_version", scan_version(spark, base, preds, version=v)),
+            (
+                "read+filter",
+                read_version(spark, base, version=v).where(
+                    F.col("user_id").between(*preds["user_id"])
+                    & F.col("ts").between(*preds["ts"])
+                ),
+            ),
+        ):
+            t0 = time.monotonic()
+            n = df.count()
+            t = time.monotonic() - t0
+            print(
+                f"skipping[{label}]: files={len(df.inputFiles())}/64 "
+                f"rows={n} t={t:.2f}s"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
 
-    if "refresh_mv" in names:
-        from polygon_daily_market_data_pipeline_spark.session import get_spark
+    for extra, fn in (("refresh_mv", probe_refresh), ("skipping", probe_skipping)):
+        if extra in names:
+            from polygon_daily_market_data_pipeline_spark.session import get_spark
 
-        probe_refresh(get_spark("scaling-probe"), sf_dir)
-        names = [n for n in names if n != "refresh_mv"]
-        if not names:
-            return
+            fn(get_spark("scaling-probe"), sf_dir)
+            names = [n for n in names if n != extra]
+    if not names:
+        return
 
     from polygon_daily_market_data_pipeline_spark.session import get_spark
 
