@@ -31,6 +31,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     rollback,
     scan_version,
     vacuum,
+    versioned_stream_sink,
 )
 
 __all__ = [
@@ -55,4 +56,5 @@ __all__ = [
     "rollback",
     "scan_version",
     "vacuum",
+    "versioned_stream_sink",
 ]

@@ -219,6 +219,7 @@ def commit_version(
     table_dir: str,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -243,10 +244,12 @@ def commit_version(
     files: dict = {}
     if stats_cols:
         files = _collect_file_stats(df.sparkSession, table_dir, data_dir, stats_cols)
+    batches = [] if batch_id is None else [batch_id]
     if mode == "append" and existing:
         prev = _load_manifest(table_dir, existing[-1])
         dirs = prev["dirs"] + dirs
         files = {**prev.get("files", {}), **files}
+        batches = prev.get("batches", []) + batches
 
     manifest = {
         "version": version,
@@ -256,8 +259,56 @@ def commit_version(
     }
     if files:
         manifest["files"] = files
+    if batches:
+        manifest["batches"] = batches
     _publish_manifest(table_dir, version, manifest)
     return version
+
+
+def committed_batch_ids(table_dir: str) -> set[int]:
+    """Micro-batch ids recorded in the LATEST version — the streaming
+    sink's replay watermark."""
+    versions = _manifests(table_dir)
+    if not versions:
+        return set()
+    return set(_load_manifest(table_dir, versions[-1]).get("batches", []))
+
+
+def versioned_stream_sink(
+    table_dir: str, stats_cols: list[str] | None = None
+):
+    """foreachBatch sink committing each micro-batch as a new APPEND
+    version of a versioned table — streaming ingest with time travel,
+    the streaming twin of ``commit_version`` the way
+    ``incremental.streaming_aggregate_sink`` is of
+    ``refresh_aggregate``. Exactly-once comes from the pair (source
+    checkpoint, manifest batch list): the batch's data and its id
+    commit in ONE fail-if-exists manifest publish, so a crash between
+    commit and checkpoint makes the replayed batch a no-op (its id is
+    already in the latest manifest) and a crash before commit leaves
+    only unreferenced debris for ``vacuum``. With ``stats_cols`` every
+    committed file carries data-skipping envelopes, so
+    ``scan_version`` prunes streamed data the same as batch-written.
+
+    Usage::
+
+        q = (events.writeStream
+             .foreachBatch(versioned_stream_sink(table, ["ts"]))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table_dir):
+            return  # replay after a crash between commit and checkpoint
+        commit_version(
+            batch_df,
+            table_dir,
+            mode="append",
+            stats_cols=stats_cols,
+            batch_id=batch_id,
+        )
+
+    return sink
 
 
 def _resolve_manifest(
@@ -454,6 +505,8 @@ def rollback(table_dir: str, to_version: int) -> int:
     }
     if "files" in src:  # visibility set is src's — so are its file stats
         manifest["files"] = src["files"]
+    if "batches" in src:  # ...and its set of visible micro-batches
+        manifest["batches"] = src["batches"]
     _publish_manifest(table_dir, version, manifest)
     return version
 

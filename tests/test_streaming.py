@@ -505,3 +505,56 @@ def test_streaming_mv_sketch_and_histogram_measures(spark, tmp_path):
     }
     for r in p50:
         assert abs(r.p - true50[r.event_type]) <= (hi - lo) / nb
+
+
+def test_versioned_stream_sink_time_travel_replay_and_skipping(spark, tmp_path):
+    """Streaming ingest into a versioned table: each micro-batch is an
+    append COMMIT (time travel over stream progress), a replayed batch
+    id is a no-op (exactly-once under retries), and stats_cols makes
+    streamed files prunable by scan_version like batch-written ones."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        committed_batch_ids,
+        history,
+        read_version,
+        scan_version,
+        versioned_stream_sink,
+    )
+
+    rows = [(m, u, float(u)) for m in range(6) for u in range(1, 5)]
+    df = _events_df(spark, rows)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    table = str(tmp_path / "table")
+
+    sink = versioned_stream_sink(table, stats_cols=["user_id"])
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _rows(d):
+        return sorted((r.event_id, r.user_id, r.value) for r in d.collect())
+
+    # latest version holds exactly the streamed input
+    assert _rows(read_version(spark, table)) == _rows(df)
+    # one append version per micro-batch; earlier versions are partial
+    h = history(table)
+    assert len(h) == 3 and all(e["mode"] == "append" for e in h)
+    assert 0 < read_version(spark, table, version=0).count() < df.count()
+
+    # replaying an already-committed batch id publishes nothing
+    replay_id = max(committed_batch_ids(table))
+    sink(df.limit(2), batch_id=replay_id)
+    assert len(history(table)) == 3
+    assert _rows(read_version(spark, table)) == _rows(df)
+
+    # streamed commits carry data-skipping stats
+    got = scan_version(spark, table, {"user_id": (1, 2)})
+    want = read_version(spark, table).where(F.col("user_id").between(1, 2))
+    assert _rows(got) == _rows(want)
