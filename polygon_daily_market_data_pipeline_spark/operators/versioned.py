@@ -237,6 +237,20 @@ def commit_version(
     existing = _manifests(table_dir)
     version = (existing[-1] + 1) if existing else 0
 
+    schema = df.schema.jsonValue()
+    if mode == "append" and existing:
+        prev_schema = _load_manifest(table_dir, existing[-1]).get("schema")
+        if prev_schema is not None and prev_schema != schema:
+            # an append with a drifted schema would publish a version
+            # whose parquet dirs disagree — spark.read.parquet picks one
+            # file's schema and silently drops/nulls the others' columns
+            raise ValueError(
+                f"append schema mismatch for {table_dir}: table has "
+                f"{[f['name'] for f in prev_schema['fields']]}, commit has "
+                f"{[f['name'] for f in schema['fields']]} (types may also "
+                "differ) — overwrite, or align the frame explicitly"
+            )
+
     data_dir = os.path.join(table_dir, "_data", f"v{version}-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(data_dir)
 
@@ -256,6 +270,7 @@ def commit_version(
         "committed_at": _commit_ts(table_dir, existing),
         "mode": mode,
         "dirs": dirs,
+        "schema": schema,
     }
     if files:
         manifest["files"] = files
@@ -507,6 +522,8 @@ def rollback(table_dir: str, to_version: int) -> int:
         manifest["files"] = src["files"]
     if "batches" in src:  # ...and its set of visible micro-batches
         manifest["batches"] = src["batches"]
+    if "schema" in src:
+        manifest["schema"] = src["schema"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -560,6 +577,15 @@ def optimize_zorder(
         "mode": f"optimize_zorder({','.join(zcols)})",
         "dirs": [os.path.relpath(data_dir, table_dir)],
     }
+    src = _load_manifest(table_dir, versions[-1])
+    if "batches" in src:
+        # same rows, new layout: the set of visible micro-batches is
+        # unchanged — dropping it would reset versioned_stream_sink's
+        # replay watermark and let a crash-replayed batch double-commit
+        # right after a compaction
+        manifest["batches"] = src["batches"]
+    if "schema" in src:
+        manifest["schema"] = src["schema"]
     # stats_cols defaults to the z-columns: the rewrite exists to give
     # every file a tight envelope on them, so index exactly those for
     # scan_version's manifest prune

@@ -166,3 +166,42 @@ def test_commit_timestamps_strictly_monotonic(spark, tmp_path):
         want = read_version(spark, t, version=h["version"])
         assert _rows(got) == _rows(want), h
     assert v2 == 2
+
+
+def test_append_schema_drift_rejected(spark, tmp_path):
+    """An append whose frame schema differs from the table's must fail
+    at commit (a mixed-schema version would make spark.read pick one
+    file's schema and silently null the rest), while a matching append
+    and a deliberate overwrite both succeed."""
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+    commit_version(_df(spark, 1), t, mode="append")  # same schema: fine
+    drifted = _df(spark, 2).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_version(drifted, t, mode="append")
+    assert [h["version"] for h in history(t)] == [0, 1]
+    v = commit_version(drifted, t, mode="overwrite")  # explicit: allowed
+    assert v == 2
+    assert "extra" in read_version(spark, t).columns
+
+
+def test_optimize_preserves_stream_replay_watermark(spark, tmp_path):
+    """Compacting a streamed table (optimize_zorder) must carry the
+    manifest's batch list: dropping it would reset
+    versioned_stream_sink's replay watermark, so a batch replayed after
+    the compaction would double-commit its rows."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        committed_batch_ids,
+        versioned_stream_sink,
+    )
+
+    t = str(tmp_path / "vt")
+    sink = versioned_stream_sink(t)
+    sink(_df(spark, 0), batch_id=0)
+    sink(_df(spark, 1), batch_id=1)
+    assert committed_batch_ids(t) == {0, 1}
+    optimize_zorder(spark, t, ["k"], n_files=2, bits=4)
+    assert committed_batch_ids(t) == {0, 1}
+    before = _rows(read_version(spark, t))
+    sink(_df(spark, 1), batch_id=1)  # crash-replay after compaction
+    assert _rows(read_version(spark, t)) == before
