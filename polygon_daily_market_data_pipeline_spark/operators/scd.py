@@ -191,8 +191,17 @@ def _swap_current(dim_dir: str, new_data_dir: str) -> None:
     """Atomically repoint ``current`` (a symlink) at a freshly-written
     data directory: build a temp symlink, rename it over ``current`` —
     rename(2) replaces atomically, so a concurrent reader resolves
-    either the old or the new slice, never a missing path. The retired
-    data directory is removed after the flip."""
+    either the old or the new slice, never a missing path.
+
+    The JUST-retired slice is kept on disk until the NEXT swap: a
+    reader resolves the symlink at file-listing time and reads the
+    underlying files later, so deleting the old target at flip time
+    would yank files out from under any in-flight scan. One retained
+    generation covers every reader that started since the previous
+    merge (the engine's merge cadence is daily; a scan outliving two
+    merges has bigger problems). Older retired generations — and
+    crash-orphaned ``current_*`` dirs that never got linked — are
+    removed here."""
     import os
     import shutil
     import uuid
@@ -202,8 +211,12 @@ def _swap_current(dim_dir: str, new_data_dir: str) -> None:
     tmp_link = os.path.join(dim_dir, f"_link_{uuid.uuid4().hex}")
     os.symlink(os.path.basename(new_data_dir), tmp_link)
     os.rename(tmp_link, link)
-    if old_target and os.path.isdir(old_target):
-        shutil.rmtree(old_target, ignore_errors=True)
+    keep = {os.path.basename(new_data_dir)}
+    if old_target:
+        keep.add(os.path.basename(old_target))
+    for d in os.listdir(dim_dir):
+        if d.startswith("current_") and d not in keep:
+            shutil.rmtree(os.path.join(dim_dir, d), ignore_errors=True)
 
 
 def scd2_store_init(

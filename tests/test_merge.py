@@ -492,3 +492,51 @@ def test_scd2_stored_crash_between_delta_and_swap(spark, tmp_path, monkeypatch):
     assert sorted(map(key, scd2_store_read(spark, d).collect())) == sorted(
         map(key, logical.collect())
     )
+
+
+def test_scd2_stored_swap_retains_one_reader_generation(spark, tmp_path):
+    """The current-slice flip must NOT delete the just-retired data dir
+    (a concurrent reader resolves the symlink at file-listing time and
+    reads the files later — deleting at flip time yanks them mid-scan).
+    Exactly one retired generation is kept; older ones are reclaimed at
+    the next swap."""
+    import datetime as dt
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        scd2_store_init,
+        scd2_store_merge,
+        scd2_store_read,
+    )
+
+    def snap(rows, eff):
+        return spark.createDataFrame(
+            [(s, r, eff) for s, r in rows], "symbol string, rating string, eff timestamp"
+        )
+
+    d = str(tmp_path / "dim")
+    scd2_store_init(snap([("AAA", "A")], dt.datetime(2024, 1, 1)), d, ["symbol"], "eff")
+
+    def gens():
+        return sorted(x for x in os.listdir(d) if x.startswith("current_"))
+
+    g0 = gens()
+    assert len(g0) == 1
+    # a reader lists files from the pre-merge slice...
+    stale_files = [
+        os.path.join(d, g0[0], f)
+        for f in os.listdir(os.path.join(d, g0[0]))
+        if f.endswith(".parquet")
+    ]
+    scd2_store_merge(
+        spark, d, snap([("AAA", "B")], dt.datetime(2024, 2, 1)), ["symbol"], ["rating"], "eff"
+    )
+    # ...and can still read them after the flip (one generation kept)
+    assert all(os.path.exists(f) for f in stale_files)
+    assert set(g0) < set(gens()) and len(gens()) == 2
+    scd2_store_merge(
+        spark, d, snap([("AAA", "C")], dt.datetime(2024, 3, 1)), ["symbol"], ["rating"], "eff"
+    )
+    # the two-merges-old generation is reclaimed
+    assert g0[0] not in gens() and len(gens()) == 2
+    assert scd2_store_read(spark, d).count() == 3  # 2 closed + 1 current
