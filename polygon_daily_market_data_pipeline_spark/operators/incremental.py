@@ -193,12 +193,35 @@ def _publish_manifest(state_dir: str, manifest: dict) -> None:
     os.rename(tmp, os.path.join(state_dir, _MANIFEST))
 
 
+def _retire_and_publish(
+    state_dir: str, prev_manifest: dict, manifest: dict
+) -> None:
+    """Publish + GC with one-generation retirement: dirs live in the
+    previous manifest but not the new one are recorded as ``retired``
+    (held readers may still scan them) and reclaimed at the NEXT
+    publish — see ``_gc_unreferenced``."""
+    prev_live = {e["dir"] for e in prev_manifest["entries"]}
+    new_live = {e["dir"] for e in manifest["entries"]}
+    manifest["retired"] = sorted(prev_live - new_live)
+    _publish_manifest(state_dir, manifest)
+    _gc_unreferenced(state_dir, manifest)
+
+
 def _gc_unreferenced(state_dir: str, manifest: dict) -> None:
-    """Best-effort removal of partial dirs the manifest no longer
-    references (compacted-away entries, crashed-refresh debris)."""
-    live = {e["dir"] for e in manifest["entries"]}
+    """Best-effort removal of partial dirs neither live nor RETIRED in
+    this manifest. ``retired`` holds the previous publish's live set: a
+    lazy frame returned by ``read_aggregate`` keeps referencing the
+    partial dirs it was built from, so deleting a compacted-away dir at
+    publish time would break any held reader mid-scan
+    (FileNotFoundException, or silent row loss under
+    ignoreMissingFiles). One retained generation covers every reader
+    obtained since the previous refresh/micro-batch; dirs retire one
+    publish later and are reclaimed here."""
+    keep = {e["dir"] for e in manifest["entries"]} | set(
+        manifest.get("retired", [])
+    )
     for d in os.listdir(state_dir):
-        if d.startswith("partial-") and d not in live:
+        if d.startswith("partial-") and d not in keep:
             shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
@@ -219,6 +242,23 @@ def covered_batches(state_dir: str) -> set[int]:
     return out
 
 
+def _combine_entries(
+    spark: SparkSession,
+    state_dir: str,
+    entries: list[dict],
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Key-combine the listed partial dirs into one aggregate frame."""
+    frames = [
+        spark.read.parquet(os.path.join(state_dir, e["dir"])) for e in entries
+    ]
+    agg = frames[0]
+    for f in frames[1:]:
+        agg = combine_aggregates(agg, f, group_cols, measures)
+    return agg
+
+
 def read_aggregate(
     spark: SparkSession,
     state_dir: str,
@@ -230,13 +270,7 @@ def read_aggregate(
     entries = _load_manifest(state_dir)["entries"]
     if not entries:
         raise FileNotFoundError(f"no aggregate committed in {state_dir}")
-    frames = [
-        spark.read.parquet(os.path.join(state_dir, e["dir"])) for e in entries
-    ]
-    agg = frames[0]
-    for f in frames[1:]:
-        agg = combine_aggregates(agg, f, group_cols, measures)
-    return agg
+    return _combine_entries(spark, state_dir, entries, group_cols, measures)
 
 
 def _append_partial(
@@ -250,20 +284,15 @@ def _append_partial(
     """Write one partial dir, optionally compact, then publish the
     manifest — the publish commits partial + watermark together."""
     spark = partial.sparkSession
-    manifest = _load_manifest(state_dir)
+    prev = _load_manifest(state_dir)
     part_dir = f"partial-{uuid.uuid4().hex}"
     partial.write.mode("errorifexists").parquet(os.path.join(state_dir, part_dir))
-    entries = manifest["entries"] + [{"dir": part_dir, **cover}]
+    entries = prev["entries"] + [{"dir": part_dir, **cover}]
 
     if len(entries) > compact_threshold:
         # fold every live partial into one: aggregate-sized work, and
         # the compacted entry's cover is the union of its inputs'
-        frames = [
-            spark.read.parquet(os.path.join(state_dir, e["dir"])) for e in entries
-        ]
-        agg = frames[0]
-        for f in frames[1:]:
-            agg = combine_aggregates(agg, f, group_cols, measures)
+        agg = _combine_entries(spark, state_dir, entries, group_cols, measures)
         compact_dir = f"partial-{uuid.uuid4().hex}"
         agg.write.mode("errorifexists").parquet(
             os.path.join(state_dir, compact_dir)
@@ -275,9 +304,7 @@ def _append_partial(
                 merged[key] = sorted({v for lst in vals for v in lst})
         entries = [merged]
 
-    manifest["entries"] = entries
-    _publish_manifest(state_dir, manifest)
-    _gc_unreferenced(state_dir, manifest)
+    _retire_and_publish(state_dir, prev, {**prev, "entries": entries})
 
 
 def refresh_aggregate(
@@ -328,16 +355,14 @@ def invalidate_partitions(
     lost coverage (they will be rescanned by the next refresh)."""
     targets = set(partitions)
     os.makedirs(state_dir, exist_ok=True)  # no-op before the first refresh
-    manifest = _load_manifest(state_dir)
+    prev = _load_manifest(state_dir)
     keep, dropped_cover = [], set()
-    for e in manifest["entries"]:
+    for e in prev["entries"]:
         if targets & set(e.get("partitions", [])):
             dropped_cover.update(e.get("partitions", []))
         else:
             keep.append(e)
-    manifest["entries"] = keep
-    _publish_manifest(state_dir, manifest)
-    _gc_unreferenced(state_dir, manifest)
+    _retire_and_publish(state_dir, prev, {**prev, "entries": keep})
     return sorted(dropped_cover)
 
 

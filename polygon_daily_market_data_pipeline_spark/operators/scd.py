@@ -157,12 +157,13 @@ def as_of(dim: DataFrame, ts) -> DataFrame:
 # plan once history dwarfs the current slice. The stored form keeps
 #
 #     dim_dir/current/            one row per key (replaceable)
-#     dim_dir/history/batch=<ts>/ rows CLOSED by that batch (append-only)
+#     dim_dir/history/batch=<ts>-<hash>/ rows CLOSED by that batch (append-only)
 #
 # so a merge writes O(|current| + |batch|) bytes and history bytes are
 # written exactly once, ever. Crash/replay contract (single writer,
-# batches applied in effective-ts order): a batch's ``batch=<effective>``
-# delta directory is written at most once — once its ``_SUCCESS`` marker
+# batches applied in effective-ts order): a batch's
+# ``batch=<effective>-<content hash>`` delta directory is written at
+# most once — once its ``_SUCCESS`` marker
 # exists the content is FINAL (it was computed from the pre-batch
 # current slice) and a rerun must NOT recompute it, because after the
 # current swap the same batch recomputes an empty delta. Reruns
@@ -243,10 +244,20 @@ def scd2_store_merge(
 ) -> None:
     """Apply one snapshot batch to the stored dimension. Reads ONLY the
     current slice; appends the batch's closed rows as one immutable
-    ``history/batch=<ts>`` delta; swaps the current slice via a temp
+    ``history/batch=<tag>`` delta; swaps the current slice via a temp
     dir + rename. Semantics are exactly ``scd2_merge`` restricted to a
     history-free dim (asserted by tests comparing against the logical
-    merge)."""
+    merge).
+
+    The delta dir tag is ``<max effective>-<content hash>``: the tag is
+    the replay-dedup key (an existing ``_SUCCESS`` skips the delta
+    write — see module comment), so it must identify the BATCH, not
+    just its timestamp. Keyed on the timestamp alone, two distinct
+    batches sharing a max effective ts (routine at date-granular
+    effective columns) would collide: the second batch's closed rows
+    would be silently dropped from history while its current swap still
+    applied. The hash is an order-insensitive fold over the batch's
+    key/tracked/effective values — one batch-sized aggregate."""
     import os
     import uuid
 
@@ -254,22 +265,33 @@ def scd2_store_merge(
     # scd2_merge on a history-free dim returns precisely
     # closed-delta ∪ new-current
     merged = scd2_merge(current, source, keys, tracked, effective)
-    eff_ts = source.agg(F.max(effective)).first()[0]
-    if eff_ts is None:
+    sig = source.agg(
+        F.max(effective).alias("eff"),
+        F.sum(F.xxhash64(*keys, *tracked, effective)).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if sig["eff"] is None:
         return  # empty batch: dim unchanged, nothing to write
-    batch_tag = eff_ts.strftime("%Y%m%dT%H%M%S%f")
+    content = (int(sig["h"] or 0) * 1_000_003 + sig["n"]) & (2**64 - 1)
+    batch_tag = f"{sig['eff'].strftime('%Y%m%dT%H%M%S%f')}-{content:016x}"
 
-    delta_dir = os.path.join(_hist_dir(dim_dir), f"batch={batch_tag}")
-    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
-        # first (or crash-replayed pre-swap) application: the closed
-        # delta is computed from the pre-batch current slice. Once
-        # _SUCCESS exists the delta is final — see module comment.
-        closed = merged.where(~F.col("is_current"))
-        closed.write.mode("overwrite").parquet(delta_dir)
-    new_current = merged.where(F.col("is_current"))
-    data = os.path.join(dim_dir, f"current_{uuid.uuid4().hex}")
-    new_current.write.parquet(data)
-    _swap_current(dim_dir, data)
+    # both writes split one merge result: persist so the
+    # current-vs-batch join and the source dedup run once, not twice
+    merged = merged.persist()
+    try:
+        delta_dir = os.path.join(_hist_dir(dim_dir), f"batch={batch_tag}")
+        if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+            # first (or crash-replayed pre-swap) application: the closed
+            # delta is computed from the pre-batch current slice. Once
+            # _SUCCESS exists the delta is final — see module comment.
+            closed = merged.where(~F.col("is_current"))
+            closed.write.mode("overwrite").parquet(delta_dir)
+        new_current = merged.where(F.col("is_current"))
+        data = os.path.join(dim_dir, f"current_{uuid.uuid4().hex}")
+        new_current.write.parquet(data)
+        _swap_current(dim_dir, data)
+    finally:
+        merged.unpersist()
 
 
 def scd2_store_read(spark, dim_dir: str) -> DataFrame:

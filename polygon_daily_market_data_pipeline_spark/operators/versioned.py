@@ -214,6 +214,26 @@ def _collect_file_stats(
     }
 
 
+def _schema_sig(schema_json: dict) -> list:
+    """[(name, type)] signature for append compatibility — nullability
+    and field metadata are dropped (recursively): a parquet read-back
+    makes every column nullable, so comparing raw ``jsonValue()`` dicts
+    would reject re-appending a table's own rows."""
+
+    def norm(t):
+        if isinstance(t, dict):
+            return {
+                k: norm(v)
+                for k, v in t.items()
+                if k not in ("nullable", "metadata", "containsNull", "valueContainsNull")
+            }
+        if isinstance(t, list):
+            return [norm(v) for v in t]
+        return t
+
+    return [(f["name"], norm(f["type"])) for f in schema_json["fields"]]
+
+
 def commit_version(
     df: DataFrame,
     table_dir: str,
@@ -240,15 +260,17 @@ def commit_version(
     schema = df.schema.jsonValue()
     if mode == "append" and existing:
         prev_schema = _load_manifest(table_dir, existing[-1]).get("schema")
-        if prev_schema is not None and prev_schema != schema:
+        if prev_schema is not None and _schema_sig(prev_schema) != _schema_sig(
+            schema
+        ):
             # an append with a drifted schema would publish a version
             # whose parquet dirs disagree — spark.read.parquet picks one
             # file's schema and silently drops/nulls the others' columns
             raise ValueError(
-                f"append schema mismatch for {table_dir}: table has "
-                f"{[f['name'] for f in prev_schema['fields']]}, commit has "
-                f"{[f['name'] for f in schema['fields']]} (types may also "
-                "differ) — overwrite, or align the frame explicitly"
+                f"append schema mismatch for {table_dir}: "
+                f"table has {_schema_sig(prev_schema)}, "
+                f"commit has {_schema_sig(schema)} — "
+                "overwrite, or align the frame explicitly"
             )
 
     data_dir = os.path.join(table_dir, "_data", f"v{version}-{uuid.uuid4().hex}")
@@ -258,12 +280,14 @@ def commit_version(
     files: dict = {}
     if stats_cols:
         files = _collect_file_stats(df.sparkSession, table_dir, data_dir, stats_cols)
-    batches = [] if batch_id is None else [batch_id]
+    max_batch = batch_id
     if mode == "append" and existing:
         prev = _load_manifest(table_dir, existing[-1])
         dirs = prev["dirs"] + dirs
         files = {**prev.get("files", {}), **files}
-        batches = prev.get("batches", []) + batches
+        prev_mb = prev.get("max_batch")
+        if prev_mb is not None:
+            max_batch = prev_mb if max_batch is None else max(prev_mb, max_batch)
 
     manifest = {
         "version": version,
@@ -274,19 +298,23 @@ def commit_version(
     }
     if files:
         manifest["files"] = files
-    if batches:
-        manifest["batches"] = batches
+    if max_batch is not None:
+        manifest["max_batch"] = max_batch
     _publish_manifest(table_dir, version, manifest)
     return version
 
 
-def committed_batch_ids(table_dir: str) -> set[int]:
-    """Micro-batch ids recorded in the LATEST version — the streaming
-    sink's replay watermark."""
+def last_committed_batch(table_dir: str) -> int | None:
+    """Highest micro-batch id visible in the LATEST version — the
+    streaming sink's replay watermark. A single watermark (not an id
+    list) suffices because one streaming query commits its batches
+    sequentially: every id at or below the watermark is committed. It
+    also keeps the per-commit manifest payload O(1) in stream age —
+    an id list would be rewritten in full on every micro-batch."""
     versions = _manifests(table_dir)
     if not versions:
-        return set()
-    return set(_load_manifest(table_dir, versions[-1]).get("batches", []))
+        return None
+    return _load_manifest(table_dir, versions[-1]).get("max_batch")
 
 
 def versioned_stream_sink(
@@ -310,10 +338,19 @@ def versioned_stream_sink(
         q = (events.writeStream
              .foreachBatch(versioned_stream_sink(table, ["ts"]))
              .option("checkpointLocation", ckpt).start())
+
+    The replay dedup is the ``max_batch`` watermark (one streaming
+    query commits batch ids sequentially, so id ≤ watermark ⇒ already
+    committed — and the manifest payload stays O(1) in stream age).
+    Corollary: the table is paired with ONE checkpoint lineage.
+    Deleting the checkpoint restarts batch ids at 0, which the
+    watermark treats as replays — point a fresh checkpoint at a fresh
+    table (or an overwrite commit, which resets the watermark).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table_dir):
+        wm = last_committed_batch(table_dir)
+        if wm is not None and batch_id <= wm:
             return  # replay after a crash between commit and checkpoint
         commit_version(
             batch_df,
@@ -520,8 +557,8 @@ def rollback(table_dir: str, to_version: int) -> int:
     }
     if "files" in src:  # visibility set is src's — so are its file stats
         manifest["files"] = src["files"]
-    if "batches" in src:  # ...and its set of visible micro-batches
-        manifest["batches"] = src["batches"]
+    if "max_batch" in src:  # ...and its visible micro-batch watermark
+        manifest["max_batch"] = src["max_batch"]
     if "schema" in src:
         manifest["schema"] = src["schema"]
     _publish_manifest(table_dir, version, manifest)
@@ -578,12 +615,12 @@ def optimize_zorder(
         "dirs": [os.path.relpath(data_dir, table_dir)],
     }
     src = _load_manifest(table_dir, versions[-1])
-    if "batches" in src:
-        # same rows, new layout: the set of visible micro-batches is
+    if "max_batch" in src:
+        # same rows, new layout: the visible micro-batch watermark is
         # unchanged — dropping it would reset versioned_stream_sink's
-        # replay watermark and let a crash-replayed batch double-commit
+        # replay dedup and let a crash-replayed batch double-commit
         # right after a compaction
-        manifest["batches"] = src["batches"]
+        manifest["max_batch"] = src["max_batch"]
     if "schema" in src:
         manifest["schema"] = src["schema"]
     # stats_cols defaults to the z-columns: the rewrite exists to give

@@ -82,9 +82,14 @@ def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     """Two-batch SCD2 script on customer: batch 1 = the snapshot at TS1;
     batch 2 (TS2) re-observes a SUBSET of keys (custkey % 3 != 2 — the
     missing keys exercise 'only in dim'), moves every 10th key's segment
-    (the 'changed' path), and adds brand-new keys (custkey+10M for every
-    100th — the 'only in source' path)."""
+    (the 'changed' path), and adds brand-new keys (custkey + the next
+    power of 10 above the max real key, for every 100th — the 'only in
+    source' path; a fixed offset would collide with real keys at large
+    SF and break both the merge's one-row-per-key contract and the
+    oracle's new-key classification)."""
     cust = load_table(spark, sf_dir, "customer")
+    # one driver-side scalar, mirrored by the oracle's `off` CTE
+    off = 10 ** len(str(cust.agg(F.max("c_custkey")).first()[0]))
     b1 = cust.select(
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
@@ -100,7 +105,7 @@ def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         )
         .unionByName(
             cust.where(F.col("c_custkey") % 100 == 0).select(
-                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                (F.col("c_custkey") + F.lit(off)).alias("c_custkey"),
                 F.lit("ZZ_NEW").alias("segment"),
             )
         )
@@ -297,13 +302,22 @@ def _streaming_mv_rows(
 
 
 _ORACLE = f"""
-    WITH b2 AS (
+    WITH off AS (
+        -- next power of 10 strictly above the largest real key: the
+        -- synthetic new-key offset can never collide with an existing
+        -- custkey at ANY scale factor (a fixed 10M literal collides
+        -- once custkey max passes it, around SF 67)
+        SELECT CAST(POWER(10, LENGTH(CAST(MAX(c_custkey) AS VARCHAR)))
+                    AS BIGINT) AS v
+        FROM customer
+    ),
+    b2 AS (
         SELECT c_custkey,
                CASE WHEN c_custkey % 10 = 0 THEN 'ZZ_MOVED'
                     ELSE c_mktsegment END AS segment
         FROM customer WHERE c_custkey % 3 <> 2
         UNION ALL
-        SELECT c_custkey + 10000000, 'ZZ_NEW'
+        SELECT c_custkey + (SELECT v FROM off), 'ZZ_NEW'
         FROM customer WHERE c_custkey % 100 = 0
     ),
     changed AS (
@@ -311,7 +325,7 @@ _ORACLE = f"""
         JOIN customer c ON b2.c_custkey = c.c_custkey
         WHERE b2.segment <> c.c_mktsegment
     ),
-    newk AS (SELECT c_custkey FROM b2 WHERE c_custkey >= 10000000),
+    newk AS (SELECT c_custkey FROM b2 WHERE c_custkey >= (SELECT v FROM off)),
     ord AS (SELECT * FROM orders WHERE o_custkey % 4 = 1),
     ord_v0 AS (SELECT * FROM ord WHERE o_orderdate < TIMESTAMP '{_CUT}'),
     ev AS (SELECT * FROM events WHERE user_id % 4 = 1),

@@ -841,3 +841,45 @@ def test_incremental_histogram_percentiles(spark, tmp_path):
         e50, e90 = exact[r.event_type]
         assert abs(r.p50 - e50) <= width, (r.event_type, r.p50, e50)
         assert abs(r.p90 - e90) <= width, (r.event_type, r.p90, e90)
+
+
+def test_incremental_compaction_retains_one_reader_generation(spark, tmp_path):
+    """Publishing a compaction must not delete the partial dirs a held
+    read_aggregate frame was built from (lazy frames re-list files at
+    action time): compacted-away dirs retire for one publish and are
+    reclaimed at the next. The held frame must still collect correctly
+    AFTER the compaction that removed its entries from the manifest."""
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        read_aggregate,
+        streaming_aggregate_sink,
+    )
+
+    state = str(tmp_path / "state")
+    measures = {"n": ("count", "v"), "s": ("sum", "v")}
+    sink = streaming_aggregate_sink(["g"], measures, state, compact_threshold=3)
+
+    def batch(i):
+        return spark.createDataFrame([(i % 2, float(i))], "g int, v double")
+
+    def dirs():
+        return {d for d in os.listdir(state) if d.startswith("partial-")}
+
+    for i in range(3):
+        sink(batch(i), i)
+    held = read_aggregate(spark, state, ["g"], measures)  # references 3 dirs
+    pre = dirs()
+    sink(batch(3), 3)  # 4th entry > threshold → compaction
+    # the held frame's dirs survive the compaction publish...
+    assert pre < dirs()
+    got = {(r.g, r.n, r.s) for r in held.collect()}
+    assert got == {(0, 2, 0.0 + 2.0), (1, 1, 1.0)}
+    # ...and are reclaimed one publish later
+    sink(batch(4), 4)
+    assert pre & dirs() == set()
+    # the current aggregate stays exact throughout
+    want = {(0, 3, 6.0), (1, 2, 4.0)}
+    assert {
+        (r.g, r.n, r.s) for r in read_aggregate(spark, state, ["g"], measures).collect()
+    } == want

@@ -513,7 +513,7 @@ def test_versioned_stream_sink_time_travel_replay_and_skipping(spark, tmp_path):
     id is a no-op (exactly-once under retries), and stats_cols makes
     streamed files prunable by scan_version like batch-written ones."""
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-        committed_batch_ids,
+        last_committed_batch,
         history,
         read_version,
         scan_version,
@@ -549,7 +549,7 @@ def test_versioned_stream_sink_time_travel_replay_and_skipping(spark, tmp_path):
     assert 0 < read_version(spark, table, version=0).count() < df.count()
 
     # replaying an already-committed batch id publishes nothing
-    replay_id = max(committed_batch_ids(table))
+    replay_id = last_committed_batch(table)
     sink(df.limit(2), batch_id=replay_id)
     assert len(history(table)) == 3
     assert _rows(read_version(spark, table)) == _rows(df)

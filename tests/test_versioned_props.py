@@ -191,7 +191,7 @@ def test_optimize_preserves_stream_replay_watermark(spark, tmp_path):
     versioned_stream_sink's replay watermark, so a batch replayed after
     the compaction would double-commit its rows."""
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-        committed_batch_ids,
+        last_committed_batch,
         versioned_stream_sink,
     )
 
@@ -199,9 +199,9 @@ def test_optimize_preserves_stream_replay_watermark(spark, tmp_path):
     sink = versioned_stream_sink(t)
     sink(_df(spark, 0), batch_id=0)
     sink(_df(spark, 1), batch_id=1)
-    assert committed_batch_ids(t) == {0, 1}
+    assert last_committed_batch(t) == 1
     optimize_zorder(spark, t, ["k"], n_files=2, bits=4)
-    assert committed_batch_ids(t) == {0, 1}
+    assert last_committed_batch(t) == 1
     before = _rows(read_version(spark, t))
     sink(_df(spark, 1), batch_id=1)  # crash-replay after compaction
     assert _rows(read_version(spark, t)) == before
