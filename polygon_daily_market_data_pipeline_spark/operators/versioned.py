@@ -240,6 +240,7 @@ def commit_version(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     batch_id: int | None = None,
+    retries: int = 0,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -250,15 +251,23 @@ def commit_version(
     manifest records each new file's footer [min, max] envelope, and
     ``scan_version`` prunes files against it before task scheduling.
     Append commits carry the previous version's file stats forward;
-    files from commits made without stats simply stay unprunable."""
+    files from commits made without stats simply stay unprunable.
+
+    ``retries`` (append only) is optimistic concurrency the Delta way:
+    two appends don't conflict semantically, so when a racing writer
+    takes our version number, the loser re-reads the new latest
+    manifest and re-publishes — METADATA-ONLY, the data directory is
+    already written and is never rewritten. Overwrite commits never
+    retry (which of two overwrites should win is not the engine's
+    call)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
-    existing = _manifests(table_dir)
-    version = (existing[-1] + 1) if existing else 0
-
     schema = df.schema.jsonValue()
-    if mode == "append" and existing:
+
+    def check_schema(existing: list[int]) -> None:
+        if mode != "append" or not existing:
+            return
         prev_schema = _load_manifest(table_dir, existing[-1]).get("schema")
         if prev_schema is not None and _schema_sig(prev_schema) != _schema_sig(
             schema
@@ -273,35 +282,49 @@ def commit_version(
                 "overwrite, or align the frame explicitly"
             )
 
-    data_dir = os.path.join(table_dir, "_data", f"v{version}-{uuid.uuid4().hex}")
+    existing = _manifests(table_dir)
+    check_schema(existing)
+    data_dir = os.path.join(table_dir, "_data", f"c-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(data_dir)
-
-    dirs = [os.path.relpath(data_dir, table_dir)]
-    files: dict = {}
+    own_dir = os.path.relpath(data_dir, table_dir)
+    own_files: dict = {}
     if stats_cols:
-        files = _collect_file_stats(df.sparkSession, table_dir, data_dir, stats_cols)
-    max_batch = batch_id
-    if mode == "append" and existing:
-        prev = _load_manifest(table_dir, existing[-1])
-        dirs = prev["dirs"] + dirs
-        files = {**prev.get("files", {}), **files}
-        prev_mb = prev.get("max_batch")
-        if prev_mb is not None:
-            max_batch = prev_mb if max_batch is None else max(prev_mb, max_batch)
+        own_files = _collect_file_stats(
+            df.sparkSession, table_dir, data_dir, stats_cols
+        )
 
-    manifest = {
-        "version": version,
-        "committed_at": _commit_ts(table_dir, existing),
-        "mode": mode,
-        "dirs": dirs,
-        "schema": schema,
-    }
-    if files:
-        manifest["files"] = files
-    if max_batch is not None:
-        manifest["max_batch"] = max_batch
-    _publish_manifest(table_dir, version, manifest)
-    return version
+    for attempt in range(retries + 1):
+        version = (existing[-1] + 1) if existing else 0
+        dirs, files, max_batch = [own_dir], dict(own_files), batch_id
+        if mode == "append" and existing:
+            prev = _load_manifest(table_dir, existing[-1])
+            dirs = prev["dirs"] + dirs
+            files = {**prev.get("files", {}), **files}
+            prev_mb = prev.get("max_batch")
+            if prev_mb is not None:
+                max_batch = (
+                    prev_mb if max_batch is None else max(prev_mb, max_batch)
+                )
+        manifest = {
+            "version": version,
+            "committed_at": _commit_ts(table_dir, existing),
+            "mode": mode,
+            "dirs": dirs,
+            "schema": schema,
+        }
+        if files:
+            manifest["files"] = files
+        if max_batch is not None:
+            manifest["max_batch"] = max_batch
+        try:
+            _publish_manifest(table_dir, version, manifest)
+            return version
+        except FileExistsError:
+            if mode != "append" or attempt == retries:
+                raise
+            existing = _manifests(table_dir)  # re-read past the winner
+            check_schema(existing)
+    raise AssertionError("unreachable")
 
 
 def last_committed_batch(table_dir: str) -> int | None:

@@ -205,3 +205,38 @@ def test_optimize_preserves_stream_replay_watermark(spark, tmp_path):
     before = _rows(read_version(spark, t))
     sink(_df(spark, 1), batch_id=1)  # crash-replay after compaction
     assert _rows(read_version(spark, t)) == before
+
+
+def test_append_retry_is_metadata_only_and_loses_no_rows(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency for appends: when a racer takes our
+    version number between our data write and our publish, retries=1
+    re-reads the new latest and re-publishes on top of it — both
+    appends' rows land, nothing is rewritten. Without retries the loser
+    still gets FileExistsError."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+
+    real_publish = V._publish_manifest
+    state = {"raced": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not state["raced"] and manifest["mode"] == "append":
+            state["raced"] = True
+            V.commit_version(_df(spark, 7), table_dir, mode="append")  # racer wins
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(V, "_publish_manifest", racing_publish)
+    with pytest.raises(FileExistsError):
+        V.commit_version(_df(spark, 1), t, mode="append")  # no retries
+
+    state["raced"] = False
+    v = V.commit_version(_df(spark, 2), t, mode="append", retries=1)
+    assert v == len(history(t)) - 1
+    got = _rows(read_version(spark, t))
+    want = sorted(
+        _rows(_df(spark, 0)) + _rows(_df(spark, 7)) * 2 + _rows(_df(spark, 2))
+    )
+    # racer committed twice (once per raced publish attempt above)
+    assert got == want
