@@ -39,8 +39,11 @@ Semantics:
   concurrent append that lands first makes their publish fail rather
   than silently dropping the append. ``optimize_zorder`` additionally
   takes ``expected_version`` to fail BEFORE its (expensive) rewrite.
-  The intended operating mode is still the reference's one-daily-writer
-  DAG; the enforcement is the safety net, not a coordination protocol.
+  APPEND commits may opt into optimistic retry (``retries=N``): append
+  vs append is semantically conflict-free, so the loser re-publishes
+  against the new latest without rewriting data. The intended operating
+  mode is still the reference's one-daily-writer DAG; the enforcement
+  is the safety net, not a coordination protocol.
 """
 
 from __future__ import annotations
@@ -381,6 +384,9 @@ def versioned_stream_sink(
             mode="append",
             stats_cols=stats_cols,
             batch_id=batch_id,
+            # survive a concurrent OPTIMIZE/maintenance commit taking
+            # our version number (append retry is metadata-only)
+            retries=2,
         )
 
     return sink
