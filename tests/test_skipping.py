@@ -140,3 +140,46 @@ def test_zorder_conjunctive_prune_and_rollback_keeps_stats(spark, tmp_path):
     kept3, total3 = prune_files(t, _resolve_manifest(t, version=v3), preds)
     assert (len(kept3), total3) == (len(kept), total)
     assert _rows(scan_version(spark, t, preds, version=v3)) == _rows(want)
+
+
+def test_scan_equals_read_filter_property(spark, tmp_path):
+    """Property: for ANY layout (files × distribution) and ANY
+    conjunctive range predicate — including empty ranges, full ranges,
+    and open bounds — scan_version is value-identical to
+    read_version().where(...). Seeded exhaustive sweep instead of
+    hypothesis: one Spark commit per layout is the expensive part, so
+    reuse each table across many predicates."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        n_files = rng.choice([1, 4, 9])
+        n = rng.randrange(50, 400)
+        t = str(tmp_path / f"vt_{seed}")
+        rows = [
+            (rng.randrange(-50, 1000), rng.choice("abcde"), rng.random())
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, s string, v double")
+        # half the layouts cluster on k (prunable), half are random
+        df = (
+            df.repartitionByRange(n_files, "k")
+            if seed % 2
+            else df.repartition(n_files)
+        )
+        commit_version(df, t, stats_cols=["k", "s"])
+        for _ in range(8):
+            lo = rng.choice([None, rng.randrange(-100, 1100)])
+            hi = rng.choice([None, rng.randrange(-100, 1100)])
+            preds = {"k": (lo, hi)}
+            if rng.random() < 0.5:
+                a, b = sorted(rng.choice("abcdef") for _ in range(2))
+                preds["s"] = (a, b)
+            got = scan_version(spark, t, preds)
+            want = read_version(spark, t)
+            for col, (plo, phi) in preds.items():
+                if plo is not None:
+                    want = want.where(F.col(col) >= plo)
+                if phi is not None:
+                    want = want.where(F.col(col) <= phi)
+            assert _rows(got) == _rows(want), (seed, preds)
