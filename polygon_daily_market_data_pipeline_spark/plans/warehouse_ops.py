@@ -1,8 +1,9 @@
-"""Registered warehouse-maintenance query: the round-5 operator layer
+"""Registered warehouse-maintenance query: the warehouse operator layer
 (SCD2, incremental/streaming materialized aggregates, versioned tables
-with time travel + rollback) exercised end-to-end as ONE union query
-with a mechanical DuckDB twin, so the driver's differential check
-covers what previously rested on self-written tests alone.
+with time travel + rollback, manifest data skipping) exercised
+end-to-end as ONE union query with a mechanical DuckDB twin, so the
+driver's differential check covers what previously rested on
+self-written tests alone.
 
 Every branch runs a deterministic script derived from the driver
 testdata tables (customer / orders / events), writes its state under a
@@ -234,6 +235,42 @@ def _versioned_rows(
     ]
 
 
+def _skipping_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Data-skipping script: commit orders range-partitioned on
+    o_orderkey with manifest file stats, then scan the bottom ~5% of
+    the key range through ``scan_version``. n_rows/val are the
+    SQL-exact count/sum under the predicate (the skip must lose no
+    rows); n_aux encodes the PRUNING claim as a constant the oracle
+    pins — 1 iff the manifest prune scheduled ≤⅓ of the files — the
+    same constant-claim pattern as the ANN recall-floor oracles."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _resolve_manifest,
+        prune_files,
+        scan_version,
+    )
+
+    tdir = os.path.join(base, "skip_vt")
+    commit_version(
+        ord_df.repartitionByRange(8, "o_orderkey"),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    # mirrored by the oracle: CAST(MAX(o_orderkey)/20 AS BIGINT) — both
+    # truncate (doubles are exact for these magnitudes)
+    hi = ord_df.agg(F.max("o_orderkey")).first()[0] // 20
+    preds = {"o_orderkey": (None, hi)}
+    kept, total = prune_files(tdir, _resolve_manifest(tdir), preds)
+    pruned_claim = 1 if 3 * len(kept) <= total else 0
+    row = scan_version(spark, tdir, preds).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(pruned_claim).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_skipping")]
+
+
 def _streaming_mv_rows(
     spark: SparkSession, sf_dir: str, base: str
 ) -> list[DataFrame]:
@@ -372,6 +409,15 @@ _ORACLE = f"""
                2,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
         UNION ALL
+        SELECT 'versioned_skipping',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey <= (SELECT CAST(MAX(o_orderkey) / 20 AS BIGINT)
+                                     FROM ord)),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderkey <= (SELECT CAST(MAX(o_orderkey) / 20 AS BIGINT)
+                                     FROM ord))
+        UNION ALL
         SELECT 'streaming_mv',
                (SELECT COUNT(*) FROM ev_groups),
                (SELECT COUNT(*) FROM ev),
@@ -406,6 +452,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scd2_rows(spark, sf_dir)
         + _incremental_rows(spark, ord_df, base)
         + _versioned_rows(spark, ord_df, base)
+        + _skipping_rows(spark, ord_df, base)
         + _streaming_mv_rows(spark, sf_dir, base)
     )
     out = rows[0]
