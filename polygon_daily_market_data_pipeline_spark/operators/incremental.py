@@ -67,6 +67,9 @@ _ALGEBRAIC = {
 
 _MANIFEST = "_manifest.json"
 DEFAULT_COMPACT_THRESHOLD = 8
+# how long a compacted-away/invalidated partial dir stays on disk for
+# held readers before GC — see _retire_and_publish
+DEFAULT_RETIRE_GRACE_S = 600.0
 
 
 def histogram_measures(
@@ -194,31 +197,50 @@ def _publish_manifest(state_dir: str, manifest: dict) -> None:
 
 
 def _retire_and_publish(
-    state_dir: str, prev_manifest: dict, manifest: dict
+    state_dir: str,
+    prev_manifest: dict,
+    manifest: dict,
+    grace_s: float,
 ) -> None:
-    """Publish + GC with one-generation retirement: dirs live in the
-    previous manifest but not the new one are recorded as ``retired``
-    (held readers may still scan them) and reclaimed at the NEXT
-    publish — see ``_gc_unreferenced``."""
+    """Publish + GC with time-graced retirement: dirs live in the
+    previous manifest but not the new one enter ``retired`` (a dir →
+    retirement-time map; held readers may still scan them) and are
+    reclaimed at the first LATER publish once they have been retired
+    for more than ``grace_s`` seconds. The grace is time-based, not
+    publish-count-based, because publishes can be arbitrarily close
+    together — the documented ``invalidate_partitions`` →
+    ``refresh_aggregate`` sequence is two publishes seconds apart, and
+    a count-of-one rule would reclaim the invalidated dirs under a
+    reader obtained just before the pair ran."""
+    import time
+
+    now = time.time()
     prev_live = {e["dir"] for e in prev_manifest["entries"]}
     new_live = {e["dir"] for e in manifest["entries"]}
-    manifest["retired"] = sorted(prev_live - new_live)
+    prev_retired = prev_manifest.get("retired", {})
+    if isinstance(prev_retired, list):  # pre-grace manifest form
+        prev_retired = {d: 0.0 for d in prev_retired}
+    retired = {
+        d: ts
+        for d, ts in prev_retired.items()
+        if now - ts <= grace_s and d not in new_live
+    }
+    retired.update({d: now for d in prev_live - new_live})
+    manifest["retired"] = retired
     _publish_manifest(state_dir, manifest)
     _gc_unreferenced(state_dir, manifest)
 
 
 def _gc_unreferenced(state_dir: str, manifest: dict) -> None:
     """Best-effort removal of partial dirs neither live nor RETIRED in
-    this manifest. ``retired`` holds the previous publish's live set: a
-    lazy frame returned by ``read_aggregate`` keeps referencing the
-    partial dirs it was built from, so deleting a compacted-away dir at
-    publish time would break any held reader mid-scan
-    (FileNotFoundException, or silent row loss under
-    ignoreMissingFiles). One retained generation covers every reader
-    obtained since the previous refresh/micro-batch; dirs retire one
-    publish later and are reclaimed here."""
+    this manifest. A lazy frame returned by ``read_aggregate`` keeps
+    referencing the partial dirs it was built from, so deleting a
+    compacted-away dir at publish time would break any held reader
+    mid-scan (FileNotFoundException, or silent row loss under
+    ignoreMissingFiles) — see ``_retire_and_publish`` for the grace
+    rule that decides when a dir leaves ``retired``."""
     keep = {e["dir"] for e in manifest["entries"]} | set(
-        manifest.get("retired", [])
+        manifest.get("retired", {})
     )
     for d in os.listdir(state_dir):
         if d.startswith("partial-") and d not in keep:
@@ -280,6 +302,7 @@ def _append_partial(
     group_cols: list[str],
     measures: dict[str, tuple[str, str]],
     compact_threshold: int,
+    retire_grace_s: float,
 ) -> None:
     """Write one partial dir, optionally compact, then publish the
     manifest — the publish commits partial + watermark together."""
@@ -304,7 +327,9 @@ def _append_partial(
                 merged[key] = sorted({v for lst in vals for v in lst})
         entries = [merged]
 
-    _retire_and_publish(state_dir, prev, {**prev, "entries": entries})
+    _retire_and_publish(
+        state_dir, prev, {**prev, "entries": entries}, retire_grace_s
+    )
 
 
 def refresh_aggregate(
@@ -315,6 +340,7 @@ def refresh_aggregate(
     measures: dict[str, tuple[str, str]],
     partition_col: str,
     compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+    retire_grace_s: float = DEFAULT_RETIRE_GRACE_S,
 ) -> DataFrame:
     """Bring the stored aggregate up to date with the fact table's
     partitions; returns the refreshed aggregate DataFrame. Scans ONLY
@@ -340,12 +366,15 @@ def refresh_aggregate(
             group_cols,
             measures,
             compact_threshold,
+            retire_grace_s,
         )
     return read_aggregate(spark, state_dir, group_cols, measures)
 
 
 def invalidate_partitions(
-    state_dir: str, partitions: Iterable[str]
+    state_dir: str,
+    partitions: Iterable[str],
+    retire_grace_s: float = DEFAULT_RETIRE_GRACE_S,
 ) -> list[str]:
     """Partition replace/delete support: drop every live partial whose
     cover intersects ``partitions``. Because a partial's contribution is
@@ -362,7 +391,9 @@ def invalidate_partitions(
             dropped_cover.update(e.get("partitions", []))
         else:
             keep.append(e)
-    _retire_and_publish(state_dir, prev, {**prev, "entries": keep})
+    _retire_and_publish(
+        state_dir, prev, {**prev, "entries": keep}, retire_grace_s
+    )
     return sorted(dropped_cover)
 
 
@@ -371,6 +402,7 @@ def streaming_aggregate_sink(
     measures: dict[str, tuple[str, str]],
     state_dir: str,
     compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+    retire_grace_s: float = DEFAULT_RETIRE_GRACE_S,
 ):
     """foreachBatch sink maintaining a materialized aggregate from a
     stream — the streaming twin of ``refresh_aggregate``: each
@@ -404,6 +436,7 @@ def streaming_aggregate_sink(
             group_cols,
             measures,
             compact_threshold,
+            retire_grace_s,
         )
 
     return sink

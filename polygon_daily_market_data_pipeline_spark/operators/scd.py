@@ -265,9 +265,15 @@ def scd2_store_merge(
     # scd2_merge on a history-free dim returns precisely
     # closed-delta ∪ new-current
     merged = scd2_merge(current, source, keys, tracked, effective)
+    # pmod keeps each term in [0, 2^31) so the sum cannot overflow
+    # int64 below ~2^33 rows/batch — a raw sum of int64 hashes throws
+    # ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode (this
+    # module must work in sessions not built by session.py)
     sig = source.agg(
         F.max(effective).alias("eff"),
-        F.sum(F.xxhash64(*keys, *tracked, effective)).alias("h"),
+        F.sum(
+            F.pmod(F.xxhash64(*keys, *tracked, effective), F.lit(2**31))
+        ).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     if sig["eff"] is None:

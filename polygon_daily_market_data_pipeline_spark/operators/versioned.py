@@ -79,7 +79,7 @@ def _load_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit_ts(table_dir: str, existing: list[int]) -> str:
+def _commit_ts(prev_manifest: dict | None) -> str:
     """Strictly-monotonic commit timestamp: AT-timestamp reads
     (``read_version(as_of=...)``) resolve 'last version committed at or
     before t', which is ambiguous if two commits share a clock
@@ -87,10 +87,8 @@ def _commit_ts(table_dir: str, existing: list[int]) -> str:
     the previous manifest's instant when needed so version order and
     commit-time order never disagree."""
     now = dt.datetime.now(dt.timezone.utc)
-    if existing:
-        prev = dt.datetime.fromisoformat(
-            _load_manifest(table_dir, existing[-1])["committed_at"]
-        )
+    if prev_manifest is not None:
+        prev = dt.datetime.fromisoformat(prev_manifest["committed_at"])
         if now <= prev:
             now = prev + dt.timedelta(microseconds=1)
     return now.isoformat()
@@ -268,10 +266,10 @@ def commit_version(
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     schema = df.schema.jsonValue()
 
-    def check_schema(existing: list[int]) -> None:
-        if mode != "append" or not existing:
+    def check_schema(prev: dict | None) -> None:
+        if mode != "append" or prev is None:
             return
-        prev_schema = _load_manifest(table_dir, existing[-1]).get("schema")
+        prev_schema = prev.get("schema")
         if prev_schema is not None and _schema_sig(prev_schema) != _schema_sig(
             schema
         ):
@@ -285,8 +283,17 @@ def commit_version(
                 "overwrite, or align the frame explicitly"
             )
 
-    existing = _manifests(table_dir)
-    check_schema(existing)
+    def load_latest() -> tuple[list[int], dict | None]:
+        # parse the (possibly multi-MB, stats-bearing) latest manifest
+        # ONCE per attempt — schema check, dirs/stats merge, and the
+        # monotonic timestamp all read from the same dict
+        existing = _manifests(table_dir)
+        return existing, (
+            _load_manifest(table_dir, existing[-1]) if existing else None
+        )
+
+    existing, prev = load_latest()
+    check_schema(prev)
     data_dir = os.path.join(table_dir, "_data", f"c-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(data_dir)
     own_dir = os.path.relpath(data_dir, table_dir)
@@ -299,8 +306,7 @@ def commit_version(
     for attempt in range(retries + 1):
         version = (existing[-1] + 1) if existing else 0
         dirs, files, max_batch = [own_dir], dict(own_files), batch_id
-        if mode == "append" and existing:
-            prev = _load_manifest(table_dir, existing[-1])
+        if mode == "append" and prev is not None:
             dirs = prev["dirs"] + dirs
             files = {**prev.get("files", {}), **files}
             prev_mb = prev.get("max_batch")
@@ -310,7 +316,7 @@ def commit_version(
                 )
         manifest = {
             "version": version,
-            "committed_at": _commit_ts(table_dir, existing),
+            "committed_at": _commit_ts(prev),
             "mode": mode,
             "dirs": dirs,
             "schema": schema,
@@ -325,8 +331,20 @@ def commit_version(
         except FileExistsError:
             if mode != "append" or attempt == retries:
                 raise
-            existing = _manifests(table_dir)  # re-read past the winner
-            check_schema(existing)
+            existing, prev = load_latest()  # re-read past the winner
+            winner_mode = (prev or {}).get("mode", "")
+            if winner_mode == "overwrite" or winner_mode.startswith("rollback"):
+                # the winner REDEFINED the table's contents (and, for a
+                # streamed table, reset the max_batch watermark);
+                # appending our rows on top would resurrect data the
+                # redefinition meant to drop and re-establish a stale
+                # watermark — that is a caller decision, not a retry
+                raise FileExistsError(
+                    f"append to {table_dir} lost the race to a "
+                    f"{winner_mode!r} commit that redefined the table — "
+                    "not retrying; re-read the table and decide"
+                ) from None
+            check_schema(prev)
     raise AssertionError("unreachable")
 
 
@@ -500,7 +518,7 @@ def scan_version(
     (``optimize_zorder(..., stats_cols=...)``) every z-column's
     predicate prunes."""
     m = _resolve_manifest(table_dir, version, as_of)
-    kept, _total = prune_files(table_dir, m, predicates)
+    kept, total = prune_files(table_dir, m, predicates)
     if kept:
         df = spark.read.parquet(*kept)
     else:
@@ -525,6 +543,10 @@ def scan_version(
             df = df.where(F.col(col) <= F.lit(hi))
     if not kept:
         df = df.where(F.lit(False))
+    # expose the prune decision (files scheduled, files total) so
+    # callers can report the SAME decision the scan used instead of
+    # re-running prune_files
+    df._files_scheduled = (len(kept), total)
     return df
 
 
@@ -580,7 +602,7 @@ def rollback(table_dir: str, to_version: int) -> int:
     version = versions[-1] + 1
     manifest = {
         "version": version,
-        "committed_at": _commit_ts(table_dir, versions),
+        "committed_at": _commit_ts(_load_manifest(table_dir, versions[-1])),
         "mode": f"rollback({to_version})",
         "dirs": src["dirs"],
     }
@@ -637,13 +659,13 @@ def optimize_zorder(
     zorder_write(
         df, data_dir, zcols, n_files, bits=bits or DEFAULT_BITS, bucketize=bucketize
     )
+    src = _load_manifest(table_dir, versions[-1])
     manifest = {
         "version": version,
-        "committed_at": _commit_ts(table_dir, versions),
+        "committed_at": _commit_ts(src),
         "mode": f"optimize_zorder({','.join(zcols)})",
         "dirs": [os.path.relpath(data_dir, table_dir)],
     }
-    src = _load_manifest(table_dir, versions[-1])
     if "max_batch" in src:
         # same rows, new layout: the visible micro-batch watermark is
         # unchanged — dropping it would reset versioned_stream_sink's

@@ -246,8 +246,6 @@ def _skipping_rows(
     pins — 1 iff the manifest prune scheduled ≤⅓ of the files — the
     same constant-claim pattern as the ANN recall-floor oracles."""
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-        _resolve_manifest,
-        prune_files,
         scan_version,
     )
 
@@ -257,13 +255,16 @@ def _skipping_rows(
         tdir,
         stats_cols=["o_orderkey"],
     )
-    # mirrored by the oracle: CAST(MAX(o_orderkey)/20 AS BIGINT) — both
-    # truncate (doubles are exact for these magnitudes)
+    # mirrored by the oracle: CAST(FLOOR(MAX(o_orderkey)/20.0) AS BIGINT)
+    # — FLOOR, because DuckDB's bare CAST(double AS BIGINT) rounds to
+    # nearest while Python // truncates (doubles are exact here)
     hi = ord_df.agg(F.max("o_orderkey")).first()[0] // 20
     preds = {"o_orderkey": (None, hi)}
-    kept, total = prune_files(tdir, _resolve_manifest(tdir), preds)
-    pruned_claim = 1 if 3 * len(kept) <= total else 0
-    row = scan_version(spark, tdir, preds).agg(
+    scan = scan_version(spark, tdir, preds)
+    # the claim and the scan come from the SAME prune decision
+    kept_n, total = scan._files_scheduled
+    pruned_claim = 1 if 3 * kept_n <= total else 0
+    row = scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(pruned_claim).alias("n_aux"),
         F.round(F.sum("o_totalprice"), 2).alias("val"),
@@ -411,12 +412,12 @@ _ORACLE = f"""
         UNION ALL
         SELECT 'versioned_skipping',
                (SELECT COUNT(*) FROM ord
-                WHERE o_orderkey <= (SELECT CAST(MAX(o_orderkey) / 20 AS BIGINT)
-                                     FROM ord)),
+                WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                 AS BIGINT) FROM ord)),
                1,
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
-                WHERE o_orderkey <= (SELECT CAST(MAX(o_orderkey) / 20 AS BIGINT)
-                                     FROM ord))
+                WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                 AS BIGINT) FROM ord))
         UNION ALL
         SELECT 'streaming_mv',
                (SELECT COUNT(*) FROM ev_groups),

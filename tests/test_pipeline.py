@@ -858,7 +858,11 @@ def test_incremental_compaction_retains_one_reader_generation(spark, tmp_path):
 
     state = str(tmp_path / "state")
     measures = {"n": ("count", "v"), "s": ("sum", "v")}
-    sink = streaming_aggregate_sink(["g"], measures, state, compact_threshold=3)
+    # grace 0: reclamation happens at the next publish (the default
+    # 600 s grace would keep dirs across this whole test)
+    sink = streaming_aggregate_sink(
+        ["g"], measures, state, compact_threshold=3, retire_grace_s=0.0
+    )
 
     def batch(i):
         return spark.createDataFrame([(i % 2, float(i))], "g int, v double")
@@ -883,3 +887,53 @@ def test_incremental_compaction_retains_one_reader_generation(spark, tmp_path):
     assert {
         (r.g, r.n, r.s) for r in read_aggregate(spark, state, ["g"], measures).collect()
     } == want
+
+
+def test_invalidate_then_refresh_keeps_dropped_dirs_under_grace(spark, tmp_path):
+    """The documented partition-replace sequence (invalidate_partitions
+    immediately followed by refresh_aggregate) is TWO publishes seconds
+    apart — with the default time grace the invalidated partial dirs
+    must survive both, so a reader holding the pre-replace aggregate
+    still collects; with grace 0 the second publish reclaims them."""
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.incremental import (
+        invalidate_partitions,
+        read_aggregate,
+        refresh_aggregate,
+    )
+
+    fact = str(tmp_path / "fact")
+    state = str(tmp_path / "state")
+    measures = {"n": ("count", "v"), "s": ("sum", "v")}
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("a", "b") for i in range(5)],
+        "day string, g long, v double",
+    )
+    df.write.partitionBy("day").parquet(fact)
+    refresh_aggregate(spark, fact, state, ["g"], measures, "day")
+    held = read_aggregate(spark, state, ["g"], measures)
+    held_rows = sorted((r.g, r.n, r.s) for r in held.collect())
+
+    def pdirs():
+        return {d for d in os.listdir(state) if d.startswith("partial-")}
+
+    pre = pdirs()
+    # replace partition day=a, then refresh — default grace keeps the
+    # dropped dirs through both publishes
+    invalidate_partitions(state, ["day=a"])
+    refresh_aggregate(spark, fact, state, ["g"], measures, "day")
+    assert pre <= pdirs()
+    assert sorted((r.g, r.n, r.s) for r in held.collect()) == held_rows
+    # grace 0 on a later publish reclaims anything past its grace
+    invalidate_partitions(state, ["day=b"], retire_grace_s=0.0)
+    refresh_aggregate(
+        spark, fact, state, ["g"], measures, "day", retire_grace_s=0.0
+    )
+    assert not (pre & pdirs())
+    # the live aggregate stays exact throughout
+    want = sorted((r.g, r.n, r.s) for r in
+                  df.groupBy("g").agg(F.count("v").alias("n"), F.sum("v").alias("s")).collect())
+    got = sorted((r.g, r.n, r.s) for r in
+                 read_aggregate(spark, state, ["g"], measures).collect())
+    assert got == want

@@ -240,3 +240,30 @@ def test_append_retry_is_metadata_only_and_loses_no_rows(spark, tmp_path, monkey
     )
     # racer committed twice (once per raced publish attempt above)
     assert got == want
+
+
+def test_append_retry_refuses_redefining_winner(spark, tmp_path, monkeypatch):
+    """Append retry must NOT land on top of a concurrent OVERWRITE (or
+    rollback): the winner redefined the table and, for a streamed
+    table, reset the max_batch watermark — retrying the append would
+    resurrect dropped rows and re-establish a stale watermark. The
+    loser gets FileExistsError even with retries available."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+
+    real_publish = V._publish_manifest
+    state = {"raced": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not state["raced"] and manifest["mode"] == "append":
+            state["raced"] = True
+            V.commit_version(_df(spark, 7), table_dir, mode="overwrite")
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(V, "_publish_manifest", racing_publish)
+    with pytest.raises(FileExistsError, match="redefined the table"):
+        V.commit_version(_df(spark, 1), t, mode="append", retries=3)
+    # the overwrite's contents stand untouched
+    assert _rows(read_version(spark, t)) == _rows(_df(spark, 7))
