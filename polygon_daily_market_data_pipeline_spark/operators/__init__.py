@@ -30,6 +30,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     read_version,
     rollback,
     scan_version,
+    scan_version_with_stats,
     vacuum,
     versioned_stream_sink,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "read_version",
     "rollback",
     "scan_version",
+    "scan_version_with_stats",
     "vacuum",
     "versioned_stream_sink",
 ]

@@ -54,6 +54,7 @@ import json
 import os
 import shutil
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -294,6 +295,9 @@ def commit_version(
 
     existing, prev = load_latest()
     check_schema(prev)
+    # append-retry safety: everything committed after this point is an
+    # "intervening" commit the retry loop must vet — not just the latest
+    base_version = existing[-1] if existing else -1
     data_dir = os.path.join(table_dir, "_data", f"c-{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(data_dir)
     own_dir = os.path.relpath(data_dir, table_dir)
@@ -331,19 +335,40 @@ def commit_version(
         except FileExistsError:
             if mode != "append" or attempt == retries:
                 raise
-            existing, prev = load_latest()  # re-read past the winner
-            winner_mode = (prev or {}).get("mode", "")
-            if winner_mode == "overwrite" or winner_mode.startswith("rollback"):
-                # the winner REDEFINED the table's contents (and, for a
-                # streamed table, reset the max_batch watermark);
-                # appending our rows on top would resurrect data the
-                # redefinition meant to drop and re-establish a stale
-                # watermark — that is a caller decision, not a retry
-                raise FileExistsError(
-                    f"append to {table_dir} lost the race to a "
-                    f"{winner_mode!r} commit that redefined the table — "
-                    "not retrying; re-read the table and decide"
-                ) from None
+            existing, prev = load_latest()  # re-read past the winner(s)
+            # vet EVERY commit that landed since our entry (or since the
+            # last vetted retry), not just the latest: an overwrite/
+            # rollback REDEFINED the table's contents (and, for a
+            # streamed table, reset the max_batch watermark) even if a
+            # later append buried it — appending on top would resurrect
+            # data the redefinition meant to drop and re-establish a
+            # stale watermark. That is a caller decision, not a retry.
+            for v in existing:
+                if v <= base_version:
+                    continue
+                try:
+                    m = (
+                        prev
+                        if v == existing[-1]
+                        else _load_manifest(table_dir, v)
+                    )
+                except FileNotFoundError:
+                    raise FileExistsError(
+                        f"append to {table_dir} lost the race and an "
+                        f"intervening manifest {v} was vacuumed before it "
+                        "could be vetted — not retrying; re-read and decide"
+                    ) from None
+                winner_mode = (m or {}).get("mode", "")
+                if winner_mode == "overwrite" or winner_mode.startswith(
+                    "rollback"
+                ):
+                    raise FileExistsError(
+                        f"append to {table_dir} lost the race to a "
+                        f"{winner_mode!r} commit (version {v}) that "
+                        "redefined the table — not retrying; re-read the "
+                        "table and decide"
+                    ) from None
+            base_version = existing[-1]  # gap vetted; next retry starts here
             check_schema(prev)
     raise AssertionError("unreachable")
 
@@ -451,8 +476,48 @@ def read_version(
     return spark.read.parquet(*[os.path.join(table_dir, d) for d in m["dirs"]])
 
 
+def _norm_bound(v, side: str, bounds_tz):
+    """Map one predicate bound onto the stats comparison domain (footer
+    stats are naive-UTC instants — ``_cmp_stat``). tz-aware datetimes
+    convert exactly. NAIVE datetimes must be interpreted exactly as the
+    residual filter will: PySpark's ``F.lit(datetime)`` converts a
+    naive datetime with the DRIVER PROCESS time zone — independent of
+    ``spark.sql.session.timeZone`` (verified: with process TZ
+    America/New_York and session TZ UTC *or* Asia/Tokyo, lit(12:00)
+    lands on 17:00Z) — so the default ``bounds_tz=None`` localizes via
+    the process zone (naive ``astimezone``), taking the min (lo) / max
+    (hi) over both DST folds, which brackets the filter's choice at
+    ambiguous/nonexistent local times (a too-tight bound at a DST edge
+    could silently drop a matching file; the fold bracket only ever
+    keeps an extra file). Pass an explicit tzinfo to interpret bounds
+    in another zone (e.g. when the residual predicate will be a SQL
+    string literal, which IS session-TZ-interpreted)."""
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        if bounds_tz is None:
+            folds = [
+                v.replace(fold=f)
+                .astimezone(dt.timezone.utc)
+                .replace(tzinfo=None)
+                for f in (0, 1)
+            ]
+        else:
+            folds = [
+                v.replace(tzinfo=bounds_tz, fold=f)
+                .astimezone(dt.timezone.utc)
+                .replace(tzinfo=None)
+                for f in (0, 1)
+            ]
+        return min(folds) if side == "lo" else max(folds)
+    return v
+
+
 def prune_files(
-    table_dir: str, manifest: dict, predicates: dict
+    table_dir: str,
+    manifest: dict,
+    predicates: dict,
+    bounds_tz: dt.tzinfo | None = None,
 ) -> tuple[list[str], int]:
     """(surviving file paths, total files) for a conjunctive range
     predicate ``{col: (lo, hi)}`` (either bound may be None for
@@ -461,17 +526,28 @@ def prune_files(
     kept (cannot prune is never wrong); a file recorded as empty is
     dropped. Same envelope-intersection decision as
     ``layout.pruning_stats_multi``, but against the manifest instead of
-    re-reading footers."""
+    re-reading footers.
+
+    NAIVE datetime bounds are normalized to UTC instants before
+    comparing against the manifest's naive-UTC timestamp envelopes
+    (Delta-style UTC-instant stats comparison) — interpreted in
+    ``bounds_tz``, default the driver process time zone, which is
+    exactly how the residual filter's ``F.lit(datetime)`` interprets
+    them (see ``_norm_bound``; on a non-UTC driver a raw comparison
+    would prune against an envelope shifted by the process offset and
+    could drop files containing matching rows). A bound/stat type
+    mismatch (e.g. a datetime bound on a DATE column, a number against
+    string stats) keeps the file and leaves the residual Spark filter
+    to decide — never a crash."""
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
-        _cmp_stat,
         list_parquet_files,
     )
 
     stats = manifest.get("files", {})
     norm = {
         c: (
-            None if lo is None else _cmp_stat(lo),
-            None if hi is None else _cmp_stat(hi),
+            None if lo is None else _norm_bound(lo, "lo", bounds_tz),
+            None if hi is None else _norm_bound(hi, "hi", bounds_tz),
         )
         for c, (lo, hi) in predicates.items()
     }
@@ -494,30 +570,45 @@ def prune_files(
             if rng is None:
                 continue  # no stats on this column
             fmin, fmax = _stat_from_json(rng[0]), _stat_from_json(rng[1])
-            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
-                keep = False
-                break
+            try:
+                if (lo is not None and fmax < lo) or (
+                    hi is not None and fmin > hi
+                ):
+                    keep = False
+                    break
+            except TypeError:
+                # incomparable bound/stat types (datetime vs date,
+                # number vs string, ...): cannot prune on this column
+                # for this file — the residual filter decides
+                continue
         if keep:
             kept.append(fpath)
     return kept, len(all_files)
 
 
-def scan_version(
+class ScanStats(NamedTuple):
+    """The prune decision a ``scan_version_with_stats`` call made:
+    files actually scheduled vs files in the version."""
+
+    files_scheduled: int
+    files_total: int
+
+
+def scan_version_with_stats(
     spark: SparkSession,
     table_dir: str,
     predicates: dict,
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
-) -> DataFrame:
-    """Data-skipping read: ``read_version`` restricted by a conjunctive
-    range predicate ``{col: (lo, hi)}``, with the file list pruned
-    against the manifest's per-file stats BEFORE Spark schedules tasks.
-    The residual filter is applied too, so the result is value-identical
-    to ``read_version(...).where(<predicates>)`` — the stats only decide
-    which files are worth scheduling. On a z-ordered table
-    (``optimize_zorder(..., stats_cols=...)``) every z-column's
-    predicate prunes."""
+) -> tuple[DataFrame, ScanStats]:
+    """``scan_version`` plus the prune decision it made, returned as a
+    proper ``(DataFrame, ScanStats)`` pair — callers that report
+    skipping effectiveness read the SAME decision the scan used (an
+    attribute stapled onto the DataFrame would be lost on the first
+    ``.where``/``.select`` and breaks under Spark Connect-style
+    proxies)."""
     m = _resolve_manifest(table_dir, version, as_of)
+    # default bounds_tz (process zone) matches the residual F.lit below
     kept, total = prune_files(table_dir, m, predicates)
     if kept:
         df = spark.read.parquet(*kept)
@@ -543,10 +634,31 @@ def scan_version(
             df = df.where(F.col(col) <= F.lit(hi))
     if not kept:
         df = df.where(F.lit(False))
-    # expose the prune decision (files scheduled, files total) so
-    # callers can report the SAME decision the scan used instead of
-    # re-running prune_files
-    df._files_scheduled = (len(kept), total)
+    return df, ScanStats(len(kept), total)
+
+
+def scan_version(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: dict,
+    version: int | None = None,
+    as_of: dt.datetime | str | None = None,
+) -> DataFrame:
+    """Data-skipping read: ``read_version`` restricted by a conjunctive
+    range predicate ``{col: (lo, hi)}``, with the file list pruned
+    against the manifest's per-file stats BEFORE Spark schedules tasks.
+    The residual filter is applied too, so the result is value-identical
+    to ``read_version(...).where(<predicates>)`` — the stats only decide
+    which files are worth scheduling. On a z-ordered table
+    (``optimize_zorder(..., stats_cols=...)``) every z-column's
+    predicate prunes. Naive-datetime bounds are interpreted in the
+    driver PROCESS time zone — matching how the residual filter's
+    ``F.lit`` interprets them — before pruning against the naive-UTC
+    file envelopes (see ``prune_files``/``_norm_bound``). Use
+    ``scan_version_with_stats`` to also get the prune decision."""
+    df, _stats = scan_version_with_stats(
+        spark, table_dir, predicates, version=version, as_of=as_of
+    )
     return df
 
 

@@ -244,9 +244,12 @@ def _skipping_rows(
     SQL-exact count/sum under the predicate (the skip must lose no
     rows); n_aux encodes the PRUNING claim as a constant the oracle
     pins — 1 iff the manifest prune scheduled ≤⅓ of the files — the
-    same constant-claim pattern as the ANN recall-floor oracles."""
+    same constant-claim pattern as the ANN recall-floor oracles. The
+    claim cross-checks the reported decision against the PLAN's file
+    list (``df.inputFiles()``), so a scan that schedules extra files
+    while misreporting its stats cannot satisfy it."""
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-        scan_version,
+        scan_version_with_stats,
     )
 
     tdir = os.path.join(base, "skip_vt")
@@ -260,10 +263,15 @@ def _skipping_rows(
     # nearest while Python // truncates (doubles are exact here)
     hi = ord_df.agg(F.max("o_orderkey")).first()[0] // 20
     preds = {"o_orderkey": (None, hi)}
-    scan = scan_version(spark, tdir, preds)
-    # the claim and the scan come from the SAME prune decision
-    kept_n, total = scan._files_scheduled
-    pruned_claim = 1 if 3 * kept_n <= total else 0
+    scan, stats = scan_version_with_stats(spark, tdir, preds)
+    kept_n, total = stats
+    # plan-side truth: the parquet relation's actual file list must
+    # agree with the decision the scan reported
+    pruned_claim = (
+        1
+        if 3 * kept_n <= total and len(scan.inputFiles()) == kept_n
+        else 0
+    )
     row = scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(pruned_claim).alias("n_aux"),
@@ -436,11 +444,16 @@ _ORACLE = f"""
 def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 + incremental refresh + versioned time travel + streaming MV
     in one oracle-checked union (see module docstring). State lives in a
-    per-process temp dir rebuilt per call, so reruns are deterministic."""
+    per-process temp dir rebuilt per call and REMOVED before returning:
+    the audit union is materialized eagerly (``localCheckpoint`` — it is
+    a dozen rows) so the returned frame depends on block-manager blocks,
+    not on the scratch files, and the session time zone can be restored
+    without shifting the cut literals of a later action."""
     # the date-cut literals compare against TIMESTAMP columns: pin the
     # session to UTC so a non-UTC driver session cannot shift the
     # boundary relative to the naive-UTC DuckDB oracle (same contract
-    # as events_stream_source)
+    # as events_stream_source); restored in the finally below
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     base = os.path.join(
         tempfile.gettempdir(),
@@ -448,15 +461,24 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
-    ord_df = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 4 == 1)
-    rows = (
-        _scd2_rows(spark, sf_dir)
-        + _incremental_rows(spark, ord_df, base)
-        + _versioned_rows(spark, ord_df, base)
-        + _skipping_rows(spark, ord_df, base)
-        + _streaming_mv_rows(spark, sf_dir, base)
-    )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    try:
+        ord_df = load_table(spark, sf_dir, "orders").where(
+            F.col("o_custkey") % 4 == 1
+        )
+        rows = (
+            _scd2_rows(spark, sf_dir)
+            + _incremental_rows(spark, ord_df, base)
+            + _versioned_rows(spark, ord_df, base)
+            + _skipping_rows(spark, ord_df, base)
+            + _streaming_mv_rows(spark, sf_dir, base)
+        )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        # eager, lineage-truncating materialization of the (tiny) audit
+        # rows: after this the scratch dir is not referenced by any plan
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+        shutil.rmtree(base, ignore_errors=True)
     return out.orderBy("check_name")

@@ -183,3 +183,91 @@ def test_scan_equals_read_filter_property(spark, tmp_path):
                 if phi is not None:
                     want = want.where(F.col(col) <= phi)
             assert _rows(got) == _rows(want), (seed, preds)
+
+
+def test_naive_timestamp_bounds_unaffected_by_session_tz(spark, tmp_path):
+    """PySpark's F.lit(datetime) interprets a NAIVE datetime in the
+    driver PROCESS time zone, independent of spark.sql.session.timeZone
+    — so flipping the session TZ must change neither the residual
+    filter nor the prune decision, and scan_version stays value-exact
+    vs read_version().where() (confusing the two zones was the round-6
+    ADVICE hazard: a shifted envelope comparison silently drops files
+    whose rows the filter keeps)."""
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark), t, stats_cols=["k", "ts"])
+    before = spark.conf.get("spark.sql.session.timeZone")
+    lo = dt.datetime(2024, 1, 1, 2, 0)  # naive → process-TZ semantics
+    hi = dt.datetime(2024, 1, 1, 12, 0)
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = scan_version(spark, t, {"ts": (lo, hi)})
+            want = read_version(spark, t).where(
+                F.col("ts").between(F.lit(lo), F.lit(hi))
+            )
+            assert _rows(got) == _rows(want), tz
+            assert got.count() > 0, tz
+            results[tz] = _rows(got)
+        assert results["UTC"] == results["America/New_York"]
+        kept, total = prune_files(t, _resolve_manifest(t), {"ts": (lo, hi)})
+        assert 0 < len(kept) < total
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_naive_bound_normalization_explicit_tz():
+    """_norm_bound with an explicit zone: NY winter noon → 17:00Z; the
+    DST folds of an ambiguous local time (2024-11-03 01:30 EDT/EST)
+    bracket outward — lo takes the earlier instant, hi the later — so a
+    too-tight bound can never drop a matching file at a DST edge;
+    tz-aware bounds convert exactly."""
+    from zoneinfo import ZoneInfo
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _norm_bound,
+    )
+
+    ny = ZoneInfo("America/New_York")
+    assert _norm_bound(dt.datetime(2024, 1, 1, 12, 0), "lo", ny) == dt.datetime(
+        2024, 1, 1, 17, 0
+    )
+    amb = dt.datetime(2024, 11, 3, 1, 30)  # falls twice in NY
+    assert _norm_bound(amb, "lo", ny) == dt.datetime(2024, 11, 3, 5, 30)
+    assert _norm_bound(amb, "hi", ny) == dt.datetime(2024, 11, 3, 6, 30)
+    aware = dt.datetime(2024, 1, 1, 12, 0, tzinfo=ZoneInfo("Asia/Tokyo"))
+    assert _norm_bound(aware, "lo", None) == dt.datetime(2024, 1, 1, 3, 0)
+
+
+def test_prune_bound_type_mismatch_keeps_files(spark, tmp_path):
+    """A bound/stat type mismatch (datetime bound vs DATE-column stats
+    — a TypeError in Python) must keep the file and let the residual
+    Spark filter decide, not crash: 'cannot prune is never wrong'."""
+    t = str(tmp_path / "vt")
+    df = _events(spark, n=500).withColumn("d", F.to_date("ts"))
+    commit_version(df, t, stats_cols=["d"])
+    bound = dt.datetime(2024, 1, 1, 3, 0)
+    preds = {"d": (bound, None)}
+    kept, total = prune_files(t, _resolve_manifest(t), preds)
+    assert len(kept) == total  # incomparable: nothing pruned, no crash
+    got = scan_version(spark, t, preds)
+    want = read_version(spark, t).where(F.col("d") >= F.lit(bound))
+    assert _rows(got) == _rows(want)
+
+
+def test_scan_version_with_stats_reports_plan_truth(spark, tmp_path):
+    """scan_version_with_stats returns the prune decision as a value
+    (not a DataFrame attribute, which dies on the first transformation);
+    the decision must agree with the plan's actual file list."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(_events(spark), t, stats_cols=["k"])
+    df, stats = scan_version_with_stats(spark, t, {"k": (0, 249)})
+    assert stats.files_total == N_FILES
+    assert 0 < stats.files_scheduled < N_FILES
+    assert len(df.inputFiles()) == stats.files_scheduled
+    # stats survive further transformations trivially — they're a value
+    assert df.where(F.col("grp") == 0).count() > 0

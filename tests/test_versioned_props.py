@@ -267,3 +267,35 @@ def test_append_retry_refuses_redefining_winner(spark, tmp_path, monkeypatch):
         V.commit_version(_df(spark, 1), t, mode="append", retries=3)
     # the overwrite's contents stand untouched
     assert _rows(read_version(spark, t)) == _rows(_df(spark, 7))
+
+
+def test_append_retry_refuses_buried_redefinition(spark, tmp_path, monkeypatch):
+    """The retry guard must vet EVERY intervening commit, not just the
+    latest: if a racer lands an OVERWRITE and then an APPEND between
+    two of our attempts, the latest manifest's mode is 'append' — a
+    latest-only guard would pass and silently append on top of a
+    redefined table (re-establishing rows/watermark semantics the
+    overwrite meant to reset)."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)
+
+    real_publish = V._publish_manifest
+    state = {"raced": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not state["raced"] and manifest["mode"] == "append":
+            state["raced"] = True
+            # overwrite, then bury it under an innocent-looking append
+            V.commit_version(_df(spark, 7), table_dir, mode="overwrite")
+            V.commit_version(_df(spark, 8), table_dir, mode="append")
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(V, "_publish_manifest", racing_publish)
+    with pytest.raises(FileExistsError, match="redefined the table"):
+        V.commit_version(_df(spark, 1), t, mode="append", retries=3)
+    # the redefinition (+ the racer's own append) stands untouched
+    assert _rows(read_version(spark, t)) == sorted(
+        _rows(_df(spark, 7)) + _rows(_df(spark, 8))
+    )
