@@ -1,6 +1,7 @@
 """Registered warehouse-maintenance query: the warehouse operator layer
-(SCD2, incremental/streaming materialized aggregates, versioned tables
-with time travel + rollback, manifest data skipping) exercised
+(SCD2 — logical AND stored layout, incremental/streaming materialized
+aggregates, versioned tables with time travel + rollback + streaming
+ingest, manifest data skipping, streaming corpus dedup) exercised
 end-to-end as ONE union query with a mechanical DuckDB twin, so the
 driver's differential check covers what previously rested on
 self-written tests alone.
@@ -79,12 +80,15 @@ def _row(df: DataFrame, name: str) -> DataFrame:
     )
 
 
-def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    """Two-batch SCD2 script on customer: batch 1 = the snapshot at TS1;
-    batch 2 (TS2) re-observes a SUBSET of keys (custkey % 3 != 2 — the
-    missing keys exercise 'only in dim'), moves every 10th key's segment
-    (the 'changed' path), and adds brand-new keys (custkey + the next
-    power of 10 above the max real key, for every 100th — the 'only in
+def _scd2_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two SCD2 snapshot batches (shared by the logical and the
+    stored scripts): batch 1 = the snapshot at TS1; batch 2 (TS2)
+    re-observes a SUBSET of keys (custkey % 3 != 2 — the missing keys
+    exercise 'only in dim'), moves every 10th key's segment (the
+    'changed' path), and adds brand-new keys (custkey + the next power
+    of 10 above the max real key, for every 100th — the 'only in
     source' path; a fixed offset would collide with real keys at large
     SF and break both the merge's one-row-per-key contract and the
     oracle's new-key classification)."""
@@ -112,10 +116,14 @@ def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         )
         .withColumn("eff", F.lit(_TS2).cast("timestamp"))
     )
-    dim = scd2_merge(
-        scd2_init(b1, ["c_custkey"], "eff"), b2, ["c_custkey"], ["segment"], "eff"
-    )
-    hist = dim.agg(
+    return b1, b2
+
+
+def _scd2_hist_row(dim: DataFrame) -> DataFrame:
+    """The (count, current count, closed-key sum) audit aggregate both
+    SCD2 scripts emit — identical numbers prove the stored layout
+    equals the logical merge."""
+    return dim.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("is_current"), 1)).alias("n_aux"),
         # coalesce mirrors the oracle's COALESCE(SUM(...), 0): an empty
@@ -123,6 +131,14 @@ def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         F.coalesce(
             F.sum(F.when(~F.col("is_current"), F.col("c_custkey"))), F.lit(0)
         ).alias("val"),
+    )
+
+
+def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Two-batch LOGICAL SCD2 script on customer (see _scd2_batches)."""
+    b1, b2 = _scd2_batches(spark, sf_dir)
+    dim = scd2_merge(
+        scd2_init(b1, ["c_custkey"], "eff"), b2, ["c_custkey"], ["segment"], "eff"
     )
     at1, at2 = as_of(dim, _TS1), as_of(dim, _TS2)
     asof = (
@@ -134,7 +150,31 @@ def _scd2_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             )
         )
     )
-    return [_row(hist, "scd2_history"), _row(asof, "scd2_asof")]
+    return [_row(_scd2_hist_row(dim), "scd2_history"), _row(asof, "scd2_asof")]
+
+
+def _scd2_stored_rows(
+    spark: SparkSession, sf_dir: str, base: str
+) -> list[DataFrame]:
+    """The SAME two-batch script through the STORED layout
+    (``scd2_store_init`` → ``scd2_store_merge`` → ``scd2_store_read``:
+    append-only history deltas + atomic current-slice swap,
+    ``operators/scd.py``). The emitted numbers must equal the logical
+    branch's — the ``stored == logical`` law of tests/test_merge.py,
+    now oracle-pinned: the oracle recomputes the exact same
+    |keys|+|new|+|changed| arithmetic from the customer table."""
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        scd2_store_init,
+        scd2_store_merge,
+        scd2_store_read,
+    )
+
+    b1, b2 = _scd2_batches(spark, sf_dir)
+    dim_dir = os.path.join(base, "scd2_store")
+    scd2_store_init(b1, dim_dir, ["c_custkey"], "eff")
+    scd2_store_merge(spark, dim_dir, b2, ["c_custkey"], ["segment"], "eff")
+    dim = scd2_store_read(spark, dim_dir)
+    return [_row(_scd2_hist_row(dim), "scd2_stored")]
 
 
 def _incremental_rows(
@@ -280,6 +320,119 @@ def _skipping_rows(
     return [_row(row, "versioned_skipping")]
 
 
+def _versioned_stream_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Streaming ingest into a versioned table: the pre-cut orders are
+    staged as four files and drained one-file-per-micro-batch through
+    ``versioned_stream_sink`` — each batch commits as an APPEND version
+    with the batch-id watermark in the same fail-if-exists manifest
+    publish (exactly-once). The latest version's count/sum must equal
+    the batch ``ord_v0`` numbers; n_aux pins the streaming-shape claim:
+    1 iff ≥2 append-mode versions landed and the replay watermark
+    equals the last micro-batch id."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        history,
+        last_committed_batch,
+        versioned_stream_sink,
+    )
+
+    cut = F.lit(_CUT).cast("timestamp")
+    src_dir = os.path.join(base, "vs_src")
+    tdir = os.path.join(base, "vs_table")
+    # repartition, not coalesce: the upstream may be a single file, and
+    # coalesce cannot INCREASE partitions — the staging must yield four
+    # files so the drain is genuinely multi-micro-batch
+    staged = ord_df.where(F.col("o_orderdate") < cut).repartition(4)
+    staged.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(versioned_stream_sink(tdir))
+        .option("checkpointLocation", os.path.join(base, "vs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = history(tdir)
+    streamed_shape = 1 if (
+        len(hist) >= 2
+        and all(h["mode"] == "append" for h in hist)
+        and last_committed_batch(tdir) == len(hist) - 1
+    ) else 0
+    row = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(streamed_shape).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_stream")]
+
+
+def _corpus_stream_rows(
+    spark: SparkSession, sf_dir: str, base: str
+) -> list[DataFrame]:
+    """Streaming corpus dedup (``streaming/corpus_stream.py``): a
+    deterministic doc stream — documents (doc_id % 17 == 3) plus an
+    id-shifted copy of every one of them — drains through
+    ``CorpusDedupSink`` one-file-per-micro-batch, so the copies land in
+    a DIFFERENT micro-batch than their originals and must be rejected
+    against the admitted band index, not batch-locally. threshold=1.0
+    rejects exactly identical shingle SETS (Jaccard 1.0 is exact in
+    doubles: |A|/|A|), which on this corpus equals exact-text-duplicate
+    semantics (verified: every subset doc has ≥10 tokens and no two
+    DISTINCT texts share a shingle set at sf 0.001/0.01/0.1 — the
+    planted near-dup pair at Jaccard 0.978 is correctly ADMITTED,
+    proving the threshold comparison is live). Admitted/rejected counts
+    are micro-batch-order-independent: whichever copy arrives first is
+    admitted, the other rejected. Oracle: distinct-text arithmetic on
+    the documents table."""
+    from polygon_daily_market_data_pipeline_spark.streaming.corpus_stream import (
+        CorpusDedupSink,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 17 == 3)
+        .select("doc_id", "text")
+    )
+    off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0]))
+    dup = docs.select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
+    )
+    feed_dir = os.path.join(base, "cs_feed")
+    # two files → two micro-batches under maxFilesPerTrigger=1: the
+    # originals and their copies cross a batch boundary
+    docs.coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    dup.coalesce(1).write.mode("append").parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    sink = CorpusDedupSink(
+        spark, os.path.join(base, "cs_state"), threshold=1.0
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", os.path.join(base, "cs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = docs.count() + dup.count()
+    row = sink.admitted().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(fed).alias("n_aux"),
+        (F.lit(fed) - F.count(F.lit(1))).cast("double").alias("val"),
+    )
+    return [_row(row, "corpus_stream_dedup")]
+
+
 def _streaming_mv_rows(
     spark: SparkSession, sf_dir: str, base: str
 ) -> list[DataFrame]:
@@ -287,14 +440,29 @@ def _streaming_mv_rows(
     events (user_id % 4 == 1) drain through foreachBatch into the
     manifest-logged aggregate, then the stored view's rollup and an
     equality row against the batch recompute (0.01 tolerance) are
-    emitted. The oracle recomputes the rollup from the events table."""
-    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
-        events_stream_source,
-    )
+    emitted. The oracle recomputes the rollup from the events table.
 
+    Arrival is deliberately OUT OF ORDER across micro-batches: the feed
+    is staged as two event-id-parity files, each spanning the full time
+    range, and drained one-file-per-micro-batch — so batch 1 carries
+    events earlier than batch 0's maximum and the equality-vs-batch row
+    proves the MV converges under late/out-of-order arrival, not just a
+    single in-order drain."""
     state = os.path.join(base, "mv_state")
     measures = {"n": ("count", "event_id"), "sum_value": ("sum", "value")}
-    ev = events_stream_source(spark, sf_dir).where(F.col("user_id") % 4 == 1)
+    feed = load_table(spark, sf_dir, "events").where(F.col("user_id") % 4 == 1)
+    mv_src = os.path.join(base, "mv_src")
+    feed.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(mv_src)
+    feed.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(mv_src)
+    ev = (
+        spark.readStream.schema(spark.read.parquet(mv_src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(mv_src)
+    )
     # Bound the micro-batch shuffle width like run_available_now does:
     # in a vanilla driver session (200 default shuffle partitions, no
     # AQE) each foreachBatch groupBy would otherwise shuffle the tiny
@@ -374,6 +542,7 @@ _ORACLE = f"""
     newk AS (SELECT c_custkey FROM b2 WHERE c_custkey >= (SELECT v FROM off)),
     ord AS (SELECT * FROM orders WHERE o_custkey % 4 = 1),
     ord_v0 AS (SELECT * FROM ord WHERE o_orderdate < TIMESTAMP '{_CUT}'),
+    docsub AS (SELECT text FROM documents WHERE doc_id % 17 = 3),
     ev AS (SELECT * FROM events WHERE user_id % 4 = 1),
     ev_groups AS (
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
@@ -392,6 +561,29 @@ _ORACLE = f"""
                (SELECT COUNT(*) FROM customer),
                (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk),
                CAST((SELECT COUNT(*) FROM changed) AS DOUBLE)
+        UNION ALL
+        SELECT 'scd2_stored',
+               -- stored layout must equal the logical merge exactly
+               (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk)
+                   + (SELECT COUNT(*) FROM changed),
+               (SELECT COUNT(*) FROM customer)
+                   + (SELECT COUNT(*) FROM newk),
+               CAST((SELECT COALESCE(SUM(c_custkey), 0) FROM changed)
+                    AS DOUBLE)
+        UNION ALL
+        SELECT 'versioned_stream',
+               (SELECT COUNT(*) FROM ord_v0),
+               1,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
+        UNION ALL
+        SELECT 'corpus_stream_dedup',
+               -- threshold-1.0 near-dup rejection ≡ identical shingle
+               -- sets ≡ (on this corpus; see _corpus_stream_rows)
+               -- exact-text-duplicate arithmetic
+               (SELECT COUNT(DISTINCT text) FROM docsub),
+               2 * (SELECT COUNT(*) FROM docsub),
+               CAST(2 * (SELECT COUNT(*) FROM docsub)
+                    - (SELECT COUNT(DISTINCT text) FROM docsub) AS DOUBLE)
         UNION ALL
         SELECT 'incremental_refresh',
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
@@ -467,10 +659,13 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = (
             _scd2_rows(spark, sf_dir)
+            + _scd2_stored_rows(spark, sf_dir, base)
             + _incremental_rows(spark, ord_df, base)
             + _versioned_rows(spark, ord_df, base)
+            + _versioned_stream_rows(spark, ord_df, base)
             + _skipping_rows(spark, ord_df, base)
             + _streaming_mv_rows(spark, sf_dir, base)
+            + _corpus_stream_rows(spark, sf_dir, base)
         )
         out = rows[0]
         for r in rows[1:]:
