@@ -35,7 +35,10 @@ from polygon_daily_market_data_pipeline_spark.plans import (  # noqa: E402,F401
     streaming_queries,
     warehouse_ops,
 )
-from polygon_daily_market_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
+from polygon_daily_market_data_pipeline_spark.plans.analytics import (  # noqa: E402
+    NO_RETIME,
+    QUERIES,
+)
 
 
 def main() -> None:
@@ -117,12 +120,16 @@ def main() -> None:
     # down systematically; the median forgives a one-off spike but keeps
     # a genuine regression visible. First runs stay disclosed in the
     # JSON so the record shows which numbers were noise-suppressed.
+    # Exclusion is by the registration's retime=False flag (the two
+    # standalone streaming jobs), not a name substring:
+    # warehouse_maintenance contains a streaming branch yet is
+    # deliberately re-timeable — see analytics.NO_RETIME.
     ok = sorted(t for t in timings.values() if t >= 0)
     reruns: dict[str, float] = {}
     if ok:
         median = ok[len(ok) // 2]
         for name, t in list(timings.items()):
-            if t >= max(5 * median, 3.0) and "stream" not in name:
+            if t >= max(5 * median, 3.0) and name not in NO_RETIME:
                 samples = [t]
                 for _ in range(2):
                     t2 = run_once(name, QUERIES[name])

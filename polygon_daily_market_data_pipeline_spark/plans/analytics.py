@@ -38,13 +38,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Queries bench.py must NOT re-time on an outlier reading (see
+# register(retime=False)): re-running a checkpoint-fresh Structured
+# Streaming job re-pays state-store startup, so its re-run measures
+# stream bring-up, not the plan, and triples the suite for nothing.
+# warehouse_maintenance deliberately STAYS re-timeable even though one
+# of its thirteen branches drains a stream: each call rebuilds its
+# scratch state from zero, so a re-run is the same work as the first
+# run — the flag records intent, not a name-substring accident.
+NO_RETIME: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, retime: bool = True):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if not retime:
+            NO_RETIME.add(name)
         return fn
 
     return deco

@@ -137,6 +137,8 @@ def run_available_now(
     WHERE a.hour_start + INTERVAL 1 HOUR <= mx.m
     ORDER BY a.hour_start, a.event_type
     """,
+    retime=False,  # re-running a checkpoint-fresh stream measures
+    # state-store bring-up, not the plan (see analytics.NO_RETIME)
 )
 def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate, run as a real streaming
@@ -181,6 +183,8 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE session_end + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
     ORDER BY user_id, session_start
     """,
+    retime=False,  # re-running a checkpoint-fresh stream measures
+    # state-store bring-up, not the plan (see analytics.NO_RETIME)
 )
 def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,

@@ -654,26 +654,42 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     try:
-        ord_df = load_table(spark, sf_dir, "orders").where(
-            F.col("o_custkey") % 4 == 1
-        )
-        rows = (
-            _scd2_rows(spark, sf_dir)
-            + _scd2_stored_rows(spark, sf_dir, base)
-            + _incremental_rows(spark, ord_df, base)
-            + _versioned_rows(spark, ord_df, base)
-            + _versioned_stream_rows(spark, ord_df, base)
-            + _skipping_rows(spark, ord_df, base)
-            + _streaming_mv_rows(spark, sf_dir, base)
-            + _corpus_stream_rows(spark, sf_dir, base)
-        )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
         # eager, lineage-truncating materialization of the (tiny) audit
         # rows: after this the scratch dir is not referenced by any plan
-        out = out.localCheckpoint(eager=True)
+        out = build_maintenance_union(spark, sf_dir, base).localCheckpoint(
+            eager=True
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
         shutil.rmtree(base, ignore_errors=True)
     return out.orderBy("check_name")
+
+
+def build_maintenance_union(
+    spark: SparkSession, sf_dir: str, base: str
+) -> DataFrame:
+    """The LAZY thirteen-row audit union over scratch state under
+    ``base`` — runs every branch script eagerly (writes, commits,
+    streaming drains) but returns the un-materialized union, so the
+    per-branch physical plans stay inspectable. ``warehouse_maintenance``
+    wraps this with TZ pinning + checkpoint + scratch cleanup;
+    ``tools/plan_audit.py`` calls it directly (the registered query's
+    returned frame is a checkpoint scan, which would audit as a blank
+    plan). Callers own ``base``'s lifecycle."""
+    ord_df = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 4 == 1
+    )
+    rows = (
+        _scd2_rows(spark, sf_dir)
+        + _scd2_stored_rows(spark, sf_dir, base)
+        + _incremental_rows(spark, ord_df, base)
+        + _versioned_rows(spark, ord_df, base)
+        + _versioned_stream_rows(spark, ord_df, base)
+        + _skipping_rows(spark, ord_df, base)
+        + _streaming_mv_rows(spark, sf_dir, base)
+        + _corpus_stream_rows(spark, sf_dir, base)
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

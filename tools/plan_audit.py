@@ -24,7 +24,12 @@ what an action actually runs:
   plan only — never the superseded initial plan;
 - ``ReusedExchange`` is a pointer to an exchange counted at its first
   site, so it neither counts nor descends;
-- query-stage wrappers are transparent.
+- query-stage wrappers are transparent;
+- expression-held subquery plans (scalar subqueries, IN-subqueries,
+  DPP filters — ``QueryPlan.subqueries``) are walked like children:
+  their exchanges/joins execute too, and a children-only walk would
+  undercount them (``ReusedSubqueryExec`` is skipped, same rule as
+  ``ReusedExchange``).
 
 The two ``*_stream`` queries are excluded: their builders RUN the
 stream to a memory sink, so the returned frame's plan is a memory scan,
@@ -70,17 +75,31 @@ def _children(node) -> list:
     return [seq.apply(i) for i in range(seq.size())]
 
 
+def _subquery_plans(node) -> list:
+    """Physical plans held INSIDE the node's expressions (scalar
+    subqueries, IN-subqueries, DPP filters) — executed by the node but
+    invisible to children(), so a children-only walk undercounts their
+    exchanges/joins. ``QueryPlan.subqueries`` collects each
+    ``PlanExpression``'s plan (``BaseSubqueryExec`` wrappers, whose own
+    children are the real subquery plans)."""
+    seq = node.subqueries()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
 def count_signals(jvm, root) -> dict[str, int]:
     """Walk a JVM SparkPlan, tallying NODE_SIGNALS for the work one
     action executes (see module docstring for the cache/AQE/reuse
-    rules)."""
+    rules). Expression-held subquery plans are walked too;
+    ``ReusedSubqueryExec`` points at a subquery counted at its first
+    site, so — like ``ReusedExchange`` — it neither counts nor
+    descends."""
     counts = dict.fromkeys(SIGNAL_COLS, 0)
     seen_caches: set[int] = set()
     stack = [root]
     while stack:
         node = stack.pop()
         name = node.getClass().getSimpleName()
-        if name == "ReusedExchangeExec":
+        if name in ("ReusedExchangeExec", "ReusedSubqueryExec"):
             continue
         if name == "AdaptiveSparkPlanExec":
             stack.append(node.executedPlan())
@@ -101,6 +120,7 @@ def count_signals(jvm, root) -> dict[str, int]:
         if sig is not None:
             counts[sig] += 1
         stack.extend(_children(node))
+        stack.extend(_subquery_plans(node))
     return counts
 
 
@@ -112,10 +132,28 @@ def audit(sf_dir: str) -> list[dict]:
     spark.sparkContext.setLogLevel("ERROR")
     jvm = spark.sparkContext._jvm
     rows = []
+    scratch = []
     for name, fn in ent.queries().items():
         if name in SKIP:
             continue
-        df = fn(spark, sf_dir)
+        if name == "warehouse_maintenance":
+            # the registered query returns an eagerly-checkpointed frame
+            # (scratch cleanup + TZ restore), whose plan is a checkpoint
+            # scan; audit the LAZY union instead — the real per-branch
+            # plans (same frame the checkpoint materializes)
+            import tempfile
+
+            from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+                build_maintenance_union,
+            )
+
+            base = tempfile.mkdtemp(prefix="plan_audit_whm_")
+            scratch.append(base)
+            df = build_maintenance_union(spark, sf_dir, base).orderBy(
+                "check_name"
+            )
+        else:
+            df = fn(spark, sf_dir)
         qe = df._jdf.queryExecution()
         row = {"query": name, **count_signals(jvm, qe.executedPlan())}
         # pushed-filter evidence still comes from the scan's string form
@@ -124,6 +162,10 @@ def audit(sf_dir: str) -> list[dict]:
             r"PushedFilters: \[\]", plan
         ) else ("n/a" if "PushedFilters" not in plan else "none")
         rows.append(row)
+    import shutil
+
+    for base in scratch:
+        shutil.rmtree(base, ignore_errors=True)
     return rows
 
 
@@ -140,8 +182,10 @@ def main() -> None:
         "executes: each cached relation's build is counted once per query",
         "(later scans of the same relation read the block manager),",
         "`AdaptiveSparkPlan` contributes only its current plan, and",
-        "`ReusedExchange` neither counts nor descends — a regex over the",
-        "explain string would multi-count all three. Plans audited before",
+        "`ReusedExchange`/`ReusedSubquery` neither count nor descend — a",
+        "regex over the explain string would multi-count all three.",
+        "Expression-held subquery plans (scalar subqueries, DPP filters)",
+        "are walked like children. Plans audited before",
         "AQE finalization are upper bounds (AQE may still convert",
         "sort-merge joins to broadcast and coalesce exchanges at runtime).",
         "The invariants pinned in",
