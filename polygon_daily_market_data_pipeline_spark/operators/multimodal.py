@@ -209,6 +209,41 @@ def parse_audio_header(
     return None, None, None, None, None
 
 
+def decode_wav_pcm(content: bytes) -> tuple[int, float, int] | None:
+    """Real FULL-sample audio decode for PCM WAV via stdlib ``wave`` —
+    zero external dependencies: (n_frames, rms, duration_ms) where
+    n_frames and the duration come from the ACTUAL decoded frame count
+    (not the header's byte math) and rms is the root-mean-square
+    amplitude over all channels, normalized to [0, 1] by the sample
+    width (8-bit WAV is unsigned per the spec; 16/32-bit are signed
+    little-endian). Non-WAV, compressed-WAV (``wave`` raises on
+    non-PCM), or truncated blobs → None — compressed formats stay
+    behind the import-guarded ``librosa`` decoder."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            n = w.getnframes()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(n)
+    except Exception:
+        return None
+    if rate <= 0 or width not in (1, 2, 4) or not raw:
+        return None
+    import numpy as np
+
+    if width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    return n, rms, int(round(n * 1000 / rate))
+
+
 def parse_video_header(
     content: bytes,
 ) -> tuple[str | None, int | None, int | None, int | None, int | None]:
@@ -379,7 +414,7 @@ def extract_image_features(
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, n_bytes long, mean_byte double, byte_entropy double, "
     "phash string, format string, sample_rate int, channels int, "
-    "bit_depth int, decoded_ms int"
+    "bit_depth int, decoded_ms int, pcm_frames long, pcm_rms double"
 )
 
 
@@ -394,10 +429,15 @@ def extract_audio_features(
       channels/bit depth/duration NULL (the oracle-checkable stub).
     - ``"headers"`` — the same byte features PLUS a real container
       header decode (``parse_audio_header``: WAV/RIFF and AIFF sample
-      rate, channels, bit depth, duration — pure Python, spec-exact).
-    - ``"librosa"`` — full sample decode, import-guarded: the container
-      ships no audio libs, so absence raises NotImplementedError naming
-      the wiring point.
+      rate, channels, bit depth, duration — pure Python, spec-exact),
+      AND a real FULL PCM sample decode for WAV blobs through stdlib
+      ``wave`` (``decode_wav_pcm``): ``pcm_frames`` is the actual
+      decoded frame count, ``pcm_rms`` the normalized RMS amplitude —
+      both NULL for non-WAV/compressed blobs (those need the
+      import-guarded full decoder below).
+    - ``"librosa"`` — full sample decode for compressed formats,
+      import-guarded: the container ships no audio libs, so absence
+      raises NotImplementedError naming the wiring point.
     """
     if decoder not in ("fake", "headers", "librosa"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -419,8 +459,13 @@ def extract_audio_features(
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(b or b"")
                 feats = _fake_decode_features(blob)
+                pcm_frames = pcm_rms = None
                 if decoder == "headers":
                     fmt, rate, ch, bits, dur = parse_audio_header(blob)
+                    if fmt == "wav":
+                        pcm = decode_wav_pcm(blob)
+                        if pcm is not None:
+                            pcm_frames, pcm_rms, _pcm_ms = pcm
                 else:
                     fmt = rate = ch = bits = dur = None
                 rows.append(
@@ -432,6 +477,8 @@ def extract_audio_features(
                         "channels": ch,
                         "bit_depth": bits,
                         "decoded_ms": dur,
+                        "pcm_frames": pcm_frames,
+                        "pcm_rms": pcm_rms,
                     }
                 )
             yield pd.DataFrame(
@@ -439,7 +486,7 @@ def extract_audio_features(
                 columns=[
                     "media_id", "n_bytes", "mean_byte", "byte_entropy",
                     "phash", "format", "sample_rate", "channels",
-                    "bit_depth", "decoded_ms",
+                    "bit_depth", "decoded_ms", "pcm_frames", "pcm_rms",
                 ],
             )
 

@@ -471,6 +471,84 @@ def test_extract_audio_features_headers_decoder(spark):
         multimodal.extract_audio_features(media, decoder="librosa")
 
 
+def _pcm16_wav(n_frames=1600, rate=16000, amp=16384) -> bytes:
+    """Deterministic 16-bit mono PCM WAV built with stdlib ``wave``: a
+    ±amp square wave, whose RMS is exactly amp/32768."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", amp if i % 2 == 0 else -amp)
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_decode_wav_pcm_real_samples():
+    """decode_wav_pcm is a REAL full-sample decode (stdlib wave, no
+    external deps): frame count and duration come from the decoded
+    frames, RMS from the samples — exact on a synthetic square wave;
+    non-WAV and truncated blobs return None instead of raising."""
+    from polygon_daily_market_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        parse_audio_header,
+    )
+
+    wav = _pcm16_wav()
+    got = decode_wav_pcm(wav)
+    assert got is not None
+    n_frames, rms, dur_ms = got
+    assert n_frames == 1600
+    assert abs(rms - 0.5) < 1e-12  # ±16384 square wave / 32768
+    assert dur_ms == 100
+    # frame-count duration agrees with the header's byte-math duration
+    assert parse_audio_header(wav)[4] == dur_ms
+    assert decode_wav_pcm(b"not audio") is None
+    assert decode_wav_pcm(wav[:40]) is None  # truncated header
+    assert decode_wav_pcm(b"") is None
+
+
+def test_extract_audio_features_decodes_pcm_samples(spark):
+    """The headers decoder also runs the stdlib-wave FULL PCM decode for
+    WAV blobs: pcm_frames/pcm_rms are real decoded-sample stats, NULL
+    for non-WAV payloads, and every header field is unchanged by the
+    added decode."""
+    wav = _pcm16_wav()
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", None, None, None, bytearray(wav)),
+            (2, "audio", "text/plain", None, None, None, bytearray(b"not audio")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(media, decoder="headers").collect()
+    }
+    r1 = out[1]
+    assert (r1["format"], r1["sample_rate"], r1["channels"], r1["bit_depth"]) == (
+        "wav", 16000, 1, 16
+    )
+    assert r1["pcm_frames"] == 1600
+    assert abs(r1["pcm_rms"] - 0.5) < 1e-12
+    assert r1["decoded_ms"] == 100
+    assert out[2]["pcm_frames"] is None and out[2]["pcm_rms"] is None
+    # the fake decoder never decodes samples
+    fake = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(media, decoder="fake").collect()
+    }
+    assert fake[1]["pcm_frames"] is None and fake[1]["pcm_rms"] is None
+
+
 def test_ann_audit_sample_every_is_deterministic_slice(spark):
     """sample_every=N audits the pmod(hash(id), N)=0 query slice:
     deterministic across runs, strictly smaller query set, same gate
