@@ -198,11 +198,94 @@ def probe_skipping(spark, sf_dir: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_scd2_stored(spark, sf_dir: str) -> None:
+    """Stored-SCD2 claim: one merge costs O(|current| + |batch|) —
+    FLAT in history size — because the merge joins only the current
+    slice and appends only the batch's closed rows; history bytes are
+    written exactly once, ever. Builds the stored dimension with
+    1×/4×/16× history generations (every-key-changes merges, so history
+    grows by |keys| per generation), then times ONE fixed final merge
+    and reports its wall-clock and the bytes it wrote (closed delta +
+    new current). Flat numbers across 16× history growth are the
+    evidence; a full-rewrite SCD would grow both linearly."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.scd import (
+        scd2_store_init,
+        scd2_store_merge,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("eff"),
+    ).persist()
+    n_keys = cust.count()
+
+    def batch(i: int):
+        return cust.select(
+            "c_custkey",
+            F.lit(f"S{i}").alias("segment"),
+            (F.col("eff") + F.make_interval(days=F.lit(i + 1))).alias("eff"),
+        )
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return total
+
+    results = []
+    for k in (1, 4, 16):
+        base = tempfile.mkdtemp(prefix=f"scd2_probe_{k}x_")
+        dim = f"{base}/dim"
+        scd2_store_init(cust, dim, ["c_custkey"], "eff")
+        for i in range(k):  # untimed history growth: k full-churn merges
+            scd2_store_merge(
+                spark, dim, batch(i), ["c_custkey"], ["segment"], "eff"
+            )
+        deltas_before = set(os.listdir(os.path.join(dim, "history")))
+        t0 = time.monotonic()
+        scd2_store_merge(
+            spark, dim, batch(99), ["c_custkey"], ["segment"], "eff"
+        )
+        t = time.monotonic() - t0
+        # bytes the timed merge wrote: its closed-delta dir + the new
+        # current slice (the swap retires, it never rewrites history)
+        new_delta = set(os.listdir(os.path.join(dim, "history"))) - deltas_before
+        written = tree_bytes(
+            os.path.realpath(os.path.join(dim, "current"))
+        ) + sum(
+            tree_bytes(os.path.join(dim, "history", d)) for d in new_delta
+        )
+        results.append((k, k * n_keys, t, written))
+        shutil.rmtree(base, ignore_errors=True)
+    cust.unpersist()
+    pts = ", ".join(
+        f"{k}x(hist={h}r) merge={t:.2f}s wrote={b / 1e6:.1f}MB"
+        for k, h, t, b in results
+    )
+    print(f"scd2_stored: {pts}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
 
-    for extra, fn in (("refresh_mv", probe_refresh), ("skipping", probe_skipping)):
+    for extra, fn in (
+        ("refresh_mv", probe_refresh),
+        ("skipping", probe_skipping),
+        ("scd2_stored", probe_scd2_stored),
+    ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
 
