@@ -489,6 +489,80 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, dist): nearest-centroid assignment of vectors against
+    FROZEN centroids — the maintenance path for a growing corpus. At
+    100 TB the coarse quantizer is retrained rarely; each ingest batch
+    is assign-only: one Arrow-batched pass with the k·dim centroid
+    matrix broadcast, no shuffle, O(batch) work regardless of corpus
+    size. ``dist`` is the euclidean distance to the assigned centroid
+    and feeds ``ivf_drift_ratio`` below, which signals when a retrain
+    is due. The cell ids are identical to ``cosine_topk_ivf``'s
+    inverted-index cells (same argmin, same metric), so assigned rows
+    append directly to the serving index."""
+    b_c = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": a.astype("int32"),
+                    "dist": np.sqrt(d[np.arange(len(a)), a]),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, cell int, dist double"
+    )
+
+
+def mean_assign_distance(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean distance-to-assigned-centroid over ``df`` — record this at
+    TRAINING time as the drift baseline (one aggregate-sized collect)."""
+    return (
+        ivf_assign(df, centroids, id_col, vec_col)
+        .agg(F.avg("dist").alias("m"))
+        .first()["m"]
+    )
+
+
+def ivf_drift_ratio(
+    new_df: DataFrame,
+    centroids: "np.ndarray",
+    train_mean_dist: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Quantization-drift signal for assign-only IVF maintenance: the
+    new batch's mean distance-to-centroid divided by the training-time
+    mean. ≈1.0 while new data matches the trained distribution; a
+    sustained ratio above ~1.2–1.5 means the centroids no longer
+    describe the corpus (recall decays because true neighbors land
+    outside the probed cells) — schedule a retrain. One Arrow pass +
+    one scalar; the decision threshold is the caller's policy knob."""
+    if train_mean_dist <= 0:
+        raise ValueError("train_mean_dist must be positive")
+    return mean_assign_distance(new_df, centroids, id_col, vec_col) / train_mean_dist
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

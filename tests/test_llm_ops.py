@@ -731,3 +731,67 @@ def test_jaccard_registered_query_releases_per_call_caches(spark):
     for f in out._cached_inputs:
         f.unpersist(blocking=True)
     assert len(dict(sc._jsc.getPersistentRDDs())) <= 1  # shingle index only
+
+
+def test_ivf_assign_matches_numpy_and_serving_cells(spark):
+    """Assign-only IVF maintenance: ivf_assign against frozen centroids
+    must reproduce the exact numpy nearest-centroid argmin and distance
+    for every vector — the same cells cosine_topk_ivf's inverted index
+    uses, so assigned rows append directly to the serving index."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8)
+    got = {r.vec_id: (r.cell, r.dist) for r in ivf_assign(emb, cents).collect()}
+    ref = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert set(got) == set(ref)
+    for vid, v in ref.items():
+        d = ((cents - v[None, :]) ** 2).sum(axis=1)
+        cell, dist = int(d.argmin()), float(np.sqrt(d.min()))
+        assert got[vid][0] == cell, vid
+        assert abs(got[vid][1] - dist) < 1e-9, vid
+
+
+def test_ivf_drift_ratio_signals_distribution_shift(spark):
+    """The drift metric is ~1 for a batch drawn from the trained
+    distribution and well above the retrain threshold for a shifted
+    batch (every embedding displaced by a constant offset several times
+    the trained quantization error)."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        ivf_drift_ratio,
+        kmeans_centroids,
+        mean_assign_distance,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8)
+    train_mean = mean_assign_distance(emb, cents)
+    assert train_mean > 0
+    # same-distribution batch (a deterministic half of the corpus)
+    same = emb.where(F.col("vec_id") % 2 == 0)
+    r_same = ivf_drift_ratio(same, cents, train_mean)
+    assert 0.5 < r_same < 1.5, r_same
+    # shifted batch: displace every vector by 4× the trained mean error
+    # along the first dimension — quantization error must blow up
+    shifted = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (x, i) -> CAST(x + IF(i = 0, {4 * train_mean}, 0.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    r_shift = ivf_drift_ratio(shifted, cents, train_mean)
+    assert r_shift > 1.5, r_shift
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_drift_ratio(same, cents, 0.0)
