@@ -351,13 +351,20 @@ def _versioned_stream_rows(
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(versioned_stream_sink(tdir))
-        .option("checkpointLocation", os.path.join(base, "vs_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # bound each micro-batch's shuffle width, same rationale as the
+    # streaming-MV branch: the per-batch frames are tiny
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(versioned_stream_sink(tdir))
+            .option("checkpointLocation", os.path.join(base, "vs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     hist = history(tdir)
     streamed_shape = 1 if (
         len(hist) >= 2
@@ -417,14 +424,21 @@ def _corpus_stream_rows(
     sink = CorpusDedupSink(
         spark, os.path.join(base, "cs_state"), threshold=1.0
     )
-    q = (
-        stream.writeStream.foreachBatch(sink.process)
-        .option("checkpointLocation", os.path.join(base, "cs_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    fed = docs.count() + dup.count()
+    # the dedup joins per micro-batch run over a few hundred docs:
+    # bound the shuffle width like the other streaming branches
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink.process)
+            .option("checkpointLocation", os.path.join(base, "cs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    fed = 2 * docs.count()  # dup is a 1:1 id-shifted copy of docs
     row = sink.admitted().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(fed).alias("n_aux"),
