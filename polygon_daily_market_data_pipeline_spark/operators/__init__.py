@@ -24,6 +24,11 @@ from polygon_daily_market_data_pipeline_spark.operators.scd import (
     scd2_store_merge,
     scd2_store_read,
 )
+from polygon_daily_market_data_pipeline_spark.operators.decontam import (
+    contamination_hits,
+    decontaminate,
+    eval_ngram_set,
+)
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
     optimize_zorder,
@@ -51,6 +56,9 @@ __all__ = [
     "scd2_store_init",
     "scd2_store_merge",
     "scd2_store_read",
+    "contamination_hits",
+    "decontaminate",
+    "eval_ngram_set",
     "commit_version",
     "optimize_zorder",
     "read_version",

@@ -515,8 +515,26 @@ def _corpus_clean_oracle() -> str:
     langs = sorted(LANG_STOPWORDS)
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    # 8-word grams: windows i..i+7, i in [1, len-7] (DuckDB lists are
+    # 1-based; range excludes its end) — mirrors word_ngrams_all(n=8)
+    gram8 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(8)).replace(
+        "toks[i+0]", "toks[i]"
+    )
     return f"""
     WITH t AS (SELECT doc_id, {NORM} AS norm, {TOKS} AS toks FROM documents),
+    g8 AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 6), i -> {gram8}) AS gs
+        FROM t
+    ),
+    evg AS (
+        SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 5
+    ),
+    contam AS (
+        SELECT DISTINCT x.doc_id
+        FROM (SELECT doc_id, unnest(gs) AS g FROM g8) x
+        JOIN evg USING (g)
+    ),
     f AS (
         SELECT doc_id, norm, toks,
                len(toks) AS n,
@@ -539,6 +557,7 @@ def _corpus_clean_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
         FROM scored
         WHERE detected = 'en' AND quality >= 0.5
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
     )
     SELECT doc_id, n AS n_tokens, quality
     FROM kept WHERE rn = 1
@@ -549,22 +568,38 @@ def _corpus_clean_oracle() -> str:
 @register("corpus_clean_en", _corpus_clean_oracle())
 def corpus_clean_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4-style cleaning pipeline end-to-end: language gate (en) →
-    heuristic quality gate (≥ 0.5) → exact-dup removal keeping the
-    min-id canonical. One scan, one groupBy-shaped shuffle on the
-    content hash — the flagship training-corpus filter."""
+    heuristic quality gate (≥ 0.5) → benchmark DECONTAMINATION (drop
+    docs sharing any 8-word gram with the scripted eval subset,
+    doc_id % 97 == 5 — ``operators/decontam.py``: distinct eval grams
+    broadcast, map-side explode + broadcast semi-join, only hit-sized
+    data shuffles) → exact-dup removal keeping the min-id canonical.
+    One corpus scan, one groupBy-shaped shuffle on the content hash —
+    the flagship training-corpus filter, now with the leak guard every
+    training pipeline runs before export."""
     from pyspark.sql import Window
+
+    from polygon_daily_market_data_pipeline_spark.operators.decontam import (
+        decontaminate,
+    )
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     scored = docs.select(
         "doc_id",
+        "text",
         token_count("text").alias("n_tokens"),
         quality_score("text").alias("quality"),
         lang_id("text").alias("detected"),
         fingerprint_md5("text").alias("fp"),
     ).where((F.col("detected") == "en") & (F.col("quality") >= 0.5))
+    # decontaminate AFTER the cheap gates (smaller explode side); the
+    # eval set is the RAW subset — a leaked gram contaminates whatever
+    # the gates let through, including the eval docs themselves
+    decon = decontaminate(
+        scored, docs.where(F.col("doc_id") % 97 == 5), n=8
+    )
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        decon.withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")

@@ -795,3 +795,44 @@ def test_ivf_drift_ratio_signals_distribution_shift(spark):
 
     with pytest.raises(ValueError):
         ivf_drift_ratio(same, cents, 0.0)
+
+
+def test_decontamination_ngram_overlap(spark):
+    """Benchmark decontamination: a training doc sharing one 8-word
+    gram with any eval doc is dropped; docs without overlap — including
+    ones sharing shorter runs — are kept; eval docs contaminate
+    themselves; sub-8-token docs can never match; hit counts tally
+    gram occurrences."""
+    from polygon_daily_market_data_pipeline_spark.operators.decontam import (
+        contamination_hits,
+        decontaminate,
+        eval_ngram_set,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words then {leak} and trailing content here"),
+            (2, "alpha bravo charlie delta echo foxtrot golf INDIA no leak"),
+            (3, "completely unrelated text about spark shuffles and joins okay"),
+            (4, f"{leak} repeated {leak} twice"),
+            (5, "alpha bravo charlie"),  # < 8 tokens: no grams at all
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"benchmark question: {leak} answer below")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate(docs, eval_docs).collect()
+    )
+    assert kept == [2, 3, 5]
+    hits = {
+        r.doc_id: r.contam_hits
+        for r in contamination_hits(docs, eval_ngram_set(eval_docs)).collect()
+    }
+    assert hits[1] == 1 and hits[4] == 2  # occurrences, not distinct grams
+    assert 2 not in hits and 3 not in hits and 5 not in hits
+    # an eval doc streamed through as training data contaminates itself
+    assert decontaminate(eval_docs, eval_docs).count() == 0
