@@ -59,6 +59,12 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     rollback,
 )
 from polygon_daily_market_data_pipeline_spark.plans.analytics import register
+from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+    SHINGLES as _SHINGLES,
+)
+from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+    TOKS as _TOKS,
+)
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
 
 _TS1 = "2024-01-01 00:00:00"
@@ -389,14 +395,15 @@ def _corpus_stream_rows(
     a DIFFERENT micro-batch than their originals and must be rejected
     against the admitted band index, not batch-locally. threshold=1.0
     rejects exactly identical shingle SETS (Jaccard 1.0 is exact in
-    doubles: |A|/|A|), which on this corpus equals exact-text-duplicate
-    semantics (verified: every subset doc has ≥10 tokens and no two
-    DISTINCT texts share a shingle set at sf 0.001/0.01/0.1 — the
-    planted near-dup pair at Jaccard 0.978 is correctly ADMITTED,
-    proving the threshold comparison is live). Admitted/rejected counts
-    are micro-batch-order-independent: whichever copy arrives first is
-    admitted, the other rejected. Oracle: distinct-text arithmetic on
-    the documents table."""
+    doubles: |A|/|A|); the DuckDB oracle recomputes those sets with the
+    same normalize/tokenize/shingle fragments as the Jaccard oracles,
+    so the row is mechanically exact under ANY corpus content —
+    admitted = |distinct sorted shingle sets| plus both copies of every
+    shingle-less doc (the sink admits band-less docs unconditionally).
+    On the current testdata the planted near-dup pair at Jaccard 0.978
+    is correctly ADMITTED, proving the threshold comparison is live.
+    Admitted/rejected counts are micro-batch-order-independent:
+    whichever copy arrives first is admitted, the other rejected."""
     from polygon_daily_market_data_pipeline_spark.streaming.corpus_stream import (
         CorpusDedupSink,
     )
@@ -556,7 +563,21 @@ _ORACLE = f"""
     newk AS (SELECT c_custkey FROM b2 WHERE c_custkey >= (SELECT v FROM off)),
     ord AS (SELECT * FROM orders WHERE o_custkey % 4 = 1),
     ord_v0 AS (SELECT * FROM ord WHERE o_orderdate < TIMESTAMP '{_CUT}'),
-    docsub AS (SELECT text FROM documents WHERE doc_id % 17 = 3),
+    -- corpus-stream oracle: threshold-1.0 rejection ≡ identical 3-word
+    -- shingle SETS, which DuckDB recomputes directly (same normalize /
+    -- tokenize / shingle fragments as the Jaccard oracles), so the row
+    -- is mechanically exact under ANY corpus content: admitted =
+    -- |distinct sorted shingle sets| among shingled docs + BOTH copies
+    -- of every shingle-less (<3-token) doc, which the sink always
+    -- admits (no bands → no candidates)
+    dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE doc_id % 17 = 3),
+    dsh AS (SELECT doc_id, {_SHINGLES} AS sh FROM dt WHERE len(toks) >= 3),
+    adm AS (
+        SELECT (SELECT COUNT(DISTINCT list_sort(sh)) FROM dsh)
+               + 2 * (SELECT COUNT(*) FROM dt WHERE len(toks) < 3) AS n,
+               2 * (SELECT COUNT(*) FROM dt) AS fed
+    ),
     ev AS (SELECT * FROM events WHERE user_id % 4 = 1),
     ev_groups AS (
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
@@ -591,13 +612,9 @@ _ORACLE = f"""
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
         UNION ALL
         SELECT 'corpus_stream_dedup',
-               -- threshold-1.0 near-dup rejection ≡ identical shingle
-               -- sets ≡ (on this corpus; see _corpus_stream_rows)
-               -- exact-text-duplicate arithmetic
-               (SELECT COUNT(DISTINCT text) FROM docsub),
-               2 * (SELECT COUNT(*) FROM docsub),
-               CAST(2 * (SELECT COUNT(*) FROM docsub)
-                    - (SELECT COUNT(DISTINCT text) FROM docsub) AS DOUBLE)
+               (SELECT n FROM adm),
+               (SELECT fed FROM adm),
+               CAST((SELECT fed - n FROM adm) AS DOUBLE)
         UNION ALL
         SELECT 'incremental_refresh',
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
