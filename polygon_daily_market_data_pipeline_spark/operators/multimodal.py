@@ -50,7 +50,8 @@ MEDIA_SCHEMA = StructType(
 
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, n_bytes long, mean_byte double, byte_entropy double, "
-    "phash string, format string, width int, height int"
+    "phash string, format string, width int, height int, "
+    "pix_pixels long, pix_mean_luma double"
 )
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_sig string"
@@ -209,6 +210,44 @@ def parse_audio_header(
     return None, None, None, None, None
 
 
+def decode_bmp_pixels(content: bytes) -> tuple[int, float] | None:
+    """Real FULL-pixel image decode for uncompressed 24/32-bit BI_RGB
+    BMP — zero external dependencies (the raster is raw BGR(A) rows,
+    4-byte-aligned, bottom-up unless height is negative): returns
+    (n_pixels, mean_luma) where mean_luma is the Rec.601 luma
+    (0.299 R + 0.587 G + 0.114 B) averaged over every pixel, in
+    [0, 255]. The image twin of ``decode_wav_pcm``: compressed formats
+    (PNG/GIF/JPEG) stay behind the import-guarded Pillow decoder.
+    Non-BMP, compressed-BMP, or truncated rasters → None."""
+    import struct
+
+    try:
+        if content[:2] != b"BM" or len(content) < 54:
+            return None
+        data_off = struct.unpack("<I", content[10:14])[0]
+        w, h = struct.unpack("<ii", content[18:26])
+        bpp = struct.unpack("<H", content[28:30])[0]
+        comp = struct.unpack("<I", content[30:34])[0]
+    except struct.error:
+        return None
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nrows, ncols, nch = abs(h), w, bpp // 8
+    row_bytes = (ncols * nch + 3) // 4 * 4
+    raster = content[data_off : data_off + row_bytes * nrows]
+    if len(raster) < row_bytes * nrows:
+        return None  # truncated pixel array
+    import numpy as np
+
+    a = np.frombuffer(raster, dtype=np.uint8).reshape(nrows, row_bytes)
+    # strip row padding (and the alpha byte at 32bpp), split B,G,R
+    px = a[:, : ncols * nch].reshape(nrows, ncols, nch)[:, :, :3].astype(
+        np.float64
+    )
+    luma = 0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+    return nrows * ncols, float(luma.mean())
+
+
 def decode_wav_pcm(content: bytes) -> tuple[int, float, int] | None:
     """Real FULL-sample audio decode for PCM WAV via stdlib ``wave`` —
     zero external dependencies: (n_frames, rms, duration_ms) where
@@ -356,10 +395,13 @@ def extract_image_features(
       height NULL (the oracle-checkable stub).
     - ``"headers"`` — the same byte features PLUS a real header decode
       (``parse_image_header``: PNG/GIF/BMP/JPEG dimensions, pure
-      Python). This is a genuine decoder, just headers-only.
-    - ``"pillow"``  — full pixel decode via Pillow, import-guarded: the
-      container ships no image libs, so absence raises
-      NotImplementedError naming the wiring point.
+      Python), AND a real FULL pixel decode for uncompressed BMP blobs
+      (``decode_bmp_pixels``): ``pix_pixels`` is the decoded pixel
+      count, ``pix_mean_luma`` the Rec.601 mean luma — both NULL for
+      compressed formats (those need Pillow below).
+    - ``"pillow"``  — full pixel decode for compressed formats via
+      Pillow, import-guarded: the container ships no image libs, so
+      absence raises NotImplementedError naming the wiring point.
     """
     if decoder not in ("fake", "headers", "pillow"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -381,8 +423,13 @@ def extract_image_features(
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(b or b"")
                 feats = _fake_decode_features(blob)
+                pix_n = pix_luma = None
                 if decoder == "headers":
                     fmt, w, h = parse_image_header(blob)
+                    if fmt == "bmp":
+                        pix = decode_bmp_pixels(blob)
+                        if pix is not None:
+                            pix_n, pix_luma = pix
                 elif decoder == "pillow":
                     import io  # noqa: PLC0415
 
@@ -396,13 +443,22 @@ def extract_image_features(
                 else:
                     fmt, w, h = None, None, None
                 rows.append(
-                    {"media_id": int(mid), **feats, "format": fmt, "width": w, "height": h}
+                    {
+                        "media_id": int(mid),
+                        **feats,
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "pix_pixels": pix_n,
+                        "pix_mean_luma": pix_luma,
+                    }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "n_bytes", "mean_byte", "byte_entropy",
                     "phash", "format", "width", "height",
+                    "pix_pixels", "pix_mean_luma",
                 ],
             )
 

@@ -133,7 +133,12 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> None:
 
 def _stat_to_json(v) -> dict:
     """Tagged JSON encoding of a footer min/max value — the tag makes
-    the value round-trip back to a comparable Python object."""
+    the value round-trip back to a comparable Python object. BYTES
+    stats are deliberately unsupported: decoding them to str (even
+    losslessly) changes the collation the envelope comparison runs
+    under, and ``errors='replace'`` would distort non-UTF8 envelopes
+    outright — a binary column records no stats and simply stays
+    unprunable (cannot prune is never wrong)."""
     if isinstance(v, bool):
         return {"t": "bool", "v": v}
     if isinstance(v, int):
@@ -142,8 +147,6 @@ def _stat_to_json(v) -> dict:
         return {"t": "float", "v": v}
     if isinstance(v, str):
         return {"t": "str", "v": v}
-    if isinstance(v, bytes):
-        return {"t": "str", "v": v.decode("utf-8", "replace")}
     if isinstance(v, dt.datetime):  # before date: datetime IS a date
         return {"t": "ts", "v": v.isoformat()}
     if isinstance(v, dt.date):
@@ -191,12 +194,21 @@ def _collect_file_stats(
                     rows.append((p, 0, json.dumps(None)))
                 else:
                     nrows, env = res
-                    enc = {
-                        c: None
-                        if env[c] is None
-                        else [_stat_to_json(env[c][0]), _stat_to_json(env[c][1])]
-                        for c in cols
-                    }
+
+                    def enc_col(c):
+                        if env[c] is None:
+                            return None
+                        try:
+                            return [
+                                _stat_to_json(env[c][0]),
+                                _stat_to_json(env[c][1]),
+                            ]
+                        except TypeError:
+                            # unencodable stats type (e.g. BINARY):
+                            # record none — the column stays unprunable
+                            return None
+
+                    enc = {c: enc_col(c) for c in cols}
                     rows.append((p, nrows, json.dumps(enc)))
             yield pd.DataFrame(rows, columns=["path", "rows", "stats"])
 

@@ -271,3 +271,31 @@ def test_scan_version_with_stats_reports_plan_truth(spark, tmp_path):
     assert len(df.inputFiles()) == stats.files_scheduled
     # stats survive further transformations trivially — they're a value
     assert df.where(F.col("grp") == 0).count() > 0
+
+
+def test_binary_column_stats_are_not_indexed(spark, tmp_path):
+    """Footer stats on a BINARY column must not be recorded: decoding
+    bytes to str (errors='replace') would distort non-UTF8 envelopes
+    and change the collation the comparison runs under — the column
+    records no stats and stays unprunable, while other indexed columns
+    still prune, and results stay value-exact."""
+    t = str(tmp_path / "vt")
+    df = _events(spark, n=400).withColumn(
+        "blob", F.encode(F.concat(F.lit("\xff\x00x"), F.col("k")), "ISO-8859-1")
+    )
+    commit_version(df, t, stats_cols=["k", "blob"])
+    m = _resolve_manifest(t)
+    assert all(
+        ent["stats"]["blob"] is None
+        for ent in m["files"].values()
+        if ent["stats"] is not None
+    )
+    # binary-bounded predicate: keeps every file, never crashes
+    kept, total = prune_files(t, m, {"blob": (b"\x00", None)})
+    assert len(kept) == total
+    # ...and the k predicate alongside still prunes, value-exact
+    got = scan_version(spark, t, {"k": (0, 49)})
+    want = read_version(spark, t).where(F.col("k").between(0, 49))
+    assert _rows(got) == _rows(want)
+    kept2, _ = prune_files(t, m, {"k": (0, 49)})
+    assert len(kept2) < total
