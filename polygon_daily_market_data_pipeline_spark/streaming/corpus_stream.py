@@ -85,12 +85,29 @@ def band_index(
 class CorpusDedupSink:
     """State for the incremental dedup: admitted docs + band index, both
     parquet dirs. Call ``process(batch_df)`` per micro-batch (wired via
-    foreachBatch) or directly for batch backfills."""
+    foreachBatch) or directly for batch backfills.
 
-    def __init__(self, spark: SparkSession, root: str, threshold: float = 0.5):
+    ``eval_grams`` (optional) composes benchmark DECONTAMINATION into
+    the same micro-batch pipeline: a distinct n-gram frame from
+    ``operators.decontam.eval_ngram_set`` — docs sharing any gram with
+    it are rejected alongside the near-dups, so leaked eval content
+    never enters the admitted store OR the band index. The eval set is
+    benchmark-sized (MBs); it broadcasts inside the per-batch
+    semi-join, adding no corpus-sized work."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        threshold: float = 0.5,
+        eval_grams: DataFrame | None = None,
+        decontam_n: int = 8,
+    ):
         self.spark = spark
         self.root = root
         self.threshold = threshold
+        self.eval_grams = eval_grams
+        self.decontam_n = decontam_n
         self.docs_path = os.path.join(root, "admitted_docs")
         self.bands_path = os.path.join(root, "band_index")
 
@@ -188,6 +205,17 @@ class CorpusDedupSink:
         )
 
         rejected = dup_vs_corpus.union(intra).distinct()
+        if self.eval_grams is not None:
+            # leak guard in the same pass: contaminated docs are
+            # rejected before they can enter the store or the index
+            from polygon_daily_market_data_pipeline_spark.operators.decontam import (
+                contamination_hits,
+            )
+
+            contam = contamination_hits(
+                batch, self.eval_grams, n=self.decontam_n
+            ).select("doc_id")
+            rejected = rejected.union(contam).distinct()
         survivors = batch.join(rejected, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )

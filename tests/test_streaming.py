@@ -558,3 +558,49 @@ def test_versioned_stream_sink_time_travel_replay_and_skipping(spark, tmp_path):
     got = scan_version(spark, table, {"user_id": (1, 2)})
     want = read_version(spark, table).where(F.col("user_id").between(1, 2))
     assert _rows(got) == _rows(want)
+
+
+def test_incremental_corpus_dedup_with_decontamination(spark, tmp_path):
+    """eval_grams composes the benchmark leak guard into the micro-batch
+    pipeline: a contaminated doc is rejected in the SAME pass as the
+    near-dups — it never enters the admitted store or the band index,
+    so a later clean near-dup of it is still judged only against
+    admitted content."""
+    from polygon_daily_market_data_pipeline_spark.operators.decontam import (
+        eval_ngram_set,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.corpus_stream import (
+        CorpusDedupSink,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    eval_docs = spark.createDataFrame(
+        [(100, f"benchmark item: {leak} with answer")],
+        "doc_id long, text string",
+    )
+    sink = CorpusDedupSink(
+        spark,
+        str(tmp_path / "corpus"),
+        threshold=0.5,
+        eval_grams=eval_ngram_set(eval_docs),
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, f"document carrying the leak {leak} inside its body text"),
+            (2, "a perfectly clean document about spark shuffle mechanics"),
+        ],
+        "doc_id long, text string",
+    )
+    sink.process(b1, 0)
+    assert {r.doc_id for r in sink.admitted().collect()} == {2}
+    # the contaminated doc is absent from the index too: a later exact
+    # copy is judged fresh by dedup — and rejected again by the guard
+    b2 = spark.createDataFrame(
+        [
+            (10, f"document carrying the leak {leak} inside its body text"),
+            (11, "another clean unique body of text talking about parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    sink.process(b2, 1)
+    assert {r.doc_id for r in sink.admitted().collect()} == {2, 11}
