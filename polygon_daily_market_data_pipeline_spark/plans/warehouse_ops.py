@@ -454,6 +454,44 @@ def _corpus_stream_rows(
     return [_row(row, "corpus_stream_dedup")]
 
 
+def _packing_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Sequence packing (``operators/export.py:pack_sequences``) under
+    oracle audit: documents (doc_id % 7 == 2) pack greedily into
+    512-token training rows. The bin ASSIGNMENT depends on partitioning
+    (machine-variable), so the audit pins the packing CONTRACT, which
+    is partitioning-independent: n_rows = budget violations (a
+    multi-chunk row over the target — must be 0; an over-budget chunk
+    is allowed only alone in its row), n_aux = Σ n_chunks (= the fed
+    doc count — nothing dropped or duplicated), val = Σ n_tokens
+    (token conservation, recomputed by DuckDB from the same
+    whitespace-token arithmetic as the doc_token_stats oracle)."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        token_count,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.export import (
+        pack_sequences,
+    )
+
+    chunks = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 2)
+        .select(
+            F.col("doc_id").alias("chunk_id"),
+            F.col("text").alias("chunk_text"),
+            token_count("text").alias("n_tokens"),
+        )
+    )
+    packed = pack_sequences(chunks, target_tokens=512)
+    row = packed.agg(
+        F.count(
+            F.when((F.col("n_tokens") > 512) & (F.col("n_chunks") > 1), 1)
+        ).alias("n_rows"),
+        F.sum("n_chunks").alias("n_aux"),
+        F.sum("n_tokens").cast("double").alias("val"),
+    )
+    return [_row(row, "corpus_pack")]
+
+
 def _streaming_mv_rows(
     spark: SparkSession, sf_dir: str, base: str
 ) -> list[DataFrame]:
@@ -616,6 +654,12 @@ _ORACLE = f"""
                (SELECT fed FROM adm),
                CAST((SELECT fed - n FROM adm) AS DOUBLE)
         UNION ALL
+        SELECT 'corpus_pack',
+               0,
+               (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 2),
+               CAST((SELECT SUM(len({_TOKS})) FROM documents
+                     WHERE doc_id % 7 = 2) AS DOUBLE)
+        UNION ALL
         SELECT 'incremental_refresh',
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
                (SELECT COUNT(*) FROM ord),
@@ -699,7 +743,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY thirteen-row audit union over scratch state under
+    """The LAZY fourteen-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -719,6 +763,7 @@ def build_maintenance_union(
         + _skipping_rows(spark, ord_df, base)
         + _streaming_mv_rows(spark, sf_dir, base)
         + _corpus_stream_rows(spark, sf_dir, base)
+        + _packing_rows(spark, sf_dir)
     )
     out = rows[0]
     for r in rows[1:]:
