@@ -32,6 +32,7 @@ from polygon_daily_market_data_pipeline_spark.operators.decontam import (
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
     optimize_zorder,
+    read_changes,
     read_version,
     rollback,
     scan_version,
@@ -61,6 +62,7 @@ __all__ = [
     "eval_ngram_set",
     "commit_version",
     "optimize_zorder",
+    "read_changes",
     "read_version",
     "rollback",
     "scan_version",

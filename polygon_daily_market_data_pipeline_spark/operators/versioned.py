@@ -674,6 +674,63 @@ def scan_version(
     return df
 
 
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed between two versions — the rows APPENDED after
+    ``from_version`` up to and including ``to_version`` (default:
+    latest). The Delta CDF analog for this manifest log, and the reason
+    a downstream incremental consumer never rescans the table: each
+    append commit's rows live in immutable directories the earlier
+    manifest does not reference, so the feed is exactly the
+    directory-set difference — O(new data) read, zero shuffle, no
+    diffing job at any table size.
+
+    Only valid when every commit in ``(from_version, to_version]`` is
+    an APPEND (or a no-data-change ``optimize_zorder``, whose rewrite
+    represents the same rows — it contributes nothing to the feed
+    because consumers already saw those rows): an overwrite or rollback
+    REDEFINES the table, where "what changed" stops being append-shaped
+    — that needs a diff, which the caller must do explicitly; this
+    raises ``ValueError`` instead of silently returning wrong deltas."""
+    versions = _manifests(table_dir)
+    if to_version is None:
+        to_version = versions[-1] if versions else -1
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise LookupError(f"version {v} not in {versions}")
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    base = set(_load_manifest(table_dir, from_version)["dirs"])
+    new_dirs: list[str] = []
+    for v in versions:
+        if not (from_version < v <= to_version):
+            continue
+        m = _load_manifest(table_dir, v)
+        mode = m["mode"]
+        if mode == "append":
+            new_dirs.extend(d for d in m["dirs"] if d not in base and d not in new_dirs)
+        elif mode.startswith("optimize_zorder"):
+            # same rows, new layout: nothing new to feed, but the
+            # rewrite's dirs must not read as appends in LATER commits
+            base.update(m["dirs"])
+        else:
+            raise ValueError(
+                f"version {v} is a {mode!r} commit — the change feed is "
+                "append-only; rows were redefined, not appended (diff "
+                "the two versions explicitly if that is what you want)"
+            )
+        base.update(m["dirs"])
+    if not new_dirs:
+        return read_version(spark, table_dir, version=to_version).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in new_dirs]
+    )
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit log, oldest first: version, timestamp, mode, dir count."""
     out = []

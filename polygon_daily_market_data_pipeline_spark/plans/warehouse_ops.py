@@ -250,9 +250,15 @@ def _versioned_rows(
 ) -> list[DataFrame]:
     """Versioned-table script: v0 = pre-cut orders (overwrite), v1 =
     append of the rest, v2 = rollback to v0. Time travel by version and
-    by timestamp (AS OF v1's commit instant) plus rollback-as-forward-
-    commit, each reduced to counts/sums the oracle recomputes from the
-    date filter."""
+    by timestamp (AS OF v1's commit instant), rollback-as-forward-
+    commit, and the CHANGE FEED between v0 and v1 (``read_changes``:
+    exactly the appended post-cut rows, read from the delta dirs alone
+    — no diff job), each reduced to counts/sums the oracle recomputes
+    from the date filter."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_changes,
+    )
+
     tdir = os.path.join(base, "vt")
     cut = F.lit(_CUT).cast("timestamp")
     # few-file commits for the same reason as the fact write above
@@ -269,7 +275,9 @@ def _versioned_rows(
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(aux).alias("n_aux"),
-            F.round(F.sum("o_totalprice"), 2).alias("val"),
+            # COALESCE for the feed row: an empty change set must read
+            # 0.0 like the oracle's COALESCE(SUM(...), 0)
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
         )
 
     return [
@@ -278,6 +286,9 @@ def _versioned_rows(
             _summarize(read_version(spark, tdir, as_of=t_v1), v1), "versioned_asof"
         ),
         _row(_summarize(read_version(spark, tdir), v2), "versioned_rollback"),
+        _row(
+            _summarize(read_changes(spark, tdir, 0, v1), 1), "versioned_changes"
+        ),
     ]
 
 
@@ -685,6 +696,13 @@ _ORACLE = f"""
                2,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
         UNION ALL
+        SELECT 'versioned_changes',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderdate >= TIMESTAMP '{_CUT}'),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderdate >= TIMESTAMP '{_CUT}')
+        UNION ALL
         SELECT 'versioned_skipping',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -743,7 +761,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY fourteen-row audit union over scratch state under
+    """The LAZY fifteen-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``

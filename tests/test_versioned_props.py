@@ -299,3 +299,39 @@ def test_append_retry_refuses_buried_redefinition(spark, tmp_path, monkeypatch):
     assert _rows(read_version(spark, t)) == sorted(
         _rows(_df(spark, 7)) + _rows(_df(spark, 8))
     )
+
+
+def test_read_changes_append_feed(spark, tmp_path):
+    """Change feed = exactly the rows appended in (from, to]: reads only
+    the delta dirs (no diff job), optimize contributes nothing (same
+    rows, new layout — and later appends on top of the optimized layout
+    still feed correctly), and a redefining commit in range raises
+    instead of returning wrong deltas."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_changes,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t)                       # v0 overwrite
+    commit_version(_df(spark, 1), t, mode="append")        # v1
+    commit_version(_df(spark, 2), t, mode="append")        # v2
+    assert _rows(read_changes(spark, t, 0)) == sorted(
+        _rows(_df(spark, 1)) + _rows(_df(spark, 2))
+    )
+    assert _rows(read_changes(spark, t, 1, 2)) == _rows(_df(spark, 2))
+    # empty range: schema preserved, zero rows
+    empty = read_changes(spark, t, 2, 2)
+    assert empty.count() == 0 and empty.columns == _df(spark, 0).columns
+    # the feed reads ONLY the appended delta dirs, not the whole table
+    assert len(read_changes(spark, t, 1, 2).inputFiles()) < len(
+        read_version(spark, t).inputFiles()
+    )
+    v3 = optimize_zorder(spark, t, ["k"], n_files=2, bits=4)   # same rows
+    assert _rows(read_changes(spark, t, 2, v3)) == []          # no new rows
+    commit_version(_df(spark, 3), t, mode="append")            # v4 on top
+    assert _rows(read_changes(spark, t, 2)) == _rows(_df(spark, 3))
+    rollback(t, 0)                                             # v5 redefines
+    with pytest.raises(ValueError, match="append-only"):
+        read_changes(spark, t, 2)
+    with pytest.raises(LookupError):
+        read_changes(spark, t, 99)
