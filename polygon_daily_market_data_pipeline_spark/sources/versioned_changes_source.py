@@ -1,0 +1,169 @@
+"""Streaming SOURCE over a versioned table's change feed — subscribe to
+``operators/versioned.py`` tables with ``spark.readStream``.
+
+``versioned_stream_sink`` closed the INGEST half of the loop (stream →
+versioned table, exactly-once); this closes the CONSUME half: a
+downstream incremental pipeline subscribes to the table and receives
+each append commit as a micro-batch, without rescanning history —
+the streaming twin of ``read_changes`` the way the sink is of
+``commit_version``.
+
+Spark-first shape (Spark 4 Python DataSource streaming API, same
+registry as ``polygon_datasource.py``):
+
+- OFFSET = version number. ``latestOffset`` is one manifest-directory
+  listing; a micro-batch covers the commits in ``(start, end]``.
+- PARTITIONS = one ``InputPartition`` per appended parquet FILE — the
+  batch's read is executor-distributed and touches ONLY the delta
+  dirs (manifests are immutable, so a planned batch is stable under
+  concurrent commits). Rows flow as pyarrow RecordBatches, never
+  through the driver.
+- The first batch is the full snapshot of the then-latest version
+  (Delta-streaming semantics); pass ``startingVersion: v`` to start
+  the feed AFTER version ``v`` instead. Subsequent batches are
+  append-only: an overwrite/rollback mid-stream raises — the table
+  was redefined, which is not expressible as a delta (same refusal
+  contract as ``read_changes``).
+- Exactly-once: offsets live in the stream's checkpoint; replaying a
+  batch re-reads the same immutable files. ``vacuum`` respects this by
+  construction only for versions it keeps — retain enough history for
+  the slowest consumer, exactly like Delta's retention story.
+
+Usage::
+
+    from polygon_daily_market_data_pipeline_spark.sources import versioned_changes_source
+    versioned_changes_source.register(spark)
+    feed = (spark.readStream.format("versioned_changes")
+            .option("path", table_dir).load())
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _load_manifest,
+    _manifests,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.table_dir = options.get("path") or options.get("table")
+        if not self.table_dir:
+            raise ValueError(
+                "versioned_changes needs .option('path', <table_dir>)"
+            )
+        # startingVersion=v ⇒ the feed begins AFTER version v; default
+        # -1 ⇒ the first batch is the full snapshot of the then-latest
+        # version (its visibility set), then append deltas
+        self.starting = int(options.get("startingversion", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        versions = _manifests(self.table_dir)
+        return {"version": versions[-1] if versions else -1}
+
+    def _dirs_between(self, start_v: int, end_v: int) -> list[str]:
+        if end_v <= start_v:
+            return []
+        if start_v < 0:
+            # initial snapshot: everything the end version sees
+            return list(_load_manifest(self.table_dir, end_v)["dirs"])
+        versions = _manifests(self.table_dir)
+        if start_v not in versions:
+            raise LookupError(
+                f"offset version {start_v} no longer exists in "
+                f"{self.table_dir} — vacuumed past a consumer's "
+                "checkpoint; retain more history or restart the stream"
+            )
+        base = set(_load_manifest(self.table_dir, start_v)["dirs"])
+        new_dirs: list[str] = []
+        for v in versions:
+            if not (start_v < v <= end_v):
+                continue
+            m = _load_manifest(self.table_dir, v)
+            mode = m["mode"]
+            if mode == "append":
+                new_dirs.extend(
+                    d for d in m["dirs"] if d not in base and d not in new_dirs
+                )
+            elif not mode.startswith("optimize_zorder"):
+                # overwrite / rollback: the table was REDEFINED — not
+                # expressible as an append delta (read_changes contract)
+                raise ValueError(
+                    f"version {v} is a {mode!r} commit — the change-feed "
+                    "stream is append-only; restart the stream from a "
+                    "fresh snapshot to pick up the redefinition"
+                )
+            base.update(m["dirs"])
+        return new_dirs
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from polygon_daily_market_data_pipeline_spark.operators.layout import (
+            list_parquet_files,
+        )
+
+        dirs = self._dirs_between(start["version"], end["version"])
+        files = [
+            f
+            for d in dirs
+            for f in list_parquet_files(os.path.join(self.table_dir, d))
+        ]
+        # Spark requires ≥1 partition per planned batch: a data-less
+        # range (e.g. empty-frame commits) reads as one no-op partition
+        return [_FilePartition(f) for f in files] or [_FilePartition(None)]
+
+    def read(self, partition: _FilePartition):
+        if partition.path is None:
+            return
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(partition.path).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint
+
+
+class VersionedChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self) -> StructType:
+        table_dir = self.options.get("path") or self.options.get("table")
+        versions = _manifests(table_dir) if table_dir else []
+        if not versions:
+            raise ValueError(
+                "versioned_changes cannot infer a schema: table has no "
+                "committed versions — pass .schema(...) explicitly or "
+                "commit first"
+            )
+        m = _load_manifest(table_dir, versions[-1])
+        if "schema" not in m:
+            raise ValueError(
+                "latest manifest carries no schema (pre-schema table) — "
+                "pass .schema(...) explicitly"
+            )
+        return StructType.fromJson(m["schema"])
+
+    def streamReader(self, schema) -> VersionedChangesStreamReader:
+        return VersionedChangesStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VersionedChangesDataSource)

@@ -604,3 +604,111 @@ def test_incremental_corpus_dedup_with_decontamination(spark, tmp_path):
     )
     sink.process(b2, 1)
     assert {r.doc_id for r in sink.admitted().collect()} == {2, 11}
+
+
+def test_versioned_changes_streaming_source(spark, tmp_path):
+    """Streaming SOURCE over the versioned change feed (Spark 4 Python
+    DataSource): first drain = full snapshot of the then-latest
+    version; later drains = exactly the appended deltas (offsets =
+    version numbers in the checkpoint, so a re-drain with nothing new
+    is a no-op); a redefining commit (rollback/overwrite) fails the
+    stream instead of emitting wrong deltas."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        rollback,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources import (
+        versioned_changes_source,
+    )
+
+    versioned_changes_source.register(spark)
+    t = str(tmp_path / "vt")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _df(tag):
+        return spark.range(4).select(
+            F.col("id").alias("k"), F.lit(tag).cast("long").alias("tag")
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_changes")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.k, r.tag) for r in spark.read.parquet(out).collect())
+
+    commit_version(_df(0), t)
+    commit_version(_df(1), t, mode="append")
+    snap = drain()
+    assert snap == sorted((k, tag) for tag in (0, 1) for k in range(4))
+    commit_version(_df(2), t, mode="append")
+    incr = drain()
+    assert incr == sorted((k, tag) for tag in (0, 1, 2) for k in range(4))
+    assert drain() == incr  # nothing new: no-op micro-batch, no dups
+    rollback(t, 0)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        drain()
+
+
+def test_versioned_sink_to_changes_source_loop(spark, tmp_path):
+    """The full loop: a stream ingests into a versioned table through
+    versioned_stream_sink (exactly-once append commits), and a second
+    stream SUBSCRIBES to that table through the versioned_changes
+    source — the downstream copy converges to the upstream rows without
+    ever rescanning history."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        versioned_stream_sink,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources import (
+        versioned_changes_source,
+    )
+
+    versioned_changes_source.register(spark)
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "vt")
+    out, ck1, ck2 = (
+        str(tmp_path / "out"),
+        str(tmp_path / "ck_ingest"),
+        str(tmp_path / "ck_feed"),
+    )
+    up = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("tag")
+    )
+    up.repartition(3).write.parquet(src)
+    q = (
+        spark.readStream.schema(up.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(versioned_stream_sink(t))
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.k, r.tag) for r in spark.read.parquet(out).collect())
+    assert got == sorted((r.k, r.tag) for r in up.collect())
