@@ -1,10 +1,10 @@
 """Registered warehouse-maintenance query: the warehouse operator layer
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
-ingest, manifest data skipping, streaming corpus dedup) exercised
-end-to-end as ONE union query with a mechanical DuckDB twin, so the
-driver's differential check covers what previously rested on
-self-written tests alone.
+ingest + change feed, manifest data skipping, streaming corpus dedup,
+sequence packing) exercised end-to-end as ONE fifteen-row union query
+with a mechanical DuckDB twin, so the driver's differential check
+covers what previously rested on self-written tests alone.
 
 Every branch runs a deterministic script derived from the driver
 testdata tables (customer / orders / events), writes its state under a
