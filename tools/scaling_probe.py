@@ -277,6 +277,63 @@ def probe_scd2_stored(spark, sf_dir: str) -> None:
     print(f"scd2_stored: {pts}")
 
 
+def probe_change_feed(spark, sf_dir: str) -> None:
+    """Change-feed claim: consuming the latest appends costs O(new
+    data), flat in table history, while a snapshot read grows with it.
+    Builds a versioned events table at 1×/4×/16× history (one append
+    commit per history generation), then times (a) ``read_changes``
+    over just the LAST append and (b) the full latest-version read."""
+    import shutil
+    import tempfile
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_changes,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    results = []
+    for k in (1, 4, 16):
+        t = tempfile.mkdtemp(prefix=f"feed_probe_{k}x_")
+        commit_version(ev.repartition(8), t)  # v0 snapshot
+        for i in range(1, k):  # history generations (untimed)
+            commit_version(
+                ev.withColumn("event_id", ev.event_id + i * 10_000_000)
+                .repartition(8),
+                t,
+                mode="append",
+            )
+        # the fixed-size new commit whose consumption we time
+        tail = ev.limit(20_000).repartition(2)
+        from_v = k - 1
+        commit_version(tail, t, mode="append")
+        # sum(value) forces a data read — count() would be answered
+        # from parquet footers alone and understate the full-scan cost
+        from pyspark.sql import functions as F
+
+        t0 = time.monotonic()
+        feed = read_changes(spark, t, from_v)
+        n_feed = feed.count()
+        feed.agg(F.sum("value")).collect()
+        t_feed = time.monotonic() - t0
+        t0 = time.monotonic()
+        full = read_version(spark, t)
+        n_full = full.count()
+        full.agg(F.sum("value")).collect()
+        t_full = time.monotonic() - t0
+        results.append((k, n_full, n_feed, t_feed, t_full))
+        shutil.rmtree(t, ignore_errors=True)
+    pts = ", ".join(
+        f"{k}x(table={nf}r) feed={ff:.2f}s({nd}r) full={fl:.2f}s"
+        for k, nf, nd, ff, fl in results
+    )
+    print(f"change_feed: {pts}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -285,6 +342,7 @@ def main() -> None:
         ("refresh_mv", probe_refresh),
         ("skipping", probe_skipping),
         ("scd2_stored", probe_scd2_stored),
+        ("change_feed", probe_change_feed),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
