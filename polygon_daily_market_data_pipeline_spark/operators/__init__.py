@@ -31,12 +31,14 @@ from polygon_daily_market_data_pipeline_spark.operators.decontam import (
 )
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
+    delete_version_where,
     optimize_zorder,
     read_changes,
     read_version,
     rollback,
     scan_version,
     scan_version_with_stats,
+    update_version_where,
     vacuum,
     versioned_stream_sink,
 )
@@ -62,6 +64,8 @@ __all__ = [
     "eval_ngram_set",
     "commit_version",
     "optimize_zorder",
+    "delete_version_where",
+    "update_version_where",
     "read_changes",
     "read_version",
     "rollback",

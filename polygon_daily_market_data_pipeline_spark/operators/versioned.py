@@ -797,6 +797,169 @@ def rollback(table_dir: str, to_version: int) -> int:
     return version
 
 
+def _mutate_version(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    rewrite,
+    mode: str,
+    prune: dict | None,
+    stats_cols: list[str] | None,
+    expected_version: int | None,
+) -> int:
+    """Shared copy-on-write machinery for DELETE/UPDATE on a versioned
+    table: publish a NEW version in which only the commit directories
+    that can contain matching rows are rewritten (through ``rewrite``),
+    every other directory is carried by REFERENCE — its files are never
+    read, moved, or copied, and keep their data-skipping stats. History
+    stays readable (time travel to the pre-mutation version is how you
+    audit what a delete removed) until vacuumed — which is also the
+    data-retention lever: a GDPR erasure is complete once ``vacuum``
+    reclaims the pre-delete versions.
+
+    Directory selection: ``prune`` (a ``{col: (lo, hi)}`` range, same
+    language as ``scan_version``) prunes against the manifest's
+    per-file stats — a directory none of whose files can match is
+    untouched. Without ``prune`` (or without stats) every directory is
+    rewritten. The rewrite unit is the COMMIT DIRECTORY — the analog of
+    Delta's file-level copy-on-write, at the granularity this
+    manifest's visibility tracks; keep commits small (streaming
+    appends) or compacted (``optimize_zorder``) and a targeted
+    mutation touches little."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    stats = src.get("files", {})
+    kept_paths: set[str] = set()
+    if prune:
+        kept, _total = prune_files(table_dir, src, prune)
+        kept_paths = {os.path.relpath(p, table_dir) for p in kept}
+
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    new_dirs: list[str] = []
+    new_files: dict = {}
+    for d in src["dirs"]:
+        files = [
+            os.path.relpath(f, table_dir)
+            for f in list_parquet_files(os.path.join(table_dir, d))
+        ]
+        touched = (
+            any(f in kept_paths for f in files) if prune else bool(files)
+        )
+        if not touched:
+            # no file in this dir can match: carry it by reference,
+            # stats and all — zero IO
+            new_dirs.append(d)
+            for f in files:
+                if f in stats:
+                    new_files[f] = stats[f]
+            continue
+        survivors = rewrite(
+            spark.read.parquet(os.path.join(table_dir, d)), predicate
+        )
+        out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
+        survivors.write.mode("errorifexists").parquet(out_dir)
+        rel = os.path.relpath(out_dir, table_dir)
+        new_dirs.append(rel)
+        if stats_cols:
+            new_files.update(
+                _collect_file_stats(spark, table_dir, out_dir, stats_cols)
+            )
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": mode,
+        "dirs": new_dirs,
+    }
+    if new_files:
+        manifest["files"] = new_files
+    if "max_batch" in src:
+        # rows changed but the ingest watermark did not: dropping it
+        # would let a crash-replayed micro-batch double-commit
+        manifest["max_batch"] = src["max_batch"]
+    if "schema" in src:
+        manifest["schema"] = src["schema"]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
+def delete_version_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    prune: dict | None = None,
+    stats_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Copy-on-write DELETE: publish a new version equal to the latest
+    minus the rows matching ``predicate`` (a Column). Only directories
+    that can contain matches are rewritten (``prune`` + manifest stats
+    decide — see ``_mutate_version``); the pre-delete version stays
+    time-travelable until vacuumed, and ``vacuum`` is the erasure
+    completion step. Returns the new version number. The commit mode is
+    ``delete`` — a REDEFINITION: ``read_changes`` and the
+    ``versioned_changes`` stream refuse to cross it rather than emit
+    wrong deltas."""
+    return _mutate_version(
+        spark,
+        table_dir,
+        predicate,
+        lambda df, p: df.where(~p),
+        "delete",
+        prune,
+        stats_cols,
+        expected_version,
+    )
+
+
+def update_version_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    assignments: dict,
+    prune: dict | None = None,
+    stats_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Copy-on-write UPDATE: publish a new version in which rows
+    matching ``predicate`` have each ``assignments`` column replaced by
+    its expression (non-matching rows and untouched directories are
+    byte-identical carries). Same rewrite scoping, history, and
+    change-feed-refusal semantics as ``delete_version_where``."""
+
+    def rewrite(df: DataFrame, p) -> DataFrame:
+        cols = []
+        for c in df.columns:
+            if c in assignments:
+                e = assignments[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                cols.append(F.when(p, e).otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        return df.select(cols)
+
+    return _mutate_version(
+        spark,
+        table_dir,
+        predicate,
+        rewrite,
+        "update",
+        prune,
+        stats_cols,
+        expected_version,
+    )
+
+
 def optimize_zorder(
     spark: SparkSession,
     table_dir: str,

@@ -335,3 +335,99 @@ def test_read_changes_append_feed(spark, tmp_path):
         read_changes(spark, t, 2)
     with pytest.raises(LookupError):
         read_changes(spark, t, 99)
+
+
+def test_delete_version_copy_on_write(spark, tmp_path):
+    """Copy-on-write DELETE: the new version equals latest minus the
+    matching rows; directories that cannot contain matches (manifest
+    stats + prune) are carried BY REFERENCE (identical file paths, no
+    IO), stats survive so scan_version still prunes, the pre-delete
+    version stays time-travelable (the audit/erasure-retention story),
+    and the change feed refuses to cross the redefinition."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_where,
+        read_changes,
+        read_version,
+        scan_version_with_stats,
+        vacuum,
+    )
+
+    t = str(tmp_path / "vt")
+
+    def _k(lo, n=1000):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ).repartitionByRange(4, "k")
+
+    commit_version(_k(0), t, stats_cols=["k"])
+    v1 = commit_version(_k(1000), t, mode="append", stats_cols=["k"])
+    before = set(read_version(spark, t).inputFiles())
+    v2 = delete_version_where(
+        spark,
+        t,
+        F.col("k") < 100,
+        prune={"k": (None, 99)},
+        stats_cols=["k"],
+    )
+    after = read_version(spark, t, version=v2)
+    assert sorted(r.k for r in after.collect()) == list(range(100, 2000))
+    # the append commit's files could not match: carried by reference
+    carried = set(after.inputFiles()) & before
+    assert len(carried) >= 4, "untouched directory was rewritten"
+    # pre-delete version still fully readable (time travel / audit)
+    assert read_version(spark, t, version=v1).count() == 2000
+    # stats survive on carried AND rewritten files: a selective scan
+    # of the new version still prunes
+    df, st = scan_version_with_stats(spark, t, {"k": (1500, 1599)}, version=v2)
+    assert st.files_scheduled < st.files_total
+    assert df.count() == 100
+    # the feed refuses to cross a delete — rows were redefined
+    with pytest.raises(ValueError, match="append-only"):
+        read_changes(spark, t, v1)
+    # erasure completes at vacuum: pre-delete versions reclaimed
+    vacuum(t, keep_last=1)
+    with pytest.raises(LookupError):
+        read_version(spark, t, version=0)
+
+
+def test_update_version_copy_on_write(spark, tmp_path):
+    """Copy-on-write UPDATE: matching rows get the assignment, others
+    (and untouched directories) are byte-identical carries; row count
+    is conserved; expected_version guards the read-rewrite race."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_version,
+        update_version_where,
+    )
+
+    t = str(tmp_path / "vt")
+    rows = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("ok").alias("status")
+    ).repartitionByRange(4, "k")
+    commit_version(rows, t, stats_cols=["k"])
+    v1 = update_version_where(
+        spark,
+        t,
+        F.col("k").between(10, 19),
+        {"status": F.lit("bad")},
+        prune={"k": (10, 19)},
+        stats_cols=["k"],
+    )
+    got = {r.k: r.status for r in read_version(spark, t, version=v1).collect()}
+    assert len(got) == 100
+    assert all(v == "bad" for k, v in got.items() if 10 <= k <= 19)
+    assert all(v == "ok" for k, v in got.items() if not 10 <= k <= 19)
+    # string-expression assignments work too, and the precondition
+    # fails cheaply when the table moved on
+    with pytest.raises(FileExistsError, match="expected latest"):
+        update_version_where(
+            spark, t, F.col("k") < 5, {"status": "'x'"}, expected_version=0
+        )
+    v2 = update_version_where(
+        spark, t, F.col("k") < 5, {"status": "'x'"}, expected_version=v1
+    )
+    got2 = {r.k: r.status for r in read_version(spark, t, version=v2).collect()}
+    assert sum(1 for v in got2.values() if v == "x") == 5
