@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE fifteen-row union query
+sequence packing) exercised end-to-end as ONE sixteen-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -309,16 +309,36 @@ def _skipping_rows(
         scan_version_with_stats,
     )
 
-    tdir = os.path.join(base, "skip_vt")
-    commit_version(
-        ord_df.repartitionByRange(8, "o_orderkey"),
-        tdir,
-        stats_cols=["o_orderkey"],
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_where,
     )
+
+    tdir = os.path.join(base, "skip_vt")
     # mirrored by the oracle: CAST(FLOOR(MAX(o_orderkey)/20.0) AS BIGINT)
     # — FLOOR, because DuckDB's bare CAST(double AS BIGINT) rounds to
     # nearest while Python // truncates (doubles are exact here)
-    hi = ord_df.agg(F.max("o_orderkey")).first()[0] // 20
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    hi = mx // 20
+    # TWO key-disjoint append commits (≈ bottom/top half), each
+    # range-partitioned: the scan prunes across both, and the delete
+    # below must rewrite only the commit whose stats can match while
+    # carrying the other BY REFERENCE
+    half = mx // 2
+    commit_version(
+        ord_df.where(F.col("o_orderkey") <= half).repartitionByRange(
+            8, "o_orderkey"
+        ),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    commit_version(
+        ord_df.where(F.col("o_orderkey") > half).repartitionByRange(
+            8, "o_orderkey"
+        ),
+        tdir,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
     preds = {"o_orderkey": (None, hi)}
     scan, stats = scan_version_with_stats(spark, tdir, preds)
     kept_n, total = stats
@@ -329,12 +349,32 @@ def _skipping_rows(
         if 3 * kept_n <= total and len(scan.inputFiles()) == kept_n
         else 0
     )
-    row = scan.agg(
+    skip_row = scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(pruned_claim).alias("n_aux"),
         F.round(F.sum("o_totalprice"), 2).alias("val"),
     )
-    return [_row(row, "versioned_skipping")]
+    # copy-on-write DELETE of the scanned range: the surviving table is
+    # the SQL-exact complement, and n_aux pins the reference-carry
+    # claim — the untouched top-half commit's files must appear
+    # verbatim in the new version's file list (stats-pruned rewrite
+    # touched only the matching commit)
+    before_files = set(read_version(spark, tdir).inputFiles())
+    v_del = delete_version_where(
+        spark,
+        tdir,
+        F.col("o_orderkey") <= F.lit(hi),
+        prune={"o_orderkey": (None, hi)},
+        stats_cols=["o_orderkey"],
+    )
+    after = read_version(spark, tdir, version=v_del)
+    carried = len(set(after.inputFiles()) & before_files)
+    del_row = after.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(1 if carried >= 1 else 0).alias("n_aux"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
+    )
+    return [_row(skip_row, "versioned_skipping"), _row(del_row, "versioned_delete")]
 
 
 def _versioned_stream_rows(
@@ -703,6 +743,15 @@ _ORACLE = f"""
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderdate >= TIMESTAMP '{_CUT}')
         UNION ALL
+        SELECT 'versioned_delete',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord)),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord))
+        UNION ALL
         SELECT 'versioned_skipping',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -761,7 +810,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY fifteen-row audit union over scratch state under
+    """The LAZY sixteen-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
