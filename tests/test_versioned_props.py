@@ -90,11 +90,19 @@ def test_crash_debris_is_invisible_and_vacuumable(spark, tmp_path):
 
 def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
     """Seeded random interleavings of commit/append/rollback/optimize/
-    vacuum with a model checker: after EVERY op, every still-kept
-    version must read back exactly the rows the model says it had when
-    published (pinned-reader immutability), and vacuumed versions must
-    raise instead of returning wrong data. 10 seeds × 10 ops = 100
-    randomized operations."""
+    delete/update/vacuum with a model checker: after EVERY op, every
+    still-kept version must read back exactly the rows the model says
+    it had when published (pinned-reader immutability — copy-on-write
+    mutations must never disturb an earlier version), and vacuumed
+    versions must raise instead of returning wrong data. 10 seeds ×
+    10 ops = 100 randomized operations."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_where,
+        update_version_where,
+    )
+
     for seed in range(10):
         rng = random.Random(seed)
         t = str(tmp_path / f"vt_{seed}")
@@ -104,7 +112,12 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
         v = commit_version(_df(spark, tag), t)
         model[v] = _rows(_df(spark, tag))
         for _step in range(10):
-            op = rng.choice(["overwrite", "append", "rollback", "optimize", "vacuum"])
+            op = rng.choice(
+                [
+                    "overwrite", "append", "rollback", "optimize",
+                    "delete", "update", "vacuum",
+                ]
+            )
             versions = sorted(model)
             if op == "overwrite":
                 tag += 1
@@ -124,6 +137,23 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     expected_version=versions[-1],
                 )
                 model[v] = model[versions[-1]]
+            elif op == "delete":
+                bound = rng.randrange(0, 5)
+                v = delete_version_where(
+                    spark, t, F.col("k") < bound,
+                    expected_version=versions[-1],
+                )
+                model[v] = [r for r in model[versions[-1]] if r[0] >= bound]
+            elif op == "update":
+                bound = rng.randrange(0, 5)
+                v = update_version_where(
+                    spark, t, F.col("k") >= bound, {"v": F.lit(-1.0)},
+                    expected_version=versions[-1],
+                )
+                model[v] = sorted(
+                    (k, g, (-1.0 if k >= bound else val))
+                    for k, g, val in model[versions[-1]]
+                )
             else:  # vacuum
                 keep = rng.randint(1, len(versions))
                 vacuum(t, keep_last=keep)
