@@ -32,6 +32,7 @@ from polygon_daily_market_data_pipeline_spark.operators.decontam import (
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
     delete_version_where,
+    merge_version,
     optimize_zorder,
     read_changes,
     read_version,
@@ -65,6 +66,7 @@ __all__ = [
     "commit_version",
     "optimize_zorder",
     "delete_version_where",
+    "merge_version",
     "update_version_where",
     "read_changes",
     "read_version",

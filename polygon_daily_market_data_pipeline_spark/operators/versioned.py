@@ -960,6 +960,291 @@ def update_version_where(
     )
 
 
+def _dir_envelopes(
+    table_dir: str, manifest: dict, keys: list[str]
+) -> tuple[list[tuple[str, dict]], list[str]]:
+    """Roll the manifest's per-FILE stats up to per-DIRECTORY key
+    envelopes — the granularity ``merge_version`` rewrites at. Returns
+    ``(covered, uncovered)``: ``covered`` is ``[(dir, {key: (lo, hi)})]``
+    for directories where EVERY non-empty file records a usable range on
+    EVERY key column; everything else (a file with no stats entry, no
+    range on a key, or a dir with no files listed in the stats) lands in
+    ``uncovered`` and must be treated as touched — cannot-scope is never
+    wrong, same posture as ``prune_files``."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    stats = manifest.get("files", {})
+    covered: list[tuple[str, dict]] = []
+    uncovered: list[str] = []
+    for d in manifest["dirs"]:
+        files = [
+            os.path.relpath(f, table_dir)
+            for f in list_parquet_files(os.path.join(table_dir, d))
+        ]
+        env: dict | None = {}
+        for f in files:
+            ent = stats.get(f)
+            if ent is None:
+                env = None
+                break
+            if ent["rows"] == 0:
+                continue  # empty file: contributes no keys
+            for k in keys:
+                rng = (ent["stats"] or {}).get(k)
+                if rng is None:
+                    env = None
+                    break
+                lo, hi = _stat_from_json(rng[0]), _stat_from_json(rng[1])
+                if k in env:
+                    plo, phi = env[k]
+                    try:
+                        env[k] = (min(plo, lo), max(phi, hi))
+                    except TypeError:  # mixed stat types across files
+                        env = None
+                        break
+                else:
+                    env[k] = (lo, hi)
+            if env is None:
+                break
+        if env is None or len(env) < len(keys):
+            # no usable envelope (incl. an all-empty dir with no stats
+            # rows: env stays {} — conservatively touched)
+            uncovered.append(d)
+        else:
+            covered.append((d, env))
+    return covered, uncovered
+
+
+def _stat_lit(v):
+    """A stats value as a Spark literal on the instant domain the stats
+    were collected in: footer TIMESTAMP envelopes are naive-UTC
+    (``_collect_file_stats``), and ``F.lit`` of a NAIVE datetime would
+    re-interpret it in the driver process zone — so tag it UTC first;
+    every other stats type is zone-free."""
+    if isinstance(v, dt.datetime) and v.tzinfo is None:
+        return F.lit(v.replace(tzinfo=dt.timezone.utc))
+    return F.lit(v)
+
+
+def _touched_dirs(
+    source: DataFrame, covered: list[tuple[str, dict]], keys: list[str]
+) -> list[str] | None:
+    """Which stat-covered directories can contain a row whose key tuple
+    appears in ``source`` — discovered with aggregate jobs over the
+    source (map-side combined, no shuffle wider than one row, no
+    manifest broadcast), never by scanning the table. Returns the
+    touched subset of ``covered``'s dirs, or ``None`` when scoping is
+    impossible (a NULL source key: ``eqNullSafe`` lets it match NULL
+    target keys, which min/max envelopes cannot see). Directories are
+    batched ≤400 flag columns per job so a very wide manifest degrades
+    into a few extra passes over the (persisted) source instead of a
+    codegen-breaking mega-projection."""
+    null_flags = [
+        F.max(F.col(k).isNull().cast("int")).alias(f"__null_{i}")
+        for i, k in enumerate(keys)
+    ]
+    touched: list[str] = []
+    chunk = 400
+    for start in range(0, len(covered), chunk):
+        part = covered[start : start + chunk]
+        flags = []
+        for i, (_d, env) in enumerate(part):
+            cond = F.lit(True)
+            for k in keys:
+                lo, hi = env[k]
+                cond = (
+                    cond
+                    & (F.col(k) >= _stat_lit(lo))
+                    & (F.col(k) <= _stat_lit(hi))
+                )
+            flags.append(F.max(cond.cast("int")).alias(f"__t_{i}"))
+        row = source.agg(*flags, *(null_flags if start == 0 else [])).first()
+        if start == 0 and any(
+            row[f"__null_{i}"] == 1 for i in range(len(keys))
+        ):
+            return None
+        touched.extend(
+            d for i, (d, _env) in enumerate(part) if row[f"__t_{i}"] == 1
+        )
+    return touched
+
+
+def merge_version(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    stats_cols: list[str] | None = None,
+    expected_version: int | None = None,
+    prune: dict | None = None,
+) -> int:
+    """Delta-style MERGE INTO a versioned table, copy-on-write: publish
+    a new version equal to the latest with every target row whose key
+    tuple appears in ``source`` replaced by the source row
+    (``when_matched="update"`` — WHEN MATCHED UPDATE *, WHEN NOT
+    MATCHED INSERT *) or removed (``when_matched="delete"`` — the
+    key-list delete a Column predicate cannot express, e.g. a GDPR
+    erasure list). Matching is NULL-safe on every key column, the same
+    semantics as ``operators.merge.merge_upsert`` (the reference's
+    keyed MERGE, ``load_to_analytics.sql``) — this is that MERGE
+    landed on the versioned log instead of a plain path.
+
+    Scale shape — the point of the operator:
+    - Touched-directory discovery costs O(source) and zero table IO:
+      per-directory key envelopes are rolled up from the manifest's
+      file stats driver-side, then ONE chunked aggregate over the
+      source flags the directories whose envelope contains any source
+      key (``_touched_dirs``); naive-UTC timestamp envelopes are
+      compared as UTC instants, mirroring ``prune_files``. On a
+      key-clustered table (``optimize_zorder`` on the key) a targeted
+      batch touches O(batch) directories; monotone business keys make
+      pure inserts touch NOTHING — the merge degrades to an append.
+    - Untouched directories are carried by REFERENCE: never read,
+      moved, or copied, keeping their data-skipping stats.
+    - Each touched directory is rewritten as a LEFT ANTI join against
+      the source's key tuples (AQE broadcasts the key frame when it is
+      small — the common merge shape); inserts land in one new
+      directory, a pure append.
+    - ``prune`` (``{col: (lo, hi)}``, as in ``delete_version_where``)
+      overrides discovery with caller knowledge and skips the source
+      aggregate entirely.
+
+    Duplicate key tuples in ``source`` raise ``ValueError`` up front
+    (Delta raises mid-job on the first multi-match; checking the source
+    is deterministic and names the problem). For ``"update"`` the
+    source schema must match the table's ([name, type] — align
+    explicitly otherwise); for ``"delete"`` only the key columns are
+    read. The commit mode is ``merge`` — a row-level REDEFINITION, so
+    ``read_changes`` / the ``versioned_changes`` stream refuse to cross
+    it rather than emit wrong deltas, exactly as for delete/update.
+    Pre-merge versions stay time-travelable until ``vacuum``."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"unknown when_matched {when_matched!r}")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing key columns {missing}")
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src_manifest = _load_manifest(table_dir, versions[-1])
+    tbl_schema = src_manifest.get("schema")
+    if when_matched == "update" and tbl_schema is not None:
+        src_sig = _schema_sig(source.schema.jsonValue())
+        if _schema_sig(tbl_schema) != src_sig:
+            raise ValueError(
+                f"merge source schema mismatch for {table_dir}: table has "
+                f"{_schema_sig(tbl_schema)}, source has {src_sig} — align "
+                "the frame explicitly (inserted rows must agree with every "
+                "carried directory)"
+            )
+
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    source = source.persist()
+    try:
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge source has duplicate key tuples on "
+                f"{keys} — a row cannot be matched twice; dedupe first "
+                "(e.g. operators.dedupe.latest_by_key)"
+            )
+        if prune is not None:
+            kept, _total = prune_files(table_dir, src_manifest, prune)
+            kept_rel = {os.path.relpath(p, table_dir) for p in kept}
+            touched = {
+                d
+                for d in src_manifest["dirs"]
+                if any(
+                    os.path.relpath(f, table_dir) in kept_rel
+                    for f in list_parquet_files(os.path.join(table_dir, d))
+                )
+            }
+        else:
+            covered, uncovered = _dir_envelopes(table_dir, src_manifest, keys)
+            flagged = _touched_dirs(source, covered, keys) if covered else []
+            touched = (
+                set(src_manifest["dirs"])
+                if flagged is None
+                else set(uncovered) | set(flagged)
+            )
+
+        stats = src_manifest.get("files", {})
+        keys_df = source.select(*keys).alias("__mrg_src")
+        new_dirs: list[str] = []
+        new_files: dict = {}
+        for d in src_manifest["dirs"]:
+            if d not in touched:
+                new_dirs.append(d)
+                for f in list_parquet_files(os.path.join(table_dir, d)):
+                    rel = os.path.relpath(f, table_dir)
+                    if rel in stats:
+                        new_files[rel] = stats[rel]
+                continue
+            tgt = spark.read.parquet(os.path.join(table_dir, d)).alias(
+                "__mrg_tgt"
+            )
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & F.col(f"__mrg_tgt.{k}").eqNullSafe(
+                    F.col(f"__mrg_src.{k}")
+                )
+            survivors = tgt.join(keys_df, cond, "left_anti")
+            out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
+            survivors.write.mode("errorifexists").parquet(out_dir)
+            new_dirs.append(os.path.relpath(out_dir, table_dir))
+            if stats_cols:
+                new_files.update(
+                    _collect_file_stats(spark, table_dir, out_dir, stats_cols)
+                )
+        if when_matched == "update":
+            ins_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
+            source.write.mode("errorifexists").parquet(ins_dir)
+            new_dirs.append(os.path.relpath(ins_dir, table_dir))
+            if stats_cols:
+                new_files.update(
+                    _collect_file_stats(spark, table_dir, ins_dir, stats_cols)
+                )
+    finally:
+        source.unpersist()
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src_manifest),
+        "mode": "merge",
+        "dirs": new_dirs,
+    }
+    if new_files:
+        manifest["files"] = new_files
+    if "max_batch" in src_manifest:
+        # rows changed but the ingest watermark did not (same rationale
+        # as _mutate_version): dropping it would let a crash-replayed
+        # micro-batch double-commit
+        manifest["max_batch"] = src_manifest["max_batch"]
+    if tbl_schema is not None:
+        manifest["schema"] = tbl_schema
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
 def optimize_zorder(
     spark: SparkSession,
     table_dir: str,

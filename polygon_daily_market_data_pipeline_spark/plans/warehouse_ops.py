@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE sixteen-row union query
+sequence packing) exercised end-to-end as ONE seventeen-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -55,6 +55,7 @@ from polygon_daily_market_data_pipeline_spark.operators.scd import (
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
     history,
+    merge_version,
     read_version,
     rollback,
 )
@@ -377,6 +378,71 @@ def _skipping_rows(
     return [_row(skip_row, "versioned_skipping"), _row(del_row, "versioned_delete")]
 
 
+def _merge_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """MERGE INTO a versioned table (``merge_version`` — Delta-style
+    copy-on-write upsert, the reference's keyed MERGE landed on the
+    manifest log). Target = pre-cut orders committed as TWO key-disjoint
+    range-partitioned halves with o_orderkey stats. Source = every 10th
+    bottom-half key with o_totalprice bumped by 100000 (matched →
+    replaced) plus post-cut %100 keys SHIFTED past the key max (not
+    matched → inserted; monotone new business keys — the realistic
+    shape). n_rows/val are the merged table's SQL-exact count/sum (the
+    oracle recomputes the merge arithmetic from ``ord``); n_aux pins the
+    copy-on-write claim: the TOP-half commit's files must be carried
+    VERBATIM (stats-scoped discovery touched only the bottom half — the
+    update keys' envelope — and the shifted inserts touched nothing)
+    while the bottom half was rewritten."""
+    tdir = os.path.join(base, "merge_vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    v0df = ord_df.where(F.col("o_orderdate") < cut)
+    mx = v0df.agg(F.max("o_orderkey")).first()[0]
+    half = mx // 2
+    # next power of 10 strictly above the max key — same no-collision
+    # arithmetic as the SCD2 new-key offset, mirrored in the oracle
+    off = 10 ** len(str(mx))
+    commit_version(
+        v0df.where(F.col("o_orderkey") <= half).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    commit_version(
+        v0df.where(F.col("o_orderkey") > half).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    bottom = set(read_version(spark, tdir, version=0).inputFiles())
+    top = set(read_version(spark, tdir, version=1).inputFiles()) - bottom
+    updates = v0df.where(
+        (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") <= half)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100000.0))
+    inserts = ord_df.where(
+        (F.col("o_orderdate") >= cut) & (F.col("o_orderkey") % 100 == 0)
+    ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(off).cast("long"))
+    v_m = merge_version(
+        spark,
+        tdir,
+        updates.unionByName(inserts),
+        keys=["o_orderkey"],
+        stats_cols=["o_orderkey"],
+    )
+    after = read_version(spark, tdir, version=v_m)
+    files = set(after.inputFiles())
+    carried = 1 if top <= files and not (bottom & files) else 0
+    row = after.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(carried).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_merge")]
+
+
 def _versioned_stream_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -667,6 +733,22 @@ _ORACLE = f"""
                + 2 * (SELECT COUNT(*) FROM dt WHERE len(toks) < 3) AS n,
                2 * (SELECT COUNT(*) FROM dt) AS fed
     ),
+    -- merge arithmetic, recomputed mechanically: matched = every 10th
+    -- bottom-half pre-cut key (price bumped 100000), inserted = post-cut
+    -- %100 keys (key-shifted past the max — the shift cannot collide,
+    -- same power-of-10 arithmetic as `off`); o_orderkey is the orders
+    -- PK, so no pre-cut row is matched twice
+    mrg_half AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS h
+                 FROM ord WHERE o_orderdate < TIMESTAMP '{_CUT}'),
+    mrg AS (
+        SELECT CASE WHEN o_orderkey % 10 = 0
+                         AND o_orderkey <= (SELECT h FROM mrg_half)
+                    THEN o_totalprice + 100000 ELSE o_totalprice END AS p
+        FROM ord WHERE o_orderdate < TIMESTAMP '{_CUT}'
+        UNION ALL
+        SELECT o_totalprice FROM ord
+        WHERE o_orderdate >= TIMESTAMP '{_CUT}' AND o_orderkey % 100 = 0
+    ),
     ev AS (SELECT * FROM events WHERE user_id % 4 = 1),
     ev_groups AS (
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
@@ -752,6 +834,11 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_merge',
+               (SELECT COUNT(*) FROM mrg),
+               1,
+               (SELECT ROUND(SUM(p), 2) FROM mrg)
+        UNION ALL
         SELECT 'versioned_skipping',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -810,7 +897,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY sixteen-row audit union over scratch state under
+    """The LAZY seventeen-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -826,6 +913,7 @@ def build_maintenance_union(
         + _scd2_stored_rows(spark, sf_dir, base)
         + _incremental_rows(spark, ord_df, base)
         + _versioned_rows(spark, ord_df, base)
+        + _merge_rows(spark, ord_df, base)
         + _versioned_stream_rows(spark, ord_df, base)
         + _skipping_rows(spark, ord_df, base)
         + _streaming_mv_rows(spark, sf_dir, base)

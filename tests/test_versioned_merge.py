@@ -1,0 +1,208 @@
+"""MERGE INTO a versioned table (operators/versioned.py merge_version)
+— Delta-style copy-on-write upsert/key-delete. The contract under test:
+result ≡ (target ⟕anti source-keys) ∪ source with NULL-safe key
+matching, untouched commits carried by REFERENCE (files verbatim, stats
+preserved), and the same redefinition discipline as delete/update (the
+change feed refuses to cross a merge commit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    history,
+    merge_version,
+    read_changes,
+    read_version,
+    scan_version_with_stats,
+)
+
+
+def _base(spark, n=40):
+    """k unique 0..n-1 (plus one NULL-key row), v = k * 1.0."""
+    rows = spark.range(n).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("base").alias("src"),
+    )
+    null_row = spark.range(1).select(
+        F.lit(None).cast("long").alias("k"),
+        F.lit(-1.0).alias("v"),
+        F.lit("base").alias("src"),
+    )
+    return rows.unionByName(null_row)
+
+
+def _rows(df):
+    return sorted(
+        ((r.k if r.k is not None else -1), r.v, r.src) for r in df.collect()
+    )
+
+
+def test_merge_upsert_matches_anti_union_null_safe(spark, tmp_path):
+    """Matched target rows (incl. the NULL key, null-safely) are
+    replaced by the source row; unmatched source rows are inserted;
+    everything else survives untouched."""
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark), t)
+    source = spark.createDataFrame(
+        [(3, 300.0, "upd"), (7, 700.0, "upd"), (None, -100.0, "upd"),
+         (1000, 1.0, "ins")],
+        "k long, v double, src string",
+    )
+    v = merge_version(spark, t, source, keys=["k"])
+    got = read_version(spark, t, version=v)
+    model = _rows(
+        _base(spark).where(
+            ~F.coalesce(F.col("k").isin(3, 7), F.lit(False))
+            & F.col("k").isNotNull()
+        )
+    ) + _rows(source)
+    assert _rows(got) == sorted(model)
+    # pre-merge version still time-travelable, byte-for-byte
+    assert _rows(read_version(spark, t, version=0)) == _rows(_base(spark))
+
+
+def test_merge_carries_untouched_commit_by_reference(spark, tmp_path):
+    """Two key-disjoint stats'd commits; a source whose keys fall only
+    in the bottom half (plus inserts beyond the max key) must leave the
+    top-half commit's files verbatim in the new version — and the
+    carried files keep their data-skipping stats (a post-merge
+    scan_version still prunes)."""
+    t = str(tmp_path / "vt")
+    base = spark.range(100).select(
+        F.col("id").cast("long").alias("k"), (F.col("id") * 1.0).alias("v"),
+        F.lit("base").alias("src"),
+    )
+    commit_version(
+        base.where(F.col("k") < 50).repartitionByRange(2, "k"),
+        t, stats_cols=["k"],
+    )
+    commit_version(
+        base.where(F.col("k") >= 50).repartitionByRange(2, "k"),
+        t, mode="append", stats_cols=["k"],
+    )
+    bottom = set(read_version(spark, t, version=0).inputFiles())
+    top = set(read_version(spark, t, version=1).inputFiles()) - bottom
+    source = spark.createDataFrame(
+        [(10, 1e4, "upd"), (20, 2e4, "upd"), (200, 1.0, "ins"),
+         (201, 2.0, "ins")],
+        "k long, v double, src string",
+    )
+    v = merge_version(spark, t, source, keys=["k"], stats_cols=["k"])
+    after = read_version(spark, t, version=v)
+    files = set(after.inputFiles())
+    assert top <= files, "untouched top-half commit must be carried verbatim"
+    assert not (bottom & files), "touched bottom-half commit must be rewritten"
+    assert after.count() == 102
+    assert after.where(F.col("k") == 10).first().v == 1e4
+    # carried + fresh stats both prune: a scan over the insert range
+    # schedules a strict subset of the version's files
+    scan, stats = scan_version_with_stats(spark, t, {"k": (150, None)})
+    assert stats.files_scheduled < stats.files_total
+    assert scan.count() == 2
+
+
+def test_merge_insert_only_beyond_max_touches_nothing(spark, tmp_path):
+    """Monotone business keys: a pure-insert source beyond the table's
+    max key must rewrite NOTHING — the merge degrades to an append (all
+    prior files carried by reference)."""
+    t = str(tmp_path / "vt")
+    base = spark.range(50).select(
+        F.col("id").cast("long").alias("k"), (F.col("id") * 1.0).alias("v"),
+        F.lit("base").alias("src"),
+    )
+    commit_version(base.repartitionByRange(3, "k"), t, stats_cols=["k"])
+    before = set(read_version(spark, t).inputFiles())
+    source = spark.createDataFrame(
+        [(1000, 1.0, "ins"), (1001, 2.0, "ins")], "k long, v double, src string"
+    )
+    v = merge_version(spark, t, source, keys=["k"], stats_cols=["k"])
+    after = read_version(spark, t, version=v)
+    assert before <= set(after.inputFiles())
+    assert after.count() == 52
+
+
+def test_merge_null_source_key_disables_scoping_but_stays_correct(
+    spark, tmp_path
+):
+    """A NULL source key can match NULL target keys, which min/max
+    envelopes cannot see — discovery must fall back to rewriting every
+    directory, and the null-keyed target row must be replaced."""
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark).repartitionByRange(2, "k"), t, stats_cols=["k"])
+    before = set(read_version(spark, t).inputFiles())
+    source = spark.createDataFrame(
+        [(None, -999.0, "upd")], "k long, v double, src string"
+    )
+    v = merge_version(spark, t, source, keys=["k"], stats_cols=["k"])
+    after = read_version(spark, t, version=v)
+    assert not (before & set(after.inputFiles()))
+    assert after.where(F.col("k").isNull()).first().v == -999.0
+    assert after.count() == _base(spark).count()
+
+
+def test_merge_delete_is_key_list_delete(spark, tmp_path):
+    """when_matched='delete': the source is an erasure key list — the
+    delete a Column predicate cannot express — and NULL keys delete the
+    NULL-keyed row null-safely. No insert directory is created."""
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark), t)
+    source = spark.createDataFrame(
+        [(3, 0.0, "x"), (None, 0.0, "x"), (9999, 0.0, "x")],
+        "k long, v double, src string",
+    )
+    v = merge_version(spark, t, source, keys=["k"], when_matched="delete")
+    after = read_version(spark, t, version=v)
+    assert _rows(after) == _rows(
+        _base(spark).where(F.col("k").isNotNull() & (F.col("k") != 3))
+    )
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark), t)
+    source = spark.createDataFrame(
+        [(3, 1.0, "a"), (3, 2.0, "b")], "k long, v double, src string"
+    )
+    with pytest.raises(ValueError, match="duplicate key tuples"):
+        merge_version(spark, t, source, keys=["k"])
+    assert [h["version"] for h in history(t)] == [0]
+
+
+def test_merge_schema_mismatch_rejected(spark, tmp_path):
+    """update-mode inserts must agree with every carried directory's
+    schema — a drifted source fails before any write."""
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark), t)
+    drifted = spark.createDataFrame(
+        [(3, 1.0, "a", "extra")], "k long, v double, src string, e string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_version(spark, t, drifted, keys=["k"])
+    # delete mode only reads the keys: the drifted frame is fine there
+    v = merge_version(spark, t, drifted, keys=["k"], when_matched="delete")
+    assert read_version(spark, t, version=v).where(F.col("k") == 3).count() == 0
+
+
+def test_merge_expected_version_precondition(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark), t)
+    commit_version(_base(spark), t, mode="overwrite")
+    source = spark.createDataFrame([(3, 1.0, "a")], "k long, v double, src string")
+    with pytest.raises(FileExistsError, match="expected latest version 0"):
+        merge_version(spark, t, source, keys=["k"], expected_version=0)
+    assert [h["version"] for h in history(t)] == [0, 1]
+
+
+def test_merge_blocks_change_feed(spark, tmp_path):
+    """A merge commit REDEFINES rows — read_changes must refuse to
+    cross it rather than emit wrong deltas, like delete/update."""
+    t = str(tmp_path / "vt")
+    commit_version(_base(spark), t)
+    source = spark.createDataFrame([(3, 1.0, "u")], "k long, v double, src string")
+    v = merge_version(spark, t, source, keys=["k"])
+    with pytest.raises(ValueError, match="append-only"):
+        read_changes(spark, t, 0, v)

@@ -90,16 +90,17 @@ def test_crash_debris_is_invisible_and_vacuumable(spark, tmp_path):
 
 def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
     """Seeded random interleavings of commit/append/rollback/optimize/
-    delete/update/vacuum with a model checker: after EVERY op, every
-    still-kept version must read back exactly the rows the model says
-    it had when published (pinned-reader immutability — copy-on-write
-    mutations must never disturb an earlier version), and vacuumed
-    versions must raise instead of returning wrong data. 10 seeds ×
-    10 ops = 100 randomized operations."""
+    delete/update/merge/vacuum with a model checker: after EVERY op,
+    every still-kept version must read back exactly the rows the model
+    says it had when published (pinned-reader immutability —
+    copy-on-write mutations must never disturb an earlier version), and
+    vacuumed versions must raise instead of returning wrong data. 10
+    seeds × 10 ops = 100 randomized operations."""
     from pyspark.sql import functions as F
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
         delete_version_where,
+        merge_version,
         update_version_where,
     )
 
@@ -115,7 +116,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
             op = rng.choice(
                 [
                     "overwrite", "append", "rollback", "optimize",
-                    "delete", "update", "vacuum",
+                    "delete", "update", "merge", "vacuum",
                 ]
             )
             versions = sorted(model)
@@ -153,6 +154,22 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 model[v] = sorted(
                     (k, g, (-1.0 if k >= bound else val))
                     for k, g, val in model[versions[-1]]
+                )
+            elif op == "merge":
+                # upsert keys b..5 of a fresh tag: k 0..3 may exist in
+                # the table (possibly multiply, after appends) — ALL
+                # matched rows are replaced by the one source row;
+                # k 4, 5 are pure inserts (table frames have k < 4)
+                tag += 1
+                bound = rng.randrange(0, 5)
+                src = _df(spark, tag, n=6).where(F.col("k") >= bound)
+                v = merge_version(
+                    spark, t, src, keys=["k"],
+                    expected_version=versions[-1],
+                )
+                model[v] = sorted(
+                    [r for r in model[versions[-1]] if r[0] < bound]
+                    + _rows(src)
                 )
             else:  # vacuum
                 keep = rng.randint(1, len(versions))
