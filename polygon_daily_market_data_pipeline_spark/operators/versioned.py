@@ -255,6 +255,7 @@ def commit_version(
     stats_cols: list[str] | None = None,
     batch_id: int | None = None,
     retries: int = 0,
+    schema_evolution: bool = False,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -273,7 +274,15 @@ def commit_version(
     manifest and re-publishes — METADATA-ONLY, the data directory is
     already written and is never rewritten. Overwrite commits never
     retry (which of two overwrites should win is not the engine's
-    call)."""
+    call).
+
+    ``schema_evolution=True`` (append only) is Delta ``mergeSchema``:
+    the frame may ADD columns — every existing table column must still
+    be present with the same type, and the manifest's schema becomes
+    the widened one, so readers (which apply the manifest schema — see
+    ``_read_manifest_dirs``) see pre-evolution files with the new
+    columns as NULL. Dropping or retyping a column is still a
+    redefinition and needs an explicit overwrite."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
@@ -283,18 +292,34 @@ def commit_version(
         if mode != "append" or prev is None:
             return
         prev_schema = prev.get("schema")
-        if prev_schema is not None and _schema_sig(prev_schema) != _schema_sig(
+        if prev_schema is None or _schema_sig(prev_schema) == _schema_sig(
             schema
         ):
-            # an append with a drifted schema would publish a version
-            # whose parquet dirs disagree — spark.read.parquet picks one
-            # file's schema and silently drops/nulls the others' columns
+            return
+        if schema_evolution:
+            new_types = dict(_schema_sig(schema))
+            missing = [
+                (n, t)
+                for n, t in _schema_sig(prev_schema)
+                if new_types.get(n) != t
+            ]
+            if not missing:
+                return  # pure widening: adds columns, keeps every old one
             raise ValueError(
-                f"append schema mismatch for {table_dir}: "
-                f"table has {_schema_sig(prev_schema)}, "
-                f"commit has {_schema_sig(schema)} — "
-                "overwrite, or align the frame explicitly"
+                f"schema evolution on {table_dir} may only ADD columns: "
+                f"commit drops or retypes {missing} — that is a "
+                "redefinition; overwrite explicitly"
             )
+        # an append with a drifted schema would publish a version
+        # whose parquet dirs disagree — spark.read.parquet picks one
+        # file's schema and silently drops/nulls the others' columns
+        raise ValueError(
+            f"append schema mismatch for {table_dir}: "
+            f"table has {_schema_sig(prev_schema)}, "
+            f"commit has {_schema_sig(schema)} — "
+            "overwrite, align the frame explicitly, or append with "
+            "schema_evolution=True to add columns"
+        )
 
     def load_latest() -> tuple[list[int], dict | None]:
         # parse the (possibly multi-MB, stats-bearing) latest manifest
@@ -475,6 +500,28 @@ def _resolve_manifest(
     return _load_manifest(table_dir, version)
 
 
+def _read_manifest_paths(
+    spark: SparkSession, manifest: dict, paths: list[str]
+) -> DataFrame:
+    """Read version data with the MANIFEST's recorded schema applied:
+    after a ``schema_evolution`` append the version's directories
+    disagree, and an inferring ``spark.read.parquet`` would pick one
+    file's footer schema and silently drop or null the other files'
+    columns. The explicit schema resolves columns BY NAME per file
+    (parquet vectorized reader), reading a column absent from a file as
+    NULL — and skips footer schema inference entirely. Pre-schema
+    manifests (old tables) fall back to inference. Time travel keeps
+    each version's own contract: reading v_pre applies v_pre's
+    (narrower) manifest schema, not the evolved one."""
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(manifest["schema"]))
+    else:
+        reader = spark.read
+    return reader.parquet(*paths)
+
+
 def read_version(
     spark: SparkSession,
     table_dir: str,
@@ -483,9 +530,13 @@ def read_version(
 ) -> DataFrame:
     """The table at a version (default: latest), or AT a timestamp
     (``as_of``: the last version committed at or before it — Snowflake
-    ``AT(TIMESTAMP => ...)`` semantics)."""
+    ``AT(TIMESTAMP => ...)`` semantics). The version's manifest schema
+    is applied, so a schema-evolved table reads pre-evolution files
+    with the added columns as NULL (``_read_manifest_paths``)."""
     m = _resolve_manifest(table_dir, version, as_of)
-    return spark.read.parquet(*[os.path.join(table_dir, d) for d in m["dirs"]])
+    return _read_manifest_paths(
+        spark, m, [os.path.join(table_dir, d) for d in m["dirs"]]
+    )
 
 
 def _norm_bound(v, side: str, bounds_tz):
@@ -623,7 +674,7 @@ def scan_version_with_stats(
     # default bounds_tz (process zone) matches the residual F.lit below
     kept, total = prune_files(table_dir, m, predicates)
     if kept:
-        df = spark.read.parquet(*kept)
+        df = _read_manifest_paths(spark, m, kept)
     else:
         # nothing can match: read one file for the schema; the residual
         # filter below empties it (that file was pruned, so no row passes)
@@ -638,7 +689,7 @@ def scan_version_with_stats(
         ]
         if not any_files:
             raise FileNotFoundError(f"version has no data files in {table_dir}")
-        df = spark.read.parquet(any_files[0])
+        df = _read_manifest_paths(spark, m, [any_files[0]])
     for col, (lo, hi) in predicates.items():
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
@@ -726,8 +777,13 @@ def read_changes(
         base.update(m["dirs"])
     if not new_dirs:
         return read_version(spark, table_dir, version=to_version).limit(0)
-    return spark.read.parquet(
-        *[os.path.join(table_dir, d) for d in new_dirs]
+    # feed rows surface in to_version's schema: a consumer reading the
+    # delta of a schema-evolved table sees pre-evolution delta files
+    # with the added columns as NULL, same contract as read_version
+    return _read_manifest_paths(
+        spark,
+        _load_manifest(table_dir, to_version),
+        [os.path.join(table_dir, d) for d in new_dirs],
     )
 
 
@@ -864,7 +920,10 @@ def _mutate_version(
                     new_files[f] = stats[f]
             continue
         survivors = rewrite(
-            spark.read.parquet(os.path.join(table_dir, d)), predicate
+            # manifest schema applied: on an evolved table the rewrite
+            # normalizes old files to the full schema (added cols NULL)
+            _read_manifest_paths(spark, src, [os.path.join(table_dir, d)]),
+            predicate,
         )
         out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
         survivors.write.mode("errorifexists").parquet(out_dir)
@@ -1199,9 +1258,9 @@ def merge_version(
                     if rel in stats:
                         new_files[rel] = stats[rel]
                 continue
-            tgt = spark.read.parquet(os.path.join(table_dir, d)).alias(
-                "__mrg_tgt"
-            )
+            tgt = _read_manifest_paths(
+                spark, src_manifest, [os.path.join(table_dir, d)]
+            ).alias("__mrg_tgt")
             cond = F.lit(True)
             for k in keys:
                 cond = cond & F.col(f"__mrg_tgt.{k}").eqNullSafe(

@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE seventeen-row union query
+sequence packing) exercised end-to-end as ONE eighteen-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -443,6 +443,38 @@ def _merge_rows(
     return [_row(row, "versioned_merge")]
 
 
+def _evolution_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Schema evolution (Delta mergeSchema analog): v0 = pre-cut orders,
+    v1 = post-cut rows appended with ``schema_evolution=True`` carrying
+    a NEW column ``o_flag = o_orderkey % 7``. Readers apply the manifest
+    schema, so the pre-evolution files surface o_flag as NULL — n_aux
+    pins exactly that (NULL-flag count == pre-cut count), and val is the
+    exact-integer flag sum over the appended rows; the oracle recomputes
+    both from the date cut."""
+    tdir = os.path.join(base, "evo_vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    commit_version(
+        ord_df.where(F.col("o_orderdate") < cut).coalesce(4), tdir
+    )
+    commit_version(
+        ord_df.where(F.col("o_orderdate") >= cut)
+        .withColumn("o_flag", (F.col("o_orderkey") % 7).cast("long"))
+        .coalesce(4),
+        tdir,
+        mode="append",
+        schema_evolution=True,
+    )
+    after = read_version(spark, tdir)
+    row = after.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_flag").isNull(), 1)).alias("n_aux"),
+        F.sum("o_flag").cast("double").alias("val"),
+    )
+    return [_row(row, "versioned_evolution")]
+
+
 def _versioned_stream_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -834,6 +866,13 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_evolution',
+               (SELECT COUNT(*) FROM ord),
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderdate < TIMESTAMP '{_CUT}'),
+               CAST((SELECT SUM(o_orderkey % 7) FROM ord
+                     WHERE o_orderdate >= TIMESTAMP '{_CUT}') AS DOUBLE)
+        UNION ALL
         SELECT 'versioned_merge',
                (SELECT COUNT(*) FROM mrg),
                1,
@@ -897,7 +936,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY seventeen-row audit union over scratch state under
+    """The LAZY eighteen-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -914,6 +953,7 @@ def build_maintenance_union(
         + _incremental_rows(spark, ord_df, base)
         + _versioned_rows(spark, ord_df, base)
         + _merge_rows(spark, ord_df, base)
+        + _evolution_rows(spark, ord_df, base)
         + _versioned_stream_rows(spark, ord_df, base)
         + _skipping_rows(spark, ord_df, base)
         + _streaming_mv_rows(spark, sf_dir, base)
