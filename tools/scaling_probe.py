@@ -334,6 +334,92 @@ def probe_change_feed(spark, sf_dir: str) -> None:
     print(f"change_feed: {pts}")
 
 
+def probe_merge(spark, sf_dir: str) -> None:
+    """merge_version claim: a fixed-size MERGE costs O(touched data +
+    source), FLAT in table size — stats-scoped discovery rewrites only
+    the commits whose key envelope can contain a source key and carries
+    the rest by reference. Builds a versioned orders table from
+    1×/4×/16× key-disjoint range-partitioned commits (key-shifted
+    copies, constant per-commit volume), then times ONE fixed merge
+    whose update keys all fall in the FIRST commit's range and whose
+    insert keys lie beyond every range. Reports wall-clock, bytes
+    written, and rewritten/total file counts: flat time and bytes with
+    total files growing 16× is the evidence; an anti-join over the
+    whole table would grow linearly."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        merge_version,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return total
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).persist()
+    n = ord_df.count()
+    off = 10 ** len(str(n * 20))  # beyond any shifted key at this sf
+    # the fixed-size source: updates inside commit 0's key range,
+    # inserts beyond every commit's range (monotone new keys)
+    updates = ord_df.where(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    inserts = ord_df.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100 * off).cast("long")
+    )
+    source = updates.unionByName(inserts)
+    results = []
+    for k in (1, 4, 16):
+        t = tempfile.mkdtemp(prefix=f"merge_probe_{k}x_")
+        for i in range(k):  # untimed: k key-disjoint stats'd commits
+            commit_version(
+                ord_df.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                ).repartitionByRange(8, "o_orderkey"),
+                t,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        files_before = set(read_version(spark, t).inputFiles())
+        data_before = set(os.listdir(os.path.join(t, "_data")))
+        t0 = time.monotonic()
+        v = merge_version(
+            spark, t, source, keys=["o_orderkey"], stats_cols=["o_orderkey"]
+        )
+        dt = time.monotonic() - t0
+        after_files = set(read_version(spark, t, version=v).inputFiles())
+        rewritten = len(files_before - after_files)
+        new_dirs = set(os.listdir(os.path.join(t, "_data"))) - data_before
+        wrote = sum(
+            tree_bytes(os.path.join(t, "_data", d)) for d in new_dirs
+        )
+        results.append((k, k * n, dt, wrote, rewritten, len(files_before)))
+        shutil.rmtree(t, ignore_errors=True)
+    ord_df.unpersist()
+    pts = ", ".join(
+        f"{k}x(table={r}r) merge={dt:.2f}s wrote={b / 1e6:.1f}MB "
+        f"rewrote={rw}/{tot}f"
+        for k, r, dt, b, rw, tot in results
+    )
+    print(f"versioned_merge: {pts}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -343,6 +429,7 @@ def main() -> None:
         ("skipping", probe_skipping),
         ("scd2_stored", probe_scd2_stored),
         ("change_feed", probe_change_feed),
+        ("merge", probe_merge),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
