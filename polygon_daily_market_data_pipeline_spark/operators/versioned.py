@@ -256,6 +256,8 @@ def commit_version(
     batch_id: int | None = None,
     retries: int = 0,
     schema_evolution: bool = False,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -282,7 +284,14 @@ def commit_version(
     the widened one, so readers (which apply the manifest schema — see
     ``_read_manifest_dirs``) see pre-evolution files with the new
     columns as NULL. Dropping or retyping a column is still a
-    redefinition and needs an explicit overwrite."""
+    redefinition and needs an explicit overwrite.
+
+    ``bloom_cols`` additionally builds per-file BLOOM filters over the
+    named int/string columns, written to a sidecar inside the commit's
+    data directory (never the manifest — see ``_collect_file_blooms``).
+    Blooms prune POINT lookups (``scan_version(..., eq=...)``) on
+    high-cardinality columns the file layout does not cluster, where a
+    [min, max] envelope spans everything and prunes nothing."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
@@ -343,6 +352,8 @@ def commit_version(
         own_files = _collect_file_stats(
             df.sparkSession, table_dir, data_dir, stats_cols
         )
+    if bloom_cols:
+        _collect_file_blooms(df.sparkSession, data_dir, bloom_cols, bloom_fpp)
 
     for attempt in range(retries + 1):
         version = (existing[-1] + 1) if existing else 0
@@ -470,6 +481,138 @@ def versioned_stream_sink(
         )
 
     return sink
+
+
+_BLOOM_SIDECAR = "_bloom.json"
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB bitmap cap per (file, column)
+
+
+def _bloom_params(ndv: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for a target false-positive rate — the
+    textbook m = -n·ln(p)/ln²2, k = (m/n)·ln2 sizing, floored at 1024
+    bits and capped at 1 MiB (a cap only degrades fpp, never
+    correctness)."""
+    import math
+
+    n = max(1, ndv)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(1024, min(_BLOOM_MAX_BITS, m))
+    m = (m + 7) // 8 * 8
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_key_bytes(v) -> bytes:
+    """Canonical hash input for a bloom value — int-family (incl. bool)
+    and str only: floats are not meaningful point-lookup keys (equality
+    on them is fragile) and binary columns are excluded from stats
+    throughout. TypeError for anything else — at build time that is an
+    error, at query time the caller treats it as cannot-prune."""
+    if isinstance(v, bool) or isinstance(v, int):
+        return b"i:" + str(int(v)).encode()
+    try:  # numpy ints out of pyarrow/pandas paths
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return b"i:" + str(int(v)).encode()
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    raise TypeError(f"unsupported bloom key type {type(v).__name__}")
+
+
+def _bloom_positions(key: bytes, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one sha1 — deterministic
+    across processes and sessions (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.sha1(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _collect_file_blooms(
+    spark: SparkSession, data_dir: str, cols: list[str], fpp: float
+) -> None:
+    """Build per-file bloom filters over ``cols`` and write them to ONE
+    sidecar JSON inside the data directory (``_bloom.json`` — the
+    underscore name is invisible to Spark's file listing and to
+    ``list_parquet_files``). Sidecars are the Iceberg-puffin posture,
+    NOT manifest entries: a bitmap per (file, column) would bloat the
+    commit log that every reader parses, while a sidecar costs nothing
+    until an equality scan loads it. Bloom builds read only the named
+    columns (columnar projection), fanned out over executors; the
+    collected result is file-count-sized. The sidecar travels with the
+    directory through append carries, merges, and rollbacks for free."""
+    import base64
+
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    files = list_parquet_files(data_dir)
+    if not files:
+        return
+
+    def build(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                tbl = pq.read_table(p, columns=cols)
+                ent = {}
+                for c in cols:
+                    vals = {
+                        v for v in tbl.column(c).to_pylist() if v is not None
+                    }
+                    m, k = _bloom_params(len(vals), fpp)
+                    bits = bytearray(m // 8)
+                    for v in vals:
+                        for pos in _bloom_positions(_bloom_key_bytes(v), m, k):
+                            bits[pos >> 3] |= 1 << (pos & 7)
+                    ent[c] = {
+                        "m": m,
+                        "k": k,
+                        "b64": base64.b64encode(bytes(bits)).decode(),
+                    }
+                rows.append((p, json.dumps(ent)))
+            yield pd.DataFrame(rows, columns=["path", "bloom"])
+
+    paths = spark.createDataFrame([(p,) for p in files], "path string")
+    n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    collected = (
+        paths.repartition(n_tasks)
+        .mapInPandas(build, "path string, bloom string")
+        .collect()
+    )
+    sidecar = {
+        os.path.relpath(r["path"], data_dir): json.loads(r["bloom"])
+        for r in collected
+    }
+    tmp = os.path.join(data_dir, f".{_BLOOM_SIDECAR}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(sidecar, f)
+    os.replace(tmp, os.path.join(data_dir, _BLOOM_SIDECAR))
+
+
+def _bloom_maybe_contains(ent: dict, value) -> bool:
+    """False ONLY when the bloom proves the value absent; True on any
+    doubt (unsupported type, missing entry)."""
+    import base64
+
+    try:
+        key = _bloom_key_bytes(value)
+    except TypeError:
+        return True
+    bits = base64.b64decode(ent["b64"])
+    for pos in _bloom_positions(key, ent["m"], ent["k"]):
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
 
 
 def _resolve_manifest(
@@ -649,6 +792,41 @@ def prune_files(
     return kept, len(all_files)
 
 
+def _bloom_prune(
+    table_dir: str, manifest: dict, files: list[str], eq: dict
+) -> list[str]:
+    """Drop files whose sidecar bloom PROVES a point-lookup value
+    absent. Directories without a sidecar (or files/columns without an
+    entry) are kept — cannot-prune is never wrong. Sidecar loads are
+    file-count-sized driver IO, paid only on eq scans."""
+    sidecars = []
+    for d in manifest["dirs"]:
+        p = os.path.join(table_dir, d, _BLOOM_SIDECAR)
+        if os.path.exists(p):
+            with open(p) as f:
+                sidecars.append((os.path.join(table_dir, d), json.load(f)))
+    if not sidecars:
+        return files
+    out = []
+    for fpath in files:
+        keep = True
+        for droot, sc in sidecars:
+            rel = os.path.relpath(fpath, droot)
+            if rel.startswith(".."):
+                continue  # file belongs to another directory
+            ent = sc.get(rel)
+            if ent is not None:
+                for c, v in eq.items():
+                    ce = ent.get(c)
+                    if ce is not None and not _bloom_maybe_contains(ce, v):
+                        keep = False
+                        break
+            break
+        if keep:
+            out.append(fpath)
+    return out
+
+
 class ScanStats(NamedTuple):
     """The prune decision a ``scan_version_with_stats`` call made:
     files actually scheduled vs files in the version."""
@@ -663,16 +841,36 @@ def scan_version_with_stats(
     predicates: dict,
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
+    eq: dict | None = None,
 ) -> tuple[DataFrame, ScanStats]:
     """``scan_version`` plus the prune decision it made, returned as a
     proper ``(DataFrame, ScanStats)`` pair — callers that report
     skipping effectiveness read the SAME decision the scan used (an
     attribute stapled onto the DataFrame would be lost on the first
     ``.where``/``.select`` and breaks under Spark Connect-style
-    proxies)."""
+    proxies).
+
+    ``eq`` (``{col: value}``) adds POINT-lookup predicates: each feeds
+    the range prune as a degenerate ``(v, v)`` envelope AND, where the
+    file's commit recorded sidecar blooms (``bloom_cols``), drops files
+    whose bloom proves the value absent — the prune that works when the
+    layout does not cluster the column and every [min, max] envelope
+    spans the whole domain. NULL is not a valid eq value (SQL equality
+    never matches NULL; filter IS NULL explicitly)."""
     m = _resolve_manifest(table_dir, version, as_of)
+    preds = dict(predicates)
+    if eq:
+        for c, v in eq.items():
+            if v is None:
+                raise ValueError(
+                    f"eq[{c!r}] is None — equality never matches NULL; "
+                    "use an explicit IS NULL filter on the read"
+                )
+            preds.setdefault(c, (v, v))
     # default bounds_tz (process zone) matches the residual F.lit below
-    kept, total = prune_files(table_dir, m, predicates)
+    kept, total = prune_files(table_dir, m, preds)
+    if eq and kept:
+        kept = _bloom_prune(table_dir, m, kept, eq)
     if kept:
         df = _read_manifest_paths(spark, m, kept)
     else:
@@ -690,7 +888,7 @@ def scan_version_with_stats(
         if not any_files:
             raise FileNotFoundError(f"version has no data files in {table_dir}")
         df = _read_manifest_paths(spark, m, [any_files[0]])
-    for col, (lo, hi) in predicates.items():
+    for col, (lo, hi) in preds.items():
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -706,6 +904,7 @@ def scan_version(
     predicates: dict,
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
+    eq: dict | None = None,
 ) -> DataFrame:
     """Data-skipping read: ``read_version`` restricted by a conjunctive
     range predicate ``{col: (lo, hi)}``, with the file list pruned
@@ -717,10 +916,12 @@ def scan_version(
     predicate prunes. Naive-datetime bounds are interpreted in the
     driver PROCESS time zone — matching how the residual filter's
     ``F.lit`` interprets them — before pruning against the naive-UTC
-    file envelopes (see ``prune_files``/``_norm_bound``). Use
-    ``scan_version_with_stats`` to also get the prune decision."""
+    file envelopes (see ``prune_files``/``_norm_bound``). ``eq`` adds
+    point lookups with sidecar-bloom pruning (see
+    ``scan_version_with_stats``). Use ``scan_version_with_stats`` to
+    also get the prune decision."""
     df, _stats = scan_version_with_stats(
-        spark, table_dir, predicates, version=version, as_of=as_of
+        spark, table_dir, predicates, version=version, as_of=as_of, eq=eq
     )
     return df
 

@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE eighteen-row union query
+sequence packing) exercised end-to-end as ONE nineteen-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -641,6 +641,41 @@ def _packing_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     return [_row(row, "corpus_pack")]
 
 
+def _bloom_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Sidecar-bloom point lookup: orders committed hash-scattered
+    (every file spans the whole o_orderkey domain, so [min,max] stats
+    prune NOTHING) with per-file blooms, then a point read of the max
+    key through ``scan_version(eq=...)``. n_rows/val are the SQL-exact
+    single-row count and price (the key is the orders PK); n_aux pins
+    the pruning claim — 1 iff the bloom scheduled ≤ HALF the files
+    (deterministic: sha1 blooms are a pure function of the data) and
+    the plan's file list agrees with the reported decision."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    tdir = os.path.join(base, "bloom_vt")
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    commit_version(ord_df.repartition(8), tdir, bloom_cols=["o_orderkey"])
+    scan, stats = scan_version_with_stats(
+        spark, tdir, {}, eq={"o_orderkey": mx}
+    )
+    claim = (
+        1
+        if 2 * stats.files_scheduled <= stats.files_total
+        and len(scan.inputFiles()) == stats.files_scheduled
+        else 0
+    )
+    row = scan.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_bloom")]
+
+
 def _streaming_mv_rows(
     spark: SparkSession, sf_dir: str, base: str
 ) -> list[DataFrame]:
@@ -866,6 +901,12 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_bloom',
+               1,
+               1,
+               (SELECT ROUND(o_totalprice, 2) FROM ord
+                WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM ord))
+        UNION ALL
         SELECT 'versioned_evolution',
                (SELECT COUNT(*) FROM ord),
                (SELECT COUNT(*) FROM ord
@@ -936,7 +977,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY eighteen-row audit union over scratch state under
+    """The LAZY nineteen-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -954,6 +995,7 @@ def build_maintenance_union(
         + _versioned_rows(spark, ord_df, base)
         + _merge_rows(spark, ord_df, base)
         + _evolution_rows(spark, ord_df, base)
+        + _bloom_rows(spark, ord_df, base)
         + _versioned_stream_rows(spark, ord_df, base)
         + _skipping_rows(spark, ord_df, base)
         + _streaming_mv_rows(spark, sf_dir, base)
