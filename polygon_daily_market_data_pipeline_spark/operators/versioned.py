@@ -1514,6 +1514,8 @@ def optimize_zorder(
     bucketize: str = "linear",
     expected_version: int | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> int:
     """Delta-style ``OPTIMIZE ... ZORDER BY``: publish a new version
     with IDENTICAL rows laid out z-ordered on ``zcols`` — readers of
@@ -1528,7 +1530,13 @@ def optimize_zorder(
     a ``FileExistsError`` for whichever writer loses (never a silent
     drop). Pass ``expected_version`` (the version you intend to
     optimize) to fail cheaply BEFORE the rewrite if the table has
-    already moved on."""
+    already moved on.
+
+    ``bloom_cols`` rebuilds the sidecar bloom index for the compacted
+    layout — compaction is the natural re-indexing point, because
+    copy-on-write rewrites (delete/update/merge) deliberately do NOT
+    regenerate blooms for the directories they touch (their sidecars
+    lapse, which only costs pruning, never correctness)."""
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
         DEFAULT_BITS,
         zorder_write,
@@ -1571,5 +1579,7 @@ def optimize_zorder(
         files = _collect_file_stats(spark, table_dir, data_dir, idx_cols)
         if files:
             manifest["files"] = files
+    if bloom_cols:
+        _collect_file_blooms(spark, data_dir, bloom_cols, bloom_fpp)
     _publish_manifest(table_dir, version, manifest)
     return version

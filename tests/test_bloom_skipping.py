@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     commit_version,
+    delete_version_where,
+    optimize_zorder,
     read_version,
     scan_version,
     scan_version_with_stats,
@@ -90,6 +92,24 @@ def test_eq_unbloomables_stay_conservative(spark, tmp_path):
     got, stats = scan_version_with_stats(spark, t, {}, eq={"v": 3.0})
     assert got.count() == want > 0
     assert stats.files_scheduled == stats.files_total
+
+
+def test_optimize_rebuilds_lapsed_bloom_index(spark, tmp_path):
+    """A copy-on-write rewrite deliberately drops the touched dirs'
+    sidecars (conservative: every file kept); OPTIMIZE with bloom_cols
+    is the re-indexing point that restores point-lookup pruning."""
+    t = str(tmp_path / "vt")
+    commit_version(_tbl(spark), t, bloom_cols=["uid"])
+    target = read_version(spark, t).where(F.col("k") == 12345).first()
+    delete_version_where(spark, t, F.col("k") < 100)  # rewrites every dir
+    got, stats = scan_version_with_stats(spark, t, {}, eq={"uid": target.uid})
+    assert got.count() == 1
+    assert stats.files_scheduled == stats.files_total  # blooms lapsed
+    optimize_zorder(spark, t, ["k"], n_files=8, bloom_cols=["uid"])
+    got2, stats2 = scan_version_with_stats(spark, t, {}, eq={"uid": target.uid})
+    assert got2.count() == 1
+    # zorder_write may coalesce a bucket: pin the prune, not the count
+    assert stats2.files_scheduled <= 3 < stats2.files_total, stats2
 
 
 def test_bloom_composes_with_range_stats(spark, tmp_path):

@@ -420,6 +420,62 @@ def probe_merge(spark, sf_dir: str) -> None:
     print(f"versioned_merge: {pts}")
 
 
+def probe_bloom(spark, sf_dir: str) -> None:
+    """Sidecar-bloom claim: a point lookup on a hash-scattered
+    high-cardinality column schedules O(1) files no matter how many the
+    table has — where [min,max] envelopes (every file spans the whole
+    domain) prune nothing. Builds an orders-derived table at 64/256/1024
+    files, looks up one key, and reports files scheduled + wall-clock vs
+    the same lookup WITHOUT blooms (full schedule)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        scan_version_with_stats,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    key = ord_df.agg(F.max("o_orderkey")).first()[0]
+    results = []
+    for n_files in (64, 256, 1024):
+        t = tempfile.mkdtemp(prefix=f"bloom_probe_{n_files}f_")
+        commit_version(
+            ord_df.repartition(n_files), t, bloom_cols=["o_orderkey"]
+        )
+        plain = tempfile.mkdtemp(prefix=f"bloom_probe_plain_{n_files}f_")
+        commit_version(ord_df.repartition(n_files), plain)
+        t0 = time.monotonic()
+        scan, stats = scan_version_with_stats(
+            spark, t, {}, eq={"o_orderkey": key}
+        )
+        n = scan.count()
+        dt_bloom = time.monotonic() - t0
+        t0 = time.monotonic()
+        scan_p, stats_p = scan_version_with_stats(
+            spark, plain, {}, eq={"o_orderkey": key}
+        )
+        n_p = scan_p.count()
+        dt_plain = time.monotonic() - t0
+        assert n == n_p == 1, (n, n_p)
+        results.append(
+            (n_files, stats.files_scheduled, dt_bloom,
+             stats_p.files_scheduled, dt_plain)
+        )
+        shutil.rmtree(t, ignore_errors=True)
+        shutil.rmtree(plain, ignore_errors=True)
+    pts = ", ".join(
+        f"{nf}f bloom={bs}f/{bt:.2f}s plain={ps}f/{pt:.2f}s"
+        for nf, bs, bt, ps, pt in results
+    )
+    print(f"bloom_lookup: {pts}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -430,6 +486,7 @@ def main() -> None:
         ("scd2_stored", probe_scd2_stored),
         ("change_feed", probe_change_feed),
         ("merge", probe_merge),
+        ("bloom", probe_bloom),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
