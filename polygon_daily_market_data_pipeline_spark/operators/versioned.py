@@ -248,6 +248,28 @@ def _schema_sig(schema_json: dict) -> list:
     return [(f["name"], norm(f["type"])) for f in schema_json["fields"]]
 
 
+def _check_violation(
+    spark: SparkSession, paths: list[str], checks: dict
+) -> str | None:
+    """First violated CHECK constraint name among the rows under
+    ``paths``, or None — ONE aggregate job counts every check's
+    violations in a single pass. SQL CHECK semantics: a row violates
+    only when the predicate evaluates FALSE; NULL passes (express NOT
+    NULL as an explicit ``c IS NOT NULL`` check)."""
+    df = spark.read.parquet(*paths)
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1)
+        ).alias(f"__chk_{i}")
+        for i, sql in enumerate(checks.values())
+    ]
+    row = df.agg(*aggs).first()
+    for i, name in enumerate(checks):
+        if row[f"__chk_{i}"]:
+            return name
+    return None
+
+
 def commit_version(
     df: DataFrame,
     table_dir: str,
@@ -258,6 +280,7 @@ def commit_version(
     schema_evolution: bool = False,
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    checks: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -291,9 +314,26 @@ def commit_version(
     data directory (never the manifest — see ``_collect_file_blooms``).
     Blooms prune POINT lookups (``scan_version(..., eq=...)``) on
     high-cardinality columns the file layout does not cluster, where a
-    [min, max] envelope spans everything and prunes nothing."""
+    [min, max] envelope spans everything and prunes nothing.
+
+    ``checks`` (``{name: sql_predicate}``) defines TABLE-level CHECK
+    constraints on an OVERWRITE commit — they are recorded in the
+    manifest, every later append (including the streaming sink's)
+    validates its batch against them in one aggregate pass BEFORE
+    publishing, and value-mutating rewrites (UPDATE, MERGE inserts)
+    enforce them too. A violating commit raises ``ValueError`` and
+    publishes nothing (the written data directory is debris for
+    ``vacuum``). SQL CHECK semantics: NULL passes — write an explicit
+    ``c IS NOT NULL`` check for NOT NULL. Appends cannot pass
+    ``checks``: constraints are table metadata, redefined only by an
+    overwrite."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if checks is not None and mode != "overwrite":
+        raise ValueError(
+            "checks are table metadata, defined at overwrite — appends "
+            "inherit and enforce the table's recorded constraints"
+        )
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     schema = df.schema.jsonValue()
 
@@ -354,6 +394,17 @@ def commit_version(
         )
     if bloom_cols:
         _collect_file_blooms(df.sparkSession, data_dir, bloom_cols, bloom_fpp)
+    tbl_checks = checks
+    if mode == "append" and prev is not None:
+        tbl_checks = prev.get("checks")
+    if tbl_checks:
+        bad = _check_violation(df.sparkSession, [data_dir], tbl_checks)
+        if bad is not None:
+            raise ValueError(
+                f"commit to {table_dir} violates CHECK constraint "
+                f"{bad!r} ({tbl_checks[bad]}) — nothing published; the "
+                "written data directory is debris for vacuum"
+            )
 
     for attempt in range(retries + 1):
         version = (existing[-1] + 1) if existing else 0
@@ -377,6 +428,8 @@ def commit_version(
             manifest["files"] = files
         if max_batch is not None:
             manifest["max_batch"] = max_batch
+        if tbl_checks:
+            manifest["checks"] = tbl_checks
         try:
             _publish_manifest(table_dir, version, manifest)
             return version
@@ -1050,6 +1103,8 @@ def rollback(table_dir: str, to_version: int) -> int:
         manifest["max_batch"] = src["max_batch"]
     if "schema" in src:
         manifest["schema"] = src["schema"]
+    if "checks" in src:
+        manifest["checks"] = src["checks"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1104,6 +1159,7 @@ def _mutate_version(
 
     new_dirs: list[str] = []
     new_files: dict = {}
+    rewritten_dirs: list[str] = []
     for d in src["dirs"]:
         files = [
             os.path.relpath(f, table_dir)
@@ -1130,9 +1186,21 @@ def _mutate_version(
         survivors.write.mode("errorifexists").parquet(out_dir)
         rel = os.path.relpath(out_dir, table_dir)
         new_dirs.append(rel)
+        rewritten_dirs.append(out_dir)
         if stats_cols:
             new_files.update(
                 _collect_file_stats(spark, table_dir, out_dir, stats_cols)
+            )
+    # UPDATE writes NEW values — they must honor the table's CHECK
+    # constraints like any commit (DELETE only drops rows: a subset of
+    # already-valid rows cannot violate)
+    if mode == "update" and src.get("checks") and rewritten_dirs:
+        bad = _check_violation(spark, rewritten_dirs, src["checks"])
+        if bad is not None:
+            raise ValueError(
+                f"update on {table_dir} violates CHECK constraint "
+                f"{bad!r} ({src['checks'][bad]}) — nothing published; "
+                "the rewritten directories are debris for vacuum"
             )
     version = versions[-1] + 1
     manifest = {
@@ -1149,6 +1217,8 @@ def _mutate_version(
         manifest["max_batch"] = src["max_batch"]
     if "schema" in src:
         manifest["schema"] = src["schema"]
+    if "checks" in src:
+        manifest["checks"] = src["checks"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1483,6 +1553,19 @@ def merge_version(
                 new_files.update(
                     _collect_file_stats(spark, table_dir, ins_dir, stats_cols)
                 )
+            # merged-in rows are new values: enforce the table's CHECK
+            # constraints (anti-join survivors are a subset of
+            # already-valid rows and cannot violate)
+            if src_manifest.get("checks"):
+                bad = _check_violation(
+                    spark, [ins_dir], src_manifest["checks"]
+                )
+                if bad is not None:
+                    raise ValueError(
+                        f"merge into {table_dir} violates CHECK constraint "
+                        f"{bad!r} ({src_manifest['checks'][bad]}) — nothing "
+                        "published; written directories are debris for vacuum"
+                    )
     finally:
         source.unpersist()
     version = versions[-1] + 1
@@ -1501,6 +1584,8 @@ def merge_version(
         manifest["max_batch"] = src_manifest["max_batch"]
     if tbl_schema is not None:
         manifest["schema"] = tbl_schema
+    if "checks" in src_manifest:
+        manifest["checks"] = src_manifest["checks"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1571,6 +1656,9 @@ def optimize_zorder(
         manifest["max_batch"] = src["max_batch"]
     if "schema" in src:
         manifest["schema"] = src["schema"]
+    if "checks" in src:
+        # same rows, new layout: the constraint set rides along
+        manifest["checks"] = src["checks"]
     # stats_cols defaults to the z-columns: the rewrite exists to give
     # every file a tight envelope on them, so index exactly those for
     # scan_version's manifest prune

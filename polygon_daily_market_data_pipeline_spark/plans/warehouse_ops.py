@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE nineteen-row union query
+sequence packing) exercised end-to-end as ONE twenty-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -641,6 +641,39 @@ def _packing_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     return [_row(row, "corpus_pack")]
 
 
+def _checks_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Table-level CHECK constraints: v0 defines ``o_totalprice > 0``,
+    an append of NEGATED prices must be REFUSED (publishing nothing —
+    n_aux pins that the ValueError fired and the row count proves no
+    partial state leaked), then the honest append lands. n_rows/val are
+    the SQL-exact count/sum over the full ord set."""
+    tdir = os.path.join(base, "chk_vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    pre = ord_df.where(F.col("o_orderdate") < cut)
+    post = ord_df.where(F.col("o_orderdate") >= cut)
+    commit_version(
+        pre.coalesce(4), tdir, checks={"price_positive": "o_totalprice > 0"}
+    )
+    refused = 0
+    try:
+        commit_version(
+            post.withColumn("o_totalprice", -F.col("o_totalprice")).coalesce(4),
+            tdir,
+            mode="append",
+        )
+    except ValueError:
+        refused = 1
+    commit_version(post.coalesce(4), tdir, mode="append")
+    row = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(refused).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_checks")]
+
+
 def _bloom_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -901,6 +934,11 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_checks',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+        UNION ALL
         SELECT 'versioned_bloom',
                1,
                1,
@@ -977,7 +1015,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY nineteen-row audit union over scratch state under
+    """The LAZY twenty-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -996,6 +1034,7 @@ def build_maintenance_union(
         + _merge_rows(spark, ord_df, base)
         + _evolution_rows(spark, ord_df, base)
         + _bloom_rows(spark, ord_df, base)
+        + _checks_rows(spark, ord_df, base)
         + _versioned_stream_rows(spark, ord_df, base)
         + _skipping_rows(spark, ord_df, base)
         + _streaming_mv_rows(spark, sf_dir, base)
