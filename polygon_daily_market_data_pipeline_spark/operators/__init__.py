@@ -30,6 +30,7 @@ from polygon_daily_market_data_pipeline_spark.operators.decontam import (
     eval_ngram_set,
 )
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    clone_table,
     commit_version,
     delete_version_where,
     merge_version,
@@ -63,6 +64,7 @@ __all__ = [
     "contamination_hits",
     "decontaminate",
     "eval_ngram_set",
+    "clone_table",
     "commit_version",
     "optimize_zorder",
     "delete_version_where",

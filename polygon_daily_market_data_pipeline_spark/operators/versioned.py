@@ -1590,6 +1590,56 @@ def merge_version(
     return version
 
 
+def clone_table(src_dir: str, dst_dir: str) -> int:
+    """SHALLOW CLONE (Delta semantics): create a new versioned table at
+    ``dst_dir`` whose v0 sees the SOURCE's latest version by REFERENCE —
+    zero data is copied, the clone's manifest lists the source's data
+    directories as absolute paths. Dev/test workflows fork a 100 TB
+    table in one JSON write; writes to the clone land under the CLONE's
+    ``_data`` (copy-on-write against the shared files), the source is
+    never touched, and ``vacuum`` on the clone only sweeps the clone's
+    own ``_data``. Stats, schema, and CHECK constraints carry over;
+    sidecar blooms ride with the referenced directories for free.
+
+    The one shared-fate hazard is Delta's too: ``vacuum`` on the SOURCE
+    can reclaim files the clone still references (the source does not
+    know about clone readers). Clone for short-lived forks, or snapshot
+    (deep-copy) for archival."""
+    versions = _manifests(src_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {src_dir}")
+    if _manifests(dst_dir):
+        raise FileExistsError(f"{dst_dir} already has versions")
+    src = _load_manifest(src_dir, versions[-1])
+    abs_dirs = [
+        os.path.abspath(os.path.join(src_dir, d)) for d in src["dirs"]
+    ]
+    # stats keys must resolve the same way prune_files will resolve the
+    # clone's file paths: relative to the CLONE's table dir
+    files = {}
+    for rel, ent in src.get("files", {}).items():
+        files[
+            os.path.relpath(os.path.abspath(os.path.join(src_dir, rel)), dst_dir)
+        ] = ent
+    os.makedirs(_versions_dir(dst_dir), exist_ok=True)
+    manifest = {
+        "version": 0,
+        "committed_at": _commit_ts(None),
+        "mode": f"clone({os.path.abspath(src_dir)}@{versions[-1]})",
+        "dirs": abs_dirs,
+    }
+    if files:
+        manifest["files"] = files
+    if "schema" in src:
+        manifest["schema"] = src["schema"]
+    if "checks" in src:
+        manifest["checks"] = src["checks"]
+    # deliberately NOT carried: max_batch — the clone is a new table for
+    # its own writers; a stream replaying into it must start fresh
+    _publish_manifest(dst_dir, 0, manifest)
+    return 0
+
+
 def optimize_zorder(
     spark: SparkSession,
     table_dir: str,

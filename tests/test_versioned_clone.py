@@ -1,0 +1,92 @@
+"""Shallow clone (Delta SHALLOW CLONE semantics): the clone's v0 sees
+the source's latest version by reference — one JSON write, zero data
+copied — and all writes to the clone are copy-on-write against the
+shared files, never touching the source."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    clone_table,
+    commit_version,
+    delete_version_where,
+    read_version,
+    scan_version_with_stats,
+    vacuum,
+)
+
+
+def _df(spark, lo=0, hi=1000):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+
+
+def _parquet_bytes(root):
+    total = 0
+    for r, _d, files in os.walk(root):
+        total += sum(
+            os.path.getsize(os.path.join(r, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
+def test_clone_is_zero_copy_and_reads_equal(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    commit_version(
+        _df(spark).repartitionByRange(4, "k"), src, stats_cols=["k"],
+        checks={"v_nonneg": "v >= 0"},
+    )
+    clone_table(src, dst)
+    assert _parquet_bytes(dst) == 0  # no data copied
+    assert sorted(read_version(spark, dst).collect()) == sorted(
+        read_version(spark, src).collect()
+    )
+    # carried stats prune on the clone
+    _scan, stats = scan_version_with_stats(spark, dst, {"k": (0, 100)})
+    assert stats.files_scheduled < stats.files_total == 4
+    # carried CHECK constraints enforce on the clone
+    bad = spark.createDataFrame([(1, -5.0)], "k long, v double")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        commit_version(bad, dst, mode="append")
+    with pytest.raises(FileExistsError, match="already has versions"):
+        clone_table(src, dst)
+
+
+def test_clone_writes_never_touch_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    commit_version(_df(spark).repartitionByRange(4, "k"), src, stats_cols=["k"])
+    clone_table(src, dst)
+    src_files = set(read_version(spark, src).inputFiles())
+    src_rows = sorted(read_version(spark, src).collect())
+    commit_version(_df(spark, 1000, 1100), dst, mode="append")
+    delete_version_where(
+        spark, dst, F.col("k") < 10, prune={"k": (None, 10)},
+        stats_cols=["k"],
+    )
+    # clone state diverged...
+    assert read_version(spark, dst).count() == 1000 + 100 - 10
+    # ...while the source is bit-for-bit where it was
+    assert set(read_version(spark, src).inputFiles()) == src_files
+    assert sorted(read_version(spark, src).collect()) == src_rows
+    assert all(os.path.exists(f.replace("file:", "")) for f in src_files)
+
+
+def test_vacuum_on_clone_spares_source_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    commit_version(_df(spark), src)
+    clone_table(src, dst)
+    commit_version(_df(spark, 0, 10), dst, mode="overwrite")  # clone moves on
+    vacuum(dst, keep_last=1)  # v0 (the reference manifest) aged out
+    # the source's data is intact and readable
+    assert read_version(spark, src).count() == 1000
+    assert read_version(spark, dst).count() == 10
