@@ -167,6 +167,35 @@ def _stat_from_json(j: dict):
     return v
 
 
+_STR_STAT_MAXLEN = 64
+
+
+def _truncate_str_env(lo: str, hi: str, maxlen: int = _STR_STAT_MAXLEN):
+    """Bound a string [lo, hi] envelope at ``maxlen`` chars the way
+    Delta truncates string stats, so the manifest stays O(files) rather
+    than O(files × value length). The truncated LO is a prefix — always
+    ≤ the true min. The truncated HI must stay an UPPER bound for every
+    string it used to cover, so the last kept character is incremented
+    (backing off over non-incrementable chars); if every kept char is
+    already U+10FFFF the column yields ``None`` → unprunable, never
+    wrong."""
+    if len(lo) <= maxlen and len(hi) <= maxlen:
+        return lo, hi
+    lo_t = lo[:maxlen]
+    if len(hi) <= maxlen:
+        return lo_t, hi
+    cut = list(hi[:maxlen])
+    for i in range(len(cut) - 1, -1, -1):
+        cp = ord(cut[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # never mint lone surrogates
+                nxt = 0xE000
+            cut[i] = chr(nxt)
+            return lo_t, "".join(cut[: i + 1])
+    return None
+
+
 def _collect_file_stats(
     spark: SparkSession, table_dir: str, data_dir: str, cols: list[str]
 ) -> dict:
@@ -198,11 +227,16 @@ def _collect_file_stats(
                     def enc_col(c):
                         if env[c] is None:
                             return None
+                        lo, hi = env[c]
+                        if isinstance(lo, str) and isinstance(hi, str):
+                            # Delta-style truncation: the manifest must
+                            # stay O(files), not O(files × value length)
+                            t = _truncate_str_env(lo, hi)
+                            if t is None:
+                                return None
+                            lo, hi = t
                         try:
-                            return [
-                                _stat_to_json(env[c][0]),
-                                _stat_to_json(env[c][1]),
-                            ]
+                            return [_stat_to_json(lo), _stat_to_json(hi)]
                         except TypeError:
                             # unencodable stats type (e.g. BINARY):
                             # record none — the column stays unprunable
@@ -1057,19 +1091,46 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> int:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 1,
+    older_than: dt.datetime | str | None = None,
+) -> int:
     """Drop manifests older than the last ``keep_last`` and delete data
     directories no kept version references (including debris from
-    crashed commits). Returns the number of data dirs removed."""
+    crashed commits). Returns the number of data dirs removed.
+
+    ``older_than`` is the Delta ``RETAIN``-style time guard: versions
+    committed AT OR AFTER the cutoff are kept even beyond ``keep_last``,
+    so a retention policy ("7 days of time travel") composes with a
+    version floor — only versions that fail BOTH guards are dropped. A
+    naive cutoff is interpreted as UTC, matching ``committed_at``."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    cutoff = None
+    if older_than is not None:
+        cutoff = (
+            dt.datetime.fromisoformat(older_than)
+            if isinstance(older_than, str)
+            else older_than
+        )
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=dt.timezone.utc)
     versions = _manifests(table_dir)
-    keep = versions[-keep_last:]
+    keep = set(versions[-keep_last:])
+    if cutoff is not None:
+        for v in versions:
+            committed = dt.datetime.fromisoformat(
+                _load_manifest(table_dir, v)["committed_at"]
+            )
+            if committed >= cutoff:
+                keep.add(v)
     referenced = set()
     for v in keep:
         referenced.update(_load_manifest(table_dir, v)["dirs"])
-    for v in versions[:-keep_last]:
-        os.remove(os.path.join(_versions_dir(table_dir), f"{v}.json"))
+    for v in versions:
+        if v not in keep:
+            os.remove(os.path.join(_versions_dir(table_dir), f"{v}.json"))
     removed = 0
     data_root = os.path.join(table_dir, "_data")
     if os.path.isdir(data_root):

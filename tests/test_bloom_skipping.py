@@ -132,3 +132,41 @@ def test_bloom_composes_with_range_stats(spark, tmp_path):
         os.path.basename(f).startswith("_")
         for f in read_version(spark, t).inputFiles()
     )
+
+
+def test_string_stats_truncated_but_exact(spark, tmp_path):
+    """Long-string envelopes are truncated Delta-style (manifest stays
+    O(files)) while every range scan stays value-identical to
+    read+filter — the truncated hi is a true upper bound (incremented
+    last kept char), the lo a true prefix lower bound."""
+    import json
+    import os
+
+    t = str(tmp_path / "vt")
+    df = spark.range(2_000).select(
+        F.col("id").cast("long").alias("k"),
+        # 100+-char strings ordered like k, so range-partitioning
+        # clusters them and the envelopes are selective
+        F.concat(
+            F.lpad(F.col("id").cast("string"), 6, "0"), F.lit("x" * 100)
+        ).alias("s"),
+    ).repartitionByRange(8, "s")
+    commit_version(df, t, stats_cols=["s"])
+    # every recorded stat string is bounded
+    vdir = os.path.join(t, "_versions")
+    m = json.load(open(os.path.join(vdir, "0.json")))
+    for ent in m["files"].values():
+        rng = (ent["stats"] or {}).get("s")
+        if rng:
+            assert len(rng[0]["v"]) <= 65 and len(rng[1]["v"]) <= 65
+    # scans are exact AND still prune (boundary-straddling predicate
+    # whose lo shares the 64-char prefix with a truncated max)
+    lo = "000100" + "x" * 100
+    hi = "000500" + "x" * 100
+    got, stats = scan_version_with_stats(spark, t, {"s": (lo, hi)})
+    want = read_version(spark, t).where(
+        (F.col("s") >= lo) & (F.col("s") <= hi)
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert got.count() == 401
+    assert stats.files_scheduled < stats.files_total == 8

@@ -184,6 +184,42 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 )
 
 
+def test_vacuum_retention_window(spark, tmp_path):
+    """vacuum(older_than=...) composes a time guard with the version
+    floor: versions committed at/after the cutoff survive beyond
+    keep_last; only versions failing BOTH guards are dropped."""
+    import datetime as dtm
+    import json
+    import os
+
+    t = str(tmp_path / "vt")
+    for i in range(3):
+        commit_version(_df(spark, i), t, mode="overwrite" if i == 0 else "append")
+    # age v0 and v1 artificially (manifest edit, like the clock test)
+    old = dtm.datetime.now(dtm.timezone.utc) - dtm.timedelta(days=30)
+    for v in (0, 1):
+        mpath = os.path.join(t, "_versions", f"{v}.json")
+        m = json.load(open(mpath))
+        m["committed_at"] = (old + dtm.timedelta(seconds=v)).isoformat()
+        json.dump(m, open(mpath, "w"))
+    # a cutoff older than everything: the time guard keeps ALL versions
+    vacuum(t, keep_last=1, older_than=old - dtm.timedelta(days=1))
+    assert [h["version"] for h in history(t)] == [0, 1, 2]
+    # a 7-day retention: v0/v1 fail both guards and drop, v2 survives
+    removed = vacuum(
+        t, keep_last=1,
+        older_than=dtm.datetime.now(dtm.timezone.utc) - dtm.timedelta(days=7),
+    )
+    assert [h["version"] for h in history(t)] == [2]
+    assert removed == 0  # append-built: v2 still references every dir
+    assert _rows(read_version(spark, t)) == sorted(
+        _rows(_df(spark, 0)) + _rows(_df(spark, 1)) + _rows(_df(spark, 2))
+    )
+    for v in (0, 1):
+        with pytest.raises(LookupError):
+            read_version(spark, t, version=v)
+
+
 def test_commit_timestamps_strictly_monotonic(spark, tmp_path):
     """Rapid commits must publish strictly-increasing committed_at
     instants, so AT-timestamp reads resolve each version unambiguously
