@@ -33,6 +33,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     clone_table,
     commit_version,
     delete_version_where,
+    diff_versions,
     merge_version,
     optimize_zorder,
     read_changes,
@@ -68,6 +69,7 @@ __all__ = [
     "commit_version",
     "optimize_zorder",
     "delete_version_where",
+    "diff_versions",
     "merge_version",
     "update_version_where",
     "read_changes",

@@ -1075,6 +1075,110 @@ def read_changes(
     )
 
 
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions — the explicit diff the
+    change feed points to when a commit REDEFINED rows (merge, delete,
+    update, overwrite, rollback), where ``read_changes`` refuses.
+    Returns one row per distinct changed row-value with two extra
+    columns: ``_change_type`` ('insert' | 'delete') and ``_n`` (how
+    many copies appeared/disappeared — bag semantics, so duplicate
+    rows diff correctly).
+
+    Scale shape: directories present in BOTH versions are identical by
+    construction (data dirs are immutable; every commit path carries
+    untouched dirs by reference), so the diff reads ONLY the
+    directory-set symmetric difference and shuffles only those rows —
+    after a targeted merge/delete that is O(changed data + one
+    commit's worth of carried-along rows), never O(table). Both sides
+    are read in ``to_version``'s manifest schema (columns added by
+    evolution surface as NULL on the old side). Tables with MAP-typed
+    columns cannot be bag-diffed (maps are not comparable keys) and
+    raise."""
+    versions = _manifests(table_dir)
+    if to_version is None:
+        to_version = versions[-1] if versions else -1
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise LookupError(f"version {v} not in {versions}")
+    m_from = _load_manifest(table_dir, from_version)
+    m_to = _load_manifest(table_dir, to_version)
+    def has_map(t) -> bool:
+        if isinstance(t, dict):
+            if t.get("type") == "map":
+                return True
+            return any(has_map(v) for v in t.values())
+        if isinstance(t, list):
+            return any(has_map(v) for v in t)
+        return False
+
+    if has_map(m_to.get("schema", {}).get("fields", [])):
+        raise ValueError(
+            "diff_versions cannot bag-diff MAP-typed columns — project "
+            "them away (e.g. to sorted entries) and diff that view"
+        )
+    old_dirs = [d for d in m_from["dirs"] if d not in set(m_to["dirs"])]
+    new_dirs = [d for d in m_to["dirs"] if d not in set(m_from["dirs"])]
+
+    def side(dirs: list[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        df = _read_manifest_paths(
+            spark, m_to, [os.path.join(table_dir, d) for d in dirs]
+        )
+        return df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__n"))
+
+    old, new = side(old_dirs), side(new_dirs)
+    if old is None and new is None:  # identical visibility sets
+        base = read_version(spark, table_dir, version=to_version).limit(0)
+        return base.withColumns(
+            {
+                "_change_type": F.lit("insert"),
+                "_n": F.lit(0).cast("long"),
+            }
+        )
+    if old is None or new is None:
+        only, tag = (new, "insert") if old is None else (old, "delete")
+        return only.select(
+            *[c for c in only.columns if c != "__n"],
+            F.lit(tag).alias("_change_type"),
+            F.col("__n").cast("long").alias("_n"),
+        )
+    cols = [c for c in new.columns if c != "__n"]
+    o = old.withColumnRenamed("__n", "__n_old").alias("__diff_o")
+    n = new.withColumnRenamed("__n", "__n_new").alias("__diff_n")
+    joined = o.join(
+        n,
+        # null-safe: NULL cells must match NULL cells for the bag diff
+        [
+            F.col(f"__diff_o.{c}").eqNullSafe(F.col(f"__diff_n.{c}"))
+            for c in cols
+        ],
+        "full_outer",
+    )
+    delta = F.coalesce(F.col("__n_new"), F.lit(0)) - F.coalesce(
+        F.col("__n_old"), F.lit(0)
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__diff_o.{c}"), F.col(f"__diff_n.{c}")).alias(c)
+        for c in cols
+    ]
+    return (
+        joined.select(
+            *out_cols,
+            F.when(delta > 0, F.lit("insert"))
+            .when(delta < 0, F.lit("delete"))
+            .alias("_change_type"),
+            F.abs(delta).cast("long").alias("_n"),
+        )
+        .where(F.col("_change_type").isNotNull())
+    )
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit log, oldest first: version, timestamp, mode, dir count."""
     out = []

@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE twenty-row union query
+sequence packing) exercised end-to-end as ONE twenty-one-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -440,7 +440,35 @@ def _merge_rows(
         F.lit(carried).alias("n_aux"),
         F.round(F.sum("o_totalprice"), 2).alias("val"),
     )
-    return [_row(row, "versioned_merge")]
+    # row-level diff across the merge commit (diff_versions — the
+    # explicit diff the append-only change feed defers to on
+    # redefinitions), scanning only the directory-set difference:
+    # deletes = the matched rows' OLD images, inserts = their new
+    # images + the shifted inserts; the untouched top-half commit must
+    # not enter the scan (n_aux pins it via the plan's file list)
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        diff_versions,
+    )
+
+    diff = diff_versions(spark, tdir, 1, v_m)
+    diff_scan_clean = 1 if not (set(diff.inputFiles()) & top) else 0
+    diff_row = diff.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
+        F.lit(diff_scan_clean).alias("n_aux"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "insert",
+                        F.col("o_totalprice") * F.col("_n"),
+                    )
+                ),
+                F.lit(0),
+            ),
+            2,
+        ).alias("val"),
+    )
+    return [_row(row, "versioned_merge"), _row(diff_row, "versioned_diff")]
 
 
 def _evolution_rows(
@@ -849,6 +877,16 @@ _ORACLE = f"""
         SELECT o_totalprice FROM ord
         WHERE o_orderdate >= TIMESTAMP '{_CUT}' AND o_orderkey % 100 = 0
     ),
+    mrg_upd AS (
+        SELECT o_totalprice FROM ord
+        WHERE o_orderdate < TIMESTAMP '{_CUT}'
+          AND o_orderkey % 10 = 0
+          AND o_orderkey <= (SELECT h FROM mrg_half)
+    ),
+    mrg_ins AS (
+        SELECT o_totalprice FROM ord
+        WHERE o_orderdate >= TIMESTAMP '{_CUT}' AND o_orderkey % 100 = 0
+    ),
     ev AS (SELECT * FROM events WHERE user_id % 4 = 1),
     ev_groups AS (
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
@@ -934,6 +972,18 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_diff',
+               -- deletes (matched old images) + inserts (new images +
+               -- shifted inserts)
+               2 * (SELECT COUNT(*) FROM mrg_upd)
+                   + (SELECT COUNT(*) FROM mrg_ins),
+               1,
+               -- insert-side value: updated images carry +100000 each
+               ROUND((SELECT COALESCE(SUM(o_totalprice), 0) FROM mrg_upd)
+                     + 100000 * (SELECT COUNT(*) FROM mrg_upd)
+                     + (SELECT COALESCE(SUM(o_totalprice), 0) FROM mrg_ins),
+                     2)
+        UNION ALL
         SELECT 'versioned_checks',
                (SELECT COUNT(*) FROM ord),
                1,
@@ -1015,7 +1065,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY twenty-row audit union over scratch state under
+    """The LAZY twenty-one-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
