@@ -140,3 +140,76 @@ def test_diff_across_schema_evolution(spark, tmp_path):
     assert all(r._change_type == "insert" for r in rows)
     assert sorted(r.k for r in rows) == [10, 11]
     assert all(r.w == 7 for r in rows)
+
+
+def test_diff_law_under_random_op_sequences(spark, tmp_path):
+    """Randomized model check: after EVERY commit (overwrite, append,
+    copy-on-write delete/update/merge, rollback, optimize), the diff
+    between the previous and new latest version, applied to the
+    previous model bag, must reproduce the new model bag — including
+    the optimize case, whose full rewrite must bag-cancel to an EMPTY
+    diff (same rows, new layout)."""
+    import random
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        optimize_zorder,
+        rollback,
+    )
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"vt_{seed}")
+        commit_version(_df(spark, 0, 8, "b0"), t)
+        model = {0: _bag(_df(spark, 0, 8, "b0"))}
+        latest = 0
+        for step in range(6):
+            op = rng.choice(
+                ["overwrite", "append", "delete", "update", "merge",
+                 "rollback", "optimize"]
+            )
+            tag = f"s{seed}b{step}"
+            if op == "overwrite":
+                v = commit_version(_df(spark, 0, 6, tag), t)
+                model[v] = _bag(_df(spark, 0, 6, tag))
+            elif op == "append":
+                v = commit_version(_df(spark, 0, 4, tag), t, mode="append")
+                model[v] = model[latest] + _bag(_df(spark, 0, 4, tag))
+            elif op == "delete":
+                b = rng.randrange(0, 6)
+                v = delete_version_where(spark, t, F.col("k") < b)
+                model[v] = Counter(
+                    {r: n for r, n in model[latest].items() if r[0] >= b}
+                )
+            elif op == "update":
+                b = rng.randrange(0, 6)
+                v = update_version_where(
+                    spark, t, F.col("k") >= b, {"v": F.lit(-1.0)}
+                )
+                model[v] = Counter()
+                for (k, val, s), n in model[latest].items():
+                    key = (k, -1.0 if k >= b else val, s)
+                    model[v][key] += n
+            elif op == "merge":
+                b = rng.randrange(0, 8)
+                src = _df(spark, b, 10, tag)
+                v = merge_version(spark, t, src, keys=["k"])
+                model[v] = Counter(
+                    {r: n for r, n in model[latest].items() if r[0] < b}
+                ) + _bag(src)
+            elif op == "rollback":
+                back = rng.choice(sorted(model))
+                v = rollback(t, to_version=back)
+                model[v] = model[back]
+            else:
+                v = optimize_zorder(
+                    spark, t, ["k"], n_files=2, expected_version=latest
+                )
+                model[v] = model[latest]
+                # full rewrite, identical rows: the bag diff is EMPTY
+                assert diff_versions(spark, t, latest, v).count() == 0
+            got = _apply_diff(
+                model[latest],
+                diff_versions(spark, t, latest, v).collect(),
+            )
+            assert got == model[v], (seed, step, op)
+            latest = v
