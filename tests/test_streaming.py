@@ -712,3 +712,53 @@ def test_versioned_sink_to_changes_source_loop(spark, tmp_path):
     q.awaitTermination()
     got = sorted((r.k, r.tag) for r in spark.read.parquet(out).collect())
     assert got == sorted((r.k, r.tag) for r in up.collect())
+
+
+def test_versioned_changes_stream_crosses_optimize(spark, tmp_path):
+    """An optimize_zorder mid-stream is a no-DATA-change commit: the
+    feed must cross it without re-emitting the rewritten rows, and an
+    append AFTER the compaction feeds exactly its own rows (the
+    optimize's dirs joined the consumer's base set)."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        optimize_zorder,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources import (
+        versioned_changes_source,
+    )
+
+    versioned_changes_source.register(spark)
+    t = str(tmp_path / "vt")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _df(tag):
+        return spark.range(4).select(
+            F.col("id").alias("k"), F.lit(tag).cast("long").alias("tag")
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_changes")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.k, r.tag) for r in spark.read.parquet(out).collect())
+
+    commit_version(_df(0), t)
+    assert drain() == [(k, 0) for k in range(4)]  # snapshot
+    optimize_zorder(spark, t, ["k"], n_files=2)
+    # compaction alone: nothing new to feed
+    assert drain() == [(k, 0) for k in range(4)]
+    commit_version(_df(1), t, mode="append")
+    got = drain()
+    # exactly the post-compaction append arrives once — the rewritten
+    # snapshot rows are NOT re-emitted
+    assert got == sorted([(k, 0) for k in range(4)] + [(k, 1) for k in range(4)])
