@@ -879,13 +879,56 @@ def prune_files(
     return kept, len(all_files)
 
 
+_BLOOM_INT_TYPES = {"byte", "short", "integer", "long", "boolean"}
+
+
+def _bloom_type_ok(manifest: dict, col: str, value) -> bool:
+    """True only when the eq value's Python type matches the column's
+    manifest schema type, so the bloom's type-prefixed keys ('i:' vs
+    's:') are comparable to what the build hashed. A mismatch (e.g.
+    ``eq={'c': 5}`` on a string column) would hash ``'i:5'``, which
+    every sidecar 'proves' absent — pruning files whose rows the
+    residual comparison (via Spark's implicit cast) could match. On
+    mismatch, or when the manifest carries no schema / no such column,
+    the caller must treat the column as cannot-prune — never wrong,
+    mirroring ``prune_files``' TypeError posture."""
+    schema = manifest.get("schema")
+    if not schema:
+        return False
+    ftype = None
+    for f in schema.get("fields", []):
+        if f.get("name") == col:
+            ftype = f.get("type")
+            break
+    if not isinstance(ftype, str):
+        return False  # absent or nested type: not a bloom column
+    if isinstance(value, bool) or isinstance(value, int):
+        return ftype in _BLOOM_INT_TYPES
+    try:
+        import numpy as np
+
+        if isinstance(value, np.integer):
+            return ftype in _BLOOM_INT_TYPES
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(value, str):
+        return ftype == "string"
+    return False
+
+
 def _bloom_prune(
     table_dir: str, manifest: dict, files: list[str], eq: dict
 ) -> list[str]:
     """Drop files whose sidecar bloom PROVES a point-lookup value
     absent. Directories without a sidecar (or files/columns without an
-    entry) are kept — cannot-prune is never wrong. Sidecar loads are
-    file-count-sized driver IO, paid only on eq scans."""
+    entry) are kept — cannot-prune is never wrong; so is an eq value
+    whose type disagrees with the column's manifest schema type
+    (``_bloom_type_ok`` — the bloom hashed the OTHER type's keys).
+    Sidecar loads are file-count-sized driver IO, paid only on eq
+    scans."""
+    eq = {c: v for c, v in eq.items() if _bloom_type_ok(manifest, c, v)}
+    if not eq:
+        return files
     sidecars = []
     for d in manifest["dirs"]:
         p = os.path.join(table_dir, d, _BLOOM_SIDECAR)
@@ -953,7 +996,23 @@ def scan_version_with_stats(
                     f"eq[{c!r}] is None — equality never matches NULL; "
                     "use an explicit IS NULL filter on the read"
                 )
-            preds.setdefault(c, (v, v))
+            if c in preds:
+                # a column in BOTH eq and predicates: INTERSECT the
+                # envelopes (a setdefault would drop the (v, v) point
+                # envelope, pruning on the range while the bloom prunes
+                # on the point — two different row sets, silently
+                # wrong). Incomparable lo/hi vs v falls back to the
+                # point envelope alone: the residual filters below
+                # still enforce both, so a looser prune is never wrong.
+                lo, hi = preds[c]
+                try:
+                    nlo = v if lo is None else max(lo, v)
+                    nhi = v if hi is None else min(hi, v)
+                except TypeError:
+                    nlo = nhi = v
+                preds[c] = (nlo, nhi)
+            else:
+                preds[c] = (v, v)
     # default bounds_tz (process zone) matches the residual F.lit below
     kept, total = prune_files(table_dir, m, preds)
     if eq and kept:
@@ -975,11 +1034,19 @@ def scan_version_with_stats(
         if not any_files:
             raise FileNotFoundError(f"version has no data files in {table_dir}")
         df = _read_manifest_paths(spark, m, [any_files[0]])
-    for col, (lo, hi) in preds.items():
+    # residuals are applied from the CALLER's two dicts, not the merged
+    # prune envelopes: every range filter from ``predicates`` plus an
+    # explicit equality per eq column — so even where the prune fell
+    # back to a looser envelope, the returned rows satisfy exactly
+    # range AND equality
+    for col, (lo, hi) in predicates.items():
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.where(F.col(col) <= F.lit(hi))
+    if eq:
+        for c, v in eq.items():
+            df = df.where(F.col(c) == F.lit(v))
     if not kept:
         df = df.where(F.lit(False))
     return df, ScanStats(len(kept), total)
@@ -1108,10 +1175,17 @@ def diff_versions(
     m_from = _load_manifest(table_dir, from_version)
     m_to = _load_manifest(table_dir, to_version)
     def has_map(t) -> bool:
+        # walk only the STRUCTURAL entries of the schema JSON — a
+        # column whose user `metadata` happens to contain
+        # {'type': 'map'} is not a MAP column
         if isinstance(t, dict):
             if t.get("type") == "map":
                 return True
-            return any(has_map(v) for v in t.values())
+            return any(
+                has_map(t[k])
+                for k in ("type", "elementType", "fields", "keyType", "valueType")
+                if k in t
+            )
         if isinstance(t, list):
             return any(has_map(v) for v in t)
         return False
@@ -1121,8 +1195,9 @@ def diff_versions(
             "diff_versions cannot bag-diff MAP-typed columns — project "
             "them away (e.g. to sorted entries) and diff that view"
         )
-    old_dirs = [d for d in m_from["dirs"] if d not in set(m_to["dirs"])]
-    new_dirs = [d for d in m_to["dirs"] if d not in set(m_from["dirs"])]
+    from_set, to_set = set(m_from["dirs"]), set(m_to["dirs"])
+    old_dirs = [d for d in m_from["dirs"] if d not in to_set]
+    new_dirs = [d for d in m_to["dirs"] if d not in from_set]
 
     def side(dirs: list[str]) -> DataFrame | None:
         if not dirs:
@@ -1532,18 +1607,55 @@ def _touched_dirs(
     manifest broadcast), never by scanning the table. Returns the
     touched subset of ``covered``'s dirs, or ``None`` when scoping is
     impossible (a NULL source key: ``eqNullSafe`` lets it match NULL
-    target keys, which min/max envelopes cannot see). Directories are
-    batched ≤400 flag columns per job so a very wide manifest degrades
-    into a few extra passes over the (persisted) source instead of a
-    codegen-breaking mega-projection."""
-    null_flags = [
-        F.max(F.col(k).isNull().cast("int")).alias(f"__null_{i}")
-        for i, k in enumerate(keys)
-    ]
+    target keys, which min/max envelopes cannot see).
+
+    Job count is bounded in two stages: ONE pre-pass aggregate computes
+    the source's global [min, max] per key (plus the NULL flags), and
+    every envelope disjoint from that global range is dropped before
+    flagging — on a key-clustered table a targeted batch leaves only
+    O(batch) candidate dirs, so the detailed pass is one job, not
+    #dirs/400 sequential jobs. Surviving directories are then batched
+    ≤400 flag columns per job so a genuinely wide candidate set
+    degrades into a few extra passes over the (persisted) source
+    instead of a codegen-breaking mega-projection."""
+    pre = source.agg(
+        *[
+            F.max(F.col(k).isNull().cast("int")).alias(f"__null_{i}")
+            for i, k in enumerate(keys)
+        ],
+        *[F.min(F.col(k)).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(F.col(k)).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+    ).first()
+    if any(pre[f"__null_{i}"] == 1 for i in range(len(keys))):
+        return None
+
+    def may_touch(env: dict) -> bool:
+        for i, k in enumerate(keys):
+            lo, hi = env[k]
+            slo, shi = pre[f"__lo_{i}"], pre[f"__hi_{i}"]
+            if slo is None:  # empty source: touches nothing
+                return False
+            if isinstance(slo, dt.datetime):
+                # envelopes are naive-UTC instants (_collect_file_stats);
+                # collected TIMESTAMP values come back as naive
+                # PROCESS-zone datetimes (Row collection uses
+                # fromtimestamp) — astimezone on a naive datetime
+                # interprets it in the process zone, exactly reversing
+                # that conversion; tz-aware values convert exactly
+                slo = slo.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                shi = shi.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            try:
+                if hi < slo or lo > shi:
+                    return False
+            except TypeError:
+                continue  # incomparable: cannot pre-drop this dir
+        return True
+
+    candidates = [(d, env) for d, env in covered if may_touch(env)]
     touched: list[str] = []
     chunk = 400
-    for start in range(0, len(covered), chunk):
-        part = covered[start : start + chunk]
+    for start in range(0, len(candidates), chunk):
+        part = candidates[start : start + chunk]
         flags = []
         for i, (_d, env) in enumerate(part):
             cond = F.lit(True)
@@ -1555,11 +1667,7 @@ def _touched_dirs(
                     & (F.col(k) <= _stat_lit(hi))
                 )
             flags.append(F.max(cond.cast("int")).alias(f"__t_{i}"))
-        row = source.agg(*flags, *(null_flags if start == 0 else [])).first()
-        if start == 0 and any(
-            row[f"__null_{i}"] == 1 for i in range(len(keys))
-        ):
-            return None
+        row = source.agg(*flags).first()
         touched.extend(
             d for i, (d, _env) in enumerate(part) if row[f"__t_{i}"] == 1
         )
@@ -1663,16 +1771,25 @@ def merge_version(
                 "(e.g. operators.dedupe.latest_by_key)"
             )
         if prune is not None:
+            # prune_files already walked every directory's file list —
+            # resolve each surviving file back to its owning manifest
+            # dir by walking parents, instead of re-listing every dir's
+            # files a second time (redundant filesystem IO at 100K dirs)
             kept, _total = prune_files(table_dir, src_manifest, prune)
-            kept_rel = {os.path.relpath(p, table_dir) for p in kept}
-            touched = {
-                d
+            dir_of = {
+                os.path.abspath(os.path.join(table_dir, d)): d
                 for d in src_manifest["dirs"]
-                if any(
-                    os.path.relpath(f, table_dir) in kept_rel
-                    for f in list_parquet_files(os.path.join(table_dir, d))
-                )
             }
+            touched = set()
+            for p in kept:
+                cur = os.path.dirname(os.path.abspath(p))
+                while cur not in dir_of:
+                    parent = os.path.dirname(cur)
+                    if parent == cur:
+                        break
+                    cur = parent
+                if cur in dir_of:
+                    touched.add(dir_of[cur])
         else:
             covered, uncovered = _dir_envelopes(table_dir, src_manifest, keys)
             flagged = _touched_dirs(source, covered, keys) if covered else []

@@ -134,6 +134,43 @@ def test_bloom_composes_with_range_stats(spark, tmp_path):
     )
 
 
+def test_eq_and_range_on_same_column_intersect(spark, tmp_path):
+    """A column in BOTH eq and predicates must enforce BOTH: the point
+    envelope intersects the range for pruning AND an explicit equality
+    residual applies (a setdefault would silently return the whole
+    range while bloom-pruning on the point — two different row sets)."""
+    t = str(tmp_path / "vt")
+    commit_version(_tbl(spark, n=2_000), t, stats_cols=["k"], bloom_cols=["k"])
+    got, stats = scan_version_with_stats(
+        spark, t, {"k": (0, 100)}, eq={"k": 5}
+    )
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].k == 5, rows
+    # eq value OUTSIDE the range: the intersection is empty
+    got2, _ = scan_version_with_stats(spark, t, {"k": (0, 100)}, eq={"k": 500})
+    assert got2.count() == 0
+
+
+def test_eq_type_mismatch_cannot_prune(spark, tmp_path):
+    """An int eq value on a STRING column must NOT bloom-prune: the
+    bloom hashed 's:...' keys, so 'i:5' is provably absent from every
+    sidecar — pruning on it would silently drop rows the residual
+    comparison (via Spark's implicit cast) matches."""
+    t = str(tmp_path / "vt")
+    df = spark.range(2_000).select(
+        F.col("id").cast("string").alias("sk"),
+        F.col("id").cast("long").alias("k"),
+    ).repartition(8)
+    commit_version(df, t, bloom_cols=["sk"])
+    got, stats = scan_version_with_stats(spark, t, {}, eq={"sk": 5})
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].k == 5, rows
+    assert stats.files_scheduled == stats.files_total  # no false prune
+    # the correctly-typed lookup still prunes
+    _, stats2 = scan_version_with_stats(spark, t, {}, eq={"sk": "5"})
+    assert stats2.files_scheduled < stats2.files_total
+
+
 def test_string_stats_truncated_but_exact(spark, tmp_path):
     """Long-string envelopes are truncated Delta-style (manifest stays
     O(files)) while every range scan stays value-identical to

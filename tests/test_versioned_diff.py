@@ -142,6 +142,29 @@ def test_diff_across_schema_evolution(spark, tmp_path):
     assert all(r.w == 7 for r in rows)
 
 
+def test_diff_map_rejection_ignores_field_metadata(spark, tmp_path):
+    """Only STRUCTURAL map types reject: a column whose user metadata
+    happens to contain {'type': 'map'} must still diff (and an actual
+    MAP column must still raise)."""
+    t = str(tmp_path / "vt")
+    base = _df(spark, 0, 5).withMetadata("k", {"type": "map"})
+    commit_version(base, t)
+    commit_version(_df(spark, 0, 7).withMetadata("k", {"type": "map"}),
+                   t, mode="overwrite")
+    assert diff_versions(spark, t, 0, 1).count() == 2
+    t2 = str(tmp_path / "vt2")
+    commit_version(
+        spark.range(3).select("id", F.create_map(F.lit("a"), F.col("id")).alias("m")),
+        t2,
+    )
+    commit_version(
+        spark.range(4).select("id", F.create_map(F.lit("a"), F.col("id")).alias("m")),
+        t2, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="MAP"):
+        diff_versions(spark, t2, 0, 1)
+
+
 def test_diff_law_under_random_op_sequences(spark, tmp_path):
     """Randomized model check: after EVERY commit (overwrite, append,
     copy-on-write delete/update/merge, rollback, optimize), the diff
