@@ -31,6 +31,7 @@ from polygon_daily_market_data_pipeline_spark.operators.decontam import (
 )
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     clone_table,
+    drop_clone,
     commit_version,
     delete_version_where,
     diff_versions,
@@ -66,6 +67,7 @@ __all__ = [
     "decontaminate",
     "eval_ngram_set",
     "clone_table",
+    "drop_clone",
     "commit_version",
     "optimize_zorder",
     "delete_version_where",

@@ -1270,14 +1270,59 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+_CLONES_SUBDIR = "_clones"
+
+
+def _clone_markers(table_dir: str) -> list[tuple[str, dict]]:
+    """Live clone markers registered under this table's
+    ``_versions/_clones/`` — ``[(marker_path, payload)]``."""
+    cdir = os.path.join(_versions_dir(table_dir), _CLONES_SUBDIR)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for f in sorted(os.listdir(cdir)):
+        if not f.endswith(".json"):
+            continue
+        p = os.path.join(cdir, f)
+        try:
+            with open(p) as fh:
+                out.append((p, json.load(fh)))
+        except (OSError, json.JSONDecodeError):  # half-written marker:
+            out.append((p, {}))  # still counts as a live clone
+    return out
+
+
+def drop_clone(src_dir: str, dst_dir: str) -> int:
+    """Unregister a shallow clone from its SOURCE's vacuum guard: remove
+    every ``_versions/_clones/`` marker pointing at ``dst_dir``. Call it
+    when the clone is deleted (or deep-copied away from the shared
+    files); the source's ``vacuum`` is unblocked once no live markers
+    remain. Returns the number of markers removed."""
+    dst = os.path.abspath(dst_dir)
+    removed = 0
+    for p, payload in _clone_markers(src_dir):
+        if payload.get("dst") == dst:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def vacuum(
     table_dir: str,
     keep_last: int = 1,
     older_than: dt.datetime | str | None = None,
+    force: bool = False,
 ) -> int:
     """Drop manifests older than the last ``keep_last`` and delete data
     directories no kept version references (including debris from
     crashed commits). Returns the number of data dirs removed.
+
+    Refuses while live SHALLOW-CLONE markers exist (``clone_table``
+    registers one under ``_versions/_clones/``): a clone references
+    this table's data files by path, and reclaiming a directory only
+    the clone still reads would silently break it. ``drop_clone``
+    unregisters a deleted clone; ``force=True`` overrides (the Delta
+    hazard, now opt-in instead of default).
 
     ``older_than`` is the Delta ``RETAIN``-style time guard: versions
     committed AT OR AFTER the cutoff are kept even beyond ``keep_last``,
@@ -1286,6 +1331,15 @@ def vacuum(
     naive cutoff is interpreted as UTC, matching ``committed_at``."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if not force:
+        live = _clone_markers(table_dir)
+        if live:
+            dsts = [m.get("dst", "<unreadable marker>") for _p, m in live]
+            raise RuntimeError(
+                f"vacuum on {table_dir} refused: {len(live)} live shallow "
+                f"clone(s) reference its data files ({dsts}) — drop_clone "
+                "the deleted ones (or force=True to accept breaking them)"
+            )
     cutoff = None
     if older_than is not None:
         cutoff = (
@@ -1883,10 +1937,13 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     own ``_data``. Stats, schema, and CHECK constraints carry over;
     sidecar blooms ride with the referenced directories for free.
 
-    The one shared-fate hazard is Delta's too: ``vacuum`` on the SOURCE
-    can reclaim files the clone still references (the source does not
-    know about clone readers). Clone for short-lived forks, or snapshot
-    (deep-copy) for archival."""
+    Shared-fate guard: the clone registers a marker under the SOURCE's
+    ``_versions/_clones/``, and ``vacuum`` on the source REFUSES while
+    live markers exist — reclaiming a directory only the clone still
+    reads would silently break it (Delta leaves this as a documented
+    hazard; here it is opt-in via ``vacuum(force=True)``). When the
+    clone is deleted, ``drop_clone(src_dir, dst_dir)`` unregisters it
+    and the source's vacuum is unblocked."""
     versions = _manifests(src_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {src_dir}")
@@ -1916,6 +1973,19 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    # register with the source's vacuum guard BEFORE the clone becomes
+    # readable: a crash in between leaves a stale guard (recoverable
+    # with drop_clone), never a readable clone an unguarded source
+    # vacuum could silently break
+    cdir = os.path.join(_versions_dir(src_dir), _CLONES_SUBDIR)
+    os.makedirs(cdir, exist_ok=True)
+    marker = {
+        "dst": os.path.abspath(dst_dir),
+        "src_version": versions[-1],
+        "created_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    with open(os.path.join(cdir, f"{uuid.uuid4().hex}.json"), "w") as f:
+        json.dump(marker, f)
     # deliberately NOT carried: max_batch — the clone is a new table for
     # its own writers; a stream replaying into it must start fresh
     _publish_manifest(dst_dir, 0, manifest)

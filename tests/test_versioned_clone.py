@@ -14,6 +14,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     clone_table,
     commit_version,
     delete_version_where,
+    drop_clone,
     read_version,
     scan_version_with_stats,
     vacuum,
@@ -78,6 +79,29 @@ def test_clone_writes_never_touch_source(spark, tmp_path):
     assert set(read_version(spark, src).inputFiles()) == src_files
     assert sorted(read_version(spark, src).collect()) == src_rows
     assert all(os.path.exists(f.replace("file:", "")) for f in src_files)
+
+
+def test_source_vacuum_refuses_while_clone_lives(spark, tmp_path):
+    """A cloned table must survive a source vacuum ATTEMPT: the clone
+    registers a marker with the source, vacuum refuses while it lives,
+    drop_clone (or force=True) is the explicit override."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    commit_version(_df(spark), src)  # v0 — the dirs the clone references
+    clone_table(src, dst)
+    commit_version(_df(spark, 0, 10), src, mode="overwrite")  # src moves on
+    with pytest.raises(RuntimeError, match="live shallow clone"):
+        vacuum(src, keep_last=1)  # would reclaim v0's dirs under the clone
+    # the refused vacuum left the clone fully readable
+    assert read_version(spark, dst).count() == 1000
+    assert drop_clone(src, dst) == 1
+    assert vacuum(src, keep_last=1) >= 1  # unblocked once unregistered
+    # force=True is the explicit break-the-clone override
+    dst2 = str(tmp_path / "dst2")
+    clone_table(src, dst2)
+    commit_version(_df(spark, 0, 5), src, mode="overwrite")
+    vacuum(src, keep_last=1, force=True)
+    assert drop_clone(src, dst2) == 1  # marker still there until dropped
 
 
 def test_vacuum_on_clone_spares_source_files(spark, tmp_path):
