@@ -33,8 +33,10 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     clone_table,
     drop_clone,
     commit_version,
+    delete_version_vectors,
     delete_version_where,
     diff_versions,
+    materialize_dv,
     merge_version,
     optimize_zorder,
     read_changes,
@@ -70,8 +72,10 @@ __all__ = [
     "drop_clone",
     "commit_version",
     "optimize_zorder",
+    "delete_version_vectors",
     "delete_version_where",
     "diff_versions",
+    "materialize_dv",
     "merge_version",
     "update_version_where",
     "read_changes",

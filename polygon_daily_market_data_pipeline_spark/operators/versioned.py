@@ -464,6 +464,11 @@ def commit_version(
             manifest["max_batch"] = max_batch
         if tbl_checks:
             manifest["checks"] = tbl_checks
+        if mode == "append" and prev is not None and prev.get("dv"):
+            # appended files are vector-free, but the carried dirs'
+            # deletion vectors still apply — dropping them would
+            # resurrect merge-on-read-deleted rows
+            manifest["dv"] = prev["dv"]
         try:
             _publish_manifest(table_dir, version, manifest)
             return version
@@ -730,8 +735,128 @@ def _resolve_manifest(
     return _load_manifest(table_dir, version)
 
 
+def _file_uri(path: str) -> str:
+    """A local path in the form Spark's ``_metadata.file_path`` reports
+    it (Hadoop ``Path.toString()``: scheme + ':' + absolute path, a
+    SINGLE slash after the scheme). Paths already carrying a scheme
+    pass through untouched (object-store URIs)."""
+    if ":" in path.split(os.sep, 1)[0]:
+        return path  # already a URI (file:, s3a:, hdfs:, ...)
+    return "file:" + os.path.abspath(path)
+
+
+def _resolve_owner(abs_path: str, dir_of: dict) -> str | None:
+    """Walk ``abs_path``'s parents until one matches a key of
+    ``dir_of`` ({abs dir: manifest dir entry}); None when the path
+    belongs to none of them."""
+    cur = os.path.dirname(abs_path)
+    while cur not in dir_of:
+        parent = os.path.dirname(cur)
+        if parent == cur:
+            return None
+        cur = parent
+    return dir_of[cur]
+
+
+def _dv_abs(table_dir: str, key: str, ent: dict) -> str:
+    """Absolute path of a deletion-vectored file. Keys stay EXACTLY as
+    the writing table recorded them (they must equal the ``file``
+    column inside the vector parquet); a cloned entry resolves them
+    against the original table via its ``base`` instead of re-keying."""
+    return os.path.abspath(os.path.join(ent.get("base", table_dir), key))
+
+
+def _dv_hits(
+    table_dir: str, manifest: dict, paths: list[str]
+) -> dict[str, str]:
+    """{dv file key → absolute file path} for the deletion-vectored
+    files that fall under the given read ``paths`` (directory roots or
+    individual file paths) — the driver-side scoping that lets a read
+    of only un-vectored directories skip DV IO entirely."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    dv = manifest.get("dv") or {}
+    if not dv:
+        return {}
+    abs_key = {_dv_abs(table_dir, k, ent): k for k, ent in dv.items()}
+    hits: dict[str, str] = {}
+    for p in paths:
+        files = list_parquet_files(p) if os.path.isdir(p) else [p]
+        for f in files:
+            a = os.path.abspath(f)
+            k = abs_key.get(a)
+            if k is not None:
+                hits[k] = a
+    return hits
+
+
+def _dv_pairs(
+    spark: SparkSession, manifest: dict, paths: list[str], table_dir: str
+) -> DataFrame | None:
+    """The deleted ``(__dv_uri, __dv_pos)`` pairs that apply to a read
+    of ``paths``, or None when no vectored file falls under it. A
+    distributed parquet read of O(deleted rows) — never a driver
+    collect. File keys are table-relative (relocatable manifests); the
+    scan reports Hadoop URIs — bridged by a tiny driver-built lookup of
+    ONLY the files under this read, broadcast-joined."""
+    hits = _dv_hits(table_dir, manifest, paths)
+    if not hits:
+        return None
+    dv = manifest["dv"]
+    refs: list[str] = []
+    for k in hits:
+        for r in dv[k]["refs"]:
+            if r not in refs:
+                refs.append(r)
+    dvdf = spark.read.parquet(
+        *[os.path.join(table_dir, r) for r in refs]
+    ).where(F.col("file").isin(list(hits)))
+    lookup = spark.createDataFrame(
+        [(k, _file_uri(a)) for k, a in hits.items()],
+        "file string, __dv_uri string",
+    )
+    return dvdf.join(F.broadcast(lookup), "file").select(
+        "__dv_uri", F.col("pos").alias("__dv_pos")
+    )
+
+
+def _apply_dv(
+    spark: SparkSession,
+    df: DataFrame,
+    manifest: dict,
+    paths: list[str],
+    table_dir: str,
+) -> DataFrame:
+    """Merge-on-read: anti-join out the (file, row-position) pairs the
+    manifest's deletion vectors mark deleted. ``df`` must be the FRESH
+    parquet scan of ``paths`` (the hidden ``_metadata`` struct is only
+    resolvable on a file-source scan). The anti-join is left to AQE,
+    which broadcasts the DV side in the common (small-DV) case; a read
+    touching no vectored file skips all of this (``_dv_hits``)."""
+    dvu = _dv_pairs(spark, manifest, paths, table_dir)
+    if dvu is None:
+        return df
+    data = df.select(
+        F.col("_metadata.file_path").alias("__dv_fp"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+        "*",
+    )
+    out = data.join(
+        dvu,
+        (F.col("__dv_fp") == F.col("__dv_uri"))
+        & (F.col("__dv_ri") == F.col("__dv_pos")),
+        "left_anti",
+    )
+    return out.drop("__dv_fp", "__dv_ri")
+
+
 def _read_manifest_paths(
-    spark: SparkSession, manifest: dict, paths: list[str]
+    spark: SparkSession,
+    manifest: dict,
+    paths: list[str],
+    table_dir: str | None = None,
 ) -> DataFrame:
     """Read version data with the MANIFEST's recorded schema applied:
     after a ``schema_evolution`` append the version's directories
@@ -742,14 +867,29 @@ def _read_manifest_paths(
     NULL — and skips footer schema inference entirely. Pre-schema
     manifests (old tables) fall back to inference. Time travel keeps
     each version's own contract: reading v_pre applies v_pre's
-    (narrower) manifest schema, not the evolved one."""
+    (narrower) manifest schema, not the evolved one.
+
+    When the manifest carries deletion vectors (``dv``), rows they mark
+    deleted are filtered out at read time (``_apply_dv``) — every read
+    path goes through here, so merge-on-read deletes are invisible to
+    all of them. ``table_dir`` is required to resolve DV sidecars; a
+    DV-bearing manifest read without it raises (an internal misuse that
+    would silently resurrect deleted rows)."""
     if "schema" in manifest:
         from pyspark.sql.types import StructType
 
         reader = spark.read.schema(StructType.fromJson(manifest["schema"]))
     else:
         reader = spark.read
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    if manifest.get("dv"):
+        if table_dir is None:
+            raise AssertionError(
+                "manifest carries deletion vectors but no table_dir was "
+                "given to resolve them — reading would resurrect deleted rows"
+            )
+        df = _apply_dv(spark, df, manifest, paths, table_dir)
+    return df
 
 
 def read_version(
@@ -765,7 +905,7 @@ def read_version(
     with the added columns as NULL (``_read_manifest_paths``)."""
     m = _resolve_manifest(table_dir, version, as_of)
     return _read_manifest_paths(
-        spark, m, [os.path.join(table_dir, d) for d in m["dirs"]]
+        spark, m, [os.path.join(table_dir, d) for d in m["dirs"]], table_dir
     )
 
 
@@ -1018,7 +1158,7 @@ def scan_version_with_stats(
     if eq and kept:
         kept = _bloom_prune(table_dir, m, kept, eq)
     if kept:
-        df = _read_manifest_paths(spark, m, kept)
+        df = _read_manifest_paths(spark, m, kept, table_dir)
     else:
         # nothing can match: read one file for the schema; the residual
         # filter below empties it (that file was pruned, so no row passes)
@@ -1033,7 +1173,7 @@ def scan_version_with_stats(
         ]
         if not any_files:
             raise FileNotFoundError(f"version has no data files in {table_dir}")
-        df = _read_manifest_paths(spark, m, [any_files[0]])
+        df = _read_manifest_paths(spark, m, [any_files[0]], table_dir)
     # residuals are applied from the CALLER's two dicts, not the merged
     # prune envelopes: every range filter from ``predicates`` plus an
     # explicit equality per eq column — so even where the prune fell
@@ -1119,9 +1259,11 @@ def read_changes(
         mode = m["mode"]
         if mode == "append":
             new_dirs.extend(d for d in m["dirs"] if d not in base and d not in new_dirs)
-        elif mode.startswith("optimize_zorder"):
-            # same rows, new layout: nothing new to feed, but the
-            # rewrite's dirs must not read as appends in LATER commits
+        elif mode.startswith("optimize_zorder") or mode == "materialize_dv":
+            # same VISIBLE rows, new layout (materialize_dv only
+            # rewrites already-vectored dirs clean): nothing new to
+            # feed, but the rewrite's dirs must not read as appends in
+            # LATER commits
             base.update(m["dirs"])
         else:
             raise ValueError(
@@ -1139,6 +1281,7 @@ def read_changes(
         spark,
         _load_manifest(table_dir, to_version),
         [os.path.join(table_dir, d) for d in new_dirs],
+        table_dir,
     )
 
 
@@ -1198,16 +1341,38 @@ def diff_versions(
     from_set, to_set = set(m_from["dirs"]), set(m_to["dirs"])
     old_dirs = [d for d in m_from["dirs"] if d not in to_set]
     new_dirs = [d for d in m_to["dirs"] if d not in from_set]
+    # deletion vectors change rows WITHOUT changing the directory set:
+    # a file under a SHARED dir whose DV entry differs between the two
+    # versions must be read on BOTH sides (each under its own DV) —
+    # still O(changed data): only the vectored files re-read, never the
+    # shared dirs wholesale
+    dv_from, dv_to = m_from.get("dv") or {}, m_to.get("dv") or {}
+    shared_abs = {
+        os.path.abspath(os.path.join(table_dir, d)): d
+        for d in (from_set & to_set)
+    }
+    dv_files = [
+        _dv_abs(table_dir, k, dv_from.get(k) or dv_to.get(k))
+        for k in sorted(set(dv_from) | set(dv_to))
+        if dv_from.get(k) != dv_to.get(k)
+    ]
+    dv_files = [
+        p for p in dv_files if _resolve_owner(p, shared_abs) is not None
+    ]
 
-    def side(dirs: list[str]) -> DataFrame | None:
-        if not dirs:
+    def side(dirs: list[str], dv_manifest: dict) -> DataFrame | None:
+        paths = [os.path.join(table_dir, d) for d in dirs] + dv_files
+        if not paths:
             return None
-        df = _read_manifest_paths(
-            spark, m_to, [os.path.join(table_dir, d) for d in dirs]
-        )
+        # each side reads under ITS OWN deletion vectors but in
+        # to_version's schema (evolution contract)
+        m_side = dict(dv_manifest)
+        if "schema" in m_to:
+            m_side["schema"] = m_to["schema"]
+        df = _read_manifest_paths(spark, m_side, paths, table_dir)
         return df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__n"))
 
-    old, new = side(old_dirs), side(new_dirs)
+    old, new = side(old_dirs, m_from), side(new_dirs, m_to)
     if old is None and new is None:  # identical visibility sets
         base = read_version(spark, table_dir, version=to_version).limit(0)
         return base.withColumns(
@@ -1359,8 +1524,14 @@ def vacuum(
             if committed >= cutoff:
                 keep.add(v)
     referenced = set()
+    dv_referenced = set()
     for v in keep:
-        referenced.update(_load_manifest(table_dir, v)["dirs"])
+        m = _load_manifest(table_dir, v)
+        referenced.update(m["dirs"])
+        for ent in (m.get("dv") or {}).values():
+            # only OWN sidecars count for the local sweep; a clone's
+            # absolute refs point into its source's _dv
+            dv_referenced.update(r for r in ent["refs"] if not os.path.isabs(r))
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(_versions_dir(table_dir), f"{v}.json"))
@@ -1371,6 +1542,16 @@ def vacuum(
             rel = os.path.join("_data", d)
             if rel not in referenced:
                 shutil.rmtree(os.path.join(data_root, d))
+                removed += 1
+    dv_root = os.path.join(table_dir, "_dv")
+    if os.path.isdir(dv_root):
+        # deletion-vector sidecars no kept version references — after a
+        # materialize_dv ages out, this is where the deleted rows'
+        # bytes actually disappear (erasure completion)
+        for d in sorted(os.listdir(dv_root)):
+            rel = os.path.join("_dv", d)
+            if rel not in dv_referenced:
+                shutil.rmtree(os.path.join(dv_root, d))
                 removed += 1
     return removed
 
@@ -1399,6 +1580,8 @@ def rollback(table_dir: str, to_version: int) -> int:
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    if "dv" in src:  # ...and its deletion vectors (same visible rows)
+        manifest["dv"] = src["dv"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1454,6 +1637,7 @@ def _mutate_version(
     new_dirs: list[str] = []
     new_files: dict = {}
     rewritten_dirs: list[str] = []
+    carried_dirs: set[str] = set()
     for d in src["dirs"]:
         files = [
             os.path.relpath(f, table_dir)
@@ -1466,6 +1650,7 @@ def _mutate_version(
             # no file in this dir can match: carry it by reference,
             # stats and all — zero IO
             new_dirs.append(d)
+            carried_dirs.add(d)
             for f in files:
                 if f in stats:
                     new_files[f] = stats[f]
@@ -1473,7 +1658,9 @@ def _mutate_version(
         survivors = rewrite(
             # manifest schema applied: on an evolved table the rewrite
             # normalizes old files to the full schema (added cols NULL)
-            _read_manifest_paths(spark, src, [os.path.join(table_dir, d)]),
+            _read_manifest_paths(
+                spark, src, [os.path.join(table_dir, d)], table_dir
+            ),
             predicate,
         )
         out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
@@ -1513,6 +1700,22 @@ def _mutate_version(
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    src_dv = src.get("dv") or {}
+    if src_dv:
+        # rewritten dirs were read DV-applied (their vectors are now
+        # materialized in the rewrite); carried dirs keep theirs
+        dir_of = {
+            os.path.abspath(os.path.join(table_dir, d)): d
+            for d in src["dirs"]
+        }
+        kept_dv = {
+            k: v
+            for k, v in src_dv.items()
+            if _resolve_owner(_dv_abs(table_dir, k, v), dir_of)
+            in carried_dirs
+        }
+        if kept_dv:
+            manifest["dv"] = kept_dv
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1582,6 +1785,221 @@ def update_version_where(
         stats_cols,
         expected_version,
     )
+
+
+def delete_version_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    prune: dict | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Merge-on-read DELETE (Delta/Iceberg deletion-vector posture):
+    publish a new version equal to the latest minus the rows matching
+    ``predicate`` — WITHOUT rewriting any data file. The commit writes
+    one parquet sidecar of ``(file, pos)`` row positions under
+    ``_dv/`` and a manifest whose ``dv`` map points each touched file
+    at its vectors; every read path (``read_version``, ``scan_version``,
+    ``diff_versions``, rewrites, OPTIMIZE) anti-joins them out at scan
+    time (``_apply_dv``).
+
+    This is the erasure shape copy-on-write cannot afford at scale: a
+    single-row delete in a 1 GB commit directory rewrites ~1 GB under
+    ``delete_version_where``, but writes O(1) bytes here — bytes
+    written scale with DELETED ROWS, not touched directories (the
+    measured probe in ``SCALE.md``). The trade is read-side: every scan
+    of a vectored file carries the anti-join until
+    ``materialize_dv``/``optimize_zorder`` rewrites it clean — run one
+    of those when the vectored fraction grows (Delta's own guidance).
+    GDPR note: vectored rows are unreadable through every engine path
+    but their BYTES remain until materialize + vacuum — erasure
+    completes there, exactly as with copy-on-write's old versions.
+
+    Position discovery scans only candidate files (``prune`` scopes by
+    manifest stats, same language as ``scan_version``) and matches on
+    the CURRENT visible rows, so re-deleting is a no-op. Row positions
+    are the parquet scan's ``_metadata.row_index`` — physical, stable,
+    independent of task split. A predicate matching nothing publishes
+    NOTHING and returns the current version. The commit mode is
+    ``delete_dv`` — a row-level REDEFINITION: ``read_changes`` and the
+    ``versioned_changes`` stream refuse to cross it, exactly as for
+    copy-on-write delete."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    if prune:
+        candidates, _total = prune_files(table_dir, src, prune)
+    else:
+        candidates = [
+            f
+            for d in src["dirs"]
+            for f in list_parquet_files(os.path.join(table_dir, d))
+        ]
+    if not candidates:
+        return versions[-1]
+    # a file already vectored keeps its EXISTING key (which equals the
+    # `file` column inside its prior vector parquet — on a clone that
+    # key resolves through the entry's `base`); new files key by
+    # table-relative path
+    src_dv = src.get("dv") or {}
+    existing_abs = {_dv_abs(table_dir, k, e): k for k, e in src_dv.items()}
+    uri_to_key = {}
+    for f in candidates:
+        a = os.path.abspath(f)
+        uri_to_key[_file_uri(a)] = existing_abs.get(
+            a, os.path.relpath(a, table_dir)
+        )
+    
+    # match on the CURRENT visible rows (existing DVs applied) so
+    # already-deleted positions never re-enter a vector; _metadata is
+    # only resolvable on the fresh file scan, so it is selected FIRST
+    # and the existing-DV anti-join runs on the aliased columns
+    if "schema" in src:
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(src["schema"]))
+    else:
+        reader = spark.read
+    scan = reader.parquet(*candidates).select(
+        F.col("_metadata.file_path").alias("__dv_uri"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    prior = _dv_pairs(spark, src, candidates, table_dir)
+    if prior is not None:
+        scan = scan.join(
+            prior,
+            (scan["__dv_uri"] == prior["__dv_uri"])
+            & (scan["pos"] == prior["__dv_pos"]),
+            "left_anti",
+        )
+    key_lookup = spark.createDataFrame(
+        list(uri_to_key.items()), "__dv_uri string, file string"
+    )
+    matches = (
+        scan.where(predicate)
+        .join(F.broadcast(key_lookup), "__dv_uri")
+        .select("file", "pos")
+    )
+    dv_dir = os.path.join(table_dir, "_dv", f"dv-{uuid.uuid4().hex}")
+    matches.write.mode("errorifexists").parquet(dv_dir)
+    dv_rel = os.path.relpath(dv_dir, table_dir)
+    counts = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(dv_dir)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:  # nothing matched: no redefinition to publish
+        shutil.rmtree(dv_dir)
+        return versions[-1]
+    dv = {k: dict(v) for k, v in src_dv.items()}
+    for fkey, n in counts.items():
+        ent = dv.setdefault(fkey, {"refs": [], "n": 0})
+        ent["refs"] = ent["refs"] + [dv_rel]
+        ent["n"] += n
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "delete_dv",
+        "dirs": src["dirs"],
+        "dv": dv,
+    }
+    for carry in ("files", "max_batch", "schema", "checks"):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
+def materialize_dv(
+    spark: SparkSession,
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Rewrite ONLY the directories containing deletion-vectored files
+    (merge-on-read's compaction step): each touched directory is read
+    with its vectors applied and written clean, every untouched
+    directory is carried by reference, and the new version's ``dv`` map
+    is empty — same visible rows, vector-free layout. Returns the new
+    version (or the current one when nothing is vectored). After the
+    old versions age out, ``vacuum`` reclaims both the pre-materialize
+    data dirs and the ``_dv`` sidecars — completing a GDPR erasure.
+    The commit mode is ``materialize_dv``, a same-rows relayout like
+    ``optimize_zorder``: the change feed crosses it without re-emitting
+    anything."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    dv = src.get("dv") or {}
+    if not dv:
+        return versions[-1]
+    dir_of = {
+        os.path.abspath(os.path.join(table_dir, d)): d for d in src["dirs"]
+    }
+    touched = set()
+    for k, ent in dv.items():
+        owner = _resolve_owner(_dv_abs(table_dir, k, ent), dir_of)
+        if owner is not None:
+            touched.add(owner)
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    stats = src.get("files", {})
+    new_dirs: list[str] = []
+    new_files: dict = {}
+    for d in src["dirs"]:
+        if d not in touched:
+            new_dirs.append(d)
+            for f in list_parquet_files(os.path.join(table_dir, d)):
+                rel = os.path.relpath(f, table_dir)
+                if rel in stats:
+                    new_files[rel] = stats[rel]
+            continue
+        clean = _read_manifest_paths(
+            spark, src, [os.path.join(table_dir, d)], table_dir
+        )
+        out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
+        clean.write.mode("errorifexists").parquet(out_dir)
+        new_dirs.append(os.path.relpath(out_dir, table_dir))
+        if stats_cols:
+            new_files.update(
+                _collect_file_stats(spark, table_dir, out_dir, stats_cols)
+            )
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "materialize_dv",
+        "dirs": new_dirs,
+    }
+    if new_files:
+        manifest["files"] = new_files
+    for carry in ("max_batch", "schema", "checks"):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
 
 
 def _dir_envelopes(
@@ -1866,7 +2284,7 @@ def merge_version(
                         new_files[rel] = stats[rel]
                 continue
             tgt = _read_manifest_paths(
-                spark, src_manifest, [os.path.join(table_dir, d)]
+                spark, src_manifest, [os.path.join(table_dir, d)], table_dir
             ).alias("__mrg_tgt")
             cond = F.lit(True)
             for k in keys:
@@ -1922,6 +2340,22 @@ def merge_version(
         manifest["schema"] = tbl_schema
     if "checks" in src_manifest:
         manifest["checks"] = src_manifest["checks"]
+    src_dv = src_manifest.get("dv") or {}
+    if src_dv:
+        # same posture as _mutate_version: rewritten (anti-joined) dirs
+        # materialized their vectors; carried dirs keep theirs
+        dir_of = {
+            os.path.abspath(os.path.join(table_dir, d)): d
+            for d in src_manifest["dirs"]
+        }
+        kept_dv = {
+            k: v
+            for k, v in src_dv.items()
+            if _resolve_owner(_dv_abs(table_dir, k, v), dir_of)
+            not in touched
+        }
+        if kept_dv:
+            manifest["dv"] = kept_dv
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1960,6 +2394,20 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         files[
             os.path.relpath(os.path.abspath(os.path.join(src_dir, rel)), dst_dir)
         ] = ent
+    # deletion vectors ride along with keys UNCHANGED (they must match
+    # the `file` column inside the vector parquet); `base` pins the
+    # table dir they resolve against and the refs go absolute (the
+    # clone never writes into the source's _dv)
+    dv = {}
+    for rel, ent in (src.get("dv") or {}).items():
+        dv[rel] = {
+            "refs": [
+                os.path.abspath(os.path.join(src_dir, r))
+                for r in ent["refs"]
+            ],
+            "n": ent["n"],
+            "base": ent.get("base", os.path.abspath(src_dir)),
+        }
     os.makedirs(_versions_dir(dst_dir), exist_ok=True)
     manifest = {
         "version": 0,
@@ -1969,6 +2417,8 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     }
     if files:
         manifest["files"] = files
+    if dv:
+        manifest["dv"] = dv
     if "schema" in src:
         manifest["schema"] = src["schema"]
     if "checks" in src:

@@ -49,14 +49,25 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _dv_abs,
     _load_manifest,
     _manifests,
 )
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str | None):
+    def __init__(
+        self,
+        path: str | None,
+        dv_paths: list[str] | None = None,
+        dv_key: str | None = None,
+    ):
         self.path = path
+        # deletion-vector sidecars covering this file (absolute paths)
+        # + the file's table-relative dv key: the snapshot batch of a
+        # merge-on-read table must not emit vectored rows
+        self.dv_paths = dv_paths or []
+        self.dv_key = dv_key
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -102,9 +113,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 new_dirs.extend(
                     d for d in m["dirs"] if d not in base and d not in new_dirs
                 )
-            elif not mode.startswith("optimize_zorder"):
-                # overwrite / rollback: the table was REDEFINED — not
-                # expressible as an append delta (read_changes contract)
+            elif not (
+                mode.startswith("optimize_zorder") or mode == "materialize_dv"
+            ):
+                # overwrite / rollback / delete / merge / delete_dv: the
+                # table was REDEFINED — not expressible as an append
+                # delta (read_changes contract). optimize/materialize
+                # represent the same VISIBLE rows and cross silently.
                 raise ValueError(
                     f"version {v} is a {mode!r} commit — the change-feed "
                     "stream is append-only; restart the stream from a "
@@ -124,16 +139,68 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for d in dirs
             for f in list_parquet_files(os.path.join(self.table_dir, d))
         ]
+        # merge-on-read: the initial snapshot may cover files with
+        # deletion vectors (mid-stream deltas never do — a delete_dv in
+        # range refuses above) — tag those partitions so the reader
+        # filters vectored positions out
+        dv = {}
+        if end["version"] >= 0:
+            dv = _load_manifest(self.table_dir, end["version"]).get("dv") or {}
+        abs_key = {
+            _dv_abs(self.table_dir, k, ent): k for k, ent in dv.items()
+        }
+        parts = []
+        for f in files:
+            k = abs_key.get(os.path.abspath(f))
+            if k is None:
+                parts.append(_FilePartition(f))
+            else:
+                parts.append(
+                    _FilePartition(
+                        f,
+                        # expanded to FILES here: pyarrow.dataset takes
+                        # a list of file paths, not directories
+                        dv_paths=[
+                            df
+                            for r in dv[k]["refs"]
+                            for df in list_parquet_files(
+                                os.path.join(self.table_dir, r)
+                            )
+                        ],
+                        dv_key=k,
+                    )
+                )
         # Spark requires ≥1 partition per planned batch: a data-less
         # range (e.g. empty-frame commits) reads as one no-op partition
-        return [_FilePartition(f) for f in files] or [_FilePartition(None)]
+        return parts or [_FilePartition(None)]
 
     def read(self, partition: _FilePartition):
         if partition.path is None:
             return
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        deleted: set[int] = set()
+        if partition.dv_paths:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(partition.dv_paths, format="parquet").to_table(
+                columns=["pos"],
+                filter=pads.field("file") == partition.dv_key,
+            )
+            deleted = set(tbl.column("pos").to_pylist())
+        off = 0
+        for batch in pq.ParquetFile(partition.path).iter_batches():
+            n = batch.num_rows
+            if deleted:
+                import pyarrow as pa
+
+                mask = pa.array(
+                    [(off + i) not in deleted for i in range(n)]
+                )
+                yield batch.filter(mask)
+            else:
+                yield batch
+            off += n
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the stream checkpoint

@@ -175,6 +175,8 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
     import random
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_vectors,
+        materialize_dv,
         optimize_zorder,
         rollback,
     )
@@ -188,7 +190,7 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
         for step in range(6):
             op = rng.choice(
                 ["overwrite", "append", "delete", "update", "merge",
-                 "rollback", "optimize"]
+                 "rollback", "optimize", "delete_dv", "materialize_dv"]
             )
             tag = f"s{seed}b{step}"
             if op == "overwrite":
@@ -219,6 +221,23 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
                 model[v] = Counter(
                     {r: n for r, n in model[latest].items() if r[0] < b}
                 ) + _bag(src)
+            elif op == "delete_dv":
+                # merge-on-read delete: dirs UNCHANGED, rows gone — the
+                # diff must surface the vectored rows as deletes
+                b = rng.randrange(0, 6)
+                v = delete_version_vectors(spark, t, F.col("k") < b)
+                if v == latest:  # nothing matched: no commit
+                    continue
+                model[v] = Counter(
+                    {r: n for r, n in model[latest].items() if r[0] >= b}
+                )
+            elif op == "materialize_dv":
+                v = materialize_dv(spark, t)
+                if v == latest:  # nothing vectored: no commit
+                    continue
+                model[v] = model[latest]
+                # same visible rows: the bag diff is EMPTY
+                assert diff_versions(spark, t, latest, v).count() == 0
             elif op == "rollback":
                 back = rng.choice(sorted(model))
                 v = rollback(t, to_version=back)

@@ -99,7 +99,9 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_vectors,
         delete_version_where,
+        materialize_dv,
         merge_version,
         update_version_where,
     )
@@ -117,6 +119,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 [
                     "overwrite", "append", "rollback", "optimize",
                     "delete", "update", "merge", "vacuum",
+                    "delete_dv", "materialize_dv",
                 ]
             )
             versions = sorted(model)
@@ -171,6 +174,29 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     [r for r in model[versions[-1]] if r[0] < bound]
                     + _rows(src)
                 )
+            elif op == "delete_dv":
+                # merge-on-read delete: same visible-rows law as the
+                # copy-on-write delete, zero data files rewritten; a
+                # predicate matching nothing publishes NOTHING
+                bound = rng.randrange(0, 5)
+                v = delete_version_vectors(
+                    spark, t, F.col("k") < bound,
+                    expected_version=versions[-1],
+                )
+                if v != versions[-1]:
+                    model[v] = [
+                        r for r in model[versions[-1]] if r[0] >= bound
+                    ]
+                else:
+                    assert not any(
+                        r[0] < bound for r in model[versions[-1]]
+                    ), "no-op delete_dv but the model says rows matched"
+            elif op == "materialize_dv":
+                v = materialize_dv(
+                    spark, t, expected_version=versions[-1]
+                )
+                if v != versions[-1]:  # no-op when nothing is vectored
+                    model[v] = model[versions[-1]]
             else:  # vacuum
                 keep = rng.randint(1, len(versions))
                 vacuum(t, keep_last=keep)
