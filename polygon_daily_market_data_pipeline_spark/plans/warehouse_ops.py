@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE twenty-one-row union query
+sequence packing) exercised end-to-end as ONE twenty-three-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -376,6 +376,85 @@ def _skipping_rows(
         F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
     )
     return [_row(skip_row, "versioned_skipping"), _row(del_row, "versioned_delete")]
+
+
+def _dv_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Merge-on-read DELETE via deletion vectors
+    (``delete_version_vectors``) — the same bottom-1/20-of-the-key-range
+    delete as the ``versioned_delete`` branch, but writing a (file, pos)
+    sidecar instead of rewriting the touched commit. n_rows/val are the
+    SQL-exact complement count/sum (identical oracle arithmetic to the
+    copy-on-write row — DV ≡ CoW read equivalence, driver-checked);
+    n_aux pins the MERGE-ON-READ claim: the post-delete version's plan
+    must schedule EXACTLY the pre-delete file set (zero data-file
+    churn — a rewrite would change it). The second row re-checks the
+    same numbers after ``materialize_dv``: the untouched top-half
+    commit's files carried verbatim, the vectored bottom commit
+    rewritten clean, and the manifest's dv map gone."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest,
+        delete_version_vectors,
+        materialize_dv,
+    )
+
+    tdir = os.path.join(base, "dv_vt")
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    hi = mx // 20
+    half = mx // 2
+    commit_version(
+        ord_df.where(F.col("o_orderkey") <= half).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    commit_version(
+        ord_df.where(F.col("o_orderkey") > half).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    bottom = set(read_version(spark, tdir, version=0).inputFiles())
+    all_before = set(read_version(spark, tdir, version=1).inputFiles())
+    top = all_before - bottom
+    v_dv = delete_version_vectors(
+        spark,
+        tdir,
+        F.col("o_orderkey") <= F.lit(hi),
+        prune={"o_orderkey": (None, hi)},
+    )
+    after = read_version(spark, tdir, version=v_dv)
+
+    def _summ(df: DataFrame, aux: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(aux).alias("n_aux"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "val"
+            ),
+        )
+
+    # the DV-applied plan's file list includes the _dv sidecar (the
+    # anti-join's right side) — the claim is about DATA files only
+    after_data = {f for f in after.inputFiles() if f"{os.sep}_dv{os.sep}" not in f}
+    zero_churn = 1 if after_data == all_before else 0
+    dv_row = _summ(after, zero_churn)
+    v_m = materialize_dv(spark, tdir, stats_cols=["o_orderkey"])
+    after_m = read_version(spark, tdir, version=v_m)
+    files_m = set(after_m.inputFiles())
+    mat_clean = (
+        1
+        if top <= files_m
+        and not (bottom & files_m)
+        and "dv" not in _load_manifest(tdir, v_m)
+        else 0
+    )
+    mat_row = _summ(after_m, mat_clean)
+    return [_row(dv_row, "versioned_dv"), _row(mat_row, "versioned_dv_materialize")]
 
 
 def _merge_rows(
@@ -972,6 +1051,26 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_dv',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord)),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord))
+        UNION ALL
+        -- identical arithmetic: materialize_dv must preserve the
+        -- visible rows exactly (its claim constant covers the layout)
+        SELECT 'versioned_dv_materialize',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord)),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord))
+        UNION ALL
         SELECT 'versioned_diff',
                -- deletes (matched old images) + inserts (new images +
                -- shifted inserts)
@@ -1065,7 +1164,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY twenty-one-row audit union over scratch state under
+    """The LAZY twenty-three-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -1081,6 +1180,7 @@ def build_maintenance_union(
         + _scd2_stored_rows(spark, sf_dir, base)
         + _incremental_rows(spark, ord_df, base)
         + _versioned_rows(spark, ord_df, base)
+        + _dv_rows(spark, ord_df, base)
         + _merge_rows(spark, ord_df, base)
         + _evolution_rows(spark, ord_df, base)
         + _bloom_rows(spark, ord_df, base)

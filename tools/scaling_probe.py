@@ -420,6 +420,92 @@ def probe_merge(spark, sf_dir: str) -> None:
     print(f"versioned_merge: {pts}")
 
 
+def probe_dv(spark, sf_dir: str) -> None:
+    """Deletion-vector claim: a scattered small DELETE writes O(deleted
+    rows) bytes, while copy-on-write rewrites O(touched directories) —
+    at a GDPR-erasure shape (a few rows in EVERY commit dir) that is
+    the whole table. Builds twin versioned orders tables from 1×/4×/16×
+    key-shifted range-partitioned commits, deletes ~64 rows PER COMMIT
+    spread across all of them (no prune — every dir is genuinely
+    touched), and reports wall-clock + bytes written for
+    delete_version_vectors vs delete_version_where. Flat-vs-16× bytes
+    is the evidence; the DV read-back count pins correctness."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        delete_version_vectors,
+        delete_version_where,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(".")
+            )
+        return total
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).persist()
+    n = ord_df.count()
+    off = 10 ** len(str(n * 20))
+    step = max(1, n // 64)  # ~64 matches per commit, every commit hit
+    results = []
+    for k in (1, 4, 16):
+        tables = {}
+        for kind in ("dv", "cow"):
+            t = tempfile.mkdtemp(prefix=f"dv_probe_{kind}_{k}x_")
+            for i in range(k):
+                commit_version(
+                    ord_df.withColumn(
+                        "o_orderkey",
+                        (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                    ).repartitionByRange(8, "o_orderkey"),
+                    t,
+                    mode="append" if i else "overwrite",
+                    stats_cols=["o_orderkey"],
+                )
+            tables[kind] = t
+        pred = (F.col("o_orderkey") % F.lit(off)) % F.lit(step) == 17
+        t0 = time.monotonic()
+        v = delete_version_vectors(spark, tables["dv"], pred)
+        dt_dv = time.monotonic() - t0
+        dv_bytes = tree_bytes(os.path.join(tables["dv"], "_dv"))
+        t0 = time.monotonic()
+        delete_version_where(spark, tables["cow"], pred)
+        dt_cow = time.monotonic() - t0
+        # CoW writes = every _data dir the new version references that
+        # did not exist before the delete == all m-* rewrite dirs
+        cow_bytes = sum(
+            tree_bytes(os.path.join(tables["cow"], "_data", d))
+            for d in os.listdir(os.path.join(tables["cow"], "_data"))
+            if d.startswith("m-")
+        )
+        n_dv = read_version(spark, tables["dv"], version=v).count()
+        n_cow = read_version(spark, tables["cow"]).count()
+        assert n_dv == n_cow, (n_dv, n_cow)
+        results.append((k, dt_dv, dv_bytes, dt_cow, cow_bytes, n * k - n_dv))
+        for t in tables.values():
+            shutil.rmtree(t, ignore_errors=True)
+    ord_df.unpersist()
+    pts = ", ".join(
+        f"{k}x del={d}r dv={dt_dv:.2f}s/{db / 1e3:.0f}KB "
+        f"cow={dt_cow:.2f}s/{cb / 1e6:.1f}MB"
+        for k, dt_dv, db, dt_cow, cb, d in results
+    )
+    print(f"versioned_dv: {pts}")
+
+
 def probe_bloom(spark, sf_dir: str) -> None:
     """Sidecar-bloom claim: a point lookup on a hash-scattered
     high-cardinality column schedules O(1) files no matter how many the
@@ -486,6 +572,7 @@ def main() -> None:
         ("scd2_stored", probe_scd2_stored),
         ("change_feed", probe_change_feed),
         ("merge", probe_merge),
+        ("dv", probe_dv),
         ("bloom", probe_bloom),
     ):
         if extra in names:
