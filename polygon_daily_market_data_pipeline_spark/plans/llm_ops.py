@@ -437,6 +437,162 @@ def embedding_ann_ivf(
     )
 
 
+PII_ORACLE = r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 card 4111 1111 1111 1111' AS text
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+                '\b(?:\d[ -]?){12,18}\d\b')) AS BIGINT) AS n_card,
+           1 AS clean_after_redact
+    FROM aug ORDER BY doc_id
+"""
+
+
+def doc_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern counts, driver-oracle-checked for the RE2-expressible
+    patterns (emails, IPv4s, card-like digit runs) — the phone pattern
+    needs lookbehind, absent from DuckDB's RE2, and stays pytest-only
+    (tests/test_functions.py), which is why redaction as a whole was
+    previously uncheckable by the driver. Every third document is
+    augmented with DETERMINISTIC synthetic PII (both engines build the
+    identical string from doc_id), so the counts exercise the patterns
+    against known positives embedded in organic text rather than
+    vacuously counting zeros. ``clean_after_redact`` pins the actual
+    scrub: after the full ``redact_pii`` chain (including the phone
+    pass) NONE of the three oracle patterns still match — the oracle
+    pins the constant 1.
+
+    Scale: a chain of codegen'd regexp_count/regexp_replace — one
+    linear scan per pattern, no UDF, no shuffle beyond the final sort."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111 1111 1111 1111"),
+        ).alias("text"),
+    )
+    pats = [p for p, _repl in PII_PATTERNS[:3]]  # email, ip, card
+    redacted = redact_pii(F.col("text"))
+    residual = sum(
+        (F.regexp_count(redacted, F.lit(p)) for p in pats), F.lit(0)
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pats[0])).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(pats[1])).cast("long").alias("n_ip"),
+        F.regexp_count(F.col("text"), F.lit(pats[2])).cast("long").alias("n_card"),
+        F.when(residual == 0, F.lit(1)).otherwise(F.lit(0)).alias(
+            "clean_after_redact"
+        ),
+    ).orderBy("doc_id")
+
+
+IVF_MAINT_ORACLE = """
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 5 <> 3 ORDER BY vec_id LIMIT 8)
+    ),
+    held AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 3),
+    assigned AS (
+        SELECT h.vec_id,
+               (SELECT c.cell FROM cents c
+                ORDER BY list_distance(h.embedding, c.embedding), c.cell
+                LIMIT 1) AS cell
+        FROM held h
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           TRUE AS drift_ok,
+           TRUE AS shifted_alarm
+    FROM assigned GROUP BY cell ORDER BY cell
+"""
+
+
+def ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign-only IVF maintenance (``ivf_assign`` + ``ivf_drift_ratio``
+    — the 100 TB ingest path: the coarse quantizer is trained rarely,
+    each batch is one broadcast-centroid Arrow pass, no shuffle)
+    registered as a VALUE-EXACT oracle row: a held-out batch (vec_id %
+    5 = 3) is assigned against frozen centroids and the per-cell counts
+    must equal DuckDB's exact argmin recomputation (``list_distance``
+    over the same vectors — squared-vs-true euclidean argmin is
+    invariant, ties break by cell order in both engines).
+
+    The quantizer here is the k=8 lowest-id TRAIN vectors
+    (``kmeans_centroids(iters=0)`` — Lloyd's deterministic init), NOT a
+    Lloyd fit: that makes the centroid matrix itself SQL-expressible so
+    the oracle is exact. The Lloyd-trained path is recall-audited by
+    ``embedding_ann_ivf``; the maintenance math (assign + drift) is
+    identical under either quantizer.
+
+    The drift columns carry the recall-floor-style claims: ``drift_ok``
+    pins the held-out batch's quantization-drift ratio under the 1.5
+    retrain threshold (same distribution → ≈1.0), ``shifted_alarm``
+    pins that a batch displaced by 4× the trained mean error along one
+    dimension trips it — the alarm thresholds measured in
+    tests/test_llm_ops.py, now driver-checked."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_drift_ratio,
+        kmeans_centroids,
+        mean_assign_distance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 5 != 3)
+    held = emb.where(F.col("vec_id") % 5 == 3)
+    cents = kmeans_centroids(train, k=8, iters=0)
+    assert isinstance(cents, np.ndarray)
+    train_mean = mean_assign_distance(train, cents)
+    r_same = ivf_drift_ratio(held, cents, train_mean)
+    shifted = held.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            f"CAST(x + IF(i = 0, {4 * train_mean}, 0.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    r_shift = ivf_drift_ratio(shifted, cents, train_mean)
+    return (
+        ivf_assign(held, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+        .select(
+            "cell",
+            "n_assigned",
+            F.lit(bool(r_same < 1.5)).alias("drift_ok"),
+            F.lit(bool(r_shift > 1.5)).alias("shifted_alarm"),
+        )
+        .orderBy("cell")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured props (JSON extraction — the S3 envelope analog)
 # ---------------------------------------------------------------------------

@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE twenty-three-row union query
+sequence packing) exercised end-to-end as ONE twenty-six-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -1115,6 +1115,66 @@ _ORACLE = f"""
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                  AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'analytics_asof',
+               (SELECT SUM((o_custkey % 100) * (o_orderkey % 1000))
+                FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'),
+               (SELECT 10 * SUM(o_custkey % 100)
+                       + COUNT(DISTINCT o_orderpriority)
+                FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'),
+               (SELECT ROUND(AVG(o_orderkey % 1000), 4)
+                FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}')
+        UNION ALL
+        SELECT 'ivf_maintenance',
+               (SELECT SUM((a.cell + 1) * a.n) FROM (
+                   SELECT asg.cell, COUNT(*) AS n FROM (
+                       SELECT (SELECT c.cell FROM (
+                                   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                                          AS cell, embedding
+                                   FROM (SELECT vec_id, embedding FROM embeddings
+                                         WHERE vec_id % 5 <> 3
+                                         ORDER BY vec_id LIMIT 8)
+                               ) c
+                               ORDER BY list_distance(h.embedding, c.embedding),
+                                        c.cell
+                               LIMIT 1) AS cell
+                       FROM (SELECT vec_id, embedding FROM embeddings
+                             WHERE vec_id % 5 = 3) h
+                   ) asg GROUP BY asg.cell
+               ) a),
+               3,
+               (SELECT CAST(COUNT(DISTINCT asg.cell) AS DOUBLE) FROM (
+                   SELECT (SELECT c.cell FROM (
+                               SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                                      AS cell, embedding
+                               FROM (SELECT vec_id, embedding FROM embeddings
+                                     WHERE vec_id % 5 <> 3
+                                     ORDER BY vec_id LIMIT 8)
+                           ) c
+                           ORDER BY list_distance(h.embedding, c.embedding),
+                                    c.cell
+                           LIMIT 1) AS cell
+                   FROM (SELECT vec_id, embedding FROM embeddings
+                         WHERE vec_id % 5 = 3) h
+               ) asg)
+        UNION ALL
+        SELECT 'pii_counts',
+               (SELECT SUM(
+                    len(regexp_extract_all(t2,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                    + 10 * len(regexp_extract_all(t2,
+                        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
+                    + 100 * len(regexp_extract_all(t2,
+                        '\\b(?:\\d[ -]?){{12,18}}\\d\\b'))
+                ) FROM (
+                    SELECT text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com from 10.0.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                           || '.7 card 4111 1111 1111 1111' AS t2
+                    FROM documents WHERE doc_id % 3 = 0
+                )),
+               (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0),
+               1.0
+        UNION ALL
         SELECT 'streaming_mv',
                (SELECT COUNT(*) FROM ev_groups),
                (SELECT COUNT(*) FROM ev),
@@ -1126,6 +1186,102 @@ _ORACLE = f"""
                CAST(0.0 AS DOUBLE)
     ) ORDER BY check_name
 """
+
+
+def _asof_rows(
+    spark: SparkSession, sf_dir: str, base: str
+) -> list[DataFrame]:
+    """Time travel composed with the SEMANTIC LAYER: the DAX measures
+    (``functions/measures.py`` — Active Tickers / Avg Price / Total
+    Volume / Total Value, dax_measures.md:1-31) evaluated against a
+    VERSIONED star fact AS OF its v0 commit timestamp, after a later
+    append moved the table on. The reference's Power BI layer only ever
+    sees the warehouse's latest state; on the manifest log the same
+    measure expressions run unchanged against any pinned version — this
+    row proves the composition end-to-end, with DuckDB recomputing the
+    measures from the v0 cut directly. Audit packing: n_rows = Total
+    Value (SUMX, exact int), n_aux = 10·Total Volume + Active Tickers
+    (both exact ints), val = Avg Price (one division of two exact
+    integers — identical in both engines; no rounded big-float sums)."""
+    from polygon_daily_market_data_pipeline_spark.functions import measures
+
+    cut = F.lit(_CUT).cast("timestamp")
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("symbol"),
+        (F.col("o_orderkey") % 1000).alias("close"),
+        (F.col("o_custkey") % 100).alias("volume"),
+        F.col("o_orderdate"),
+    )
+    tdir = os.path.join(base, "star_fact")
+    commit_version(fact.where(F.col("o_orderdate") < cut).coalesce(4), tdir)
+    t_v0 = history(tdir)[0]["committed_at"]
+    commit_version(
+        fact.where(F.col("o_orderdate") >= cut).coalesce(4),
+        tdir,
+        mode="append",
+    )
+    asof_fact = read_version(spark, tdir, as_of=t_v0)
+    row = asof_fact.agg(
+        measures.total_value().cast("long").alias("n_rows"),
+        (
+            measures.total_volume().cast("long") * 10
+            + measures.active_tickers().cast("long")
+        ).alias("n_aux"),
+        F.round(measures.avg_price(), 4).alias("val"),
+    )
+    return [_row(row, "analytics_asof")]
+
+
+def _ivf_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Assign-only IVF maintenance reduced to one audit row (the full
+    per-cell query lives in ``plans/llm_ops.ivf_maintenance``; its
+    DuckDB twin is ``llm_ops.IVF_MAINT_ORACLE`` — the oracle here
+    reduces the same exact-argmin arithmetic): n_rows = Σ (cell+1)·
+    n_assigned (argmin-sensitive checksum DuckDB recomputes via
+    list_distance), n_aux = drift_ok + 2·shifted_alarm (the 1.5-ratio
+    retrain thresholds measured in tests/test_llm_ops.py — oracle pins
+    3), val = number of cells used."""
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+        ivf_maintenance,
+    )
+
+    cells = ivf_maintenance(spark, sf_dir)
+    row = cells.agg(
+        F.sum((F.col("cell") + 1) * F.col("n_assigned"))
+        .cast("long")
+        .alias("n_rows"),
+        (
+            F.min(F.col("drift_ok").cast("long"))
+            + 2 * F.min(F.col("shifted_alarm").cast("long"))
+        ).alias("n_aux"),
+        F.count(F.lit(1)).cast("double").alias("val"),
+    )
+    return [_row(row, "ivf_maintenance")]
+
+
+def _pii_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """PII pattern counts reduced to one audit row (full per-doc query:
+    ``plans/llm_ops.doc_pii_counts``; DuckDB twin fragments:
+    ``llm_ops.PII_ORACLE``): n_rows = Σ (n_email + 10·n_ip + 100·n_card)
+    over deterministically-augmented docs — the RE2-expressible three of
+    the four redaction patterns, value-exact; n_aux = doc count; val =
+    1.0 iff NO oracle pattern still matches after the FULL redact_pii
+    chain (phone stays pytest-only: lookbehind is absent from RE2)."""
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+        doc_pii_counts,
+    )
+
+    per_doc = doc_pii_counts(spark, sf_dir)
+    row = per_doc.agg(
+        F.sum(
+            F.col("n_email") + 10 * F.col("n_ip") + 100 * F.col("n_card")
+        )
+        .cast("long")
+        .alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_aux"),
+        F.min(F.col("clean_after_redact")).cast("double").alias("val"),
+    )
+    return [_row(row, "pii_counts")]
 
 
 @register("warehouse_maintenance", _ORACLE)
@@ -1164,7 +1320,7 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str
 ) -> DataFrame:
-    """The LAZY twenty-three-row audit union over scratch state under
+    """The LAZY twenty-six-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -1190,6 +1346,9 @@ def build_maintenance_union(
         + _streaming_mv_rows(spark, sf_dir, base)
         + _corpus_stream_rows(spark, sf_dir, base)
         + _packing_rows(spark, sf_dir)
+        + _asof_rows(spark, sf_dir, base)
+        + _ivf_rows(spark, sf_dir)
+        + _pii_rows(spark, sf_dir)
     )
     out = rows[0]
     for r in rows[1:]:

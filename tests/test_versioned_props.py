@@ -540,3 +540,85 @@ def test_update_version_copy_on_write(spark, tmp_path):
     )
     got2 = {r.k: r.status for r in read_version(spark, t, version=v2).collect()}
     assert sum(1 for v in got2.values() if v == "x") == 5
+
+
+def _race_writer(table_dir: str, wid: int, n_commits: int, q) -> None:
+    """One OS process racing optimistic appends: read latest, publish
+    version+1, retry on FileExistsError — the protocol every append
+    retry in commit_version follows, reduced to the manifest layer so
+    N real processes can hammer one table without a JVM each."""
+    import json as _json
+    import os as _os
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _manifests as _mf,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _publish_manifest as _pub,
+    )
+
+    committed = []
+    for seq in range(n_commits):
+        for _attempt in range(10_000):
+            versions = _mf(table_dir)
+            v = (versions[-1] + 1) if versions else 0
+            try:
+                _pub(
+                    table_dir,
+                    v,
+                    {
+                        "version": v,
+                        "committed_at": "2024-01-01T00:00:00+00:00",
+                        "mode": "append",
+                        "dirs": [],
+                        "writer": wid,
+                        "seq": seq,
+                        "pid": _os.getpid(),
+                    },
+                )
+                committed.append((v, seq))
+                break
+            except FileExistsError:
+                continue
+        else:  # pragma: no cover
+            raise AssertionError(f"writer {wid} starved at seq {seq}")
+    q.put((wid, committed))
+
+
+def test_multiprocess_commit_race_no_lost_commits(tmp_path):
+    """The fail-if-exists publish (os.link, versioned.py) is the WHOLE
+    concurrency story — so race it across real OS processes, not
+    threads: 6 forked writers x 8 appends each on one table. Invariants:
+    every (writer, seq) landed, every version number was won by exactly
+    one writer, the version sequence is gapless 0..47, and each on-disk
+    manifest's payload matches the writer that claims it (no torn or
+    clobbered JSON)."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    table = str(tmp_path / "race_vt")
+    os.makedirs(os.path.join(table, "_versions"))
+    n_writers, n_commits = 6, 8
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_writer, args=(table, w, n_commits, q))
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    claimed: dict[int, tuple[int, int]] = {}
+    for wid, committed in results:
+        assert [s for _v, s in committed] == list(range(n_commits))
+        for v, seq in committed:
+            assert v not in claimed, f"version {v} won twice: {claimed[v]} and {(wid, seq)}"
+            claimed[v] = (wid, seq)
+    assert sorted(claimed) == list(range(n_writers * n_commits))
+    for v, (wid, seq) in claimed.items():
+        m = json.load(open(os.path.join(table, "_versions", f"{v}.json")))
+        assert (m["writer"], m["seq"], m["version"]) == (wid, seq, v)
