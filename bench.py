@@ -162,6 +162,14 @@ def main() -> None:
         out["value_canary_norm"] = round(total / canary, 1)
     if reruns:
         out["outlier_first_runs"] = reruns
+    # Per-branch wall-clock of the warehouse union's LAST run
+    # (warehouse_ops.BRANCH_TIMES): 26 audit rows behind one suite
+    # number would otherwise hide a single-branch regression in VM
+    # noise. Sums to slightly less than the query's own timing (the
+    # residual is the final checkpointed-union pass + noop write).
+    branches = dict(warehouse_ops.BRANCH_TIMES)
+    if branches:
+        out["warehouse_branches"] = branches
     print(json.dumps(out))
 
 

@@ -1308,17 +1308,24 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # eager, lineage-truncating materialization of the (tiny) audit
         # rows: after this the scratch dir is not referenced by any plan
-        out = build_maintenance_union(spark, sf_dir, base).localCheckpoint(
-            eager=True
-        )
+        out = build_maintenance_union(
+            spark, sf_dir, base, timed=True
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
         shutil.rmtree(base, ignore_errors=True)
     return out.orderBy("check_name")
 
 
+# Per-branch wall-clock of the LAST timed build (bench.py reads this
+# after running warehouse_maintenance and emits it as
+# ``warehouse_branches`` — at 26 rows behind one suite number, a 5×
+# regression in one branch would otherwise hide inside VM noise).
+BRANCH_TIMES: dict[str, float] = {}
+
+
 def build_maintenance_union(
-    spark: SparkSession, sf_dir: str, base: str
+    spark: SparkSession, sf_dir: str, base: str, timed: bool = False
 ) -> DataFrame:
     """The LAZY twenty-six-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
@@ -1327,29 +1334,49 @@ def build_maintenance_union(
     wraps this with TZ pinning + checkpoint + scratch cleanup;
     ``tools/plan_audit.py`` calls it directly (the registered query's
     returned frame is a checkpoint scan, which would audit as a blank
-    plan). Callers own ``base``'s lifecycle."""
+    plan). Callers own ``base``'s lifecycle.
+
+    ``timed=True`` additionally materializes each branch's audit rows
+    INSIDE its timing window (eager localCheckpoint — a handful of rows
+    each) and records per-branch wall-clock in ``BRANCH_TIMES``; lazy
+    branches like the SCD2 merges otherwise defer their whole cost to
+    the final union evaluation, where no attribution is possible.
+    plan_audit keeps the default (un-checkpointed frames stay
+    plan-inspectable)."""
+    import time
+
     ord_df = load_table(spark, sf_dir, "orders").where(
         F.col("o_custkey") % 4 == 1
     )
-    rows = (
-        _scd2_rows(spark, sf_dir)
-        + _scd2_stored_rows(spark, sf_dir, base)
-        + _incremental_rows(spark, ord_df, base)
-        + _versioned_rows(spark, ord_df, base)
-        + _dv_rows(spark, ord_df, base)
-        + _merge_rows(spark, ord_df, base)
-        + _evolution_rows(spark, ord_df, base)
-        + _bloom_rows(spark, ord_df, base)
-        + _checks_rows(spark, ord_df, base)
-        + _versioned_stream_rows(spark, ord_df, base)
-        + _skipping_rows(spark, ord_df, base)
-        + _streaming_mv_rows(spark, sf_dir, base)
-        + _corpus_stream_rows(spark, sf_dir, base)
-        + _packing_rows(spark, sf_dir)
-        + _asof_rows(spark, sf_dir, base)
-        + _ivf_rows(spark, sf_dir)
-        + _pii_rows(spark, sf_dir)
-    )
+    builders: list[tuple[str, object]] = [
+        ("scd2", lambda: _scd2_rows(spark, sf_dir)),
+        ("scd2_stored", lambda: _scd2_stored_rows(spark, sf_dir, base)),
+        ("incremental", lambda: _incremental_rows(spark, ord_df, base)),
+        ("versioned", lambda: _versioned_rows(spark, ord_df, base)),
+        ("dv", lambda: _dv_rows(spark, ord_df, base)),
+        ("merge", lambda: _merge_rows(spark, ord_df, base)),
+        ("evolution", lambda: _evolution_rows(spark, ord_df, base)),
+        ("bloom", lambda: _bloom_rows(spark, ord_df, base)),
+        ("checks", lambda: _checks_rows(spark, ord_df, base)),
+        ("versioned_stream", lambda: _versioned_stream_rows(spark, ord_df, base)),
+        ("skipping", lambda: _skipping_rows(spark, ord_df, base)),
+        ("streaming_mv", lambda: _streaming_mv_rows(spark, sf_dir, base)),
+        ("corpus_stream", lambda: _corpus_stream_rows(spark, sf_dir, base)),
+        ("packing", lambda: _packing_rows(spark, sf_dir)),
+        ("asof", lambda: _asof_rows(spark, sf_dir, base)),
+        ("ivf", lambda: _ivf_rows(spark, sf_dir)),
+        ("pii", lambda: _pii_rows(spark, sf_dir)),
+    ]
+    if timed:
+        BRANCH_TIMES.clear()
+    rows: list[DataFrame] = []
+    for name, build in builders:
+        t0 = time.monotonic()
+        frames = build()
+        if timed:
+            frames = [f.localCheckpoint(eager=True) for f in frames]
+            BRANCH_TIMES[name] = round(time.monotonic() - t0, 3)
+        rows.extend(frames)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
