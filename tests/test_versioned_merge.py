@@ -206,3 +206,35 @@ def test_merge_blocks_change_feed(spark, tmp_path):
     v = merge_version(spark, t, source, keys=["k"])
     with pytest.raises(ValueError, match="append-only"):
         read_changes(spark, t, 0, v)
+
+
+def test_touched_dirs_discovery_bounded_jobs_on_wide_manifest(spark):
+    """MERGE discovery on a 5K-directory manifest must stay a handful of
+    Spark jobs, not #dirs/400 sequential flag passes: the global-range
+    pre-pass (one aggregate) drops every envelope disjoint from the
+    source's key range, so only the O(batch) candidate dirs reach the
+    chunked flagging. Also pins the discovery's EXACTNESS on the
+    synthetic manifest: exactly the overlapping envelopes come back."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _touched_dirs,
+    )
+
+    covered = [
+        (f"_data/d{i}", {"k": (i * 10, i * 10 + 9)}) for i in range(5000)
+    ]
+    source = spark.range(100, 150).select(F.col("id").alias("k")).persist()
+    source.count()  # materialize outside the measured group
+    sc = spark.sparkContext
+    sc.setJobGroup("tdirs_probe", "touched-dirs discovery")
+    try:
+        touched = _touched_dirs(source, covered, ["k"])
+    finally:
+        sc.setJobGroup("", "")
+        source.unpersist()
+    jobs = sc.statusTracker().getJobIdsForGroup("tdirs_probe")
+    # pre-pass + one ≤400-wide flag chunk (AQE may split each into 2)
+    assert 1 <= len(jobs) <= 6, jobs
+    # keys 100..149 overlap envelopes i*10..i*10+9 for i in 10..14 only
+    assert sorted(touched) == [f"_data/d{i}" for i in range(10, 15)]
