@@ -33,6 +33,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     clone_table,
     drop_clone,
     commit_version,
+    delete_version_keys,
     delete_version_vectors,
     delete_version_where,
     diff_versions,
@@ -72,6 +73,7 @@ __all__ = [
     "drop_clone",
     "commit_version",
     "optimize_zorder",
+    "delete_version_keys",
     "delete_version_vectors",
     "delete_version_where",
     "diff_versions",

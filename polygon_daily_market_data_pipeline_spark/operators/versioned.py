@@ -469,6 +469,11 @@ def commit_version(
             # deletion vectors still apply — dropping them would
             # resurrect merge-on-read-deleted rows
             manifest["dv"] = prev["dv"]
+        if mode == "append" and prev is not None and prev.get("eqdel"):
+            # equality-delete scopes name the PRE-append dirs, so the
+            # new commit's rows are naturally outside them (a re-append
+            # of a deleted key is a new row — the scoping contract)
+            manifest["eqdel"] = prev["eqdel"]
         try:
             _publish_manifest(table_dir, version, manifest)
             return version
@@ -822,34 +827,98 @@ def _dv_pairs(
     )
 
 
-def _apply_dv(
+def _eqdel_scoped_uris(
+    table_dir: str, entry: dict, paths: list[str]
+) -> list[str]:
+    """The URIs of the files under this read that an equality-delete
+    entry's SCOPE covers (the dirs visible when the delete committed —
+    later appends are outside it, Iceberg's sequence-number posture at
+    this manifest's dir granularity)."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    scope = {
+        os.path.abspath(os.path.join(entry.get("base", table_dir), d))
+        for d in entry["dirs"]
+    }
+    uris = []
+    for p in paths:
+        files = list_parquet_files(p) if os.path.isdir(p) else [p]
+        for f in files:
+            a = os.path.abspath(f)
+            if _resolve_owner(a, {s: s for s in scope}) is not None:
+                uris.append(_file_uri(a))
+    return uris
+
+
+def _apply_eqdel(
+    spark: SparkSession,
+    data: DataFrame,
+    manifest: dict,
+    paths: list[str],
+    table_dir: str,
+    fp_col: str,
+) -> DataFrame:
+    """Apply the manifest's EQUALITY deletes to ``data`` (which must
+    already carry the scan's file path as ``fp_col``): for each entry,
+    rows whose key tuple appears in the entry's key sidecar are removed
+    — but ONLY from files inside the entry's scope. One NULL-safe
+    anti-join per entry (chained equality deletes are rare; a hot path
+    would union same-schema key frames first), keys broadcast — the
+    frame is an erasure list, orders of magnitude under the data."""
+    for i, entry in enumerate(manifest.get("eqdel") or []):
+        uris = _eqdel_scoped_uris(table_dir, entry, paths)
+        if not uris:
+            continue
+        keys = spark.read.parquet(
+            os.path.join(table_dir, entry["ref"])
+        ).dropDuplicates()
+        cond = F.col(fp_col).isin(uris)
+        k = keys.alias(f"__eqk_{i}")
+        d = data.alias(f"__eqd_{i}")
+        for c in entry["cols"]:
+            cond = cond & F.col(f"__eqd_{i}.{c}").eqNullSafe(
+                F.col(f"__eqk_{i}.{c}")
+            )
+        data = d.join(F.broadcast(k), cond, "left_anti")
+    return data
+
+
+def _apply_row_deletes(
     spark: SparkSession,
     df: DataFrame,
     manifest: dict,
     paths: list[str],
     table_dir: str,
 ) -> DataFrame:
-    """Merge-on-read: anti-join out the (file, row-position) pairs the
-    manifest's deletion vectors mark deleted. ``df`` must be the FRESH
-    parquet scan of ``paths`` (the hidden ``_metadata`` struct is only
-    resolvable on a file-source scan). The anti-join is left to AQE,
-    which broadcasts the DV side in the common (small-DV) case; a read
-    touching no vectored file skips all of this (``_dv_hits``)."""
+    """Merge-on-read: filter out everything the manifest's row-level
+    delete metadata marks deleted — positional deletion vectors
+    (``dv``: anti-join on (file, row-position)) and equality deletes
+    (``eqdel``: NULL-safe key anti-join scoped to the files visible at
+    delete time). ``df`` must be the FRESH parquet scan of ``paths``
+    (the hidden ``_metadata`` struct is only resolvable on a
+    file-source scan). Joins are left to AQE / explicit broadcasts; a
+    read touching no affected file skips everything."""
     dvu = _dv_pairs(spark, manifest, paths, table_dir)
-    if dvu is None:
+    has_eq = bool(manifest.get("eqdel"))
+    if dvu is None and not has_eq:
         return df
     data = df.select(
         F.col("_metadata.file_path").alias("__dv_fp"),
         F.col("_metadata.row_index").alias("__dv_ri"),
         "*",
     )
-    out = data.join(
-        dvu,
-        (F.col("__dv_fp") == F.col("__dv_uri"))
-        & (F.col("__dv_ri") == F.col("__dv_pos")),
-        "left_anti",
-    )
-    return out.drop("__dv_fp", "__dv_ri")
+    if dvu is not None:
+        data = data.join(
+            dvu,
+            (F.col("__dv_fp") == F.col("__dv_uri"))
+            & (F.col("__dv_ri") == F.col("__dv_pos")),
+            "left_anti",
+        )
+    if has_eq:
+        data = _apply_eqdel(spark, data, manifest, paths, table_dir, "__dv_fp")
+    return data.drop("__dv_fp", "__dv_ri")
 
 
 def _read_manifest_paths(
@@ -882,13 +951,13 @@ def _read_manifest_paths(
     else:
         reader = spark.read
     df = reader.parquet(*paths)
-    if manifest.get("dv"):
+    if manifest.get("dv") or manifest.get("eqdel"):
         if table_dir is None:
             raise AssertionError(
-                "manifest carries deletion vectors but no table_dir was "
+                "manifest carries row-level deletes but no table_dir was "
                 "given to resolve them — reading would resurrect deleted rows"
             )
-        df = _apply_dv(spark, df, manifest, paths, table_dir)
+        df = _apply_row_deletes(spark, df, manifest, paths, table_dir)
     return df
 
 
@@ -1359,6 +1428,29 @@ def diff_versions(
     dv_files = [
         p for p in dv_files if _resolve_owner(p, shared_abs) is not None
     ]
+    # equality deletes change rows without positions: an entry present
+    # on one side only re-reads its WHOLE scope (∩ shared dirs) on both
+    # sides — O(scope), the best a keys-only delete admits
+    eq_from = m_from.get("eqdel") or []
+    eq_to = m_to.get("eqdel") or []
+    if eq_from != eq_to:
+        from polygon_daily_market_data_pipeline_spark.operators.layout import (
+            list_parquet_files,
+        )
+
+        changed = [e for e in eq_from if e not in eq_to] + [
+            e for e in eq_to if e not in eq_from
+        ]
+        eq_files: set[str] = set()
+        for entry in changed:
+            base = entry.get("base", table_dir)
+            for d in entry["dirs"]:
+                a = os.path.abspath(os.path.join(base, d))
+                if a in shared_abs:
+                    eq_files.update(
+                        os.path.abspath(f) for f in list_parquet_files(a)
+                    )
+        dv_files = sorted(set(dv_files) | eq_files)
 
     def side(dirs: list[str], dv_manifest: dict) -> DataFrame | None:
         paths = [os.path.join(table_dir, d) for d in dirs] + dv_files
@@ -1525,6 +1617,7 @@ def vacuum(
                 keep.add(v)
     referenced = set()
     dv_referenced = set()
+    eq_referenced = set()
     for v in keep:
         m = _load_manifest(table_dir, v)
         referenced.update(m["dirs"])
@@ -1532,6 +1625,9 @@ def vacuum(
             # only OWN sidecars count for the local sweep; a clone's
             # absolute refs point into its source's _dv
             dv_referenced.update(r for r in ent["refs"] if not os.path.isabs(r))
+        for entry in m.get("eqdel") or []:
+            if not os.path.isabs(entry["ref"]):
+                eq_referenced.add(entry["ref"])
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(_versions_dir(table_dir), f"{v}.json"))
@@ -1552,6 +1648,15 @@ def vacuum(
             rel = os.path.join("_dv", d)
             if rel not in dv_referenced:
                 shutil.rmtree(os.path.join(dv_root, d))
+                removed += 1
+    eq_root = os.path.join(table_dir, "_eqdel")
+    if os.path.isdir(eq_root):
+        # same for equality-delete key sidecars — reclaiming them is
+        # also where the ERASURE LIST itself stops being stored
+        for d in sorted(os.listdir(eq_root)):
+            rel = os.path.join("_eqdel", d)
+            if rel not in eq_referenced:
+                shutil.rmtree(os.path.join(eq_root, d))
                 removed += 1
     return removed
 
@@ -1580,8 +1685,10 @@ def rollback(table_dir: str, to_version: int) -> int:
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
-    if "dv" in src:  # ...and its deletion vectors (same visible rows)
+    if "dv" in src:  # ...and its row-level deletes (same visible rows)
         manifest["dv"] = src["dv"]
+    if "eqdel" in src:
+        manifest["eqdel"] = src["eqdel"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1716,6 +1823,9 @@ def _mutate_version(
         }
         if kept_dv:
             manifest["dv"] = kept_dv
+    kept_eq = _carry_eqdel(table_dir, src, carried_dirs)
+    if kept_eq:
+        manifest["eqdel"] = kept_eq
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -1883,6 +1993,13 @@ def delete_version_vectors(
             & (scan["pos"] == prior["__dv_pos"]),
             "left_anti",
         )
+    if src.get("eqdel"):
+        # equality-deleted rows are invisible too: their positions must
+        # not enter the vector (harmless to readers, but the manifest's
+        # per-file counts would lie)
+        scan = _apply_eqdel(
+            spark, scan, src, candidates, table_dir, "__dv_uri"
+        )
     key_lookup = spark.createDataFrame(
         list(uri_to_key.items()), "__dv_uri string, file string"
     )
@@ -1917,11 +2034,118 @@ def delete_version_vectors(
         "dirs": src["dirs"],
         "dv": dv,
     }
-    for carry in ("files", "max_batch", "schema", "checks"):
+    for carry in ("files", "max_batch", "schema", "checks", "eqdel"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
     return version
+
+
+def delete_version_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """EQUALITY delete (Iceberg equality-delete posture): publish a new
+    version in which every row whose key tuple appears in ``keys`` is
+    deleted — with ZERO table IO at commit time. Where the positional
+    path (``delete_version_vectors``) scans candidate files to discover
+    row positions, this writes only the key frame itself as a parquet
+    sidecar under ``_eqdel/`` — O(erasure list) bytes and work, no
+    matter how big the table is. The cost moves to READ time: scans of
+    in-scope files carry one NULL-safe broadcast anti-join per live
+    equality delete until ``materialize_dv`` rewrites them clean.
+
+    SCOPE: the delete applies to the data directories visible at
+    commit time. A LATER append of the same key is a NEW row and
+    survives — Iceberg's sequence-number semantics at this manifest's
+    dir granularity, and the contract that makes delete-then-reinsert
+    (the common GDPR-then-resubscribe shape) behave.
+
+    ``cols`` names the key columns (default: every column of ``keys``);
+    their [name, type] must match the table schema — an implicit-cast
+    anti-join could silently match nothing. The commit mode is
+    ``delete_eq`` — a row-level REDEFINITION: the change feed and the
+    ``versioned_changes`` stream refuse to cross it. An empty key frame
+    publishes NOTHING and returns the current version."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    cols = list(cols) if cols is not None else list(keys.columns)
+    missing = [c for c in cols if c not in keys.columns]
+    if missing:
+        raise ValueError(f"key frame is missing columns {missing}")
+    tbl_schema = src.get("schema")
+    if tbl_schema is not None:
+        tbl_sig = dict(_schema_sig(tbl_schema))
+        key_sig = dict(_schema_sig(keys.select(*cols).schema.jsonValue()))
+        bad = {
+            c: (key_sig[c], tbl_sig.get(c))
+            for c in cols
+            if tbl_sig.get(c) != key_sig[c]
+        }
+        if bad:
+            raise ValueError(
+                f"equality-delete key columns disagree with the table "
+                f"schema: {bad} — align types explicitly (an implicit-"
+                "cast anti-join can silently match nothing)"
+            )
+    frame = keys.select(*cols).dropDuplicates()
+    eq_dir = os.path.join(table_dir, "_eqdel", f"eq-{uuid.uuid4().hex}")
+    frame.write.mode("errorifexists").parquet(eq_dir)
+    n_keys = spark.read.parquet(eq_dir).limit(1).count()
+    if n_keys == 0:
+        shutil.rmtree(eq_dir)
+        return versions[-1]
+    entry = {
+        "ref": os.path.relpath(eq_dir, table_dir),
+        "cols": cols,
+        "dirs": list(src["dirs"]),
+    }
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "delete_eq",
+        "dirs": src["dirs"],
+        "eqdel": list(src.get("eqdel") or []) + [entry],
+    }
+    for carry in ("files", "max_batch", "schema", "checks", "dv"):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
+def _carry_eqdel(
+    table_dir: str, src: dict, carried_dirs: set[str]
+) -> list[dict]:
+    """Equality-delete entries surviving a copy-on-write rewrite: each
+    entry's scope is intersected with the dirs carried BY REFERENCE
+    (rewritten dirs were read with the deletes applied — their
+    replacement is clean); entries whose scope empties are dropped."""
+    carried_abs = {
+        os.path.abspath(os.path.join(table_dir, d)) for d in carried_dirs
+    }
+    out = []
+    for entry in src.get("eqdel") or []:
+        base = entry.get("base", table_dir)
+        kept = [
+            d
+            for d in entry["dirs"]
+            if os.path.abspath(os.path.join(base, d)) in carried_abs
+        ]
+        if kept:
+            out.append({**entry, "dirs": kept})
+    return out
 
 
 def materialize_dv(
@@ -1951,7 +2175,8 @@ def materialize_dv(
         )
     src = _load_manifest(table_dir, versions[-1])
     dv = src.get("dv") or {}
-    if not dv:
+    eqdel = src.get("eqdel") or []
+    if not dv and not eqdel:
         return versions[-1]
     dir_of = {
         os.path.abspath(os.path.join(table_dir, d)): d for d in src["dirs"]
@@ -1961,6 +2186,15 @@ def materialize_dv(
         owner = _resolve_owner(_dv_abs(table_dir, k, ent), dir_of)
         if owner is not None:
             touched.add(owner)
+    # equality-delete scopes compact here too: every in-scope dir is
+    # rewritten with the key anti-join applied, so the new version
+    # carries NO row-level delete metadata of either kind
+    for entry in eqdel:
+        base = entry.get("base", table_dir)
+        for d in entry["dirs"]:
+            owner = dir_of.get(os.path.abspath(os.path.join(base, d)))
+            if owner is not None:
+                touched.add(owner)
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
         list_parquet_files,
     )
@@ -2356,6 +2590,13 @@ def merge_version(
         }
         if kept_dv:
             manifest["dv"] = kept_dv
+    kept_eq = _carry_eqdel(
+        table_dir,
+        src_manifest,
+        {d for d in src_manifest["dirs"] if d not in touched},
+    )
+    if kept_eq:
+        manifest["eqdel"] = kept_eq
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -2408,6 +2649,16 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
             "n": ent["n"],
             "base": ent.get("base", os.path.abspath(src_dir)),
         }
+    # equality deletes the same way: scope dirs keep their names,
+    # resolved through `base`; the key sidecar ref goes absolute
+    eqdel = [
+        {
+            **entry,
+            "ref": os.path.abspath(os.path.join(src_dir, entry["ref"])),
+            "base": entry.get("base", os.path.abspath(src_dir)),
+        }
+        for entry in (src.get("eqdel") or [])
+    ]
     os.makedirs(_versions_dir(dst_dir), exist_ok=True)
     manifest = {
         "version": 0,
@@ -2419,6 +2670,8 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         manifest["files"] = files
     if dv:
         manifest["dv"] = dv
+    if eqdel:
+        manifest["eqdel"] = eqdel
     if "schema" in src:
         manifest["schema"] = src["schema"]
     if "checks" in src:

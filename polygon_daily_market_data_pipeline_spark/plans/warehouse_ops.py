@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE twenty-six-row union query
+sequence packing) exercised end-to-end as ONE twenty-seven-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -455,6 +455,62 @@ def _dv_rows(
     )
     mat_row = _summ(after_m, mat_clean)
     return [_row(dv_row, "versioned_dv"), _row(mat_row, "versioned_dv_materialize")]
+
+
+def _eqdel_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """EQUALITY delete (``delete_version_keys`` — the erasure-list
+    flavor: a key sidecar written with ZERO table IO at commit, rows
+    anti-joined out at read time, SCOPED to the dirs visible at delete
+    time). The script proves the scope contract the oracle can price
+    exactly: delete every 10th pre-cut orderkey, then RE-APPEND those
+    rows with o_totalprice bumped +100000 — they survive (new commit,
+    outside the delete's scope), so the final count equals |ord_v0|
+    EXACTLY and the sum is SUM(ord_v0) + 100000·n10. n_aux pins two
+    claims: the delete changed NO data file (the post-delete plan
+    schedules the pre-delete file set) and it really removed the keyed
+    rows before the re-append."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_keys,
+    )
+
+    tdir = os.path.join(base, "eq_vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    v0df = ord_df.where(F.col("o_orderdate") < cut)
+    commit_version(v0df.coalesce(4), tdir)
+    files_before = set(read_version(spark, tdir).inputFiles())
+    n_v0 = read_version(spark, tdir).count()
+    tenth = v0df.where(F.col("o_orderkey") % 10 == 0)
+    n_keys = tenth.count()
+    delete_version_keys(
+        spark, tdir, tenth.select("o_orderkey"), ["o_orderkey"]
+    )
+    after_del = read_version(spark, tdir)
+    data_files = {
+        f
+        for f in after_del.inputFiles()
+        if f"{os.sep}_eqdel{os.sep}" not in f
+    }
+    commit_version(
+        tenth.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+        ).coalesce(2),
+        tdir,
+        mode="append",
+    )
+    claim = (
+        1
+        if data_files == files_before
+        and after_del.count() == n_v0 - n_keys
+        else 0
+    )
+    row = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_eqdel")]
 
 
 def _merge_rows(
@@ -1071,6 +1127,14 @@ _ORACLE = f"""
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL
+        SELECT 'versioned_eqdel',
+               (SELECT COUNT(*) FROM ord_v0),
+               1,
+               (SELECT ROUND(SUM(o_totalprice)
+                             + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
+                                                   THEN 1 END), 2)
+                FROM ord_v0)
+        UNION ALL
         SELECT 'versioned_diff',
                -- deletes (matched old images) + inserts (new images +
                -- shifted inserts)
@@ -1327,7 +1391,7 @@ BRANCH_TIMES: dict[str, float] = {}
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str, timed: bool = False
 ) -> DataFrame:
-    """The LAZY twenty-six-row audit union over scratch state under
+    """The LAZY twenty-seven-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``
@@ -1354,6 +1418,7 @@ def build_maintenance_union(
         ("incremental", lambda: _incremental_rows(spark, ord_df, base)),
         ("versioned", lambda: _versioned_rows(spark, ord_df, base)),
         ("dv", lambda: _dv_rows(spark, ord_df, base)),
+        ("eqdel", lambda: _eqdel_rows(spark, ord_df, base)),
         ("merge", lambda: _merge_rows(spark, ord_df, base)),
         ("evolution", lambda: _evolution_rows(spark, ord_df, base)),
         ("bloom", lambda: _bloom_rows(spark, ord_df, base)),

@@ -61,6 +61,7 @@ class _FilePartition(InputPartition):
         path: str | None,
         dv_paths: list[str] | None = None,
         dv_key: str | None = None,
+        eq_entries: list[tuple[list[str], list[str]]] | None = None,
     ):
         self.path = path
         # deletion-vector sidecars covering this file (absolute paths)
@@ -68,6 +69,9 @@ class _FilePartition(InputPartition):
         # merge-on-read table must not emit vectored rows
         self.dv_paths = dv_paths or []
         self.dv_key = dv_key
+        # equality deletes scoped to this file: [(key parquet files,
+        # key columns)] — the reader anti-joins each per Arrow batch
+        self.eq_entries = eq_entries or []
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -140,19 +144,47 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for f in list_parquet_files(os.path.join(self.table_dir, d))
         ]
         # merge-on-read: the initial snapshot may cover files with
-        # deletion vectors (mid-stream deltas never do — a delete_dv in
-        # range refuses above) — tag those partitions so the reader
-        # filters vectored positions out
-        dv = {}
+        # row-level deletes (mid-stream deltas never do — a delete_dv /
+        # delete_eq in range refuses above) — tag those partitions so
+        # the reader filters deleted rows out
+        dv, eqdel = {}, []
         if end["version"] >= 0:
-            dv = _load_manifest(self.table_dir, end["version"]).get("dv") or {}
+            m_end = _load_manifest(self.table_dir, end["version"])
+            dv = m_end.get("dv") or {}
+            eqdel = m_end.get("eqdel") or []
         abs_key = {
             _dv_abs(self.table_dir, k, ent): k for k, ent in dv.items()
         }
+        eq_scopes = []
+        for entry in eqdel:
+            base = entry.get("base", self.table_dir)
+            scope = {
+                os.path.abspath(os.path.join(base, d))
+                for d in entry["dirs"]
+            }
+            key_files = list_parquet_files(
+                os.path.join(self.table_dir, entry["ref"])
+            )
+            eq_scopes.append((scope, key_files, entry["cols"]))
+        def _under(a: str, scope: set[str]) -> bool:
+            cur = os.path.dirname(a)
+            while cur not in scope:
+                parent = os.path.dirname(cur)
+                if parent == cur:
+                    return False
+                cur = parent
+            return True
+
         parts = []
         for f in files:
-            k = abs_key.get(os.path.abspath(f))
-            if k is None:
+            a = os.path.abspath(f)
+            k = abs_key.get(a)
+            eq_entries = [
+                (kf, cols)
+                for scope, kf, cols in eq_scopes
+                if _under(a, scope)
+            ]
+            if k is None and not eq_entries:
                 parts.append(_FilePartition(f))
             else:
                 parts.append(
@@ -166,8 +198,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                             for df in list_parquet_files(
                                 os.path.join(self.table_dir, r)
                             )
-                        ],
+                        ]
+                        if k is not None
+                        else [],
                         dv_key=k,
+                        eq_entries=eq_entries,
                     )
                 )
         # Spark requires ≥1 partition per planned batch: a data-less
@@ -188,16 +223,42 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 filter=pads.field("file") == partition.dv_key,
             )
             deleted = set(tbl.column("pos").to_pylist())
+        eq_keys = []
+        if partition.eq_entries:
+            import pyarrow.dataset as pads
+
+            for key_files, cols in partition.eq_entries:
+                kt = pads.dataset(key_files, format="parquet").to_table(
+                    columns=list(cols)
+                )
+                # set of key tuples — erasure-list-sized, fine in memory
+                eq_keys.append(
+                    (set(zip(*(kt.column(c).to_pylist() for c in cols))), cols)
+                )
         off = 0
         for batch in pq.ParquetFile(partition.path).iter_batches():
             n = batch.num_rows
-            if deleted:
+            if deleted or eq_keys:
                 import pyarrow as pa
 
-                mask = pa.array(
-                    [(off + i) not in deleted for i in range(n)]
-                )
-                yield batch.filter(mask)
+                keep = [True] * n
+                if deleted:
+                    keep = [
+                        k and (off + i) not in deleted
+                        for i, k in enumerate(keep)
+                    ]
+                for keyset, cols in eq_keys:
+                    col_vals = [
+                        batch.column(
+                            batch.schema.get_field_index(c)
+                        ).to_pylist()
+                        for c in cols
+                    ]
+                    keep = [
+                        k and tuple(v[i] for v in col_vals) not in keyset
+                        for i, k in enumerate(keep)
+                    ]
+                yield batch.filter(pa.array(keep))
             else:
                 yield batch
             off += n

@@ -175,6 +175,7 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
     import random
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_keys,
         delete_version_vectors,
         materialize_dv,
         optimize_zorder,
@@ -190,7 +191,8 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
         for step in range(6):
             op = rng.choice(
                 ["overwrite", "append", "delete", "update", "merge",
-                 "rollback", "optimize", "delete_dv", "materialize_dv"]
+                 "rollback", "optimize", "delete_dv", "materialize_dv",
+                 "delete_eq"]
             )
             tag = f"s{seed}b{step}"
             if op == "overwrite":
@@ -238,6 +240,17 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
                 model[v] = model[latest]
                 # same visible rows: the bag diff is EMPTY
                 assert diff_versions(spark, t, latest, v).count() == 0
+            elif op == "delete_eq":
+                b = rng.randrange(0, 6)
+                kdf = spark.range(b).select(
+                    F.col("id").cast("long").alias("k")
+                )
+                v = delete_version_keys(spark, t, kdf, ["k"])
+                if v == latest:  # empty key frame: no commit
+                    continue
+                model[v] = Counter(
+                    {r: n for r, n in model[latest].items() if r[0] >= b}
+                )
             elif op == "rollback":
                 back = rng.choice(sorted(model))
                 v = rollback(t, to_version=back)

@@ -99,6 +99,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_keys,
         delete_version_vectors,
         delete_version_where,
         materialize_dv,
@@ -119,7 +120,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 [
                     "overwrite", "append", "rollback", "optimize",
                     "delete", "update", "merge", "vacuum",
-                    "delete_dv", "materialize_dv",
+                    "delete_dv", "materialize_dv", "delete_eq",
                 ]
             )
             versions = sorted(model)
@@ -197,6 +198,22 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 )
                 if v != versions[-1]:  # no-op when nothing is vectored
                     model[v] = model[versions[-1]]
+            elif op == "delete_eq":
+                # equality delete: key-list erasure, zero table IO at
+                # commit, SCOPED to current dirs (later appends of the
+                # same key survive — the model naturally captures this
+                # because appends add rows after the delete's version)
+                bound = rng.randrange(0, 5)
+                kdf = spark.range(bound).select(
+                    F.col("id").cast("long").alias("k")
+                )
+                v = delete_version_keys(
+                    spark, t, kdf, ["k"], expected_version=versions[-1]
+                )
+                if v != versions[-1]:  # empty key frame publishes nothing
+                    model[v] = [
+                        r for r in model[versions[-1]] if r[0] >= bound
+                    ]
             else:  # vacuum
                 keep = rng.randint(1, len(versions))
                 vacuum(t, keep_last=keep)

@@ -438,6 +438,7 @@ def probe_dv(spark, sf_dir: str) -> None:
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
         commit_version,
+        delete_version_keys,
         delete_version_vectors,
         delete_version_where,
         read_version,
@@ -463,7 +464,7 @@ def probe_dv(spark, sf_dir: str) -> None:
     results = []
     for k in (1, 4, 16):
         tables = {}
-        for kind in ("dv", "cow"):
+        for kind in ("dv", "cow", "eq"):
             t = tempfile.mkdtemp(prefix=f"dv_probe_{kind}_{k}x_")
             for i in range(k):
                 commit_version(
@@ -491,17 +492,32 @@ def probe_dv(spark, sf_dir: str) -> None:
             for d in os.listdir(os.path.join(tables["cow"], "_data"))
             if d.startswith("m-")
         )
+        # equality delete: the SAME rows by KEY LIST — zero table IO
+        # at commit, the sidecar is the erasure list itself
+        eq_keys = spark.range(k).selectExpr("id AS i").join(
+            ord_df.where(
+                (F.col("o_orderkey") % F.lit(step) == 17)
+            ).selectExpr("o_orderkey AS base_key"),
+        ).selectExpr(f"base_key + i * CAST({off} AS BIGINT) AS o_orderkey")
+        t0 = time.monotonic()
+        delete_version_keys(spark, tables["eq"], eq_keys, ["o_orderkey"])
+        dt_eq = time.monotonic() - t0
+        eq_bytes = tree_bytes(os.path.join(tables["eq"], "_eqdel"))
         n_dv = read_version(spark, tables["dv"], version=v).count()
         n_cow = read_version(spark, tables["cow"]).count()
-        assert n_dv == n_cow, (n_dv, n_cow)
-        results.append((k, dt_dv, dv_bytes, dt_cow, cow_bytes, n * k - n_dv))
+        n_eq = read_version(spark, tables["eq"]).count()
+        assert n_dv == n_cow == n_eq, (n_dv, n_cow, n_eq)
+        results.append(
+            (k, dt_dv, dv_bytes, dt_cow, cow_bytes, n * k - n_dv, dt_eq, eq_bytes)
+        )
         for t in tables.values():
             shutil.rmtree(t, ignore_errors=True)
     ord_df.unpersist()
     pts = ", ".join(
         f"{k}x del={d}r dv={dt_dv:.2f}s/{db / 1e3:.0f}KB "
-        f"cow={dt_cow:.2f}s/{cb / 1e6:.1f}MB"
-        for k, dt_dv, db, dt_cow, cb, d in results
+        f"cow={dt_cow:.2f}s/{cb / 1e6:.1f}MB "
+        f"eq={dt_eq:.2f}s/{eb / 1e3:.0f}KB"
+        for k, dt_dv, db, dt_cow, cb, d, dt_eq, eb in results
     )
     print(f"versioned_dv: {pts}")
 
