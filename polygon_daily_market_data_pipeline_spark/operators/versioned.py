@@ -797,6 +797,12 @@ def _dv_hits(
     return hits
 
 
+# deleted-pair count below which the DV anti-join broadcasts the
+# vector side (~16 bytes/pair → ≈64 MB at the cap; above it the
+# shuffled join is the right plan)
+_DV_BROADCAST_ROWS = 4_000_000
+
+
 def _dv_pairs(
     spark: SparkSession, manifest: dict, paths: list[str], table_dir: str
 ) -> DataFrame | None:
@@ -822,9 +828,18 @@ def _dv_pairs(
         [(k, _file_uri(a)) for k, a in hits.items()],
         "file string, __dv_uri string",
     )
-    return dvdf.join(F.broadcast(lookup), "file").select(
+    pairs = dvdf.join(F.broadcast(lookup), "file").select(
         "__dv_uri", F.col("pos").alias("__dv_pos")
     )
+    # the manifest already knows how many pairs apply (per-file `n`):
+    # decide the anti-join strategy from it instead of hoping AQE
+    # re-plans (measured: the static SortMergeJoin survives execution
+    # even for a 100-row vector). Small vector → broadcast hint, no
+    # shuffle of the DATA side; a genuinely huge vector keeps the
+    # shuffled join, which is the right plan there.
+    if sum(dv[k]["n"] for k in hits) <= _DV_BROADCAST_ROWS:
+        pairs = F.broadcast(pairs)
+    return pairs
 
 
 def _eqdel_scoped_uris(

@@ -301,3 +301,35 @@ def test_dv_composes_with_schema_evolution(spark, tmp_path):
     assert got.count() == 45 + 10
     assert got.where(F.col("k") < 5).count() == 0
     assert got.where(F.col("w").isNull()).count() == 45
+
+
+def test_dv_scan_plan_broadcasts_and_pushes_down(spark, tmp_path):
+    """Plan shape of the merge-on-read scan: the residual range filter
+    must still reach the parquet scan (DataFilters — the anti-join must
+    not fence pushdown), and a small vector side must join as a
+    BROADCAST anti-join, decided from the manifest's deleted-pair
+    counts (measured: AQE leaves the static SortMergeJoin in place even
+    for a 100-row vector, so the engine decides, not hope)."""
+    t = str(tmp_path / "vt")
+    commit_version(
+        spark.range(50_000)
+        .select(F.col("id").cast("long").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(8, "k"),
+        t,
+        stats_cols=["k"],
+    )
+    delete_version_vectors(spark, t, F.col("k") % 500 == 7)
+    got, _ = scan_version_with_stats(spark, t, {"k": (0, 10_000)})
+    got.count()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    anti = [
+        ln for ln in plan.splitlines() if "Join" in ln and "LeftAnti" in ln
+    ]
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti), anti
+    assert "SortMergeJoin" not in plan, "vector side should broadcast"
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "(k" in ln and ">= 0" in ln
+    ]
+    assert pushed, "range residual not pushed to the data scan"
