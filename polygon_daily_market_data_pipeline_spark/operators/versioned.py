@@ -2404,6 +2404,7 @@ def merge_version(
     stats_cols: list[str] | None = None,
     expected_version: int | None = None,
     prune: dict | None = None,
+    strategy: str = "copy_on_write",
 ) -> int:
     """Delta-style MERGE INTO a versioned table, copy-on-write: publish
     a new version equal to the latest with every target row whose key
@@ -2444,7 +2445,21 @@ def merge_version(
     read. The commit mode is ``merge`` — a row-level REDEFINITION, so
     ``read_changes`` / the ``versioned_changes`` stream refuse to cross
     it rather than emit wrong deltas, exactly as for delete/update.
-    Pre-merge versions stay time-travelable until ``vacuum``."""
+    Pre-merge versions stay time-travelable until ``vacuum``.
+
+    ``strategy="merge_on_read"`` keeps the same semantics but TOMBSTONES
+    the matched target rows through the deletion-vector machinery
+    instead of rewriting their directories: the commit writes the
+    matched (file, row-position) pairs as a ``_dv`` sidecar plus the
+    insert directory, so bytes written are O(source + matched), not
+    O(touched directories). The discovery scan still reads only the
+    touched dirs (for POSITIONS now, not for a rewrite), untouched dirs
+    gain no new files at all, and ``materialize_dv`` compacts the
+    tombstones later. The right choice for frequent small merges into
+    large clustered commits; prefer copy-on-write when a merge touches
+    most of a directory anyway."""
+    if strategy not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if when_matched not in ("update", "delete"):
         raise ValueError(f"unknown when_matched {when_matched!r}")
     if not keys:
@@ -2524,30 +2539,123 @@ def merge_version(
         keys_df = source.select(*keys).alias("__mrg_src")
         new_dirs: list[str] = []
         new_files: dict = {}
-        for d in src_manifest["dirs"]:
-            if d not in touched:
-                new_dirs.append(d)
-                for f in list_parquet_files(os.path.join(table_dir, d)):
-                    rel = os.path.relpath(f, table_dir)
-                    if rel in stats:
-                        new_files[rel] = stats[rel]
-                continue
-            tgt = _read_manifest_paths(
-                spark, src_manifest, [os.path.join(table_dir, d)], table_dir
-            ).alias("__mrg_tgt")
-            cond = F.lit(True)
-            for k in keys:
-                cond = cond & F.col(f"__mrg_tgt.{k}").eqNullSafe(
-                    F.col(f"__mrg_src.{k}")
+        mor_dv: dict = {}
+        if strategy == "merge_on_read":
+            # every directory is carried by reference — the matched
+            # rows are tombstoned by POSITION, discovered by scanning
+            # only the touched dirs (prior row-level deletes applied so
+            # an already-deleted row never re-enters a vector)
+            new_dirs = list(src_manifest["dirs"])
+            new_files = dict(stats)
+            mor_dv = {
+                k2: dict(v2)
+                for k2, v2 in (src_manifest.get("dv") or {}).items()
+            }
+            touched_paths = [
+                os.path.join(table_dir, d) for d in sorted(touched)
+            ]
+            if touched_paths:
+                if tbl_schema is not None:
+                    from pyspark.sql.types import StructType
+
+                    reader = spark.read.schema(
+                        StructType.fromJson(tbl_schema)
+                    )
+                else:
+                    reader = spark.read
+                scan = reader.parquet(*touched_paths).select(
+                    F.col("_metadata.file_path").alias("__dv_uri"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    *keys,
                 )
-            survivors = tgt.join(keys_df, cond, "left_anti")
-            out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
-            survivors.write.mode("errorifexists").parquet(out_dir)
-            new_dirs.append(os.path.relpath(out_dir, table_dir))
-            if stats_cols:
-                new_files.update(
-                    _collect_file_stats(spark, table_dir, out_dir, stats_cols)
+                prior = _dv_pairs(
+                    spark, src_manifest, touched_paths, table_dir
                 )
+                if prior is not None:
+                    scan = scan.join(
+                        prior,
+                        (scan["__dv_uri"] == prior["__dv_uri"])
+                        & (scan["pos"] == prior["__dv_pos"]),
+                        "left_anti",
+                    )
+                if src_manifest.get("eqdel"):
+                    scan = _apply_eqdel(
+                        spark, scan, src_manifest, touched_paths,
+                        table_dir, "__dv_uri",
+                    )
+                cond = F.lit(True)
+                t_al = scan.alias("__mor_tgt")
+                for k in keys:
+                    cond = cond & F.col(f"__mor_tgt.{k}").eqNullSafe(
+                        F.col(f"__mrg_src.{k}")
+                    )
+                existing_abs = {
+                    _dv_abs(table_dir, k2, e): k2
+                    for k2, e in mor_dv.items()
+                }
+                uri_to_key = {}
+                for d in touched:
+                    for f in list_parquet_files(os.path.join(table_dir, d)):
+                        a = os.path.abspath(f)
+                        uri_to_key[_file_uri(a)] = existing_abs.get(
+                            a, os.path.relpath(a, table_dir)
+                        )
+                key_lookup = spark.createDataFrame(
+                    list(uri_to_key.items()), "__dv_uri string, file string"
+                )
+                matched = (
+                    t_al.join(F.broadcast(keys_df), cond, "left_semi")
+                    .join(F.broadcast(key_lookup), "__dv_uri")
+                    .select("file", "pos")
+                )
+                dv_dir = os.path.join(
+                    table_dir, "_dv", f"dv-{uuid.uuid4().hex}"
+                )
+                matched.write.mode("errorifexists").parquet(dv_dir)
+                dv_rel = os.path.relpath(dv_dir, table_dir)
+                counts = {
+                    r["file"]: r["n"]
+                    for r in spark.read.parquet(dv_dir)
+                    .groupBy("file")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                if not counts:
+                    shutil.rmtree(dv_dir)
+                for fkey, n_del in counts.items():
+                    ent = mor_dv.setdefault(fkey, {"refs": [], "n": 0})
+                    ent["refs"] = ent["refs"] + [dv_rel]
+                    ent["n"] += n_del
+        else:
+            for d in src_manifest["dirs"]:
+                if d not in touched:
+                    new_dirs.append(d)
+                    for f in list_parquet_files(os.path.join(table_dir, d)):
+                        rel = os.path.relpath(f, table_dir)
+                        if rel in stats:
+                            new_files[rel] = stats[rel]
+                    continue
+                tgt = _read_manifest_paths(
+                    spark, src_manifest, [os.path.join(table_dir, d)],
+                    table_dir,
+                ).alias("__mrg_tgt")
+                cond = F.lit(True)
+                for k in keys:
+                    cond = cond & F.col(f"__mrg_tgt.{k}").eqNullSafe(
+                        F.col(f"__mrg_src.{k}")
+                    )
+                survivors = tgt.join(keys_df, cond, "left_anti")
+                out_dir = os.path.join(
+                    table_dir, "_data", f"m-{uuid.uuid4().hex}"
+                )
+                survivors.write.mode("errorifexists").parquet(out_dir)
+                new_dirs.append(os.path.relpath(out_dir, table_dir))
+                if stats_cols:
+                    new_files.update(
+                        _collect_file_stats(
+                            spark, table_dir, out_dir, stats_cols
+                        )
+                    )
         if when_matched == "update":
             ins_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
             source.write.mode("errorifexists").parquet(ins_dir)
@@ -2589,29 +2697,37 @@ def merge_version(
         manifest["schema"] = tbl_schema
     if "checks" in src_manifest:
         manifest["checks"] = src_manifest["checks"]
-    src_dv = src_manifest.get("dv") or {}
-    if src_dv:
-        # same posture as _mutate_version: rewritten (anti-joined) dirs
-        # materialized their vectors; carried dirs keep theirs
-        dir_of = {
-            os.path.abspath(os.path.join(table_dir, d)): d
-            for d in src_manifest["dirs"]
-        }
-        kept_dv = {
-            k: v
-            for k, v in src_dv.items()
-            if _resolve_owner(_dv_abs(table_dir, k, v), dir_of)
-            not in touched
-        }
-        if kept_dv:
-            manifest["dv"] = kept_dv
-    kept_eq = _carry_eqdel(
-        table_dir,
-        src_manifest,
-        {d for d in src_manifest["dirs"] if d not in touched},
-    )
-    if kept_eq:
-        manifest["eqdel"] = kept_eq
+    if strategy == "merge_on_read":
+        # nothing was rewritten: prior vectors (extended with the
+        # matched tombstones) and equality deletes carry verbatim
+        if mor_dv:
+            manifest["dv"] = mor_dv
+        if src_manifest.get("eqdel"):
+            manifest["eqdel"] = src_manifest["eqdel"]
+    else:
+        src_dv = src_manifest.get("dv") or {}
+        if src_dv:
+            # same posture as _mutate_version: rewritten (anti-joined)
+            # dirs materialized their vectors; carried dirs keep theirs
+            dir_of = {
+                os.path.abspath(os.path.join(table_dir, d)): d
+                for d in src_manifest["dirs"]
+            }
+            kept_dv = {
+                k: v
+                for k, v in src_dv.items()
+                if _resolve_owner(_dv_abs(table_dir, k, v), dir_of)
+                not in touched
+            }
+            if kept_dv:
+                manifest["dv"] = kept_dv
+        kept_eq = _carry_eqdel(
+            table_dir,
+            src_manifest,
+            {d for d in src_manifest["dirs"] if d not in touched},
+        )
+        if kept_eq:
+            manifest["eqdel"] = kept_eq
     _publish_manifest(table_dir, version, manifest)
     return version
 

@@ -2,7 +2,7 @@
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE twenty-seven-row union query
+sequence packing) exercised end-to-end as ONE twenty-eight-row union query
 with a mechanical DuckDB twin, so the driver's differential check
 covers what previously rested on self-written tests alone.
 
@@ -603,7 +603,52 @@ def _merge_rows(
             2,
         ).alias("val"),
     )
-    return [_row(row, "versioned_merge"), _row(diff_row, "versioned_diff")]
+    # the SAME merge through strategy="merge_on_read": matched rows
+    # tombstoned by position (a _dv sidecar + the insert dir — bytes
+    # O(source + matched), zero rewrites), must read IDENTICALLY to the
+    # copy-on-write result (same DuckDB arithmetic). n_aux pins the
+    # zero-rewrite claim: EVERY pre-merge data file — bottom half
+    # included — still scheduled by the post-merge plan.
+    tdir2 = os.path.join(base, "merge_mor_vt")
+    commit_version(
+        v0df.where(F.col("o_orderkey") <= half).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir2,
+        stats_cols=["o_orderkey"],
+    )
+    commit_version(
+        v0df.where(F.col("o_orderkey") > half).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir2,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    all_before = set(read_version(spark, tdir2).inputFiles())
+    v_mor = merge_version(
+        spark,
+        tdir2,
+        updates.unionByName(inserts),
+        keys=["o_orderkey"],
+        stats_cols=["o_orderkey"],
+        strategy="merge_on_read",
+    )
+    after_mor = read_version(spark, tdir2, version=v_mor)
+    data_after = {
+        f for f in after_mor.inputFiles() if f"{os.sep}_dv{os.sep}" not in f
+    }
+    mor_carried = 1 if all_before <= data_after else 0
+    mor_row = after_mor.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(mor_carried).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [
+        _row(row, "versioned_merge"),
+        _row(mor_row, "versioned_merge_mor"),
+        _row(diff_row, "versioned_diff"),
+    ]
 
 
 def _evolution_rows(
@@ -1170,6 +1215,13 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(SUM(p), 2) FROM mrg)
         UNION ALL
+        -- identical arithmetic to versioned_merge: the merge-on-read
+        -- strategy is a layout choice, never a semantics choice
+        SELECT 'versioned_merge_mor',
+               (SELECT COUNT(*) FROM mrg),
+               1,
+               (SELECT ROUND(SUM(p), 2) FROM mrg)
+        UNION ALL
         SELECT 'versioned_skipping',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -1391,7 +1443,7 @@ BRANCH_TIMES: dict[str, float] = {}
 def build_maintenance_union(
     spark: SparkSession, sf_dir: str, base: str, timed: bool = False
 ) -> DataFrame:
-    """The LAZY twenty-seven-row audit union over scratch state under
+    """The LAZY twenty-eight-row audit union over scratch state under
     ``base`` — runs every branch script eagerly (writes, commits,
     streaming drains) but returns the un-materialized union, so the
     per-branch physical plans stay inspectable. ``warehouse_maintenance``

@@ -219,7 +219,10 @@ def test_diff_law_under_random_op_sequences(spark, tmp_path):
             elif op == "merge":
                 b = rng.randrange(0, 8)
                 src = _df(spark, b, 10, tag)
-                v = merge_version(spark, t, src, keys=["k"])
+                v = merge_version(
+                    spark, t, src, keys=["k"],
+                    strategy=rng.choice(["copy_on_write", "merge_on_read"]),
+                )
                 model[v] = Counter(
                     {r: n for r, n in model[latest].items() if r[0] < b}
                 ) + _bag(src)

@@ -238,3 +238,110 @@ def test_touched_dirs_discovery_bounded_jobs_on_wide_manifest(spark):
     assert 1 <= len(jobs) <= 6, jobs
     # keys 100..149 overlap envelopes i*10..i*10+9 for i in 10..14 only
     assert sorted(touched) == [f"_data/d{i}" for i in range(10, 15)]
+
+
+def test_merge_on_read_equals_copy_on_write(spark, tmp_path):
+    """Twin law: strategy='merge_on_read' (matched rows tombstoned by
+    position, zero directory rewrites) reads identically to the
+    copy-on-write merge for update AND delete — including NULL keys,
+    chained onto prior row-level deletes, and through materialize."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        delete_version_keys,
+        delete_version_vectors,
+        materialize_dv,
+        merge_version,
+        read_version,
+    )
+
+    def build(t):
+        df = spark.range(1000).select(
+            F.col("id").cast("long").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).unionByName(
+            spark.createDataFrame([(None, 0.5)], "k long, v double")
+        )
+        commit_version(
+            df.where("k < 500 OR k IS NULL").repartition(4), t,
+            stats_cols=["k"],
+        )
+        commit_version(
+            df.where("k >= 500").repartitionByRange(4, "k"), t,
+            mode="append", stats_cols=["k"],
+        )
+        # pre-existing row-level deletes of BOTH kinds
+        delete_version_vectors(spark, t, F.col("k").between(40, 44))
+        delete_version_keys(
+            spark, t,
+            spark.createDataFrame([(600,), (601,)], "k long"), ["k"],
+        )
+
+    src = spark.range(0, 100, 10).select(
+        F.col("id").cast("long").alias("k"), F.lit(99.0).alias("v")
+    ).unionByName(
+        spark.createDataFrame(
+            [(None, -0.5), (5000, -1.0)], "k long, v double"
+        )
+    )
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    build(cow)
+    build(mor)
+    merge_version(spark, cow, src, keys=["k"], stats_cols=["k"])
+    data_before = set(
+        f
+        for f in read_version(spark, mor).inputFiles()
+        if "_dv" not in f and "_eqdel" not in f
+    )
+    merge_version(
+        spark, mor, src, keys=["k"], stats_cols=["k"],
+        strategy="merge_on_read",
+    )
+    rows = lambda t: sorted(  # noqa: E731
+        ((r.k, r.v) for r in read_version(spark, t).collect()),
+        key=lambda x: (x[0] is None, x[0] or 0, x[1]),
+    )
+    assert rows(mor) == rows(cow)
+    # MoR claim: every pre-merge data file still scheduled (no rewrite);
+    # the only new data dir is the insert directory
+    data_after = set(
+        f
+        for f in read_version(spark, mor).inputFiles()
+        if "_dv" not in f and "_eqdel" not in f
+    )
+    assert data_before <= data_after
+    # delete variant agrees too
+    cow2, mor2 = str(tmp_path / "cow2"), str(tmp_path / "mor2")
+    build(cow2)
+    build(mor2)
+    kdf = src.select("k")
+    merge_version(spark, cow2, kdf, keys=["k"], when_matched="delete")
+    merge_version(
+        spark, mor2, kdf, keys=["k"], when_matched="delete",
+        strategy="merge_on_read",
+    )
+    assert rows(mor2) == rows(cow2)
+    # materialize compacts the tombstones, rows unchanged
+    before = rows(mor)
+    materialize_dv(spark, mor, stats_cols=["k"])
+    assert rows(mor) == before
+
+
+def test_merge_on_read_rejects_unknown_strategy(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        merge_version,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(
+        spark.range(5).select(F.col("id").alias("k")), t
+    )
+    with pytest.raises(ValueError, match="unknown strategy"):
+        merge_version(
+            spark, t, spark.range(1).select(F.col("id").alias("k")),
+            keys=["k"], strategy="nope",
+        )

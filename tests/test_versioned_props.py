@@ -170,6 +170,9 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 v = merge_version(
                     spark, t, src, keys=["k"],
                     expected_version=versions[-1],
+                    # strategy is a layout choice, never a semantics
+                    # choice — the model must hold under either
+                    strategy=rng.choice(["copy_on_write", "merge_on_read"]),
                 )
                 model[v] = sorted(
                     [r for r in model[versions[-1]] if r[0] < bound]

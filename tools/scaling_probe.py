@@ -385,37 +385,58 @@ def probe_merge(spark, sf_dir: str) -> None:
     source = updates.unionByName(inserts)
     results = []
     for k in (1, 4, 16):
-        t = tempfile.mkdtemp(prefix=f"merge_probe_{k}x_")
-        for i in range(k):  # untimed: k key-disjoint stats'd commits
-            commit_version(
-                ord_df.withColumn(
-                    "o_orderkey",
-                    (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
-                ).repartitionByRange(8, "o_orderkey"),
-                t,
-                mode="append" if i else "overwrite",
-                stats_cols=["o_orderkey"],
+        per_strategy = {}
+        for strategy in ("copy_on_write", "merge_on_read"):
+            t = tempfile.mkdtemp(prefix=f"merge_probe_{strategy}_{k}x_")
+            for i in range(k):  # untimed: k key-disjoint stats'd commits
+                commit_version(
+                    ord_df.withColumn(
+                        "o_orderkey",
+                        (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                    ).repartitionByRange(8, "o_orderkey"),
+                    t,
+                    mode="append" if i else "overwrite",
+                    stats_cols=["o_orderkey"],
+                )
+            files_before = set(read_version(spark, t).inputFiles())
+            data_before = set(os.listdir(os.path.join(t, "_data")))
+            t0 = time.monotonic()
+            v = merge_version(
+                spark, t, source, keys=["o_orderkey"],
+                stats_cols=["o_orderkey"], strategy=strategy,
             )
-        files_before = set(read_version(spark, t).inputFiles())
-        data_before = set(os.listdir(os.path.join(t, "_data")))
-        t0 = time.monotonic()
-        v = merge_version(
-            spark, t, source, keys=["o_orderkey"], stats_cols=["o_orderkey"]
-        )
-        dt = time.monotonic() - t0
-        after_files = set(read_version(spark, t, version=v).inputFiles())
-        rewritten = len(files_before - after_files)
-        new_dirs = set(os.listdir(os.path.join(t, "_data"))) - data_before
-        wrote = sum(
-            tree_bytes(os.path.join(t, "_data", d)) for d in new_dirs
-        )
-        results.append((k, k * n, dt, wrote, rewritten, len(files_before)))
-        shutil.rmtree(t, ignore_errors=True)
+            dt = time.monotonic() - t0
+            after_files = {
+                f
+                for f in read_version(spark, t, version=v).inputFiles()
+                if "_dv" not in f
+            }
+            rewritten = len(files_before - after_files)
+            new_dirs = set(os.listdir(os.path.join(t, "_data"))) - data_before
+            wrote = sum(
+                tree_bytes(os.path.join(t, "_data", d)) for d in new_dirs
+            )
+            dv_root = os.path.join(t, "_dv")
+            if os.path.isdir(dv_root):
+                wrote += tree_bytes(dv_root)
+            cnt = read_version(spark, t, version=v).count()
+            per_strategy[strategy] = (dt, wrote, rewritten, cnt)
+            shutil.rmtree(t, ignore_errors=True)
+        assert (
+            per_strategy["copy_on_write"][3]
+            == per_strategy["merge_on_read"][3]
+        ), per_strategy
+        results.append((k, k * n, per_strategy, len(files_before)))
     ord_df.unpersist()
     pts = ", ".join(
-        f"{k}x(table={r}r) merge={dt:.2f}s wrote={b / 1e6:.1f}MB "
-        f"rewrote={rw}/{tot}f"
-        for k, r, dt, b, rw, tot in results
+        f"{k}x(table={r}r) "
+        f"cow={ps['copy_on_write'][0]:.2f}s/"
+        f"{ps['copy_on_write'][1] / 1e6:.1f}MB/"
+        f"rw{ps['copy_on_write'][2]} "
+        f"mor={ps['merge_on_read'][0]:.2f}s/"
+        f"{ps['merge_on_read'][1] / 1e6:.1f}MB/"
+        f"rw{ps['merge_on_read'][2]}"
+        for k, r, ps, _tot in results
     )
     print(f"versioned_merge: {pts}")
 
