@@ -45,6 +45,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     rollback,
     scan_version,
     scan_version_with_stats,
+    update_version_vectors,
     update_version_where,
     vacuum,
     versioned_stream_sink,
@@ -79,6 +80,7 @@ __all__ = [
     "diff_versions",
     "materialize_dv",
     "merge_version",
+    "update_version_vectors",
     "update_version_where",
     "read_changes",
     "read_version",

@@ -2163,6 +2163,154 @@ def _carry_eqdel(
     return out
 
 
+def update_version_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    assignments: dict,
+    prune: dict | None = None,
+    stats_cols: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Merge-on-read UPDATE: rows matching ``predicate`` are tombstoned
+    by position (a ``_dv`` sidecar, exactly like
+    ``delete_version_vectors``) and their UPDATED images — each
+    ``assignments`` column replaced by its expression — are appended as
+    one new directory. Bytes written are O(matched rows), never
+    O(touched directories); ``update_version_where`` (copy-on-write)
+    rewrites every touched commit dir instead. Same scoping (``prune``
+    against manifest stats), same visibility law (read-identical to the
+    copy-on-write update — pinned by the model checker), same CHECK
+    enforcement on the new values, same compaction (``materialize_dv``)
+    and change-feed refusal (mode ``update_dv`` is a row-level
+    redefinition). A predicate matching nothing publishes NOTHING and
+    returns the current version."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    if prune:
+        candidates, _total = prune_files(table_dir, src, prune)
+    else:
+        candidates = [
+            f
+            for d in src["dirs"]
+            for f in list_parquet_files(os.path.join(table_dir, d))
+        ]
+    if not candidates:
+        return versions[-1]
+    src_dv = src.get("dv") or {}
+    existing_abs = {_dv_abs(table_dir, k, e): k for k, e in src_dv.items()}
+    uri_to_key = {}
+    for f in candidates:
+        a = os.path.abspath(f)
+        uri_to_key[_file_uri(a)] = existing_abs.get(
+            a, os.path.relpath(a, table_dir)
+        )
+    if "schema" in src:
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(src["schema"]))
+    else:
+        reader = spark.read
+    scan = reader.parquet(*candidates).select(
+        F.col("_metadata.file_path").alias("__dv_uri"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    prior = _dv_pairs(spark, src, candidates, table_dir)
+    if prior is not None:
+        scan = scan.join(
+            prior,
+            (scan["__dv_uri"] == prior["__dv_uri"])
+            & (scan["pos"] == prior["__dv_pos"]),
+            "left_anti",
+        )
+    if src.get("eqdel"):
+        scan = _apply_eqdel(spark, scan, src, candidates, table_dir, "__dv_uri")
+    matched = scan.where(predicate).persist()
+    try:
+        key_lookup = spark.createDataFrame(
+            list(uri_to_key.items()), "__dv_uri string, file string"
+        )
+        pairs = matched.select("__dv_uri", "pos").join(
+            F.broadcast(key_lookup), "__dv_uri"
+        ).select("file", "pos")
+        dv_dir = os.path.join(table_dir, "_dv", f"dv-{uuid.uuid4().hex}")
+        pairs.write.mode("errorifexists").parquet(dv_dir)
+        dv_rel = os.path.relpath(dv_dir, table_dir)
+        counts = {
+            r["file"]: r["n"]
+            for r in spark.read.parquet(dv_dir)
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not counts:  # nothing matched: no redefinition to publish
+            shutil.rmtree(dv_dir)
+            return versions[-1]
+        data_cols = [
+            c for c in matched.columns if c not in ("__dv_uri", "pos")
+        ]
+        updated = matched.select(
+            *[
+                (
+                    (F.expr(assignments[c]) if isinstance(assignments[c], str)
+                     else assignments[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
+        )
+        ins_dir = os.path.join(table_dir, "_data", f"u-{uuid.uuid4().hex}")
+        updated.write.mode("errorifexists").parquet(ins_dir)
+        if src.get("checks"):
+            bad = _check_violation(spark, [ins_dir], src["checks"])
+            if bad is not None:
+                raise ValueError(
+                    f"update on {table_dir} violates CHECK constraint "
+                    f"{bad!r} ({src['checks'][bad]}) — nothing published; "
+                    "written directories are debris for vacuum"
+                )
+    finally:
+        matched.unpersist()
+    dv = {k: dict(v) for k, v in src_dv.items()}
+    for fkey, n in counts.items():
+        ent = dv.setdefault(fkey, {"refs": [], "n": 0})
+        ent["refs"] = ent["refs"] + [dv_rel]
+        ent["n"] += n
+    new_files = dict(src.get("files", {}))
+    if stats_cols:
+        new_files.update(
+            _collect_file_stats(spark, table_dir, ins_dir, stats_cols)
+        )
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "update_dv",
+        "dirs": src["dirs"] + [os.path.relpath(ins_dir, table_dir)],
+        "dv": dv,
+    }
+    if new_files:
+        manifest["files"] = new_files
+    for carry in ("max_batch", "schema", "checks", "eqdel"):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
 def materialize_dv(
     spark: SparkSession,
     table_dir: str,

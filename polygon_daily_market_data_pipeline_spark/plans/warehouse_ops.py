@@ -392,11 +392,17 @@ def _dv_rows(
     churn — a rewrite would change it). The second row re-checks the
     same numbers after ``materialize_dv``: the untouched top-half
     commit's files carried verbatim, the vectored bottom commit
-    rewritten clean, and the manifest's dv map gone."""
+    rewritten clean, and the manifest's dv map gone. The third row is
+    the merge-on-read UPDATE (``update_version_vectors``) over the
+    materialized table: every 10th surviving order's price is bumped —
+    n_rows/val are the SQL-exact post-update complement arithmetic, and
+    n_aux pins zero data-file churn (every pre-update file carried
+    verbatim; growth is exactly one appended image directory)."""
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
         _load_manifest,
         delete_version_vectors,
         materialize_dv,
+        update_version_vectors,
     )
 
     tdir = os.path.join(base, "dv_vt")
@@ -454,7 +460,29 @@ def _dv_rows(
         else 0
     )
     mat_row = _summ(after_m, mat_clean)
-    return [_row(dv_row, "versioned_dv"), _row(mat_row, "versioned_dv_materialize")]
+    # merge-on-read UPDATE on the materialized table: every 10th
+    # surviving order gets +100000 — tombstone + appended image, zero
+    # data-file churn. val is the SQL-exact post-update sum; n_aux pins
+    # the layout claim: every pre-update data file carried verbatim and
+    # the growth is EXACTLY ONE appended image directory.
+    v_u = update_version_vectors(
+        spark,
+        tdir,
+        F.col("o_orderkey") % 10 == 0,
+        {"o_totalprice": "o_totalprice + 100000.0"},
+    )
+    after_u = read_version(spark, tdir, version=v_u)
+    post_data = {
+        f for f in after_u.inputFiles() if f"{os.sep}_dv{os.sep}" not in f
+    }
+    new_dirs = {os.path.dirname(f) for f in post_data - files_m}
+    upd_zero_churn = 1 if files_m <= post_data and len(new_dirs) == 1 else 0
+    upd_row = _summ(after_u, upd_zero_churn)
+    return [
+        _row(dv_row, "versioned_dv"),
+        _row(mat_row, "versioned_dv_materialize"),
+        _row(upd_row, "versioned_update_dv"),
+    ]
 
 
 def _eqdel_rows(
@@ -1169,6 +1197,20 @@ _ORACLE = f"""
                                                 AS BIGINT) FROM ord)),
                1,
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord))
+        UNION ALL
+        -- merge-on-read UPDATE after materialize: complement rows all
+        -- survive; every 10th order key carries +100000
+        SELECT 'versioned_update_dv',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
+                                                AS BIGINT) FROM ord)),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0)
+                             + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
+                                                   THEN 1 END), 2)
+                FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
         UNION ALL

@@ -32,6 +32,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     read_changes,
     read_version,
     scan_version_with_stats,
+    update_version_vectors,
     update_version_where,
     vacuum,
 )
@@ -197,6 +198,93 @@ def test_rewrites_consume_visible_rows_and_materialize_their_dirs(
     m = json.load(open(os.path.join(t2, "_versions", f"{vz}.json")))
     assert "dv" not in m
     assert read_version(spark, t2).count() == 50
+
+
+def test_update_dv_rewrites_no_data_files(spark, tmp_path):
+    """MoR UPDATE twin of the delete headline: matched rows are
+    tombstoned by position and their updated images appended — bytes
+    written scale with MATCHED ROWS, no prior data file is touched."""
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark).repartitionByRange(8, "k"), t, stats_cols=["k"])
+    data_bytes = _parquet_bytes(os.path.join(t, "_data"))
+    before_files = set(read_version(spark, t).inputFiles())
+    v1 = update_version_vectors(
+        spark, t, F.col("k") < 10, {"v": "v + 1000.0"},
+        prune={"k": (None, 10)}, stats_cols=["k"],
+    )
+    assert v1 == 1
+    # prior data files untouched; growth is ONE small appended dir
+    assert before_files <= set(read_version(spark, t).inputFiles())
+    new_bytes = _parquet_bytes(os.path.join(t, "_data")) - data_bytes
+    assert 0 < new_bytes < data_bytes / 4
+    got = read_version(spark, t)
+    assert got.count() == 1000  # update, not delete
+    v0_low = _rows(read_version(spark, t, version=0).where(F.col("k") < 10))
+    assert _rows(got.where(F.col("k") < 10)) == sorted(
+        (k, v + 1000.0, u) for k, v, u in v0_low
+    )
+    # time travel intact; no-op predicate publishes nothing
+    assert read_version(spark, t, version=0).where(
+        F.col("v") >= 1000.0
+    ).count() == 0
+    assert update_version_vectors(spark, t, F.col("k") < 0, {"v": "0.0"}) == v1
+
+
+def test_update_dv_equals_copy_on_write_on_every_read_path(spark, tmp_path):
+    """Twin tables, same chained updates — MoR vs CoW. Full read,
+    stats-pruned scan, and the version diff bag must agree exactly."""
+    mor = str(tmp_path / "mor")
+    cow = str(tmp_path / "cow")
+    for t in (mor, cow):
+        commit_version(
+            _df(spark).repartitionByRange(8, "k"), t, stats_cols=["k"]
+        )
+    upd1 = (F.col("k") % 7 == 3) & (F.col("k") < 500)
+    upd2 = F.col("k").between(100, 120)
+    for pred in (upd1, upd2):  # second update hits rows the first moved
+        update_version_vectors(spark, mor, pred, {"v": "v * -1.0"})
+        update_version_where(spark, cow, pred, {"v": F.expr("v * -1.0")})
+    assert _rows(read_version(spark, mor)) == _rows(read_version(spark, cow))
+    got_m, st_m = scan_version_with_stats(spark, mor, {"k": (200, 300)})
+    got_c, _ = scan_version_with_stats(spark, cow, {"k": (200, 300)})
+    assert _rows(got_m) == _rows(got_c)
+    # the original 8 range files keep their stats envelopes (no file
+    # was rewritten) and still prune; the stat-less image dirs are
+    # simply unprunable, never wrongly skipped
+    assert st_m.files_scheduled < st_m.files_total
+
+    def bag(t):
+        return sorted(
+            (r.k, r._change_type, r._n)
+            for r in diff_versions(spark, t, 0).collect()
+        )
+
+    assert bag(mor) == bag(cow)
+    # change feed refuses to cross a row-level redefinition
+    with pytest.raises(ValueError, match="update_dv"):
+        read_changes(spark, mor, 0)
+
+
+def test_update_dv_respects_checks_and_materializes(spark, tmp_path):
+    """CHECK constraints veto the UPDATED IMAGES (nothing published);
+    materialize_dv folds the tombstones + images into clean files."""
+    t = str(tmp_path / "vt")
+    commit_version(
+        _df(spark, 0, 100), t, checks={"v_nonneg": "v >= 0"}
+    )
+    with pytest.raises(ValueError, match="v_nonneg"):
+        update_version_vectors(spark, t, F.col("k") < 5, {"v": "-1.0"})
+    assert read_version(spark, t).count() == 100  # nothing published
+    v1 = update_version_vectors(spark, t, F.col("k") < 5, {"v": "v + 5.0"})
+    vm = materialize_dv(spark, t)
+    assert vm == v1 + 1
+    m = json.load(open(os.path.join(t, "_versions", f"{vm}.json")))
+    assert "dv" not in m
+    got = read_version(spark, t)
+    assert got.count() == 100
+    assert got.where(F.col("k") < 5).agg(
+        F.min("v").alias("mn")
+    ).first().mn == 5.0
 
 
 def test_materialize_dv_rewrites_only_vectored_dirs(spark, tmp_path):

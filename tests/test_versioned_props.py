@@ -104,6 +104,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
         delete_version_where,
         materialize_dv,
         merge_version,
+        update_version_vectors,
         update_version_where,
     )
 
@@ -121,6 +122,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     "overwrite", "append", "rollback", "optimize",
                     "delete", "update", "merge", "vacuum",
                     "delete_dv", "materialize_dv", "delete_eq",
+                    "update_dv",
                 ]
             )
             versions = sorted(model)
@@ -201,6 +203,23 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 )
                 if v != versions[-1]:  # no-op when nothing is vectored
                     model[v] = model[versions[-1]]
+            elif op == "update_dv":
+                # merge-on-read update: same visible-rows law as the
+                # copy-on-write update, zero directory rewrites
+                bound = rng.randrange(0, 5)
+                v = update_version_vectors(
+                    spark, t, F.col("k") >= bound, {"v": F.lit(-2.0)},
+                    expected_version=versions[-1],
+                )
+                if v != versions[-1]:
+                    model[v] = sorted(
+                        (k, g, (-2.0 if k >= bound else val))
+                        for k, g, val in model[versions[-1]]
+                    )
+                else:
+                    assert not any(
+                        r[0] >= bound for r in model[versions[-1]]
+                    ), "no-op update_dv but the model says rows matched"
             elif op == "delete_eq":
                 # equality delete: key-list erasure, zero table IO at
                 # commit, SCOPED to current dirs (later appends of the

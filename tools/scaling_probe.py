@@ -543,6 +543,99 @@ def probe_dv(spark, sf_dir: str) -> None:
     print(f"versioned_dv: {pts}")
 
 
+def probe_update(spark, sf_dir: str) -> None:
+    """Merge-on-read UPDATE claim: a scattered small UPDATE writes
+    O(matched rows) bytes — one (file, pos) tombstone sidecar plus one
+    appended image directory — while copy-on-write rewrites O(touched
+    directories). Same GDPR-erasure shape as probe_dv (~64 matches in
+    EVERY commit dir of a 1×/4×/16× table), twin tables, read-back
+    sum-equality pins the semantics."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_version,
+        update_version_vectors,
+        update_version_where,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(".")
+            )
+        return total
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).persist()
+    n = ord_df.count()
+    off = 10 ** len(str(n * 20))
+    step = max(1, n // 64)  # ~64 matches per commit, every commit hit
+    results = []
+    for k in (1, 4, 16):
+        tables = {}
+        for kind in ("dv", "cow"):
+            t = tempfile.mkdtemp(prefix=f"upd_probe_{kind}_{k}x_")
+            for i in range(k):
+                commit_version(
+                    ord_df.withColumn(
+                        "o_orderkey",
+                        (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                    ).repartitionByRange(8, "o_orderkey"),
+                    t,
+                    mode="append" if i else "overwrite",
+                    stats_cols=["o_orderkey"],
+                )
+            tables[kind] = t
+        pred = (F.col("o_orderkey") % F.lit(off)) % F.lit(step) == 17
+        assign = {"o_totalprice": "o_totalprice + 100000.0"}
+        t0 = time.monotonic()
+        v = update_version_vectors(spark, tables["dv"], pred, assign)
+        dt_dv = time.monotonic() - t0
+        dv_bytes = tree_bytes(os.path.join(tables["dv"], "_dv")) + sum(
+            tree_bytes(os.path.join(tables["dv"], "_data", d))
+            for d in os.listdir(os.path.join(tables["dv"], "_data"))
+            if d.startswith("u-")
+        )
+        t0 = time.monotonic()
+        update_version_where(spark, tables["cow"], pred, assign)
+        dt_cow = time.monotonic() - t0
+        cow_bytes = sum(
+            tree_bytes(os.path.join(tables["cow"], "_data", d))
+            for d in os.listdir(os.path.join(tables["cow"], "_data"))
+            if d.startswith("m-")
+        )
+        agg_dv = read_version(spark, tables["dv"], version=v).agg(
+            F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+        ).first()
+        agg_cow = read_version(spark, tables["cow"]).agg(
+            F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+        ).first()
+        assert tuple(agg_dv) == tuple(agg_cow), (agg_dv, agg_cow)
+        matched = (
+            read_version(spark, tables["dv"], version=v).where(pred).count()
+        )
+        results.append((k, dt_dv, dv_bytes, dt_cow, cow_bytes, matched))
+        for t in tables.values():
+            shutil.rmtree(t, ignore_errors=True)
+    ord_df.unpersist()
+    pts = ", ".join(
+        f"{k}x upd~{m}r dv={dt_dv:.2f}s/{db / 1e3:.0f}KB "
+        f"cow={dt_cow:.2f}s/{cb / 1e6:.1f}MB"
+        for k, dt_dv, db, dt_cow, cb, m in results
+    )
+    print(f"versioned_update_dv: {pts}")
+
+
 def probe_bloom(spark, sf_dir: str) -> None:
     """Sidecar-bloom claim: a point lookup on a hash-scattered
     high-cardinality column schedules O(1) files no matter how many the
@@ -610,6 +703,7 @@ def main() -> None:
         ("change_feed", probe_change_feed),
         ("merge", probe_merge),
         ("dv", probe_dv),
+        ("update", probe_update),
         ("bloom", probe_bloom),
     ):
         if extra in names:
