@@ -39,6 +39,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     diff_versions,
     materialize_dv,
     merge_version,
+    optimize_compact,
     optimize_zorder,
     read_changes,
     read_version,
@@ -80,6 +81,7 @@ __all__ = [
     "diff_versions",
     "materialize_dv",
     "merge_version",
+    "optimize_compact",
     "update_version_vectors",
     "update_version_where",
     "read_changes",

@@ -1343,11 +1343,14 @@ def read_changes(
         mode = m["mode"]
         if mode == "append":
             new_dirs.extend(d for d in m["dirs"] if d not in base and d not in new_dirs)
-        elif mode.startswith("optimize_zorder") or mode == "materialize_dv":
+        elif (
+            mode.startswith("optimize_zorder")
+            or mode in ("materialize_dv", "optimize_compact")
+        ):
             # same VISIBLE rows, new layout (materialize_dv only
-            # rewrites already-vectored dirs clean): nothing new to
-            # feed, but the rewrite's dirs must not read as appends in
-            # LATER commits
+            # rewrites already-vectored dirs clean; optimize_compact
+            # folds small dirs): nothing new to feed, but the rewrite's
+            # dirs must not read as appends in LATER commits
             base.update(m["dirs"])
         else:
             raise ValueError(
@@ -3053,5 +3056,156 @@ def optimize_zorder(
             manifest["files"] = files
     if bloom_cols:
         _collect_file_blooms(spark, data_dir, bloom_cols, bloom_fpp)
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
+def optimize_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+    expected_version: int | None = None,
+) -> int:
+    """Bin-packing small-file compaction — the Delta ``OPTIMIZE`` /
+    Iceberg ``rewrite_data_files`` analog, and the maintenance job that
+    keeps a STREAMED table readable: every ``versioned_stream_sink``
+    micro-batch publishes its own directory, so a day of 5-minute
+    batches is 288 dirs of kilobyte files and a reader schedules one
+    task per tiny file. This folds directories smaller than
+    ``target_bytes`` into ~target-sized files and publishes the result
+    as a new version with IDENTICAL visible rows; directories already
+    at size are carried by reference with their stats and bloom
+    sidecars untouched — bytes rewritten are O(small data), never
+    O(table).
+
+    Composition: compacted dirs are read VISIBLE-rows (their deletion
+    vectors and in-scope equality deletes applied — consumed by the
+    rewrite, like ``materialize_dv``); carried dirs keep their ``dv``
+    entries and eqdel scopes. The change feed and the
+    ``versioned_changes`` stream cross an ``optimize_compact`` commit
+    silently (same rows, new layout — nothing re-emitted), identical to
+    the ``optimize_zorder`` contract. Readers of prior versions are
+    untouched; ``vacuum`` reclaims the small dirs once they age out.
+    A table with fewer than two undersized directories is already
+    compact: no-op, no new version.
+
+    Scale shape: sizing is a driver-side walk of the manifest's
+    directory list (file-count-sized metadata, no data IO); each output
+    bin is one coalesced write of only its member dirs' rows. Reference
+    parity note: the reference warehouse gets this from Snowflake's
+    automatic micro-partition compaction
+    (polygon-daily-market-data-pipeline has no explicit analog; this is
+    the self-managed-storage equivalent)."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    dv = src.get("dv") or {}
+    eqdel = src.get("eqdel") or []
+    dir_of = {
+        os.path.abspath(os.path.join(table_dir, d)): d for d in src["dirs"]
+    }
+    dv_owned: set[str] = set()
+    for k, ent in dv.items():
+        owner = _resolve_owner(_dv_abs(table_dir, k, ent), dir_of)
+        if owner is not None:
+            dv_owned.add(owner)
+    eq_scoped: set[str] = set()
+    for entry in eqdel:
+        base = entry.get("base", table_dir)
+        for d in entry["dirs"]:
+            owner = dir_of.get(os.path.abspath(os.path.join(base, d)))
+            if owner is not None:
+                eq_scoped.add(owner)
+    sizes: dict[str, int] = {}
+    n_files: dict[str, int] = {}
+    for d in src["dirs"]:
+        files = list_parquet_files(os.path.join(table_dir, d))
+        sizes[d] = sum(os.path.getsize(f) for f in files)
+        n_files[d] = len(files)
+    small = [d for d in src["dirs"] if sizes[d] < target_bytes]
+    if (
+        len(small) == 1
+        and n_files[small[0]] <= 1
+        and small[0] not in dv_owned
+        and small[0] not in eq_scoped
+    ):
+        # a lone already-single-file dir with no row-level deletes to
+        # fold gains nothing from a rewrite
+        small = []
+    if not small:
+        return versions[-1]
+    # first-fit-decreasing bin packing on directory bytes
+    bins: list[list[str]] = []
+    bin_bytes: list[int] = []
+    for d in sorted(small, key=lambda d: -sizes[d]):
+        for i, b in enumerate(bin_bytes):
+            if b + sizes[d] <= target_bytes:
+                bins[i].append(d)
+                bin_bytes[i] += sizes[d]
+                break
+        else:
+            bins.append([d])
+            bin_bytes.append(sizes[d])
+    carried = [d for d in src["dirs"] if d not in set(small)]
+    stats = src.get("files", {})
+    new_dirs: list[str] = list(carried)
+    new_files: dict = {}
+    for d in carried:
+        for f in list_parquet_files(os.path.join(table_dir, d)):
+            rel = os.path.relpath(f, table_dir)
+            if rel in stats:
+                new_files[rel] = stats[rel]
+    for members in bins:
+        packed = _read_manifest_paths(
+            spark,
+            src,
+            [os.path.join(table_dir, d) for d in members],
+            table_dir,
+        ).coalesce(1)
+        out_dir = os.path.join(table_dir, "_data", f"k-{uuid.uuid4().hex}")
+        packed.write.mode("errorifexists").parquet(out_dir)
+        new_dirs.append(os.path.relpath(out_dir, table_dir))
+        if stats_cols:
+            new_files.update(
+                _collect_file_stats(spark, table_dir, out_dir, stats_cols)
+            )
+        if bloom_cols:
+            _collect_file_blooms(spark, out_dir, bloom_cols, bloom_fpp)
+    carried_set = set(carried)
+    kept_dv = {
+        k: ent
+        for k, ent in dv.items()
+        if _resolve_owner(_dv_abs(table_dir, k, ent), dir_of) in carried_set
+    }
+    kept_eq = _carry_eqdel(table_dir, src, carried_set)
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "optimize_compact",
+        "dirs": new_dirs,
+    }
+    if new_files:
+        manifest["files"] = new_files
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    if kept_eq:
+        manifest["eqdel"] = kept_eq
+    for carry in ("max_batch", "schema", "checks"):
+        if carry in src:
+            manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
     return version

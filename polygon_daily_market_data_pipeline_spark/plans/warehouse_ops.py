@@ -910,6 +910,79 @@ def _checks_rows(
     return [_row(row, "versioned_checks")]
 
 
+def _compact_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Bin-packing small-file compaction (``optimize_compact``) as the
+    streamed-table maintenance audit: a range-partitioned base commit
+    (bottom half of the key range) plus SIX micro-batch-sized appends
+    (the six residue classes of the top-half keys), compacted with the
+    target set to the base directory's own byte size — strictly-smaller
+    dirs fold, the base is carried (codec- and SF-independent).
+    n_rows/val are the SQL-exact full-table count/sum AFTER compaction
+    (visible rows invariant — DuckDB recomputes from ord directly);
+    n_aux pins the layout claim: every base file carried verbatim, the
+    total data-file count REDUCED, the manifest mode recorded, and the
+    change feed crossing the compact commit feeds exactly the one
+    post-compact append (nothing re-emitted)."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest,
+        optimize_compact,
+        read_changes,
+    )
+
+    tdir = os.path.join(base, "compact_vt")
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    half = mx // 2
+    key = F.col("o_orderkey")
+    commit_version(
+        ord_df.where(key <= half).repartitionByRange(4, "o_orderkey"),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    top = ord_df.where(key > half)
+    for i in range(6):
+        commit_version(
+            top.where(key % 7 == i).coalesce(1),
+            tdir,
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+    base_files = set(read_version(spark, tdir, version=0).inputFiles())
+    m0 = _load_manifest(tdir, 0)
+    target = sum(
+        os.path.getsize(f)
+        for d in m0["dirs"]
+        for f in list_parquet_files(os.path.join(tdir, d))
+    )
+    before_n = len(read_version(spark, tdir).inputFiles())
+    vc = optimize_compact(
+        spark, tdir, target_bytes=target, stats_cols=["o_orderkey"]
+    )
+    after = read_version(spark, tdir, version=vc)
+    after_files = set(after.inputFiles())
+    tail = top.where(key % 7 == 6)
+    commit_version(tail.coalesce(1), tdir, mode="append")
+    feed_n = read_changes(spark, tdir, from_version=6).count()
+    claim = (
+        1
+        if base_files <= after_files
+        and len(after_files) < before_n
+        and _load_manifest(tdir, vc)["mode"] == "optimize_compact"
+        and feed_n == tail.count()
+        else 0
+    )
+    row = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "versioned_compact")]
+
+
 def _bloom_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -1239,6 +1312,13 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
         UNION ALL
+        -- compaction is a relayout: the full ord arithmetic must
+        -- survive it unchanged
+        SELECT 'versioned_compact',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+        UNION ALL
         SELECT 'versioned_bloom',
                1,
                1,
@@ -1516,6 +1596,7 @@ def build_maintenance_union(
         ("merge", lambda: _merge_rows(spark, ord_df, base)),
         ("evolution", lambda: _evolution_rows(spark, ord_df, base)),
         ("bloom", lambda: _bloom_rows(spark, ord_df, base)),
+        ("compact", lambda: _compact_rows(spark, ord_df, base)),
         ("checks", lambda: _checks_rows(spark, ord_df, base)),
         ("versioned_stream", lambda: _versioned_stream_rows(spark, ord_df, base)),
         ("skipping", lambda: _skipping_rows(spark, ord_df, base)),

@@ -118,12 +118,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     d for d in m["dirs"] if d not in base and d not in new_dirs
                 )
             elif not (
-                mode.startswith("optimize_zorder") or mode == "materialize_dv"
+                mode.startswith("optimize_zorder")
+                or mode in ("materialize_dv", "optimize_compact")
             ):
                 # overwrite / rollback / delete / merge / delete_dv: the
                 # table was REDEFINED — not expressible as an append
-                # delta (read_changes contract). optimize/materialize
-                # represent the same VISIBLE rows and cross silently.
+                # delta (read_changes contract). optimize/materialize/
+                # compact represent the same VISIBLE rows and cross
+                # silently.
                 raise ValueError(
                     f"version {v} is a {mode!r} commit — the change-feed "
                     "stream is append-only; restart the stream from a "

@@ -104,6 +104,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
         delete_version_where,
         materialize_dv,
         merge_version,
+        optimize_compact,
         update_version_vectors,
         update_version_where,
     )
@@ -122,7 +123,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     "overwrite", "append", "rollback", "optimize",
                     "delete", "update", "merge", "vacuum",
                     "delete_dv", "materialize_dv", "delete_eq",
-                    "update_dv",
+                    "update_dv", "compact",
                 ]
             )
             versions = sorted(model)
@@ -202,6 +203,14 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     spark, t, expected_version=versions[-1]
                 )
                 if v != versions[-1]:  # no-op when nothing is vectored
+                    model[v] = model[versions[-1]]
+            elif op == "compact":
+                # bin-packing relayout: same visible rows, folds any
+                # pending row-level deletes for the dirs it rewrites
+                v = optimize_compact(
+                    spark, t, expected_version=versions[-1]
+                )
+                if v != versions[-1]:  # no-op when already compact
                     model[v] = model[versions[-1]]
             elif op == "update_dv":
                 # merge-on-read update: same visible-rows law as the

@@ -636,6 +636,90 @@ def probe_update(spark, sf_dir: str) -> None:
     print(f"versioned_update_dv: {pts}")
 
 
+def probe_compact(spark, sf_dir: str) -> None:
+    """Small-file compaction claim: with a FIXED stream of 64 tiny
+    appends, `optimize_compact`'s cost and bytes written are O(small
+    data) — FLAT as the big table underneath grows 1×/4×/16× — because
+    at-size directories are carried by reference, never rewritten. The
+    read side drops from (big + 64) scheduled files to (big + bins).
+    A compact that rewrote the table would grow 16× in the last
+    column; this one must not."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        optimize_compact,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(".")
+            )
+        return total
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).persist()
+    n = ord_df.count()
+    off = 10 ** len(str(n * 20))
+    tiny = ord_df.limit(200).persist()
+    tiny.count()
+    results = []
+    for k in (1, 4, 16):
+        t = tempfile.mkdtemp(prefix=f"compact_probe_{k}x_")
+        for i in range(k):
+            commit_version(
+                ord_df.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                ).repartitionByRange(8, "o_orderkey"),
+                t,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        for j in range(64):
+            commit_version(
+                tiny.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit((k + j) * off)).cast("long"),
+                ).coalesce(1),
+                t,
+                mode="append",
+            )
+        before = read_version(spark, t)
+        n_before, files_before = before.count(), len(before.inputFiles())
+        t0 = time.monotonic()
+        v = optimize_compact(spark, t, target_bytes=256 * 1024)
+        dt = time.monotonic() - t0
+        wrote = sum(
+            tree_bytes(os.path.join(t, "_data", d))
+            for d in os.listdir(os.path.join(t, "_data"))
+            if d.startswith("k-")
+        )
+        after = read_version(spark, t, version=v)
+        n_after, files_after = after.count(), len(after.inputFiles())
+        assert n_after == n_before == n * k + 64 * 200, (n_after, n_before)
+        results.append((k, files_before, files_after, dt, wrote))
+        shutil.rmtree(t, ignore_errors=True)
+    ord_df.unpersist()
+    tiny.unpersist()
+    pts = ", ".join(
+        f"{k}x files {fb}->{fa} compact={dt:.2f}s/{w / 1e3:.0f}KB"
+        for k, fb, fa, dt, w in results
+    )
+    print(f"optimize_compact: {pts}")
+
+
 def probe_bloom(spark, sf_dir: str) -> None:
     """Sidecar-bloom claim: a point lookup on a hash-scattered
     high-cardinality column schedules O(1) files no matter how many the
@@ -704,6 +788,7 @@ def main() -> None:
         ("merge", probe_merge),
         ("dv", probe_dv),
         ("update", probe_update),
+        ("compact", probe_compact),
         ("bloom", probe_bloom),
     ):
         if extra in names:
