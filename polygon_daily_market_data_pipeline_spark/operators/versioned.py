@@ -532,7 +532,10 @@ def last_committed_batch(table_dir: str) -> int | None:
 
 
 def versioned_stream_sink(
-    table_dir: str, stats_cols: list[str] | None = None
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    auto_compact_every: int | None = None,
+    auto_compact_target: int = 128 * 1024 * 1024,
 ):
     """foreachBatch sink committing each micro-batch as a new APPEND
     version of a versioned table — streaming ingest with time travel,
@@ -560,6 +563,16 @@ def versioned_stream_sink(
     Deleting the checkpoint restarts batch ids at 0, which the
     watermark treats as replays — point a fresh checkpoint at a fresh
     table (or an overwrite commit, which resets the watermark).
+
+    ``auto_compact_every=N`` runs ``optimize_compact`` after every Nth
+    committed batch (Delta's autoCompact posture): without it a
+    long-lived stream is one tiny directory per micro-batch and every
+    reader schedules one task per kilobyte file. The fold is a
+    same-rows relayout commit, so downstream ``versioned_changes``
+    subscribers cross it silently; a compaction that loses the version
+    race to a concurrent maintenance writer is SKIPPED, never fails
+    the micro-batch (the next boundary retries — ingest correctness
+    does not depend on compaction).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -576,6 +589,16 @@ def versioned_stream_sink(
             # our version number (append retry is metadata-only)
             retries=2,
         )
+        if auto_compact_every and (batch_id + 1) % auto_compact_every == 0:
+            try:
+                optimize_compact(
+                    batch_df.sparkSession,
+                    table_dir,
+                    target_bytes=auto_compact_target,
+                    stats_cols=stats_cols,
+                )
+            except FileExistsError:
+                pass  # lost the version race; next boundary retries
 
     return sink
 

@@ -5,6 +5,7 @@ aggregate and of the stateful sessionizer (SURVEY §2.9 behaviors)."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -558,6 +559,76 @@ def test_versioned_stream_sink_time_travel_replay_and_skipping(spark, tmp_path):
     got = scan_version(spark, table, {"user_id": (1, 2)})
     want = read_version(spark, table).where(F.col("user_id").between(1, 2))
     assert _rows(got) == _rows(want)
+
+
+def test_versioned_stream_sink_auto_compacts(spark, tmp_path):
+    """auto_compact_every=2 folds the stream's tiny per-batch dirs at
+    every second batch boundary: the table stays row-identical to the
+    input, the manifest log shows interleaved append/optimize_compact
+    commits, the final file count is bounded by the fold (not by the
+    batch count), and a downstream versioned_changes subscriber crosses
+    the compaction commits silently."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        history,
+        read_version,
+        versioned_stream_sink,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources import (
+        versioned_changes_source,
+    )
+
+    rows = [(m, u, float(u)) for m in range(6) for u in range(1, 5)]
+    df = _events_df(spark, rows)
+    src = str(tmp_path / "src")
+    df.repartition(6).write.parquet(src)
+    table = str(tmp_path / "table")
+
+    sink = versioned_stream_sink(
+        table, stats_cols=["user_id"], auto_compact_every=2
+    )
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _rows(d):
+        return sorted((r.event_id, r.user_id, r.value) for r in d.collect())
+
+    assert _rows(read_version(spark, table)) == _rows(df)
+    modes = [e["mode"] for e in history(table)]
+    assert modes.count("append") == 6
+    assert modes.count("optimize_compact") >= 2
+    # batches 0-1 fold at the v1 boundary, 2-3 at the next, ...: the
+    # live file set is the folds plus at most one unfolded tail batch
+    files = {
+        f
+        for f in read_version(spark, table).inputFiles()
+        if f"{os.sep}_dv{os.sep}" not in f
+    }
+    assert len(files) <= 3
+    # a subscriber reading the full history crosses the relayouts
+    versioned_changes_source.register(spark)
+    out = str(tmp_path / "out")
+    q2 = (
+        spark.readStream.format("versioned_changes")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == sorted(
+        r.event_id for r in df.collect()
+    )
 
 
 def test_incremental_corpus_dedup_with_decontamination(spark, tmp_path):
