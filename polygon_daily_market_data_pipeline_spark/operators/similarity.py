@@ -671,3 +671,255 @@ def cosine_topk_pandas(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+) -> "np.ndarray":
+    """Product-quantization codebooks, shape (m, ksub, dim/m): the
+    vector is split into ``m`` subvectors and each subspace gets its
+    own ``ksub``-center k-means — the FAISS ``PQ{m}x{log2 ksub}``
+    posture. At 100 TB of embeddings this is the operator that makes
+    the corpus FIT anywhere: a 64-dim float vector is 256-512 bytes
+    raw and ``m`` bytes coded (64x here), so the scan side of ANN
+    reads codes, not vectors.
+
+    Same distributed shape as ``kmeans_centroids`` (this is its
+    per-subspace generalization): deterministic init (the ``ksub``
+    lowest-id vectors' subvectors — no RNG), then per iteration ONE
+    ``mapInPandas`` pass emits (subspace, cluster → sum, count)
+    partials — m·ksub·(dim/m) = m·ksub-scaled floats per partition,
+    the classic combiner shape — and the driver reduces. Nothing
+    corpus-sized reaches the driver. Raises when ``m`` does not divide
+    the dimension (ragged subspaces quantize asymmetrically)."""
+    init = (
+        df.orderBy(id_col).limit(ksub).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    init_m = np.array(init, dtype=np.float64)
+    dim = init_m.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} does not divide dim={dim}")
+    dsub = dim // m
+    # (m, ksub, dsub): subspace s starts from the same ksub seed rows
+    books = np.stack(
+        [init_m[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    for _ in range(iters):
+        b_b = df.sparkSession.sparkContext.broadcast(books)
+
+        def partials(batches):
+            acc_s: dict = {}
+            acc_n: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                for s in range(b_b.value.shape[0]):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    d = (
+                        (sub[:, None, :] - b_b.value[s][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    a = d.argmin(axis=1)
+                    for c in np.unique(a):
+                        sel = sub[a == c]
+                        key = (s, int(c))
+                        acc_s[key] = acc_s.get(key, 0) + sel.sum(axis=0)
+                        acc_n[key] = acc_n.get(key, 0) + len(sel)
+            rows = [
+                {
+                    "sub": s,
+                    "cluster": c,
+                    "vsum": acc_s[(s, c)].tolist(),
+                    "n": int(acc_n[(s, c)]),
+                }
+                for (s, c) in acc_s
+            ]
+            yield pd.DataFrame(rows, columns=["sub", "cluster", "vsum", "n"])
+
+        agg = (
+            df.select(vec_col)
+            .mapInPandas(partials, "sub int, cluster int, vsum array<double>, n long")
+            .collect()
+        )
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, ksub))
+        for r in agg:
+            sums[r.sub][r.cluster] += np.array(r.vsum)
+            counts[r.sub][r.cluster] += r.n
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int> of length m): nearest-center code per
+    subspace against FROZEN codebooks — one Arrow-batched pass, the
+    m·ksub·dsub codebook broadcast, no shuffle, O(batch) per ingest
+    batch regardless of corpus size (the PQ twin of ``ivf_assign``).
+    The coded corpus is what the ADC scan in ``cosine_topk_pq``
+    reads."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = books.shape
+    b_b = df.sparkSession.sparkContext.broadcast(books)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d = ((sub[:, None, :] - b_b.value[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "code": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, code array<int>"
+    )
+
+
+def pq_decode_mat(codes: "np.ndarray", codebooks: "np.ndarray") -> "np.ndarray":
+    """Reconstruct (n, dim) vectors from (n, m) codes — the test/audit
+    helper for quantization distortion; the search path never
+    materializes this (ADC reads lookup tables instead)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = books.shape
+    out = np.empty((len(codes), m * dsub))
+    for s in range(m):
+        out[:, s * dsub : (s + 1) * dsub] = books[s][codes[:, s]]
+    return out
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    rerank_factor: int = 8,
+    codebooks: "np.ndarray | None" = None,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric-distance (ADC) scan + exact rerank: the
+    corpus is scanned as CODES (m ints per vector — 64x smaller than
+    the raw embeddings here), each query carries an (m, ksub) lookup
+    table of subspace partial dots, approximate cosine is a pure
+    gather-sum, and only the top ``k·rerank_factor`` candidates per
+    query are reranked against their RAW vectors. Scale shape: the ADC
+    pass is mapInPandas over the coded corpus with queries broadcast —
+    no shuffle, no candidate explosion; the rerank join touches
+    |Q|·k·rerank_factor corpus rows (broadcast semi-join on id), which
+    is hit-sized at any corpus size. Pass ``coded=`` (from
+    ``pq_encode``) to reuse a stored code table — the production path;
+    otherwise codes are built in-line from ``codebooks`` (trained
+    in-line when None).
+
+    The approximate cosine is dot_adc/(||q||·||x̂||) with ||x̂|| from
+    the per-subspace squared-norm LUT — exact for the RECONSTRUCTED
+    vector, so ranking error comes only from quantization distortion;
+    the rerank pass then replaces scores with exact cosine, so
+    returned (rank, cos) values are true cosines and recall is the
+    only approximation — audited like the LSH/IVF twins."""
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, id_col, vec_col, m=m, ksub=ksub
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    if coded is None:
+        coded = pq_encode(corpus, books, id_col, vec_col)
+    spark = corpus.sparkSession
+    qp = queries.select(id_col, vec_col).toPandas()
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
+    mm, _ksub_, dsub = books.shape
+    # (|Q|, m, ksub) dot LUT + (m, ksub) code squared-norm partials
+    luts = np.einsum(
+        "qsd,skd->qsk",
+        q_mat.reshape(len(q_mat), mm, dsub),
+        books,
+    )
+    code_sq = (books**2).sum(axis=2)  # (m, ksub)
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    b_lut = spark.sparkContext.broadcast(luts)
+    b_sq = spark.sparkContext.broadcast(code_sq)
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_qn = spark.sparkContext.broadcast(q_norm)
+    n_cand = k * rerank_factor
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            n_ids = pdf[id_col].to_numpy()
+            subs = np.arange(mm)
+            # gather-sum: approx dot (|batch|, |Q|) and recon norms
+            dots = b_lut.value[:, subs, codes].sum(axis=2).T
+            rnorm = np.sqrt(b_sq.value[subs, codes].sum(axis=1))
+            denom = np.maximum(rnorm[:, None] * b_qn.value[None, :], 1e-12)
+            approx = dots / denom
+            # per-batch local top candidates only: the emitted rows are
+            # O(|Q|·n_cand) per BATCH, never O(batch rows)
+            top = min(n_cand, len(n_ids))
+            idx = np.argpartition(-approx, top - 1, axis=0)[:top]
+            qcol = np.repeat(b_ids.value[None, :], top, axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol.ravel(),
+                    "neighbor_id": n_ids[idx].ravel(),
+                    "approx": np.take_along_axis(approx, idx, axis=0).ravel(),
+                }
+            )
+
+    cand = (
+        coded.mapInPandas(adc, "query_id long, neighbor_id long, approx double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("r0", F.row_number().over(w0))
+        .where(F.col("r0") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: hit-sized semi-join pulls only candidate vectors
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cvec.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pandas(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -409,32 +409,71 @@ def embedding_ann_lsh(
     )
 
 
-@register("embedding_ann_ivf", ANN_AUDIT_ORACLE.format(extra=""))
+ANN_QUANT_ORACLE = """
+    SELECT 'ivf' AS method,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS mean_recall_floor
+    FROM embeddings WHERE vec_id < 100
+    UNION ALL
+    SELECT 'pq',
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+           TRUE
+    FROM embeddings WHERE vec_id < 100
+"""
+
+
+@register("embedding_ann_ivf", ANN_QUANT_ORACLE)
 def embedding_ann_ivf(
     spark: SparkSession, sf_dir: str, sample_every: int = 1
 ) -> DataFrame:
-    """IVF ANN top-3 (the data-adaptive scale path: corpus inverted by
-    nearest k-means centroid, queries probe n_probe of n_clusters
-    cells — candidate fraction ≈ n_probe/n_clusters, join stays a
-    broadcast on cell id). Registered as a RECALL AUDIT like the LSH
-    twin. Floor 0.5 vs measured mean recall 0.607 (sf0.01) / 0.620
-    (sf0.1) at n_probe=4/16 — these synthetic near-uniform 64-dim
-    vectors are IVF's worst case (neighbors straddle cell boundaries);
-    real clustered corpora sit far higher at the same probe fraction.
+    """Quantizer-family ANN recall audits, one row per method (the
+    registered-query cap folds PQ in here, the warehouse_maintenance
+    pattern — both are k-means quantizers over the same corpus):
+
+    ``ivf`` — coarse quantization (the data-adaptive scale path:
+    corpus inverted by nearest k-means centroid, queries probe n_probe
+    of n_clusters cells — candidate fraction ≈ n_probe/n_clusters,
+    join stays a broadcast on cell id). Floor 0.5 vs measured mean
+    recall 0.607 (sf0.01) / 0.620 (sf0.1) at n_probe=4/16 — these
+    synthetic near-uniform 64-dim vectors are IVF's worst case
+    (neighbors straddle cell boundaries); real clustered corpora sit
+    far higher at the same probe fraction.
+
+    ``pq`` — PRODUCT quantization (the corpus-compression scale path:
+    vectors stored as 16 subspace codes — 16-32x smaller than raw —
+    scanned by ADC lookup tables, exact rerank only on the
+    k·rerank_factor shortlist; the coded scan shuffles nothing and the
+    rerank join is hit-sized). Floor 0.8 vs measured mean recall 0.99
+    (sf0.001) / 0.987 (sf0.01) at m=16, ksub=32, rerank_factor=16 —
+    quantization distortion here is PQ's worst case too (relative
+    reconstruction error ~0.7), which is exactly why the exact-rerank
+    stage is part of the operator, not an option.
+
     ``sample_every=N`` audits the deterministic 1/N query slice — see
     SCALE.md, 'ANN recall-audit cost model'."""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_pq,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 100")
     if sample_every > 1:
         q = q.where(F.pmod(F.hash("vec_id"), F.lit(sample_every)) == 0)
     k = 3
-    audit = _ann_recall_audit(
-        cosine_topk_ivf(emb, q, k=k), cosine_topk_pandas(emb, q, k=k), k
-    )
-    return audit.agg(
+    bf = cosine_topk_pandas(emb, q, k=k)
+    ivf = _ann_recall_audit(cosine_topk_ivf(emb, q, k=k), bf, k).agg(
+        F.lit("ivf").alias("method"),
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         (F.avg("n_hit") / k >= 0.5).alias("mean_recall_floor"),
     )
+    pq = _ann_recall_audit(
+        cosine_topk_pq(emb, q, k=k, m=16, ksub=32, rerank_factor=16), bf, k
+    ).agg(
+        F.lit("pq").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("n_hit") / k >= 0.8).alias("mean_recall_floor"),
+    )
+    return ivf.unionByName(pq)
 
 
 PII_ORACLE = r"""

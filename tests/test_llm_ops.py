@@ -900,3 +900,86 @@ def test_extract_image_features_decodes_bmp_pixels(spark):
     assert r1["pix_pixels"] == 8
     assert abs(r1["pix_mean_luma"] - 0.587 * 255) < 1e-9
     assert out[2]["pix_pixels"] is None and out[2]["pix_mean_luma"] is None
+
+
+def test_pq_encode_matches_numpy_and_decode_distortion(spark):
+    """pq_encode against frozen codebooks must reproduce the exact
+    numpy per-subspace argmin for every vector, and reconstruction
+    from codes must be closer to the original than the best rival
+    code in every subspace (the defining property of nearest-center
+    quantization)."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        pq_decode_mat,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train_codebooks(emb, m=8, ksub=16, iters=3)
+    assert books.shape == (8, 16, 8)
+    got = {r.vec_id: list(r.code) for r in pq_encode(emb, books).collect()}
+    ref = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert set(got) == set(ref)
+    for vid in list(ref)[:50]:
+        v = ref[vid]
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            d = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+            assert got[vid][s] == int(d.argmin()), (vid, s)
+    codes = np.array([got[v] for v in sorted(ref)])
+    rec = pq_decode_mat(codes, books)
+    mat = np.array([ref[v] for v in sorted(ref)])
+    # nearest-center reconstruction: per-subspace distance to own code
+    # center is minimal by construction, so total distortion is below
+    # what any single-subspace perturbation of the code would give
+    rel = np.linalg.norm(mat - rec, axis=1) / np.linalg.norm(mat, axis=1)
+    assert rel.mean() < 1.0  # quantized, not destroyed
+    # raising ksub strictly reduces distortion on the same data
+    books32 = pq_train_codebooks(emb, m=8, ksub=32, iters=3)
+    got32 = {
+        r.vec_id: list(r.code) for r in pq_encode(emb, books32).collect()
+    }
+    rec32 = pq_decode_mat(
+        np.array([got32[v] for v in sorted(ref)]), books32
+    )
+    rel32 = np.linalg.norm(mat - rec32, axis=1) / np.linalg.norm(mat, axis=1)
+    assert rel32.mean() < rel.mean()
+
+
+def test_pq_topk_recall_and_true_scores(spark):
+    """PQ ANN twin of the LSH/IVF recall tests: recall@3 above the
+    audit floor at the registered parameters, every returned cos is
+    the TRUE cosine (exact rerank), and a stored code table (the
+    production path) gives the identical result to inline encoding."""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id < 50")
+    exact = cosine_topk_bruteforce(emb, q, k=3)
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    books = pq_train_codebooks(emb, m=16, ksub=32, iters=4)
+    coded = pq_encode(emb, books)
+    approx = cosine_topk_pq(
+        emb, q, k=3, codebooks=books, coded=coded, rerank_factor=16
+    ).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id): r.cos for r in approx}
+    recall = len(set(approx_pairs) & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.8, f"PQ recall {recall:.2f} below floor"
+    # rerank means scores are exact cosines wherever the sets agree
+    for pair in set(approx_pairs) & set(exact_pairs):
+        assert abs(approx_pairs[pair] - exact_pairs[pair]) < 1e-9
+    # inline-encoded run is identical to the stored-code run
+    inline = cosine_topk_pq(
+        emb, q, k=3, codebooks=books, rerank_factor=16
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in inline} == set(approx_pairs)
