@@ -14,6 +14,8 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -129,3 +131,79 @@ def with_retries(fn, retries: int = 3, delay_s: float = 60.0, logger=None):
         raise last
 
     return run
+
+
+class ExpectationResult(NamedTuple):
+    """``apply_expectations`` output: the surviving rows, the
+    quarantined rows (``on_fail='quarantine'`` only, else None), and a
+    per-expectation metrics frame (expectation, n_failed, n_rows)."""
+
+    clean: DataFrame
+    quarantined: "DataFrame | None"
+    metrics: DataFrame
+
+
+def apply_expectations(
+    df: DataFrame,
+    expectations: dict,
+    on_fail: str = "drop",
+) -> ExpectationResult:
+    """Declarative row-level data-quality expectations — the Delta Live
+    Tables ``EXPECT`` analog, generalizing the reference's table-level
+    gates (Q1-Q6 above) to per-row constraints on ANY DataFrame:
+
+    - ``on_fail='drop'``: violating rows are filtered out (DLT
+      ``expect or drop``);
+    - ``'quarantine'``: violating rows are returned as a second frame
+      for a dead-letter sink instead of being discarded;
+    - ``'fail'``: any violation raises ``DataQualityError`` naming the
+      failed expectations and counts (DLT ``expect or fail``);
+    - ``'keep'``: nothing filtered — metrics only (DLT plain
+      ``expect``).
+
+    NULL conditions PASS, matching SQL CHECK semantics and the
+    versioned-table ``checks`` enforcement (``operators/versioned.py``)
+    — an expectation on a nullable column rejects rows it can prove
+    wrong, never rows it cannot evaluate.
+
+    Scale shape: ALL expectations are counted in ONE aggregate pass
+    (one job, map-side partial sums) regardless of how many there are —
+    never a job per gate — and the clean/quarantine splits are plain
+    filters on the same scan. Values may be SQL strings or Columns."""
+    if on_fail not in ("drop", "quarantine", "fail", "keep"):
+        raise ValueError(f"unknown on_fail {on_fail!r}")
+    if not expectations:
+        raise ValueError("no expectations given")
+    names = list(expectations)
+    ok = {}
+    for name in names:
+        c = expectations[name]
+        cond = F.expr(c) if isinstance(c, str) else c
+        ok[name] = F.coalesce(cond.cast("boolean"), F.lit(True))
+    all_ok = ok[names[0]]
+    for name in names[1:]:
+        all_ok = all_ok & ok[name]
+    aggs = [
+        F.sum((~ok[n]).cast("long")).alias(f"__e{i}")
+        for i, n in enumerate(names)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    row = df.agg(*aggs).first()
+    total = int(row["__n"])
+    failed = {n: int(row[f"__e{i}"]) for i, n in enumerate(names)}
+    metrics = df.sparkSession.createDataFrame(
+        [(n, failed[n], total) for n in names],
+        "expectation string, n_failed long, n_rows long",
+    )
+    if on_fail == "fail":
+        bad = {n: c for n, c in failed.items() if c}
+        if bad:
+            raise DataQualityError(
+                f"expectations violated: {bad} over {total} rows"
+            )
+        return ExpectationResult(df, None, metrics)
+    if on_fail == "keep":
+        return ExpectationResult(df, None, metrics)
+    clean = df.where(all_ok)
+    if on_fail == "quarantine":
+        return ExpectationResult(clean, df.where(~all_ok), metrics)
+    return ExpectationResult(clean, None, metrics)

@@ -910,6 +910,50 @@ def _checks_rows(
     return [_row(row, "versioned_checks")]
 
 
+def _expectations_rows(
+    spark: SparkSession, ord_df: DataFrame
+) -> list[DataFrame]:
+    """DLT-style row-level expectations (``apply_expectations``,
+    quarantine mode) over the ord slice: ``price_positive`` holds
+    everywhere (TPC-H invariant), ``key_not_97`` quarantines every 97th
+    key, and ``null_passes`` evaluates to NULL on every 13th key —
+    which must PASS (SQL CHECK posture). n_rows is the clean count and
+    val the quarantined price sum (both SQL-exact); n_aux packs the
+    metric laws: the NULL expectation and the invariant report ZERO
+    failures, clean+quarantine partition the input exactly, and the
+    quarantine count equals the one real violation count."""
+    from polygon_daily_market_data_pipeline_spark.operators.quality import (
+        apply_expectations,
+    )
+
+    exps = {
+        "price_positive": "o_totalprice > 0",
+        "key_not_97": "o_orderkey % 97 <> 0",
+        "null_passes": (
+            "CASE WHEN o_orderkey % 13 = 0 THEN CAST(NULL AS BOOLEAN) "
+            "ELSE o_custkey >= 0 END"
+        ),
+    }
+    res = apply_expectations(ord_df, exps, on_fail="quarantine")
+    m = {r.expectation: r.n_failed for r in res.metrics.collect()}
+    n_clean = res.clean.count()
+    n_quar = res.quarantined.count()
+    claim = (
+        1
+        if m["null_passes"] == 0
+        and m["price_positive"] == 0
+        and n_clean + n_quar == ord_df.count()
+        and n_quar == m["key_not_97"]
+        else 0
+    )
+    row = res.quarantined.agg(
+        F.lit(n_clean).cast("long").alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
+    )
+    return [_row(row, "expectations")]
+
+
 def _compact_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -1312,6 +1356,14 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
         UNION ALL
+        -- expectations quarantine: every 97th key; NULL conditions and
+        -- the TPC-H price invariant quarantine nothing
+        SELECT 'expectations',
+               (SELECT COUNT(*) FROM ord WHERE o_orderkey % 97 <> 0),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE o_orderkey % 97 = 0)
+        UNION ALL
         -- compaction is a relayout: the full ord arithmetic must
         -- survive it unchanged
         SELECT 'versioned_compact',
@@ -1597,6 +1649,7 @@ def build_maintenance_union(
         ("evolution", lambda: _evolution_rows(spark, ord_df, base)),
         ("bloom", lambda: _bloom_rows(spark, ord_df, base)),
         ("compact", lambda: _compact_rows(spark, ord_df, base)),
+        ("expectations", lambda: _expectations_rows(spark, ord_df)),
         ("checks", lambda: _checks_rows(spark, ord_df, base)),
         ("versioned_stream", lambda: _versioned_stream_rows(spark, ord_df, base)),
         ("skipping", lambda: _skipping_rows(spark, ord_df, base)),

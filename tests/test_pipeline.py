@@ -937,3 +937,51 @@ def test_invalidate_then_refresh_keeps_dropped_dirs_under_grace(spark, tmp_path)
     got = sorted((r.g, r.n, r.s) for r in
                  read_aggregate(spark, state, ["g"], measures).collect())
     assert got == want
+
+
+def test_apply_expectations_modes_and_null_semantics(spark):
+    """DLT-style expectations: drop / quarantine / fail / keep, NULL
+    conditions pass (SQL CHECK posture, matching the versioned-table
+    checks), per-expectation metrics from ONE aggregate pass."""
+    import pytest as _pytest
+
+    from polygon_daily_market_data_pipeline_spark.operators.quality import (
+        DataQualityError,
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 40.0), (5, -1.0)],
+        "id long, amount double",
+    )
+    exps = {
+        "amount_positive": "amount > 0",       # NULL amount passes
+        "id_not_four": F.col("id") != 4,
+    }
+    res = apply_expectations(df, exps, on_fail="drop")
+    assert sorted(r.id for r in res.clean.collect()) == [1, 3]
+    assert res.quarantined is None
+    m = {r.expectation: (r.n_failed, r.n_rows) for r in res.metrics.collect()}
+    assert m == {"amount_positive": (2, 5), "id_not_four": (1, 5)}
+
+    q = apply_expectations(df, exps, on_fail="quarantine")
+    assert sorted(r.id for r in q.clean.collect()) == [1, 3]
+    assert sorted(r.id for r in q.quarantined.collect()) == [2, 4, 5]
+    # clean + quarantined is an exact partition of the input
+    assert q.clean.count() + q.quarantined.count() == df.count()
+
+    with _pytest.raises(DataQualityError, match="amount_positive"):
+        apply_expectations(df, exps, on_fail="fail")
+    ok = apply_expectations(
+        df, {"id_positive": "id > 0"}, on_fail="fail"
+    )
+    assert ok.clean.count() == 5
+
+    kept = apply_expectations(df, exps, on_fail="keep")
+    assert kept.clean.count() == 5
+    assert {r.expectation for r in kept.metrics.collect()} == set(exps)
+
+    with _pytest.raises(ValueError):
+        apply_expectations(df, exps, on_fail="discard")
+    with _pytest.raises(ValueError):
+        apply_expectations(df, {})
