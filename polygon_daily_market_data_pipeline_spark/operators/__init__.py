@@ -42,6 +42,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     optimize_compact,
     optimize_zorder,
     read_changes,
+    replicate_changes,
     read_version,
     rollback,
     scan_version,
@@ -85,6 +86,7 @@ __all__ = [
     "update_version_vectors",
     "update_version_where",
     "read_changes",
+    "replicate_changes",
     "read_version",
     "rollback",
     "scan_version",

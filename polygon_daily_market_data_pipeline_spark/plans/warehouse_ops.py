@@ -910,6 +910,71 @@ def _checks_rows(
     return [_row(row, "versioned_checks")]
 
 
+def _cdc_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """CDC replication (``replicate_changes``): the source commits the
+    ord slice keyed by o_orderkey (seq 1), then appends RE-VERSIONS of
+    every 10th key (price +100000, seq 2) plus NEW keys (key + next
+    power of 10, price +50000); the replica must hold EXACTLY the
+    latest row per key. n_rows = distinct keys (SQL-exact), val = the
+    latest-per-key price sum (DuckDB recomputes the upsert arithmetic
+    directly); n_aux pins the replication contract: at least one batch
+    applied, and a SECOND drain on the same checkpoint applies ZERO
+    batches and publishes nothing (incremental position held)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        history,
+        read_version,
+        replicate_changes,
+    )
+
+    src = os.path.join(base, "cdc_src")
+    dst = os.path.join(base, "cdc_dst")
+    ckpt = os.path.join(base, "cdc_ckpt")
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    off = 10 ** len(str(mx))
+    key = F.col("o_orderkey")
+    slim = ord_df.select(
+        "o_orderkey", F.lit(1).cast("long").alias("seq"), "o_totalprice"
+    )
+    commit_version(slim.coalesce(4), src, stats_cols=["o_orderkey"])
+    upd = ord_df.where(key % 10 == 0).select(
+        "o_orderkey",
+        F.lit(2).cast("long").alias("seq"),
+        (F.col("o_totalprice") + 100000.0).alias("o_totalprice"),
+    )
+    new = ord_df.where(key % 100 == 0).select(
+        (key + F.lit(off)).cast("long").alias("o_orderkey"),
+        F.lit(2).cast("long").alias("seq"),
+        (F.col("o_totalprice") + 50000.0).alias("o_totalprice"),
+    )
+    commit_version(
+        upd.unionByName(new).coalesce(2), src, mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    n1 = replicate_changes(
+        spark, src, dst, keys=["o_orderkey"], order_col="seq",
+        checkpoint=ckpt, stats_cols=["o_orderkey"],
+    )
+    versions_after = len(history(dst))
+    n2 = replicate_changes(
+        spark, src, dst, keys=["o_orderkey"], order_col="seq",
+        checkpoint=ckpt, stats_cols=["o_orderkey"],
+    )
+    claim = (
+        1
+        if n1 >= 1 and n2 == 0 and len(history(dst)) == versions_after
+        else 0
+    )
+    row = read_version(spark, dst).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    return [_row(row, "cdc_replica")]
+
+
 def _expectations_rows(
     spark: SparkSession, ord_df: DataFrame
 ) -> list[DataFrame]:
@@ -1356,6 +1421,19 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
         UNION ALL
+        -- CDC replica = latest row per key: base prices, +100000 on
+        -- re-versioned every-10th keys, +50000 offset-keyed inserts
+        SELECT 'cdc_replica',
+               (SELECT COUNT(*) FROM ord)
+                   + (SELECT COUNT(*) FROM ord WHERE o_orderkey % 100 = 0),
+               1,
+               ROUND(
+                   (SELECT SUM(CASE WHEN o_orderkey % 10 = 0
+                                    THEN o_totalprice + 100000
+                                    ELSE o_totalprice END) FROM ord)
+                   + (SELECT COALESCE(SUM(o_totalprice + 50000), 0)
+                      FROM ord WHERE o_orderkey % 100 = 0), 2)
+        UNION ALL
         -- expectations quarantine: every 97th key; NULL conditions and
         -- the TPC-H price invariant quarantine nothing
         SELECT 'expectations',
@@ -1650,6 +1728,7 @@ def build_maintenance_union(
         ("bloom", lambda: _bloom_rows(spark, ord_df, base)),
         ("compact", lambda: _compact_rows(spark, ord_df, base)),
         ("expectations", lambda: _expectations_rows(spark, ord_df)),
+        ("cdc", lambda: _cdc_rows(spark, ord_df, base)),
         ("checks", lambda: _checks_rows(spark, ord_df, base)),
         ("versioned_stream", lambda: _versioned_stream_rows(spark, ord_df, base)),
         ("skipping", lambda: _skipping_rows(spark, ord_df, base)),

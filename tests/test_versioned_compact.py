@@ -238,3 +238,68 @@ def test_compact_refuses_on_moved_table_and_respects_schema(spark, tmp_path):
     assert got.count() == 260
     assert got.where(F.col("w").isNull()).count() == 200
     assert got.where(F.col("w") == 3).count() == 60
+
+
+def test_replicate_changes_upsert_law_and_catchup(spark, tmp_path):
+    """CDC replication law: after a drain, the replica holds EXACTLY
+    the latest row per key across everything the source ever appended
+    (in-batch collapse included); a later drain with the same
+    checkpoint catches up incrementally; re-draining with nothing new
+    changes nothing; and a redefining source commit fails the feed
+    instead of replicating wrong deltas."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        delete_version_where,
+        history,
+        read_version,
+        replicate_changes,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, seq long, v double")
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    # v0: keys 1-4; v1: re-version keys 2,3 (one key TWICE in the same
+    # append — the in-batch collapse must pick seq 4) + new key 5
+    commit_version(batch([(1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0), (4, 1, 40.0)]), src)
+    commit_version(
+        batch([(2, 2, 21.0), (3, 3, 31.0), (3, 4, 32.0), (5, 2, 50.0)]),
+        src,
+        mode="append",
+    )
+    n = replicate_changes(
+        spark, src, dst, keys=["k"], order_col="seq", checkpoint=ckpt
+    )
+    assert n >= 1
+    want = {1: 10.0, 2: 21.0, 3: 32.0, 4: 40.0, 5: 50.0}
+    got = {r.k: r.v for r in read_version(spark, dst).collect()}
+    assert got == want
+    # incremental catch-up: another source append, same checkpoint
+    commit_version(batch([(1, 5, 11.0), (6, 5, 60.0)]), src, mode="append")
+    replicate_changes(
+        spark, src, dst, keys=["k"], order_col="seq", checkpoint=ckpt
+    )
+    want.update({1: 11.0, 6: 60.0})
+    got = {r.k: r.v for r in read_version(spark, dst).collect()}
+    assert got == want
+    # nothing new: a drain applies no batches and publishes no version
+    versions_before = len(history(dst))
+    n3 = replicate_changes(
+        spark, src, dst, keys=["k"], order_col="seq", checkpoint=ckpt
+    )
+    assert n3 == 0
+    assert len(history(dst)) == versions_before
+    # a redefinition on the source refuses to replicate
+    delete_version_where(spark, src, F.col("k") == 4)
+    try:
+        replicate_changes(
+            spark, src, dst, keys=["k"], order_col="seq", checkpoint=ckpt
+        )
+        stream_failed = False
+    except Exception:
+        stream_failed = True
+    assert stream_failed
+    got = {r.k: r.v for r in read_version(spark, dst).collect()}
+    assert got == want  # replica untouched by the refused feed
