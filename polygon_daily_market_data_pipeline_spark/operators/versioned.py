@@ -3090,6 +3090,7 @@ def optimize_compact(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    zorder_by: list[str] | None = None,
     expected_version: int | None = None,
 ) -> int:
     """Bin-packing small-file compaction — the Delta ``OPTIMIZE`` /
@@ -3117,9 +3118,16 @@ def optimize_compact(
 
     Scale shape: sizing is a driver-side walk of the manifest's
     directory list (file-count-sized metadata, no data IO); each output
-    bin is one coalesced write of only its member dirs' rows. Reference
-    parity note: the reference warehouse gets this from Snowflake's
-    automatic micro-partition compaction
+    bin is one coalesced write of only its member dirs' rows.
+    ``zorder_by`` turns the fold into INCREMENTAL CLUSTERING: instead
+    of per-bin coalesces, all the small data is z-ordered in one
+    ``zorder_write`` split at the bin count — ~target-sized files each
+    covering a compact z-cell range, so the folded output prunes on
+    every z-column (streamed appends arrive unclustered; this is how
+    they join the table's clustered layout without rewriting it).
+    Stats default to the z-columns in that mode. Reference parity
+    note: the reference warehouse gets this from Snowflake's automatic
+    micro-partition compaction
     (polygon-daily-market-data-pipeline has no explicit analog; this is
     the self-managed-storage equivalent)."""
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
@@ -3191,6 +3199,33 @@ def optimize_compact(
             rel = os.path.relpath(f, table_dir)
             if rel in stats:
                 new_files[rel] = stats[rel]
+    if zorder_by:
+        # incremental clustering: ONE z-ordered fold of all the small
+        # data, split at the bin count so files stay ~target-sized —
+        # each output file covers a compact z-cell range and prunes on
+        # every z-column (optimize_zorder scoped to the small dirs)
+        from polygon_daily_market_data_pipeline_spark.operators.layout import (
+            DEFAULT_BITS,
+            zorder_write,
+        )
+
+        packed = _read_manifest_paths(
+            spark,
+            src,
+            [os.path.join(table_dir, d) for d in small],
+            table_dir,
+        )
+        out_dir = os.path.join(table_dir, "_data", f"k-{uuid.uuid4().hex}")
+        zorder_write(packed, out_dir, zorder_by, len(bins), bits=DEFAULT_BITS)
+        new_dirs.append(os.path.relpath(out_dir, table_dir))
+        idx_cols = stats_cols if stats_cols is not None else zorder_by
+        if idx_cols:
+            new_files.update(
+                _collect_file_stats(spark, table_dir, out_dir, idx_cols)
+            )
+        if bloom_cols:
+            _collect_file_blooms(spark, out_dir, bloom_cols, bloom_fpp)
+        bins = []
     for members in bins:
         packed = _read_manifest_paths(
             spark,

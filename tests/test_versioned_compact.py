@@ -303,3 +303,45 @@ def test_replicate_changes_upsert_law_and_catchup(spark, tmp_path):
     assert stream_failed
     got = {r.k: r.v for r in read_version(spark, dst).collect()}
     assert got == want  # replica untouched by the refused feed
+
+
+def test_compact_zorder_clusters_the_fold(spark, tmp_path):
+    """zorder_by turns the fold into incremental clustering: streamed
+    (unclustered) appends come out as ~target-sized z-ordered files
+    that PRUNE on the z-column, while plain compaction of the same
+    data yields one unprunable file per bin."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    t = str(tmp_path / "vt")
+    # 8 appends, each spanning the WHOLE key range (hash-scattered like
+    # real stream batches) — per-dir min/max prunes nothing
+    for i in range(8):
+        commit_version(
+            _df(spark, 0, 16000).where(F.col("k") % 8 == i),
+            t,
+            mode="append" if i else "overwrite",
+            stats_cols=["k"],
+        )
+    want = _rows(read_version(spark, t))
+    sizes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(os.path.join(t, "_data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    v = optimize_compact(
+        spark, t, target_bytes=max(sizes // 4, 1), zorder_by=["k"]
+    )
+    after = read_version(spark, t)
+    assert _rows(after) == want
+    files = _data_files(after)
+    # multiple ~target-sized z-split files — neither one megafile nor
+    # the 8 input dirs' worth of scatter (FFD bin rounding gives 4-8)
+    assert 3 <= len(files) <= 8
+    # the z-split gives each file a tight k envelope: a 10% range scan
+    # schedules a strict subset of the folded files
+    got, st = scan_version_with_stats(spark, t, {"k": (0, 1600)})
+    assert sorted(r.k for r in got.collect()) == list(range(0, 1601))
+    assert st.files_scheduled < st.files_total
