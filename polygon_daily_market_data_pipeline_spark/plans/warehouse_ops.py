@@ -938,7 +938,10 @@ def _cdc_rows(
     slim = ord_df.select(
         "o_orderkey", F.lit(1).cast("long").alias("seq"), "o_totalprice"
     )
-    commit_version(slim.coalesce(4), src, stats_cols=["o_orderkey"])
+    # no stats on the SOURCE: the change feed reads delta dirs
+    # wholesale; skipping envelopes only matter on the replica, whose
+    # commits get them via replicate_changes(stats_cols=...)
+    commit_version(slim.coalesce(4), src)
     upd = ord_df.where(key % 10 == 0).select(
         "o_orderkey",
         F.lit(2).cast("long").alias("seq"),
@@ -949,10 +952,7 @@ def _cdc_rows(
         F.lit(2).cast("long").alias("seq"),
         (F.col("o_totalprice") + 50000.0).alias("o_totalprice"),
     )
-    commit_version(
-        upd.unionByName(new).coalesce(2), src, mode="append",
-        stats_cols=["o_orderkey"],
-    )
+    commit_version(upd.unionByName(new).coalesce(2), src, mode="append")
     n1 = replicate_changes(
         spark, src, dst, keys=["o_orderkey"], order_col="seq",
         checkpoint=ckpt, stats_cols=["o_orderkey"],
@@ -1054,11 +1054,12 @@ def _compact_rows(
     )
     top = ord_df.where(key > half)
     for i in range(6):
+        # no stats on the micro-appends: the fold re-collects envelopes
+        # for its output, so six footer-stat jobs here buy nothing
         commit_version(
             top.where(key % 7 == i).coalesce(1),
             tdir,
             mode="append",
-            stats_cols=["o_orderkey"],
         )
     base_files = set(read_version(spark, tdir, version=0).inputFiles())
     m0 = _load_manifest(tdir, 0)
