@@ -37,6 +37,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     delete_version_vectors,
     delete_version_where,
     diff_versions,
+    drop_partitions,
     materialize_dv,
     merge_version,
     optimize_compact,
@@ -80,6 +81,7 @@ __all__ = [
     "delete_version_vectors",
     "delete_version_where",
     "diff_versions",
+    "drop_partitions",
     "materialize_dv",
     "merge_version",
     "optimize_compact",

@@ -315,6 +315,7 @@ def commit_version(
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
     checks: dict | None = None,
+    partition_values: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -334,6 +335,19 @@ def commit_version(
     already written and is never rewritten. Overwrite commits never
     retry (which of two overwrites should win is not the engine's
     call).
+
+    ``partition_values`` tags THIS commit's directory with scalar
+    partition values (e.g. ``{"trade_date": "2024-01-02"}`` — the
+    daily-append pattern, where each micro-batch/day is one commit of
+    one partition). The manifest's ``partitions`` map is what makes
+    two O(metadata) operations possible: ``read_version(partitions=)``
+    prunes whole directories before any file listing, and
+    ``drop_partitions`` retires a partition WITHOUT touching data —
+    the retention path at 100 TB (dropping a day of a year-long table
+    rewrites nothing; copy-on-write delete would rewrite the day,
+    vectors would tombstone it row by row). Directories without a tag
+    are never partition-pruned and never partition-dropped —
+    cannot-prune is never wrong.
 
     ``schema_evolution=True`` (append only) is Delta ``mergeSchema``:
     the frame may ADD columns — every existing table column must still
@@ -413,6 +427,13 @@ def commit_version(
             _load_manifest(table_dir, existing[-1]) if existing else None
         )
 
+    if partition_values is not None:
+        for k, v in partition_values.items():
+            if not isinstance(v, (str, int, bool)):
+                raise TypeError(
+                    f"partition value {k}={v!r} must be a str/int/bool "
+                    "scalar (comparable and JSON-stable)"
+                )
     existing, prev = load_latest()
     check_schema(prev)
     # append-retry safety: everything committed after this point is an
@@ -464,6 +485,13 @@ def commit_version(
             manifest["max_batch"] = max_batch
         if tbl_checks:
             manifest["checks"] = tbl_checks
+        parts = {}
+        if mode == "append" and prev is not None:
+            parts.update(prev.get("partitions") or {})
+        if partition_values is not None:
+            parts[own_dir] = dict(partition_values)
+        if parts:
+            manifest["partitions"] = parts
         if mode == "append" and prev is not None and prev.get("dv"):
             # appended files are vector-free, but the carried dirs'
             # deletion vectors still apply — dropping them would
@@ -1004,16 +1032,70 @@ def read_version(
     table_dir: str,
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """The table at a version (default: latest), or AT a timestamp
     (``as_of``: the last version committed at or before it — Snowflake
     ``AT(TIMESTAMP => ...)`` semantics). The version's manifest schema
     is applied, so a schema-evolved table reads pre-evolution files
-    with the added columns as NULL (``_read_manifest_paths``)."""
+    with the added columns as NULL (``_read_manifest_paths``).
+
+    ``partitions`` prunes WHOLE DIRECTORIES against the manifest's
+    per-dir partition tags before any file listing — ``{col: value}``
+    exact or ``{col: (lo, hi)}`` range. Untagged dirs (and tags
+    missing a predicated column) are always READ: partition pruning is
+    an optimization, never a filter — compose a residual ``.where()``
+    when row-exact semantics on the partition column are needed (the
+    daily-append pattern tags whole commits, so dir-pruning usually IS
+    exact)."""
     m = _resolve_manifest(table_dir, version, as_of)
+    dirs = m["dirs"]
+    if partitions:
+        dirs = _partition_match_dirs(m, partitions, keep_untagged=True)
     return _read_manifest_paths(
-        spark, m, [os.path.join(table_dir, d) for d in m["dirs"]], table_dir
+        spark, m, [os.path.join(table_dir, d) for d in dirs], table_dir
     )
+
+
+def _partition_match_dirs(
+    manifest: dict, predicate: dict, keep_untagged: bool
+) -> list[str]:
+    """Directories whose partition tag satisfies ``predicate`` — each
+    entry an exact scalar or a ``(lo, hi)`` range (None = open end).
+    Untagged dirs, and dirs whose tag lacks a predicated column, MATCH
+    when ``keep_untagged`` (the read path: cannot-prune is never
+    wrong) and never match otherwise (the drop path: cannot-prove is
+    never dropped). Pure driver-side metadata — O(dirs), no IO."""
+    parts = manifest.get("partitions") or {}
+    out = []
+    for d in manifest["dirs"]:
+        tag = parts.get(d)
+        verdicts = []
+        for col, want in predicate.items():
+            if tag is None or col not in tag:
+                verdicts.append(None)  # unknowable for this dir
+                continue
+            have = tag[col]
+            if isinstance(want, tuple):
+                lo, hi = want
+                try:
+                    ok = (lo is None or have >= lo) and (
+                        hi is None or have <= hi
+                    )
+                except TypeError:
+                    ok = None  # type-mismatched bound: unknowable
+            else:
+                ok = have == want if type(have) is type(want) else None
+            verdicts.append(ok)
+        if any(v is False for v in verdicts):
+            matched = False
+        elif any(v is None for v in verdicts):
+            matched = keep_untagged
+        else:
+            matched = True
+        if matched:
+            out.append(d)
+    return out
 
 
 def _norm_bound(v, side: str, bounds_tz):
@@ -1848,6 +1930,10 @@ def _mutate_version(
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    if "partitions" in src:
+        # per-dir tags: entries for rewritten dirs go stale and are
+        # filtered against the current dir list at every use site
+        manifest["partitions"] = src["partitions"]
     src_dv = src.get("dv") or {}
     if src_dv:
         # rewritten dirs were read DV-applied (their vectors are now
@@ -2075,7 +2161,7 @@ def delete_version_vectors(
         "dirs": src["dirs"],
         "dv": dv,
     }
-    for carry in ("files", "max_batch", "schema", "checks", "eqdel"):
+    for carry in ("files", "max_batch", "schema", "checks", "eqdel", "partitions"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -2159,7 +2245,7 @@ def delete_version_keys(
         "dirs": src["dirs"],
         "eqdel": list(src.get("eqdel") or []) + [entry],
     }
-    for carry in ("files", "max_batch", "schema", "checks", "dv"):
+    for carry in ("files", "max_batch", "schema", "checks", "dv", "partitions"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -2330,7 +2416,7 @@ def update_version_vectors(
     }
     if new_files:
         manifest["files"] = new_files
-    for carry in ("max_batch", "schema", "checks", "eqdel"):
+    for carry in ("max_batch", "schema", "checks", "eqdel", "partitions"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -2418,7 +2504,7 @@ def materialize_dv(
     }
     if new_files:
         manifest["files"] = new_files
-    for carry in ("max_batch", "schema", "checks"):
+    for carry in ("max_batch", "schema", "checks", "partitions"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -2871,6 +2957,8 @@ def merge_version(
         manifest["schema"] = tbl_schema
     if "checks" in src_manifest:
         manifest["checks"] = src_manifest["checks"]
+    if "partitions" in src_manifest:
+        manifest["partitions"] = src_manifest["partitions"]
     if strategy == "merge_on_read":
         # nothing was rewritten: prior vectors (extended with the
         # matched tombstones) and equality deletes carry verbatim
@@ -3178,18 +3266,36 @@ def optimize_compact(
         small = []
     if not small:
         return versions[-1]
-    # first-fit-decreasing bin packing on directory bytes
-    bins: list[list[str]] = []
-    bin_bytes: list[int] = []
-    for d in sorted(small, key=lambda d: -sizes[d]):
-        for i, b in enumerate(bin_bytes):
-            if b + sizes[d] <= target_bytes:
-                bins[i].append(d)
-                bin_bytes[i] += sizes[d]
-                break
-        else:
-            bins.append([d])
-            bin_bytes.append(sizes[d])
+    # bins never mix PARTITION tags: a fold of one partition's
+    # micro-dirs inherits the tag, so drop_partitions and partition
+    # pruning survive compaction; untagged dirs form their own group
+    parts_map = {
+        d: v
+        for d, v in (src.get("partitions") or {}).items()
+        if d in set(src["dirs"])
+    }
+
+    def _ptag(d):
+        return tuple(sorted(parts_map[d].items())) if d in parts_map else None
+
+    groups: dict = {}
+    for d in small:
+        groups.setdefault(_ptag(d), []).append(d)
+    # first-fit-decreasing bin packing on directory bytes, per group
+    bins: list = []
+    for tag, g_members in groups.items():
+        g_bins: list[list[str]] = []
+        g_bytes: list[int] = []
+        for d in sorted(g_members, key=lambda d: -sizes[d]):
+            for i, b in enumerate(g_bytes):
+                if b + sizes[d] <= target_bytes:
+                    g_bins[i].append(d)
+                    g_bytes[i] += sizes[d]
+                    break
+            else:
+                g_bins.append([d])
+                g_bytes.append(sizes[d])
+        bins.extend((tag, m) for m in g_bins)
     carried = [d for d in src["dirs"] if d not in set(small)]
     stats = src.get("files", {})
     new_dirs: list[str] = list(carried)
@@ -3199,34 +3305,45 @@ def optimize_compact(
             rel = os.path.relpath(f, table_dir)
             if rel in stats:
                 new_files[rel] = stats[rel]
+    new_parts: dict = {}
     if zorder_by:
-        # incremental clustering: ONE z-ordered fold of all the small
-        # data, split at the bin count so files stay ~target-sized —
-        # each output file covers a compact z-cell range and prunes on
-        # every z-column (optimize_zorder scoped to the small dirs)
+        # incremental clustering: one z-ordered fold PER PARTITION
+        # GROUP, split at the group's bin count so files stay
+        # ~target-sized — each output file covers a compact z-cell
+        # range and prunes on every z-column (optimize_zorder scoped
+        # to the small dirs)
         from polygon_daily_market_data_pipeline_spark.operators.layout import (
             DEFAULT_BITS,
             zorder_write,
         )
 
-        packed = _read_manifest_paths(
-            spark,
-            src,
-            [os.path.join(table_dir, d) for d in small],
-            table_dir,
-        )
-        out_dir = os.path.join(table_dir, "_data", f"k-{uuid.uuid4().hex}")
-        zorder_write(packed, out_dir, zorder_by, len(bins), bits=DEFAULT_BITS)
-        new_dirs.append(os.path.relpath(out_dir, table_dir))
         idx_cols = stats_cols if stats_cols is not None else zorder_by
-        if idx_cols:
-            new_files.update(
-                _collect_file_stats(spark, table_dir, out_dir, idx_cols)
+        for tag, g_members in groups.items():
+            n_out = sum(1 for t, _m in bins if t == tag)
+            packed = _read_manifest_paths(
+                spark,
+                src,
+                [os.path.join(table_dir, d) for d in g_members],
+                table_dir,
             )
-        if bloom_cols:
-            _collect_file_blooms(spark, out_dir, bloom_cols, bloom_fpp)
+            out_dir = os.path.join(
+                table_dir, "_data", f"k-{uuid.uuid4().hex}"
+            )
+            zorder_write(
+                packed, out_dir, zorder_by, n_out, bits=DEFAULT_BITS
+            )
+            rel = os.path.relpath(out_dir, table_dir)
+            new_dirs.append(rel)
+            if tag is not None:
+                new_parts[rel] = dict(tag)
+            if idx_cols:
+                new_files.update(
+                    _collect_file_stats(spark, table_dir, out_dir, idx_cols)
+                )
+            if bloom_cols:
+                _collect_file_blooms(spark, out_dir, bloom_cols, bloom_fpp)
         bins = []
-    for members in bins:
+    for tag, members in bins:
         packed = _read_manifest_paths(
             spark,
             src,
@@ -3235,7 +3352,10 @@ def optimize_compact(
         ).coalesce(1)
         out_dir = os.path.join(table_dir, "_data", f"k-{uuid.uuid4().hex}")
         packed.write.mode("errorifexists").parquet(out_dir)
-        new_dirs.append(os.path.relpath(out_dir, table_dir))
+        rel = os.path.relpath(out_dir, table_dir)
+        new_dirs.append(rel)
+        if tag is not None:
+            new_parts[rel] = dict(tag)
         if stats_cols:
             new_files.update(
                 _collect_file_stats(spark, table_dir, out_dir, stats_cols)
@@ -3262,6 +3382,10 @@ def optimize_compact(
         manifest["dv"] = kept_dv
     if kept_eq:
         manifest["eqdel"] = kept_eq
+    kept_parts = {d: v for d, v in parts_map.items() if d in carried_set}
+    kept_parts.update(new_parts)
+    if kept_parts:
+        manifest["partitions"] = kept_parts
     for carry in ("max_batch", "schema", "checks"):
         if carry in src:
             manifest[carry] = src[carry]
@@ -3357,3 +3481,96 @@ def replicate_changes(
     )
     q.awaitTermination(int(timeout_s))
     return applied["n"]
+
+
+def drop_partitions(
+    table_dir: str,
+    predicate: dict,
+    expected_version: int | None = None,
+) -> int:
+    """Retire every directory whose partition tag PROVABLY matches
+    ``predicate`` (``{col: value}`` exact or ``{col: (lo, hi)}``
+    range) — the retention operation at 100 TB: dropping a day from a
+    year-long daily-append table publishes ONE manifest that simply
+    omits the day's directories. Zero data IO, zero bytes written
+    beyond the manifest; the dropped dirs stay on disk serving earlier
+    versions until ``vacuum`` retires them with the history window.
+    Compare the row-level paths for the same intent:
+    ``delete_version_where`` rewrites the touched dirs,
+    ``delete_version_vectors`` writes O(deleted rows) tombstones —
+    partition retirement is O(0) because the tag makes the whole-dir
+    match PROVABLE. Untagged directories and tags missing a predicated
+    column NEVER match (cannot-prove is never dropped — the safe
+    asymmetry mirrors read-side pruning, where cannot-prune is never
+    wrong).
+
+    Deletion-vector entries and equality-delete scopes owned by the
+    dropped dirs are retired with them; survivors keep theirs. The
+    change feed refuses to cross the commit (rows were redefined, not
+    appended) — ``diff_versions`` gives the explicit delta. A
+    predicate matching nothing publishes NOTHING and returns the
+    current version."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    matched = set(_partition_match_dirs(src, predicate, keep_untagged=False))
+    if not matched:
+        return versions[-1]
+    survivors = [d for d in src["dirs"] if d not in matched]
+    surv_set = set(survivors)
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "drop_partitions",
+        "dirs": survivors,
+    }
+    stats = src.get("files", {})
+    if stats:
+        all_dirs = set(src["dirs"])
+
+        def _owner_of(f: str) -> str | None:
+            cur = os.path.dirname(f)
+            while cur and cur not in all_dirs:
+                nxt = os.path.dirname(cur)
+                if nxt == cur:
+                    return None
+                cur = nxt
+            return cur or None
+
+        kept_files = {
+            f: ent for f, ent in stats.items() if _owner_of(f) in surv_set
+        }
+        if kept_files:
+            manifest["files"] = kept_files
+    dv = src.get("dv") or {}
+    if dv:
+        dir_of = {
+            os.path.abspath(os.path.join(table_dir, d)): d
+            for d in src["dirs"]
+        }
+        kept_dv = {
+            k: ent
+            for k, ent in dv.items()
+            if _resolve_owner(_dv_abs(table_dir, k, ent), dir_of) in surv_set
+        }
+        if kept_dv:
+            manifest["dv"] = kept_dv
+    kept_eq = _carry_eqdel(table_dir, src, surv_set)
+    if kept_eq:
+        manifest["eqdel"] = kept_eq
+    parts = src.get("partitions") or {}
+    kept_parts = {d: v for d, v in parts.items() if d in surv_set}
+    if kept_parts:
+        manifest["partitions"] = kept_parts
+    for carry in ("max_batch", "schema", "checks"):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version

@@ -910,6 +910,63 @@ def _checks_rows(
     return [_row(row, "versioned_checks")]
 
 
+def _retention_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Partition retention (``partition_values`` + ``drop_partitions``
+    + ``read_version(partitions=)``): ord lands as four quarter-tagged
+    commits, Q1 is dropped METADATA-ONLY, and a partition-pruned read
+    of Q2-Q3 supplies the value column. n_rows = post-drop count and
+    val = the PRUNED read's price sum, both SQL-exact (DuckDB
+    recomputes from EXTRACT(QUARTER ...)); n_aux pins the two layout
+    claims: the drop wrote/removed ZERO data bytes (the byte walk is
+    identical before and after) and the pruned read scheduled strictly
+    fewer files than the full table."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        drop_partitions,
+    )
+
+    tdir = os.path.join(base, "part_vt")
+    qtr = F.quarter("o_orderdate")
+    for i in range(1, 5):
+        commit_version(
+            ord_df.where(qtr == i).coalesce(2),
+            tdir,
+            mode="append" if i > 1 else "overwrite",
+            partition_values={"q": i},
+        )
+
+    def data_bytes() -> int:
+        total = 0
+        for r, _d, files in os.walk(os.path.join(tdir, "_data")):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    bytes_before = data_bytes()
+    files_full = len(read_version(spark, tdir).inputFiles())
+    drop_partitions(tdir, {"q": 1})
+    pruned = read_version(spark, tdir, partitions={"q": (2, 3)})
+    pruned_sum = pruned.agg(
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2)
+    ).first()[0]
+    claim = (
+        1
+        if data_bytes() == bytes_before
+        and len(pruned.inputFiles()) < files_full
+        else 0
+    )
+    row = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.lit(pruned_sum).cast("double").alias("val"),
+    )
+    return [_row(row, "versioned_retention")]
+
+
 def _cdc_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -1422,6 +1479,15 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
         UNION ALL
+        -- partition retention: Q1 dropped metadata-only; the value is
+        -- the partition-PRUNED Q2-Q3 read
+        SELECT 'versioned_retention',
+               (SELECT COUNT(*) FROM ord
+                WHERE EXTRACT(QUARTER FROM o_orderdate) <> 1),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+                WHERE EXTRACT(QUARTER FROM o_orderdate) IN (2, 3))
+        UNION ALL
         -- CDC replica = latest row per key: base prices, +100000 on
         -- re-versioned every-10th keys, +50000 offset-keyed inserts
         SELECT 'cdc_replica',
@@ -1730,6 +1796,7 @@ def build_maintenance_union(
         ("compact", lambda: _compact_rows(spark, ord_df, base)),
         ("expectations", lambda: _expectations_rows(spark, ord_df)),
         ("cdc", lambda: _cdc_rows(spark, ord_df, base)),
+        ("retention", lambda: _retention_rows(spark, ord_df, base)),
         ("checks", lambda: _checks_rows(spark, ord_df, base)),
         ("versioned_stream", lambda: _versioned_stream_rows(spark, ord_df, base)),
         ("skipping", lambda: _skipping_rows(spark, ord_df, base)),

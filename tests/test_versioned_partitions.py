@@ -1,0 +1,199 @@
+"""Partition-valued commits (operators/versioned.py
+commit_version(partition_values=...), read_version(partitions=...),
+drop_partitions): the daily-append pattern — each commit tags its
+directory with scalar partition values, reads prune whole directories
+against the tags before any file listing, and retention retires a
+partition with ONE manifest write and ZERO data IO.
+
+The safety asymmetry under test everywhere: the READ path keeps what
+it cannot prove mismatched (cannot-prune is never wrong), the DROP
+path keeps what it cannot prove matched (cannot-prove is never
+dropped).
+
+Reference parity note: the reference's RAW/CORE/FACT tables are
+parquet partitioned by trade_date with per-date statements; Snowflake
+gives it micro-partition pruning. This is that posture on the
+manifest log, plus the metadata-only retention Delta/Iceberg express
+as partition DELETEs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    commit_version,
+    delete_version_vectors,
+    diff_versions,
+    drop_partitions,
+    history,
+    optimize_compact,
+    read_changes,
+    read_version,
+    vacuum,
+)
+
+
+def _day(spark, day: str, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(day).alias("d"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+
+
+def _build_daily(spark, t, days=4):
+    for i in range(days):
+        day = f"2024-01-0{i + 1}"
+        commit_version(
+            _day(spark, day, i * 100, (i + 1) * 100),
+            t,
+            mode="append" if i else "overwrite",
+            partition_values={"d": day},
+        )
+
+
+def _data_bytes(t):
+    total = 0
+    for r, _d, files in os.walk(os.path.join(t, "_data")):
+        total += sum(
+            os.path.getsize(os.path.join(r, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
+def test_partition_pruned_read_schedules_matching_dirs_only(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    _build_daily(spark, t)
+    full = read_version(spark, t)
+    assert full.count() == 400
+    one = read_version(spark, t, partitions={"d": "2024-01-02"})
+    assert sorted(r.k for r in one.collect()) == list(range(100, 200))
+    # the prune is DIRECTORY-level: one day's files only
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    rng = read_version(
+        spark, t, partitions={"d": ("2024-01-02", "2024-01-03")}
+    )
+    assert rng.count() == 200
+    # open-ended range
+    assert read_version(
+        spark, t, partitions={"d": (None, "2024-01-01")}
+    ).count() == 100
+    # an UNTAGGED dir is always read (cannot-prune is never wrong)
+    commit_version(_day(spark, "untagged", 900, 950), t, mode="append")
+    got = read_version(spark, t, partitions={"d": "2024-01-02"})
+    assert got.count() == 100 + 50
+    # a predicated column absent from the tag keeps the dir too
+    assert read_version(spark, t, partitions={"x": 1}).count() == 450
+
+
+def test_drop_partitions_is_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    _build_daily(spark, t)
+    bytes_before = _data_bytes(t)
+    v = drop_partitions(t, {"d": "2024-01-01"})
+    assert v == 4
+    # ZERO data churn: no bytes written or removed, manifest-only
+    assert _data_bytes(t) == bytes_before
+    after = read_version(spark, t)
+    assert after.count() == 300
+    assert after.where(F.col("d") == "2024-01-01").count() == 0
+    # time travel still serves the dropped day
+    assert read_version(spark, t, version=3).count() == 400
+    # range drop retires two more days in one manifest
+    v2 = drop_partitions(t, {"d": ("2024-01-03", None)})
+    assert read_version(spark, t).count() == 100
+    m = json.load(open(os.path.join(t, "_versions", f"{v2}.json")))
+    assert m["mode"] == "drop_partitions"
+    assert len(m["dirs"]) == 1
+    # no-op predicate publishes nothing
+    assert drop_partitions(t, {"d": "2099-12-31"}) == v2
+    # UNTAGGED dirs are never dropped (cannot-prove is never dropped)
+    commit_version(_day(spark, "x", 900, 950), t, mode="append")
+    v3 = drop_partitions(t, {"d": ("2000-01-01", "2099-01-01")})
+    got = read_version(spark, t)
+    assert sorted(set(r.d for r in got.collect())) == ["x"]
+    # the feed refuses to cross the redefinition; diff names the rows
+    with pytest.raises(ValueError, match="drop_partitions"):
+        read_changes(spark, t, 0)
+    dd = diff_versions(spark, t, v3 - 1, v3)
+    assert dd.where(F.col("_change_type") == "delete").count() == 100
+    # vacuum reclaims the dropped dirs once the history ages out
+    vacuum(t, keep_last=1)
+    assert read_version(spark, t).count() == 50
+    assert _data_bytes(t) < bytes_before
+
+
+def test_drop_partition_retires_owned_vectors_keeps_survivors(
+    spark, tmp_path
+):
+    t = str(tmp_path / "vt")
+    _build_daily(spark, t)
+    delete_version_vectors(spark, t, F.col("k") == 5)    # day 1
+    delete_version_vectors(spark, t, F.col("k") == 105)  # day 2
+    assert read_version(spark, t).count() == 398
+    v = drop_partitions(t, {"d": "2024-01-01"})
+    m = json.load(open(os.path.join(t, "_versions", f"{v}.json")))
+    # day-1's vector retired with its dir; day-2's carried
+    assert sum(e["n"] for e in m["dv"].values()) == 1
+    got = read_version(spark, t)
+    assert got.count() == 299
+    assert got.where(F.col("k") == 105).count() == 0
+
+
+def test_compact_preserves_partition_tags_and_retention(spark, tmp_path):
+    """Per-partition binning: micro-batch dirs of the SAME day fold
+    together, the fold inherits the day's tag, and a partition drop
+    AFTER compaction still retires the day metadata-only."""
+    t = str(tmp_path / "vt")
+    for i in range(2):
+        day = f"2024-01-0{i + 1}"
+        for j in range(3):  # 3 micro-batches per day
+            commit_version(
+                _day(spark, day, i * 300 + j * 100, i * 300 + (j + 1) * 100),
+                t,
+                mode="append" if (i or j) else "overwrite",
+                partition_values={"d": day},
+            )
+    v = optimize_compact(spark, t, target_bytes=1 << 30)
+    m = json.load(open(os.path.join(t, "_versions", f"{v}.json")))
+    # 6 micro-dirs folded into one dir PER DAY, each tagged
+    assert len(m["dirs"]) == 2
+    assert sorted(p["d"] for p in m["partitions"].values()) == [
+        "2024-01-01",
+        "2024-01-02",
+    ]
+    assert read_version(spark, t).count() == 600
+    assert read_version(
+        spark, t, partitions={"d": "2024-01-02"}
+    ).count() == 300
+    bytes_before = _data_bytes(t)
+    drop_partitions(t, {"d": "2024-01-01"})
+    assert _data_bytes(t) == bytes_before
+    got = read_version(spark, t)
+    assert got.count() == 300
+    assert got.where(F.col("d") == "2024-01-01").count() == 0
+
+
+def test_partition_values_survive_append_and_type_guard(spark, tmp_path):
+    t = str(tmp_path / "vt")
+    _build_daily(spark, t, days=2)
+    m = json.load(open(os.path.join(t, "_versions", "1.json")))
+    assert len(m["partitions"]) == 2
+    # appends carry earlier tags; history records plain modes
+    assert [e["mode"] for e in history(t)] == ["overwrite", "append"]
+    with pytest.raises(TypeError, match="scalar"):
+        commit_version(
+            _day(spark, "z", 0, 1), t, mode="append",
+            partition_values={"d": 1.5},
+        )
+    # type-mismatched predicate values never prove a match: reads keep
+    # the dir, drops keep the partition
+    assert read_version(spark, t, partitions={"d": 20240101}).count() == 200
+    v = drop_partitions(t, {"d": 20240101})
+    assert v == 1  # no-op

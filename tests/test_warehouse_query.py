@@ -19,7 +19,7 @@ def _debris() -> list[str]:
 
 
 def test_no_scratch_debris_tz_restored_nonutc_session(spark):
-    """Run under a deliberately non-UTC session: the thirty-two audit rows
+    """Run under a deliberately non-UTC session: the thirty-three audit rows
     must still come back (the query pins UTC internally for its cut
     literals), the session TZ must be restored on return, no
     ``wh_maint_*`` scratch may remain, and the frame must stay
@@ -35,9 +35,9 @@ def test_no_scratch_debris_tz_restored_nonutc_session(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
         assert _debris() == []
         rows = {r.check_name: r for r in df.collect()}
-        assert len(rows) == 32
+        assert len(rows) == 33
         # the union stays collectable repeatedly with the scratch gone
-        assert df.count() == 32
+        assert df.count() == 33
         # spot-check two value-bearing rows are populated, not zeroed
         assert rows["scd2_stored"].n_rows == rows["scd2_history"].n_rows
         assert rows["versioned_stream"].n_aux == 1
