@@ -564,6 +564,7 @@ def versioned_stream_sink(
     stats_cols: list[str] | None = None,
     auto_compact_every: int | None = None,
     auto_compact_target: int = 128 * 1024 * 1024,
+    partition_values_fn=None,
 ):
     """foreachBatch sink committing each micro-batch as a new APPEND
     version of a versioned table — streaming ingest with time travel,
@@ -592,6 +593,14 @@ def versioned_stream_sink(
     watermark treats as replays — point a fresh checkpoint at a fresh
     table (or an overwrite commit, which resets the watermark).
 
+    ``partition_values_fn(batch_df, batch_id) -> dict | None`` tags
+    each micro-batch's commit directory with partition values — the
+    streaming face of the daily-append pattern (an EOD stream where
+    each batch IS one trading date tags it, making the stream's
+    history partition-prunable and each day retirable metadata-only
+    via ``drop_partitions``). Return None for batches that span
+    partitions — untagged commits are always read and never dropped.
+
     ``auto_compact_every=N`` runs ``optimize_compact`` after every Nth
     committed batch (Delta's autoCompact posture): without it a
     long-lived stream is one tiny directory per micro-batch and every
@@ -613,6 +622,11 @@ def versioned_stream_sink(
             mode="append",
             stats_cols=stats_cols,
             batch_id=batch_id,
+            partition_values=(
+                partition_values_fn(batch_df, batch_id)
+                if partition_values_fn
+                else None
+            ),
             # survive a concurrent OPTIMIZE/maintenance commit taking
             # our version number (append retry is metadata-only)
             retries=2,

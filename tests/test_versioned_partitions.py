@@ -197,3 +197,50 @@ def test_partition_values_survive_append_and_type_guard(spark, tmp_path):
     assert read_version(spark, t, partitions={"d": 20240101}).count() == 200
     v = drop_partitions(t, {"d": 20240101})
     assert v == 1  # no-op
+
+
+def test_stream_sink_tags_partitions_per_batch(spark, tmp_path):
+    """The streaming face of the daily-append pattern: each micro-batch
+    tags its commit with the batch's (single) day, the streamed history
+    partition-prunes, and a day retires metadata-only."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        versioned_stream_sink,
+    )
+
+    days = ["2024-02-01", "2024-02-02", "2024-02-03"]
+    df = None
+    for i, day in enumerate(days):
+        part = _day(spark, day, i * 10, (i + 1) * 10)
+        df = part if df is None else df.unionByName(part)
+    src = str(tmp_path / "src")
+    # one file per day -> maxFilesPerTrigger=1 gives one batch per day
+    for i, day in enumerate(days):
+        df.where(F.col("d") == day).coalesce(1).write.mode("append").parquet(src)
+    t = str(tmp_path / "table")
+
+    def tag(batch_df, batch_id):
+        d = [r.d for r in batch_df.select("d").distinct().collect()]
+        return {"d": d[0]} if len(d) == 1 else None
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            versioned_stream_sink(t, partition_values_fn=tag)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert read_version(spark, t).count() == 30
+    one = read_version(spark, t, partitions={"d": "2024-02-02"})
+    assert sorted(r.k for r in one.collect()) == list(range(10, 20))
+    assert len(one.inputFiles()) < len(read_version(spark, t).inputFiles())
+    bytes_before = _data_bytes(t)
+    drop_partitions(t, {"d": "2024-02-01"})
+    assert _data_bytes(t) == bytes_before
+    got = read_version(spark, t)
+    assert got.count() == 20
+    assert got.where(F.col("d") == "2024-02-01").count() == 0
