@@ -1839,6 +1839,7 @@ def _mutate_version(
     prune: dict | None,
     stats_cols: list[str] | None,
     expected_version: int | None,
+    assigned_cols: "set[str] | None" = None,
 ) -> int:
     """Shared copy-on-write machinery for DELETE/UPDATE on a versioned
     table: publish a NEW version in which only the commit directories
@@ -1882,6 +1883,12 @@ def _mutate_version(
     new_files: dict = {}
     rewritten_dirs: list[str] = []
     carried_dirs: set[str] = set()
+    parts_map = {
+        d: v
+        for d, v in (src.get("partitions") or {}).items()
+        if d in set(src["dirs"])
+    }
+    new_parts: dict = {}
     for d in src["dirs"]:
         files = [
             os.path.relpath(f, table_dir)
@@ -1912,6 +1919,16 @@ def _mutate_version(
         rel = os.path.relpath(out_dir, table_dir)
         new_dirs.append(rel)
         rewritten_dirs.append(out_dir)
+        # the rewrite of ONE dir inherits its partition tag when the
+        # tag provably still holds: a DELETE only removes rows, and an
+        # UPDATE keeps the tag unless it ASSIGNS a tagged column (a
+        # reassigned partition column would falsify the claim — those
+        # dirs come out untagged: cannot-prove, never wrongly tagged)
+        tag = parts_map.get(d)
+        if tag is not None and (
+            assigned_cols is None or not (assigned_cols & set(tag))
+        ):
+            new_parts[rel] = tag
         if stats_cols:
             new_files.update(
                 _collect_file_stats(spark, table_dir, out_dir, stats_cols)
@@ -1944,10 +1961,10 @@ def _mutate_version(
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
-    if "partitions" in src:
-        # per-dir tags: entries for rewritten dirs go stale and are
-        # filtered against the current dir list at every use site
-        manifest["partitions"] = src["partitions"]
+    kept_parts = {d: v for d, v in parts_map.items() if d in carried_dirs}
+    kept_parts.update(new_parts)
+    if kept_parts:
+        manifest["partitions"] = kept_parts
     src_dv = src.get("dv") or {}
     if src_dv:
         # rewritten dirs were read DV-applied (their vectors are now
@@ -2035,6 +2052,7 @@ def update_version_where(
         prune,
         stats_cols,
         expected_version,
+        assigned_cols=set(assignments),
     )
 
 
@@ -2489,11 +2507,19 @@ def materialize_dv(
     )
 
     stats = src.get("files", {})
+    parts_map = {
+        d: v
+        for d, v in (src.get("partitions") or {}).items()
+        if d in set(src["dirs"])
+    }
+    new_parts: dict = {}
     new_dirs: list[str] = []
     new_files: dict = {}
     for d in src["dirs"]:
         if d not in touched:
             new_dirs.append(d)
+            if d in parts_map:
+                new_parts[d] = parts_map[d]
             for f in list_parquet_files(os.path.join(table_dir, d)):
                 rel = os.path.relpath(f, table_dir)
                 if rel in stats:
@@ -2504,7 +2530,12 @@ def materialize_dv(
         )
         out_dir = os.path.join(table_dir, "_data", f"m-{uuid.uuid4().hex}")
         clean.write.mode("errorifexists").parquet(out_dir)
-        new_dirs.append(os.path.relpath(out_dir, table_dir))
+        rel_dir = os.path.relpath(out_dir, table_dir)
+        new_dirs.append(rel_dir)
+        if d in parts_map:
+            # the clean rewrite only REMOVES rows from this one dir —
+            # its partition claim still holds
+            new_parts[rel_dir] = parts_map[d]
         if stats_cols:
             new_files.update(
                 _collect_file_stats(spark, table_dir, out_dir, stats_cols)
@@ -2518,7 +2549,9 @@ def materialize_dv(
     }
     if new_files:
         manifest["files"] = new_files
-    for carry in ("max_batch", "schema", "checks", "partitions"):
+    if new_parts:
+        manifest["partitions"] = new_parts
+    for carry in ("max_batch", "schema", "checks"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -2814,6 +2847,12 @@ def merge_version(
         new_dirs: list[str] = []
         new_files: dict = {}
         mor_dv: dict = {}
+        mrg_parts = {
+            d: v
+            for d, v in (src_manifest.get("partitions") or {}).items()
+            if d in set(src_manifest["dirs"])
+        }
+        mrg_new_parts: dict = {}
         if strategy == "merge_on_read":
             # every directory is carried by reference — the matched
             # rows are tombstoned by POSITION, discovered by scanning
@@ -2904,6 +2943,8 @@ def merge_version(
             for d in src_manifest["dirs"]:
                 if d not in touched:
                     new_dirs.append(d)
+                    if d in mrg_parts:
+                        mrg_new_parts[d] = mrg_parts[d]
                     for f in list_parquet_files(os.path.join(table_dir, d)):
                         rel = os.path.relpath(f, table_dir)
                         if rel in stats:
@@ -2923,7 +2964,12 @@ def merge_version(
                     table_dir, "_data", f"m-{uuid.uuid4().hex}"
                 )
                 survivors.write.mode("errorifexists").parquet(out_dir)
-                new_dirs.append(os.path.relpath(out_dir, table_dir))
+                rel_dir = os.path.relpath(out_dir, table_dir)
+                new_dirs.append(rel_dir)
+                if d in mrg_parts:
+                    # the anti-join only REMOVES rows from this one
+                    # dir — its partition claim still holds
+                    mrg_new_parts[rel_dir] = mrg_parts[d]
                 if stats_cols:
                     new_files.update(
                         _collect_file_stats(
@@ -2971,8 +3017,13 @@ def merge_version(
         manifest["schema"] = tbl_schema
     if "checks" in src_manifest:
         manifest["checks"] = src_manifest["checks"]
-    if "partitions" in src_manifest:
-        manifest["partitions"] = src_manifest["partitions"]
+    if strategy == "merge_on_read":
+        if mrg_parts:
+            manifest["partitions"] = mrg_parts
+    elif mrg_new_parts:
+        # carried dirs keep their tags; per-dir anti-join rewrites
+        # inherit (rows only removed); the insert dir is untagged
+        manifest["partitions"] = mrg_new_parts
     if strategy == "merge_on_read":
         # nothing was rewritten: prior vectors (extended with the
         # matched tombstones) and equality deletes carry verbatim

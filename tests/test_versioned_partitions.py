@@ -244,3 +244,62 @@ def test_stream_sink_tags_partitions_per_batch(spark, tmp_path):
     got = read_version(spark, t)
     assert got.count() == 20
     assert got.where(F.col("d") == "2024-02-01").count() == 0
+
+
+def test_partition_tags_survive_row_level_ops_when_provable(spark, tmp_path):
+    """Copy-on-write rewrites inherit a dir's tag exactly when the tag
+    provably still holds: DELETE and MERGE only remove rows from the
+    dir (inherit), UPDATE inherits unless it ASSIGNS a tagged column,
+    and materialize_dv's clean rewrite inherits — so retention by
+    partition keeps working after routine row-level maintenance."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_where,
+        materialize_dv,
+        merge_version,
+        update_version_where,
+    )
+
+    t = str(tmp_path / "vt")
+    _build_daily(spark, t, days=3)
+
+    def tags(v):
+        m = json.load(open(os.path.join(t, "_versions", f"{v}.json")))
+        return sorted(p["d"] for p in (m.get("partitions") or {}).values())
+
+    all3 = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # CoW DELETE rewrites every dir (no prune): tags all inherited
+    v = delete_version_where(spark, t, F.col("k") == 5)
+    assert tags(v) == all3
+    # UPDATE assigning a NON-tag column: inherited
+    v = update_version_where(spark, t, F.col("k") == 7, {"v": F.lit(-1.0)})
+    assert tags(v) == all3
+    # UPDATE assigning the TAG column: rewritten dirs lose their tag
+    v = update_version_where(
+        spark, t, F.col("k") == 8, {"d": F.lit("moved")}
+    )
+    assert tags(v) == []
+    # ...and a partition drop now correctly retires nothing
+    assert drop_partitions(t, {"d": "2024-01-01"}) == v
+    # rebuild; MERGE (upsert) inherits for anti-joined dirs
+    t2 = str(tmp_path / "vt2")
+    _build_daily(spark, t2, days=2)
+    src = _day(spark, "2024-01-01", 5, 8).withColumn("v", F.lit(9.0))
+    v2 = merge_version(spark, t2, src, keys=["k"])
+    m = json.load(open(os.path.join(t2, "_versions", f"{v2}.json")))
+    assert sorted(p["d"] for p in m["partitions"].values()) == [
+        "2024-01-01",
+        "2024-01-02",
+    ]
+    # materialize_dv's clean rewrite inherits
+    delete_version_vectors(spark, t2, F.col("k") == 150)
+    v3 = materialize_dv(spark, t2)
+    m3 = json.load(open(os.path.join(t2, "_versions", f"{v3}.json")))
+    assert sorted(p["d"] for p in m3["partitions"].values()) == [
+        "2024-01-01",
+        "2024-01-02",
+    ]
+    # retention still works end-to-end after the maintenance chain
+    drop_partitions(t2, {"d": "2024-01-02"})
+    got = read_version(spark, t2)
+    assert got.where(F.col("d") == "2024-01-02").count() == 0
+    assert got.where(F.col("d") == "2024-01-01").count() > 0
