@@ -3639,3 +3639,44 @@ def drop_partitions(
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
     return version
+
+
+def fast_count(table_dir: str, version: int | None = None) -> "int | None":
+    """COUNT(*) from manifest metadata alone — zero data IO, zero Spark
+    jobs — when PROVABLE: every current directory's parquet files carry
+    footer row counts in the manifest stats, positional deletion
+    vectors subtract their recorded cardinalities, and no
+    equality-delete erasure list is pending (its match count is
+    unknowable without a scan). Returns ``None`` whenever any of that
+    fails — cannot-prove returns no answer, never a wrong one; the
+    caller falls back to ``read_version(...).count()``.
+
+    The metadata-only aggregate Delta/Iceberg answer from their file
+    statistics, for the hottest aggregate there is: at a 100 TB table
+    this is a driver-side walk of the manifest (file-count-sized)
+    instead of a full-table scan job. Commit with ``stats_cols`` (any
+    column) to keep every file's row count recorded."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    m = _load_manifest(table_dir, v)
+    if m.get("eqdel"):
+        return None
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    stats = m.get("files") or {}
+    total = 0
+    for d in m["dirs"]:
+        dir_path = d if os.path.isabs(d) else os.path.join(table_dir, d)
+        for f in list_parquet_files(dir_path):
+            rel = os.path.relpath(f, table_dir)
+            ent = stats.get(rel)
+            if ent is None:
+                return None  # a file without recorded rows: unprovable
+            total += ent["rows"]
+    for ent in (m.get("dv") or {}).values():
+        total -= ent["n"]
+    return total

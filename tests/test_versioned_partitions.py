@@ -303,3 +303,43 @@ def test_partition_tags_survive_row_level_ops_when_provable(spark, tmp_path):
     got = read_version(spark, t2)
     assert got.where(F.col("d") == "2024-01-02").count() == 0
     assert got.where(F.col("d") == "2024-01-01").count() > 0
+
+
+def test_fast_count_metadata_only_and_refuses_unprovable(spark, tmp_path):
+    """COUNT(*) from the manifest alone: exact across appends, DV
+    deletes, partition drops, and time travel — and None (never wrong)
+    when a file lacks recorded rows or an equality-delete erasure list
+    is pending."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_keys,
+        fast_count,
+    )
+
+    t = str(tmp_path / "vt")
+    for i in range(3):
+        day = f"2024-01-0{i + 1}"
+        commit_version(
+            _day(spark, day, i * 100, (i + 1) * 100),
+            t,
+            mode="append" if i else "overwrite",
+            partition_values={"d": day},
+            stats_cols=["k"],
+        )
+    assert fast_count(t) == 300
+    assert fast_count(t, version=0) == 100
+    delete_version_vectors(spark, t, F.col("k") < 7)
+    assert fast_count(t) == 293
+    assert fast_count(t) == read_version(spark, t).count()
+    drop_partitions(t, {"d": "2024-01-03"})
+    assert fast_count(t) == 193
+    # a stats-less append makes the count unprovable
+    commit_version(_day(spark, "x", 900, 910), t, mode="append")
+    assert fast_count(t) is None
+    # an equality delete is unknowable without a scan
+    t2 = str(tmp_path / "vt2")
+    commit_version(_day(spark, "a", 0, 50), t2, stats_cols=["k"])
+    assert fast_count(t2) == 50
+    delete_version_keys(
+        spark, t2, spark.createDataFrame([(3,)], "k long"), ["k"]
+    )
+    assert fast_count(t2) is None
