@@ -893,6 +893,23 @@ def cosine_topk_pq(
         coded.mapInPandas(adc, "query_id long, neighbor_id long, approx double")
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
+    return _exact_rerank(corpus, queries, cand, k, n_cand, id_col, vec_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    n_cand: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the quantized ANN variants: keep the global
+    top-``n_cand`` candidates per query by approximate score, pull ONLY
+    those rows' raw vectors back (hit-sized broadcast semi-join at any
+    corpus size), and rescore exactly — returned (rank, cos) are true
+    cosines; recall is the only approximation."""
     w0 = Window.partitionBy("query_id").orderBy(
         F.desc("approx"), F.asc("neighbor_id")
     )
@@ -901,7 +918,6 @@ def cosine_topk_pq(
         .where(F.col("r0") <= n_cand)
         .select("query_id", "neighbor_id")
     )
-    # exact rerank: hit-sized semi-join pulls only candidate vectors
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
@@ -922,4 +938,120 @@ def cosine_topk_pq(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 32,
+    rerank_factor: int = 8,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF+PQ composite ANN — the FAISS ``IVF{n},PQ{m}`` architecture,
+    i.e. the index actually deployed at billion-vector scale: a coarse
+    quantizer limits WHICH candidates are touched (queries probe
+    ``n_probe`` of ``n_clusters`` cells — candidate fraction ≈
+    n_probe/n_clusters), product quantization limits WHAT rides the
+    join (16 int codes per candidate instead of the raw vector), ADC
+    lookup tables score the candidates, and the exact rerank fixes the
+    shortlist. Each lever composes: IVF alone still drags full vectors
+    through the cell join; PQ alone still scans every code; together
+    the scan touches a cell fraction of CODES. This variant quantizes
+    raw vectors (not per-cell residuals — simpler, and the exact
+    rerank absorbs the accuracy difference).
+
+    Shuffle shape: one Arrow indexing pass (cell + code, both
+    broadcast-side models), a broadcast join of the exploded query
+    probes on cell id, a vectorized ADC gather per candidate row, and
+    the shared hit-sized exact rerank."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, id_col, vec_col, m=m, ksub=ksub
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, _ksub_, dsub = books.shape
+    spark = corpus.sparkSession
+    b_c = spark.sparkContext.broadcast(cents)
+    b_b = spark.sparkContext.broadcast(books)
+
+    def index_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dc = ((mat[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            cells = dc.argmin(axis=1).astype("int32")
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for s in range(mm):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d = ((sub[:, None, :] - b_b.value[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "cell": cells,
+                    "code": list(codes),
+                }
+            )
+
+    cb = corpus.select(id_col, vec_col).mapInPandas(
+        index_rows, "neighbor_id long, cell int, code array<int>"
+    )
+    qp = queries.select(id_col, vec_col).toPandas()
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
+    luts = np.einsum(
+        "qsd,skd->qsk", q_mat.reshape(len(q_mat), mm, dsub), books
+    )
+    code_sq = (books**2).sum(axis=2)
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    dq = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1)[:, :n_probe]
+    b_lut = spark.sparkContext.broadcast(luts)
+    b_sq = spark.sparkContext.broadcast(code_sq)
+    b_qn = spark.sparkContext.broadcast(q_norm)
+    qb = spark.createDataFrame(
+        [
+            (int(q_ids[i]), int(i), int(c))
+            for i in range(len(q_ids))
+            for c in probes[i]
+        ],
+        "query_id long, q_idx int, cell int",
+    )
+
+    @pandas_udf(DoubleType())
+    def adc_score(code: pd.Series, qi: pd.Series) -> pd.Series:
+        codes = np.array(code.tolist(), dtype=np.int64)
+        qiv = qi.to_numpy()
+        subs = np.arange(codes.shape[1])
+        dots = b_lut.value[qiv[:, None], subs[None, :], codes].sum(axis=1)
+        rn = np.sqrt(b_sq.value[subs[None, :], codes].sum(axis=1))
+        return pd.Series(
+            dots / np.maximum(rn * b_qn.value[qiv], 1e-12)
+        )
+
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_score(F.col("code"), F.col("q_idx")).alias("approx"),
+        )
+    )
+    return _exact_rerank(
+        corpus, queries, cand, k, k * rerank_factor, id_col, vec_col
     )

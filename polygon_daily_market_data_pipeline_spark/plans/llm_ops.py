@@ -415,6 +415,11 @@ ANN_QUANT_ORACLE = """
            TRUE AS mean_recall_floor
     FROM embeddings WHERE vec_id < 100
     UNION ALL
+    SELECT 'ivfpq',
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+           TRUE
+    FROM embeddings WHERE vec_id < 100
+    UNION ALL
     SELECT 'pq',
            CAST(COUNT(DISTINCT vec_id) AS BIGINT),
            TRUE
@@ -449,9 +454,17 @@ def embedding_ann_ivf(
     reconstruction error ~0.7), which is exactly why the exact-rerank
     stage is part of the operator, not an option.
 
+    ``ivfpq`` — the COMPOSITE (FAISS IVF{n},PQ{m}): the coarse
+    quantizer limits which candidates are touched, PQ codes limit what
+    rides the cell join, ADC scores, exact rerank fixes the shortlist.
+    Recall is IVF-bounded (the probed cells cap it): floor 0.5 vs
+    measured 0.77-0.79 at n_probe=6/16 — the rerank recovers PQ's
+    distortion but not an unprobed cell.
+
     ``sample_every=N`` audits the deterministic 1/N query slice — see
     SCALE.md, 'ANN recall-audit cost model'."""
     from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivfpq,
         cosine_topk_pq,
     )
 
@@ -473,7 +486,18 @@ def embedding_ann_ivf(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         (F.avg("n_hit") / k >= 0.8).alias("mean_recall_floor"),
     )
-    return ivf.unionByName(pq)
+    ivfpq = _ann_recall_audit(
+        cosine_topk_ivfpq(
+            emb, q, k=k, n_probe=6, m=16, ksub=32, rerank_factor=16
+        ),
+        bf,
+        k,
+    ).agg(
+        F.lit("ivfpq").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("n_hit") / k >= 0.5).alias("mean_recall_floor"),
+    )
+    return ivf.unionByName(ivfpq).unionByName(pq)
 
 
 PII_ORACLE = r"""

@@ -983,3 +983,31 @@ def test_pq_topk_recall_and_true_scores(spark):
         emb, q, k=3, codebooks=books, rerank_factor=16
     ).collect()
     assert {(r.query_id, r.neighbor_id) for r in inline} == set(approx_pairs)
+
+
+def test_ivfpq_topk_recall_ivf_bounded(spark):
+    """The composite index: recall above the audit floor at the
+    registered parameters, never above its own coarse quantizer's cell
+    recall (the rerank recovers PQ distortion, not an unprobed cell),
+    and every returned cos is the TRUE cosine."""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id < 50")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk_ivfpq(
+            emb, q, k=3, n_probe=6, rerank_factor=16
+        ).collect()
+    }
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"IVFPQ recall {recall:.2f} below floor"
+    for pair in set(approx) & set(exact):
+        assert abs(approx[pair] - exact[pair]) < 1e-9
