@@ -343,3 +343,76 @@ def test_fast_count_metadata_only_and_refuses_unprovable(spark, tmp_path):
         spark, t2, spark.createDataFrame([(3,)], "k long"), ["k"]
     )
     assert fast_count(t2) is None
+
+
+def test_lakehouse_composition_end_to_end(spark, tmp_path):
+    """The operators compose: a partition-tagged STREAM ingests three
+    days with auto-compaction, a CDC REPLICA follows the table through
+    the relayouts, fast_count answers from metadata, and RETENTION
+    retires the oldest day metadata-only — after which the replica
+    re-baselines explicitly (the feed refuses the redefinition, as it
+    must)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        fast_count,
+        history,
+        replicate_changes,
+        versioned_stream_sink,
+    )
+
+    days = ["2024-03-01", "2024-03-02", "2024-03-03"]
+    src_files = str(tmp_path / "src")
+    frames = [
+        _day(spark, day, i * 100, (i + 1) * 100) for i, day in enumerate(days)
+    ]
+    for f in frames:
+        f.coalesce(1).write.mode("append").parquet(src_files)
+    table = str(tmp_path / "table")
+
+    def tag(batch_df, batch_id):
+        d = [r.d for r in batch_df.select("d").distinct().collect()]
+        return {"d": d[0]} if len(d) == 1 else None
+
+    q = (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_files)
+        .writeStream.foreachBatch(
+            versioned_stream_sink(
+                table,
+                stats_cols=["k"],
+                auto_compact_every=2,
+                partition_values_fn=tag,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert fast_count(table) == 300
+    modes = [e["mode"] for e in history(table)]
+    assert "optimize_compact" in modes
+    # CDC replica follows across the compaction relayouts
+    replica = str(tmp_path / "replica")
+    replicate_changes(
+        spark, table, replica, keys=["k"], order_col="k",
+        checkpoint=str(tmp_path / "cdc_ckpt"),
+    )
+    assert sorted(r.k for r in read_version(spark, replica).collect()) == \
+        sorted(r.k for r in read_version(spark, table).collect())
+    # retention drops the oldest day: metadata-only on the source
+    bytes_before = _data_bytes(table)
+    drop_partitions(table, {"d": "2024-03-01"})
+    assert _data_bytes(table) == bytes_before
+    assert fast_count(table) == 200
+    # the replica cannot follow a redefinition silently — it refuses
+    try:
+        replicate_changes(
+            spark, table, replica, keys=["k"], order_col="k",
+            checkpoint=str(tmp_path / "cdc_ckpt"),
+        )
+        refused = False
+    except Exception:
+        refused = True
+    assert refused
+    assert read_version(spark, replica).count() == 300  # untouched
