@@ -565,6 +565,8 @@ def versioned_stream_sink(
     auto_compact_every: int | None = None,
     auto_compact_target: int = 128 * 1024 * 1024,
     partition_values_fn=None,
+    expectations: dict | None = None,
+    quarantine_dir: str | None = None,
 ):
     """foreachBatch sink committing each micro-batch as a new APPEND
     version of a versioned table — streaming ingest with time travel,
@@ -601,6 +603,15 @@ def versioned_stream_sink(
     via ``drop_partitions``). Return None for batches that span
     partitions — untagged commits are always read and never dropped.
 
+    ``expectations`` applies DLT-style row-level expectations
+    (``quality.apply_expectations``) to every micro-batch BEFORE it
+    commits: violating rows are dropped, or — with ``quarantine_dir``
+    — appended to a dead-letter VERSIONED table instead (same
+    time-travel/audit surface as the clean table; NULL conditions
+    pass). Exactly-once holds for BOTH tables: each side dedups
+    replays on its own ``max_batch`` watermark, so a crash between the
+    two commits re-publishes only the missing side on replay.
+
     ``auto_compact_every=N`` runs ``optimize_compact`` after every Nth
     committed batch (Delta's autoCompact posture): without it a
     long-lived stream is one tiny directory per micro-batch and every
@@ -613,24 +624,54 @@ def versioned_stream_sink(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        quarantined = None
+        if expectations:
+            from polygon_daily_market_data_pipeline_spark.operators.quality import (
+                apply_expectations,
+            )
+
+            res = apply_expectations(
+                batch_df,
+                expectations,
+                on_fail="quarantine" if quarantine_dir else "drop",
+            )
+            batch_df = res.clean
+            # metrics are already computed driver-side: a batch with
+            # zero violations publishes NO dead-letter version
+            if any(r.n_failed for r in res.metrics.collect()):
+                quarantined = res.quarantined
         wm = last_committed_batch(table_dir)
-        if wm is not None and batch_id <= wm:
+        if wm is None or batch_id > wm:
+            commit_version(
+                batch_df,
+                table_dir,
+                mode="append",
+                stats_cols=stats_cols,
+                batch_id=batch_id,
+                partition_values=(
+                    partition_values_fn(batch_df, batch_id)
+                    if partition_values_fn
+                    else None
+                ),
+                # survive a concurrent OPTIMIZE/maintenance commit
+                # taking our version number (append retry is
+                # metadata-only)
+                retries=2,
+            )
+        elif not quarantine_dir:
             return  # replay after a crash between commit and checkpoint
-        commit_version(
-            batch_df,
-            table_dir,
-            mode="append",
-            stats_cols=stats_cols,
-            batch_id=batch_id,
-            partition_values=(
-                partition_values_fn(batch_df, batch_id)
-                if partition_values_fn
-                else None
-            ),
-            # survive a concurrent OPTIMIZE/maintenance commit taking
-            # our version number (append retry is metadata-only)
-            retries=2,
-        )
+        if quarantined is not None and quarantine_dir:
+            qwm = last_committed_batch(quarantine_dir)
+            if qwm is None or batch_id > qwm:
+                commit_version(
+                    quarantined,
+                    quarantine_dir,
+                    mode="append",
+                    batch_id=batch_id,
+                    retries=2,
+                )
+        if wm is not None and batch_id <= wm:
+            return  # replayed clean side: skip the compaction boundary
         if auto_compact_every and (batch_id + 1) % auto_compact_every == 0:
             try:
                 optimize_compact(

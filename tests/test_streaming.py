@@ -833,3 +833,59 @@ def test_versioned_changes_stream_crosses_optimize(spark, tmp_path):
     # exactly the post-compaction append arrives once — the rewritten
     # snapshot rows are NOT re-emitted
     assert got == sorted([(k, 0) for k in range(4)] + [(k, 1) for k in range(4)])
+
+
+def test_versioned_stream_sink_expectations_quarantine(spark, tmp_path):
+    """DLT expect-or-quarantine on the streamed table: violating rows
+    never enter the clean table, land in a dead-letter VERSIONED table
+    with the same audit surface, clean-only batches publish no
+    dead-letter version, and a replayed batch id is a no-op on BOTH
+    tables."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        history,
+        last_committed_batch,
+        read_version,
+        versioned_stream_sink,
+    )
+
+    rows = [(m, u, float(u) if (m + u) % 5 else -1.0) for m in range(4)
+            for u in range(1, 4)]
+    df = _events_df(spark, rows)
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    table = str(tmp_path / "table")
+    dead = str(tmp_path / "dead")
+
+    sink = versioned_stream_sink(
+        table,
+        stats_cols=["user_id"],
+        expectations={"value_positive": "value > 0"},
+        quarantine_dir=dead,
+    )
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    clean = read_version(spark, table)
+    deadr = read_version(spark, dead)
+    n_bad = sum(1 for *_x, v in rows if v <= 0)
+    assert clean.count() == len(rows) - n_bad
+    assert clean.where(F.col("value") <= 0).count() == 0
+    assert deadr.count() == n_bad
+    assert deadr.where(F.col("value") > 0).count() == 0
+    # every dead-letter version came from a batch that HAD violations
+    assert len(history(dead)) <= len(history(table))
+    # replaying a committed batch id is a no-op on BOTH tables
+    replay_id = last_committed_batch(table)
+    vt, vd = len(history(table)), len(history(dead))
+    sink(df, batch_id=replay_id)
+    assert len(history(table)) == vt and len(history(dead)) == vd
+    assert read_version(spark, table).count() == len(rows) - n_bad
+    assert read_version(spark, dead).count() == n_bad
