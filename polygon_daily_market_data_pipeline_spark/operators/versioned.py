@@ -2029,6 +2029,26 @@ def _mutate_version(
     return version
 
 
+def _dv_position_scan(reader, candidates: list[str], manifest: dict):
+    """(__dv_uri, __dv_scan_pos, *data columns) over ``candidates`` —
+    the row-position scan every merge-on-read writer starts from. The
+    position column carries a reserved dunder name so a TABLE column
+    named ``pos`` cannot collide with it; an actual data column named
+    like the internals is refused outright."""
+    schema = manifest.get("schema") or {}
+    for f in schema.get("fields", []):
+        if f.get("name") in ("__dv_uri", "__dv_scan_pos"):
+            raise ValueError(
+                f"table column {f['name']!r} collides with a reserved "
+                "internal column name"
+            )
+    return reader.parquet(*candidates).select(
+        F.col("_metadata.file_path").alias("__dv_uri"),
+        F.col("_metadata.row_index").alias("__dv_scan_pos"),
+        "*",
+    )
+
+
 def delete_version_where(
     spark: SparkSession,
     table_dir: str,
@@ -2180,17 +2200,13 @@ def delete_version_vectors(
         reader = spark.read.schema(StructType.fromJson(src["schema"]))
     else:
         reader = spark.read
-    scan = reader.parquet(*candidates).select(
-        F.col("_metadata.file_path").alias("__dv_uri"),
-        F.col("_metadata.row_index").alias("pos"),
-        "*",
-    )
+    scan = _dv_position_scan(reader, candidates, src)
     prior = _dv_pairs(spark, src, candidates, table_dir)
     if prior is not None:
         scan = scan.join(
             prior,
             (scan["__dv_uri"] == prior["__dv_uri"])
-            & (scan["pos"] == prior["__dv_pos"]),
+            & (scan["__dv_scan_pos"] == prior["__dv_pos"]),
             "left_anti",
         )
     if src.get("eqdel"):
@@ -2206,7 +2222,7 @@ def delete_version_vectors(
     matches = (
         scan.where(predicate)
         .join(F.broadcast(key_lookup), "__dv_uri")
-        .select("file", "pos")
+        .select("file", F.col("__dv_scan_pos").alias("pos"))
     )
     dv_dir = os.path.join(table_dir, "_dv", f"dv-{uuid.uuid4().hex}")
     matches.write.mode("errorifexists").parquet(dv_dir)
@@ -2407,17 +2423,13 @@ def update_version_vectors(
         reader = spark.read.schema(StructType.fromJson(src["schema"]))
     else:
         reader = spark.read
-    scan = reader.parquet(*candidates).select(
-        F.col("_metadata.file_path").alias("__dv_uri"),
-        F.col("_metadata.row_index").alias("pos"),
-        "*",
-    )
+    scan = _dv_position_scan(reader, candidates, src)
     prior = _dv_pairs(spark, src, candidates, table_dir)
     if prior is not None:
         scan = scan.join(
             prior,
             (scan["__dv_uri"] == prior["__dv_uri"])
-            & (scan["pos"] == prior["__dv_pos"]),
+            & (scan["__dv_scan_pos"] == prior["__dv_pos"]),
             "left_anti",
         )
     if src.get("eqdel"):
@@ -2427,9 +2439,9 @@ def update_version_vectors(
         key_lookup = spark.createDataFrame(
             list(uri_to_key.items()), "__dv_uri string, file string"
         )
-        pairs = matched.select("__dv_uri", "pos").join(
+        pairs = matched.select("__dv_uri", "__dv_scan_pos").join(
             F.broadcast(key_lookup), "__dv_uri"
-        ).select("file", "pos")
+        ).select("file", F.col("__dv_scan_pos").alias("pos"))
         dv_dir = os.path.join(table_dir, "_dv", f"dv-{uuid.uuid4().hex}")
         pairs.write.mode("errorifexists").parquet(dv_dir)
         dv_rel = os.path.relpath(dv_dir, table_dir)
@@ -2444,7 +2456,9 @@ def update_version_vectors(
             shutil.rmtree(dv_dir)
             return versions[-1]
         data_cols = [
-            c for c in matched.columns if c not in ("__dv_uri", "pos")
+            c
+            for c in matched.columns
+            if c not in ("__dv_uri", "__dv_scan_pos")
         ]
         updated = matched.select(
             *[
@@ -2917,9 +2931,15 @@ def merge_version(
                     )
                 else:
                     reader = spark.read
+                for k in keys:
+                    if k in ("__dv_uri", "__dv_scan_pos"):
+                        raise ValueError(
+                            f"merge key {k!r} collides with a reserved "
+                            "internal column name"
+                        )
                 scan = reader.parquet(*touched_paths).select(
                     F.col("_metadata.file_path").alias("__dv_uri"),
-                    F.col("_metadata.row_index").alias("pos"),
+                    F.col("_metadata.row_index").alias("__dv_scan_pos"),
                     *keys,
                 )
                 prior = _dv_pairs(
@@ -2929,7 +2949,7 @@ def merge_version(
                     scan = scan.join(
                         prior,
                         (scan["__dv_uri"] == prior["__dv_uri"])
-                        & (scan["pos"] == prior["__dv_pos"]),
+                        & (scan["__dv_scan_pos"] == prior["__dv_pos"]),
                         "left_anti",
                     )
                 if src_manifest.get("eqdel"):
@@ -2960,7 +2980,7 @@ def merge_version(
                 matched = (
                     t_al.join(F.broadcast(keys_df), cond, "left_semi")
                     .join(F.broadcast(key_lookup), "__dv_uri")
-                    .select("file", "pos")
+                    .select("file", F.col("__dv_scan_pos").alias("pos"))
                 )
                 dv_dir = os.path.join(
                     table_dir, "_dv", f"dv-{uuid.uuid4().hex}"

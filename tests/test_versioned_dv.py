@@ -421,3 +421,33 @@ def test_dv_scan_plan_broadcasts_and_pushes_down(spark, tmp_path):
         if "FileScan" in ln and "(k" in ln and ">= 0" in ln
     ]
     assert pushed, "range residual not pushed to the data scan"
+
+
+def test_dv_writers_tolerate_a_table_column_named_pos(spark, tmp_path):
+    """The merge-on-read writers' internal row-position column carries
+    a reserved dunder name: a TABLE column named ``pos`` flows through
+    delete/update/merge-on-read untouched."""
+    t = str(tmp_path / "vt")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).alias("pos"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    commit_version(df, t)
+    delete_version_vectors(spark, t, F.col("k") < 10)
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        update_version_vectors,
+    )
+
+    update_version_vectors(spark, t, F.col("k") >= 90, {"v": "v + 1.0"})
+    src = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        F.lit(77).cast("long").alias("pos"),
+        F.lit(0.5).alias("v"),
+    )
+    merge_version(spark, t, src, keys=["k"], strategy="merge_on_read")
+    got = {r.k: (r.pos, r.v) for r in read_version(spark, t).collect()}
+    assert len(got) == 93  # 100 - 10 deleted + 3 merged-in (5,6,7)
+    assert got[7] == (77, 0.5)
+    assert got[95] == (95 % 9, 96.0)
+    assert got[50] == (50 % 9, 50.0)
