@@ -103,6 +103,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
         delete_version_vectors,
         delete_version_where,
         materialize_dv,
+        fast_count,
         merge_version,
         optimize_compact,
         update_version_vectors,
@@ -115,7 +116,10 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
         model: dict[int, list] = {}  # version -> expected sorted rows
         tag = seed * 1000
         tag += 1
-        v = commit_version(_df(spark, tag), t)
+        v = commit_version(
+            _df(spark, tag), t, stats_cols=["k"],
+            partition_values={"t": tag},
+        )
         model[v] = _rows(_df(spark, tag))
         for _step in range(10):
             op = rng.choice(
@@ -129,11 +133,17 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
             versions = sorted(model)
             if op == "overwrite":
                 tag += 1
-                v = commit_version(_df(spark, tag), t)
+                v = commit_version(
+                    _df(spark, tag), t, stats_cols=["k"],
+                    partition_values={"t": tag},
+                )
                 model[v] = _rows(_df(spark, tag))
             elif op == "append":
                 tag += 1
-                v = commit_version(_df(spark, tag), t, mode="append")
+                v = commit_version(
+                    _df(spark, tag), t, mode="append", stats_cols=["k"],
+                    partition_values={"t": tag},
+                )
                 model[v] = sorted(model[versions[-1]] + _rows(_df(spark, tag)))
             elif op == "rollback":
                 src = rng.choice(versions)
@@ -256,6 +266,17 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 assert _rows(read_version(spark, t, version=kept)) == expected, (
                     f"seed={seed} step={_step} op={op} version={kept}"
                 )
+        # end-of-sequence safety invariants, whatever the interleaving:
+        # an all-range partition predicate NEVER loses rows (dirs gain
+        # and lose tags through rewrites — pruning must stay an
+        # optimization), and the metadata-only count is None or exact
+        latest = sorted(model)[-1]
+        pruned = read_version(
+            spark, t, partitions={"t": (None, None)}
+        )
+        assert _rows(pruned) == model[latest], f"seed={seed} partition prune"
+        fc = fast_count(t)
+        assert fc is None or fc == len(model[latest]), f"seed={seed} {fc}"
 
 
 def test_vacuum_retention_window(spark, tmp_path):
