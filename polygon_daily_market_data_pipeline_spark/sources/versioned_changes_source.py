@@ -74,8 +74,31 @@ class _FilePartition(InputPartition):
         self.eq_entries = eq_entries or []
 
 
+def _reconcile_batch(batch, arrow_schema):
+    """Project a per-file Arrow batch onto the stream's bound schema:
+    columns the file lacks (pre-evolution files of an evolved table)
+    surface as typed NULLs, differing physical types are cast, and
+    columns outside the bound schema (a mid-stream evolution this
+    subscriber never bound) are dropped — a restart binds the wider
+    schema. The same contract as ``read_version``'s manifest-schema
+    read, applied at the Arrow layer."""
+    import pyarrow as pa
+
+    arrays = []
+    names = set(batch.schema.names)
+    for field in arrow_schema:
+        if field.name in names:
+            col = batch.column(batch.schema.get_field_index(field.name))
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(batch.num_rows, type=field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 class VersionedChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: "StructType | None" = None):
         self.table_dir = options.get("path") or options.get("table")
         if not self.table_dir:
             raise ValueError(
@@ -85,6 +108,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # -1 ⇒ the first batch is the full snapshot of the then-latest
         # version (its visibility set), then append deltas
         self.starting = int(options.get("startingversion", -1))
+        # the schema Spark BOUND at stream definition: per-file Arrow
+        # batches are reconciled to it (schema-evolved tables mix file
+        # schemas; pre-evolution files read the added columns as NULL,
+        # exactly like read_version)
+        self.bound_schema = schema
 
     def initialOffset(self) -> dict:
         return {"version": self.starting}
@@ -237,9 +265,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 eq_keys.append(
                     (set(zip(*(kt.column(c).to_pylist() for c in cols))), cols)
                 )
+        arrow_schema = None
+        if self.bound_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(self.bound_schema)
+
         off = 0
         for batch in pq.ParquetFile(partition.path).iter_batches():
             n = batch.num_rows
+            if arrow_schema is not None and batch.schema != arrow_schema:
+                batch = _reconcile_batch(batch, arrow_schema)
             if deleted or eq_keys:
                 import pyarrow as pa
 
@@ -289,10 +325,19 @@ class VersionedChangesDataSource(DataSource):
                 "latest manifest carries no schema (pre-schema table) — "
                 "pass .schema(...) explicitly"
             )
-        return StructType.fromJson(m["schema"])
+        st = StructType.fromJson(m["schema"])
+        # declare every column NULLABLE (the lakehouse posture): a
+        # schema-evolved table reads pre-evolution files with the added
+        # columns as NULL, which a non-nullable bound field would make
+        # the JVM reject at the Arrow boundary
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in st.fields]
+        )
 
     def streamReader(self, schema) -> VersionedChangesStreamReader:
-        return VersionedChangesStreamReader(self.options)
+        return VersionedChangesStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

@@ -126,3 +126,51 @@ def test_scan_version_prunes_evolved_table_exactly(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), preds
+
+
+def test_streaming_snapshot_reads_evolved_table_nulls(spark, tmp_path):
+    """The versioned_changes source over a SCHEMA-EVOLVED table: the
+    per-file Arrow batches carry different physical schemas, and the
+    reader must reconcile them to the bound manifest schema —
+    pre-evolution files surface the added column as NULL (read_version
+    contract at the Arrow layer), instead of the JVM rejecting the
+    batch. Regression: this crashed with 'Value at index is null'
+    before the reconcile + nullable-bound-schema fix."""
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources import (
+        versioned_changes_source,
+    )
+
+    t = str(tmp_path / "vt")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    commit_version(df, t)
+    ev = spark.range(50, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit(7).cast("long").alias("w"),
+    )
+    commit_version(ev, t, mode="append", schema_evolution=True)
+    versioned_changes_source.register(spark)
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.where(F.col("w").isNull()).count() == 50
+    assert got.where(F.col("w") == 7).count() == 10
