@@ -43,6 +43,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -95,6 +96,132 @@ def _reconcile_batch(batch, arrow_schema):
         else:
             arrays.append(pa.nulls(batch.num_rows, type=field.type))
     return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+def _plan_file_partitions(
+    table_dir: str, manifest: dict, files: list[str]
+) -> "list[_FilePartition]":
+    """One ``_FilePartition`` per parquet file, tagged with the
+    deletion-vector sidecars and scoped equality deletes that apply to
+    it under ``manifest`` — shared by the streaming snapshot planner
+    and the batch reader."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    dv = manifest.get("dv") or {}
+    eqdel = manifest.get("eqdel") or []
+    abs_key = {_dv_abs(table_dir, k, ent): k for k, ent in dv.items()}
+    eq_scopes = []
+    for entry in eqdel:
+        base = entry.get("base", table_dir)
+        scope = {
+            os.path.abspath(os.path.join(base, d)) for d in entry["dirs"]
+        }
+        key_files = list_parquet_files(os.path.join(table_dir, entry["ref"]))
+        eq_scopes.append((scope, key_files, entry["cols"]))
+
+    def _under(a: str, scope: set[str]) -> bool:
+        cur = os.path.dirname(a)
+        while cur not in scope:
+            parent = os.path.dirname(cur)
+            if parent == cur:
+                return False
+            cur = parent
+        return True
+
+    parts = []
+    for f in files:
+        a = os.path.abspath(f)
+        k = abs_key.get(a)
+        eq_entries = [
+            (kf, cols) for scope, kf, cols in eq_scopes if _under(a, scope)
+        ]
+        if k is None and not eq_entries:
+            parts.append(_FilePartition(f))
+        else:
+            parts.append(
+                _FilePartition(
+                    f,
+                    # expanded to FILES here: pyarrow.dataset takes a
+                    # list of file paths, not directories
+                    dv_paths=[
+                        df
+                        for r in dv[k]["refs"]
+                        for df in list_parquet_files(
+                            os.path.join(table_dir, r)
+                        )
+                    ]
+                    if k is not None
+                    else [],
+                    dv_key=k,
+                    eq_entries=eq_entries,
+                )
+            )
+    return parts
+
+
+def _read_file_partition(partition: _FilePartition, bound_schema):
+    if partition.path is None:
+        return
+    import pyarrow.parquet as pq
+
+    deleted: set[int] = set()
+    if partition.dv_paths:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(partition.dv_paths, format="parquet").to_table(
+            columns=["pos"],
+            filter=pads.field("file") == partition.dv_key,
+        )
+        deleted = set(tbl.column("pos").to_pylist())
+    eq_keys = []
+    if partition.eq_entries:
+        import pyarrow.dataset as pads
+
+        for key_files, cols in partition.eq_entries:
+            kt = pads.dataset(key_files, format="parquet").to_table(
+                columns=list(cols)
+            )
+            # set of key tuples — erasure-list-sized, fine in memory
+            eq_keys.append(
+                (set(zip(*(kt.column(c).to_pylist() for c in cols))), cols)
+            )
+    arrow_schema = None
+    if bound_schema is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(bound_schema)
+
+    off = 0
+    for batch in pq.ParquetFile(partition.path).iter_batches():
+        n = batch.num_rows
+        if arrow_schema is not None and batch.schema != arrow_schema:
+            batch = _reconcile_batch(batch, arrow_schema)
+        if deleted or eq_keys:
+            import pyarrow as pa
+
+            keep = [True] * n
+            if deleted:
+                keep = [
+                    k and (off + i) not in deleted
+                    for i, k in enumerate(keep)
+                ]
+            for keyset, cols in eq_keys:
+                col_vals = [
+                    batch.column(
+                        batch.schema.get_field_index(c)
+                    ).to_pylist()
+                    for c in cols
+                ]
+                keep = [
+                    k and tuple(v[i] for v in col_vals) not in keyset
+                    for i, k in enumerate(keep)
+                ]
+            yield batch.filter(pa.array(keep))
+        else:
+            yield batch
+        off += n
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -177,129 +304,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # row-level deletes (mid-stream deltas never do — a delete_dv /
         # delete_eq in range refuses above) — tag those partitions so
         # the reader filters deleted rows out
-        dv, eqdel = {}, []
-        if end["version"] >= 0:
-            m_end = _load_manifest(self.table_dir, end["version"])
-            dv = m_end.get("dv") or {}
-            eqdel = m_end.get("eqdel") or []
-        abs_key = {
-            _dv_abs(self.table_dir, k, ent): k for k, ent in dv.items()
-        }
-        eq_scopes = []
-        for entry in eqdel:
-            base = entry.get("base", self.table_dir)
-            scope = {
-                os.path.abspath(os.path.join(base, d))
-                for d in entry["dirs"]
-            }
-            key_files = list_parquet_files(
-                os.path.join(self.table_dir, entry["ref"])
-            )
-            eq_scopes.append((scope, key_files, entry["cols"]))
-        def _under(a: str, scope: set[str]) -> bool:
-            cur = os.path.dirname(a)
-            while cur not in scope:
-                parent = os.path.dirname(cur)
-                if parent == cur:
-                    return False
-                cur = parent
-            return True
-
-        parts = []
-        for f in files:
-            a = os.path.abspath(f)
-            k = abs_key.get(a)
-            eq_entries = [
-                (kf, cols)
-                for scope, kf, cols in eq_scopes
-                if _under(a, scope)
-            ]
-            if k is None and not eq_entries:
-                parts.append(_FilePartition(f))
-            else:
-                parts.append(
-                    _FilePartition(
-                        f,
-                        # expanded to FILES here: pyarrow.dataset takes
-                        # a list of file paths, not directories
-                        dv_paths=[
-                            df
-                            for r in dv[k]["refs"]
-                            for df in list_parquet_files(
-                                os.path.join(self.table_dir, r)
-                            )
-                        ]
-                        if k is not None
-                        else [],
-                        dv_key=k,
-                        eq_entries=eq_entries,
-                    )
-                )
+        manifest = (
+            _load_manifest(self.table_dir, end["version"])
+            if end["version"] >= 0
+            else {}
+        )
+        parts = _plan_file_partitions(self.table_dir, manifest, files)
         # Spark requires ≥1 partition per planned batch: a data-less
         # range (e.g. empty-frame commits) reads as one no-op partition
         return parts or [_FilePartition(None)]
 
     def read(self, partition: _FilePartition):
-        if partition.path is None:
-            return
-        import pyarrow.parquet as pq
-
-        deleted: set[int] = set()
-        if partition.dv_paths:
-            import pyarrow.dataset as pads
-
-            tbl = pads.dataset(partition.dv_paths, format="parquet").to_table(
-                columns=["pos"],
-                filter=pads.field("file") == partition.dv_key,
-            )
-            deleted = set(tbl.column("pos").to_pylist())
-        eq_keys = []
-        if partition.eq_entries:
-            import pyarrow.dataset as pads
-
-            for key_files, cols in partition.eq_entries:
-                kt = pads.dataset(key_files, format="parquet").to_table(
-                    columns=list(cols)
-                )
-                # set of key tuples — erasure-list-sized, fine in memory
-                eq_keys.append(
-                    (set(zip(*(kt.column(c).to_pylist() for c in cols))), cols)
-                )
-        arrow_schema = None
-        if self.bound_schema is not None:
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            arrow_schema = to_arrow_schema(self.bound_schema)
-
-        off = 0
-        for batch in pq.ParquetFile(partition.path).iter_batches():
-            n = batch.num_rows
-            if arrow_schema is not None and batch.schema != arrow_schema:
-                batch = _reconcile_batch(batch, arrow_schema)
-            if deleted or eq_keys:
-                import pyarrow as pa
-
-                keep = [True] * n
-                if deleted:
-                    keep = [
-                        k and (off + i) not in deleted
-                        for i, k in enumerate(keep)
-                    ]
-                for keyset, cols in eq_keys:
-                    col_vals = [
-                        batch.column(
-                            batch.schema.get_field_index(c)
-                        ).to_pylist()
-                        for c in cols
-                    ]
-                    keep = [
-                        k and tuple(v[i] for v in col_vals) not in keyset
-                        for i, k in enumerate(keep)
-                    ]
-                yield batch.filter(pa.array(keep))
-            else:
-                yield batch
-            off += n
+        yield from _read_file_partition(partition, self.bound_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the stream checkpoint
@@ -342,3 +358,117 @@ class VersionedChangesDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(VersionedChangesDataSource)
+
+
+class VersionedTableReader(DataSourceReader):
+    """Batch reader: the table AT a version (default latest), AS OF a
+    timestamp, or partition-pruned — one partition per parquet file,
+    deletion vectors / equality deletes masked per Arrow batch, every
+    batch reconciled to the bound (nullable, manifest) schema."""
+
+    def __init__(self, options: dict, schema: "StructType | None" = None):
+        self.table_dir = options.get("path") or options.get("table")
+        if not self.table_dir:
+            raise ValueError(
+                "versioned_table needs .option('path', <table_dir>)"
+            )
+        self.version = (
+            int(options["version"]) if "version" in options else None
+        )
+        self.as_of = options.get("asof")
+        self.part_pred = None
+        if "partitions" in options:
+            import json as _json
+
+            raw = _json.loads(options["partitions"])
+            # JSON has no tuples: 2-element lists are (lo, hi) ranges
+            self.part_pred = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in raw.items()
+            }
+        self.bound_schema = schema
+
+    def partitions(self) -> "list[InputPartition]":
+        from polygon_daily_market_data_pipeline_spark.operators.layout import (
+            list_parquet_files,
+        )
+        from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+            _partition_match_dirs,
+            _resolve_manifest,
+        )
+
+        m = _resolve_manifest(self.table_dir, self.version, self.as_of)
+        dirs = m["dirs"]
+        if self.part_pred:
+            dirs = _partition_match_dirs(m, self.part_pred, keep_untagged=True)
+        files = [
+            f
+            for d in dirs
+            for f in list_parquet_files(
+                d if os.path.isabs(d) else os.path.join(self.table_dir, d)
+            )
+        ]
+        parts = _plan_file_partitions(self.table_dir, m, files)
+        return parts or [_FilePartition(None)]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_partition(partition, self.bound_schema)
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.read.format("versioned_table")`` — the SQL-surface face
+    of ``read_version``: register once, then any consumer (including
+    ``spark.sql`` over a temp view) reads a versioned table with time
+    travel and partition pruning through options, no library import in
+    the query path::
+
+        spark.dataSource.register(VersionedTableDataSource)
+        df = (spark.read.format("versioned_table")
+              .option("path", table_dir)
+              .option("version", 3)            # or .option("asOf", ts)
+              .option("partitions", '{"d": "2024-01-02"}')
+              .load())
+
+    Same read semantics as ``read_version`` (manifest schema applied,
+    merge-on-read deletes masked per Arrow batch, nullable columns —
+    the evolved-table contract); the scan is one executor partition
+    per live parquet file."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self) -> StructType:
+        from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+            _resolve_manifest,
+        )
+
+        table_dir = self.options.get("path") or self.options.get("table")
+        if not table_dir:
+            raise ValueError(
+                "versioned_table needs .option('path', <table_dir>)"
+            )
+        version = (
+            int(self.options["version"])
+            if "version" in self.options
+            else None
+        )
+        m = _resolve_manifest(table_dir, version, self.options.get("asof"))
+        if "schema" not in m:
+            raise ValueError(
+                "manifest carries no schema (pre-schema table) — pass "
+                ".schema(...) explicitly"
+            )
+        st = StructType.fromJson(m["schema"])
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in st.fields]
+        )
+
+    def reader(self, schema) -> VersionedTableReader:
+        return VersionedTableReader(self.options, schema)
+
+
+def register_table_source(spark) -> None:
+    spark.dataSource.register(VersionedTableDataSource)

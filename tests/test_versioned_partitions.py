@@ -416,3 +416,64 @@ def test_lakehouse_composition_end_to_end(spark, tmp_path):
         refused = True
     assert refused
     assert read_version(spark, replica).count() == 300  # untouched
+
+
+def test_batch_datasource_matches_read_version(spark, tmp_path):
+    """spark.read.format('versioned_table') — the SQL-surface face of
+    read_version: identical rows on a table carrying deletion vectors,
+    an equality delete, AND schema evolution; time travel and
+    partition pruning via options; a temp view makes it plain SQL."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_keys,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.versioned_changes_source import (
+        register_table_source,
+    )
+
+    t = str(tmp_path / "vt")
+    _build_daily(spark, t, days=3)
+    delete_version_vectors(spark, t, F.col("k") == 5)
+    delete_version_keys(
+        spark, t, spark.createDataFrame([(150,)], "k long"), ["k"]
+    )
+    ev = _day(spark, "x", 900, 910).withColumn("w", F.lit(9).cast("long"))
+    commit_version(ev, t, mode="append", schema_evolution=True)
+    register_table_source(spark)
+    df = spark.read.format("versioned_table").option("path", t).load()
+    want = read_version(spark, t)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # time travel through an option; pre-evolution schema honored
+    df0 = (
+        spark.read.format("versioned_table")
+        .option("path", t)
+        .option("version", "0")
+        .load()
+    )
+    assert df0.count() == 100 and "w" not in df0.columns
+    # partition pruning: day 2 (minus its equality-deleted key) plus
+    # the untagged evolved dir, which pruning must always keep
+    dfp = (
+        spark.read.format("versioned_table")
+        .option("path", t)
+        .option("partitions", '{"d": "2024-01-02"}')
+        .load()
+    )
+    assert dfp.where(F.col("d") == "2024-01-02").count() == 99
+    assert dfp.count() == 99 + 10
+    # range predicate via a JSON 2-list
+    dfr = (
+        spark.read.format("versioned_table")
+        .option("path", t)
+        .option("partitions", '{"d": ["2024-01-02", "2024-01-03"]}')
+        .load()
+    )
+    assert dfr.where(F.col("d").startswith("2024")).count() == 199
+    # SQL all the way down
+    df.createOrReplaceTempView("vt_sql")
+    assert (
+        spark.sql("SELECT COUNT(*) FROM vt_sql WHERE d = '2024-01-01'")
+        .first()[0]
+        == 99
+    )
