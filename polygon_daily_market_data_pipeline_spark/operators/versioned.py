@@ -3605,7 +3605,17 @@ def replicate_changes(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(int(timeout_s))
+    # awaitTermination(timeout) returns False on expiry with the stream
+    # STILL RUNNING — ignoring it would let a slow drain race readers of
+    # the half-replicated table (a silent-partial-replication window).
+    # Fail loudly instead: stop the stream and raise.
+    if not q.awaitTermination(int(timeout_s)):
+        q.stop()
+        raise TimeoutError(
+            f"replication drain into {dst_table!r} exceeded {timeout_s}s; "
+            "stream stopped — the replica may be mid-batch, re-run to resume "
+            "from the checkpoint"
+        )
     return applied["n"]
 
 

@@ -669,23 +669,56 @@ def zz_sentinel_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "union_distinct_labels",
+    "label_set_ops",
     """
-    SELECT label FROM (
+    WITH u AS (
         SELECT DISTINCT c_mktsegment AS label FROM customer
         UNION
         SELECT DISTINCT o_orderpriority AS label FROM orders
-    ) ORDER BY label
+    ),
+    boths AS (
+        SELECT c_mktsegment AS label FROM customer
+        INTERSECT
+        SELECT UPPER(o_orderpriority) FROM orders
+    ),
+    only_seg AS (
+        SELECT c_mktsegment AS label FROM customer
+        EXCEPT
+        SELECT UPPER(o_orderpriority) FROM orders
+    )
+    SELECT 'union_distinct' AS side, label FROM u
+    UNION ALL
+    SELECT 'both', label FROM boths
+    UNION ALL
+    SELECT 'segment_only', label FROM only_seg
+    ORDER BY side, label
     """,
 )
-def union_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION-distinct — the implicit set semantics of the insert-only
-    merge (SURVEY.md §2.7: dim ∪ (src ∖ dim))."""
+def label_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §2.7 set-op surface in one query: UNION-distinct (the
+    implicit set semantics of the insert-only merge — dim ∪ (src ∖ dim))
+    tagged ``union_distinct``, plus explicit INTERSECT / EXCEPT over the
+    label domains (Spark plans them as aggregated left-semi/anti joins
+    after distinct, no sort). Merged from the former
+    ``union_distinct_labels`` + ``customer_segments_set_ops`` queries to
+    free driver-cap slots for the warehouse-union split — both operator
+    surfaces keep their oracle rows, distinguished by ``side``."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     a = customer.select(F.col("c_mktsegment").alias("label")).distinct()
     b = orders.select(F.col("o_orderpriority").alias("label")).distinct()
-    return a.unionByName(b).distinct().orderBy("label")
+    u = (
+        a.unionByName(b)
+        .distinct()
+        .select(F.lit("union_distinct").alias("side"), "label")
+    )
+    seg = customer.select(F.col("c_mktsegment").alias("label"))
+    pri = orders.select(F.upper("o_orderpriority").alias("label"))
+    boths = seg.intersect(pri).select(F.lit("both").alias("side"), "label")
+    only_seg = seg.exceptAll(pri.distinct()).distinct().select(
+        F.lit("segment_only").alias("side"), "label"
+    )
+    return u.unionByName(boths).unionByName(only_seg).orderBy("side", "label")
 
 
 # ---------------------------------------------------------------------------
@@ -1129,44 +1162,6 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bucket")
     )
-
-
-# ---------------------------------------------------------------------------
-# Explicit set operations (INTERSECT / EXCEPT) — completing §2.7 beyond
-# the implicit union of the insert-only merge.
-# ---------------------------------------------------------------------------
-
-@register(
-    "customer_segments_set_ops",
-    """
-    WITH boths AS (
-        SELECT c_mktsegment AS label FROM customer
-        INTERSECT
-        SELECT UPPER(o_orderpriority) FROM orders
-    ),
-    only_seg AS (
-        SELECT c_mktsegment AS label FROM customer
-        EXCEPT
-        SELECT UPPER(o_orderpriority) FROM orders
-    )
-    SELECT 'both' AS side, label FROM boths
-    UNION ALL
-    SELECT 'segment_only' AS side, label FROM only_seg
-    ORDER BY side, label
-    """,
-)
-def customer_segments_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT over label domains — Spark plans both as
-    aggregated joins (left-semi / left-anti after distinct), no sort."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    seg = customer.select(F.col("c_mktsegment").alias("label"))
-    pri = orders.select(F.upper("o_orderpriority").alias("label"))
-    boths = seg.intersect(pri).select(F.lit("both").alias("side"), "label")
-    only_seg = seg.exceptAll(pri.distinct()).distinct().select(
-        F.lit("segment_only").alias("side"), "label"
-    )
-    return boths.unionByName(only_seg).orderBy("side", "label")
 
 
 # ---------------------------------------------------------------------------

@@ -127,33 +127,11 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle(k: int) -> str:
+def _fingerprints_oracle(k: int) -> str:
     cols = ",\n           ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
         for i in range(k)
     )
-    return f"""
-    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 50),
-    shd AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3)
-    SELECT doc_id,
-           {cols}
-    FROM shd
-    ORDER BY doc_id
-    """
-
-
-@register("minhash_signatures_sample", _minhash_oracle(8))
-def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MinHash signature table (first 50 docs, k=8):
-    the signature scan is the linear-cost half of LSH dedup; verified
-    value-exactly against DuckDB's identical md5-min construction."""
-    docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
-    return minhash_signatures(docs, "doc_id", "text", num_hashes=8).orderBy(
-        "doc_id"
-    )
-
-
-def _simhash_oracle() -> str:
     nib = "strpos('0123456789abcdef', substring(md5(s), {p}, 1)) - 1"
     terms = []
     for p in range(32):
@@ -167,19 +145,28 @@ def _simhash_oracle() -> str:
     return f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 50),
     shd AS (SELECT doc_id, {SHINGLES} AS sh FROM t WHERE len(toks) >= 3)
-    SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
+    SELECT doc_id,
+           {cols},
+           CAST({expr} AS BIGINT) AS simhash
     FROM shd
     ORDER BY doc_id
     """
 
 
-@register("simhash_sample", _simhash_oracle())
-def simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (md5-nibble majority vote) for the
-    first 50 docs — near-dup via equal/close fingerprints; one linear
-    pass per doc, no pairwise work until the Hamming-band join."""
+@register("doc_fingerprints_sample", _fingerprints_oracle(8))
+def doc_fingerprints_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fingerprint table (first 50 docs): MinHash(k=8)
+    signatures — the linear-cost half of LSH dedup — joined with the
+    32-bit SimHash (md5-nibble majority vote) per doc, both verified
+    value-exactly against DuckDB's identical constructions. Merged from
+    the former ``minhash_signatures_sample`` + ``simhash_sample``
+    queries to free driver-cap slots for the warehouse-union split; the
+    join is on the same shingled-doc set (len(toks) ≥ 3), so the row
+    set is unchanged from either predecessor."""
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 50")
-    return simhash_fingerprints(docs, "doc_id", "text").orderBy("doc_id")
+    mh = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    sh = simhash_fingerprints(docs, "doc_id", "text")
+    return mh.join(sh, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,13 @@
-"""Registered warehouse-maintenance query: the warehouse operator layer
+"""Registered warehouse queries: the warehouse operator layer
 (SCD2 — logical AND stored layout, incremental/streaming materialized
 aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
-sequence packing) exercised end-to-end as ONE twenty-eight-row union query
-with a mechanical DuckDB twin, so the driver's differential check
-covers what previously rested on self-written tests alone.
+sequence packing) exercised end-to-end as THREE union queries
+(``warehouse_maintenance`` / ``warehouse_lifecycle`` /
+``warehouse_streaming``, ≤14 audit rows each) with mechanical DuckDB
+twins, so the driver's differential check covers what previously rested
+on self-written tests alone — and a regressing branch reds a SMALL
+query, not the whole layer (the round-8 lesson).
 
 Every branch runs a deterministic script derived from the driver
 testdata tables (customer / orders / events), writes its state under a
@@ -1267,7 +1270,15 @@ def _streaming_mv_rows(
     return [_row(rollup, "streaming_mv"), _row(equals, "streaming_mv_equals_batch")]
 
 
-_ORACLE = f"""
+# The DuckDB oracle, split per audit row: ``_ORACLE_PRELUDE`` holds the
+# shared CTEs (DuckDB prunes unreferenced ones, so every composed oracle
+# pays only for the CTEs its fragments use), ``_CHECK_SQL`` one SELECT
+# fragment per check_name. ``_oracle_for`` composes the oracle for any
+# subset: each registered warehouse query carries exactly its rows'
+# arithmetic, and tools/warehouse_rows.py runs single checks standalone
+# when a driver mismatch needs localizing to one branch.
+_ORACLE_PRELUDE = f"""
+
     WITH off AS (
         -- next power of 10 strictly above the largest real key: the
         -- synthetic new-key offset can never collide with an existing
@@ -1340,7 +1351,10 @@ _ORACLE = f"""
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
         FROM ev GROUP BY 1
     )
-    SELECT * FROM (
+"""
+
+_CHECK_SQL: dict[str, str] = {
+    "scd2_history": f"""
         SELECT 'scd2_history' AS check_name,
                (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk)
                    + (SELECT COUNT(*) FROM changed)              AS n_rows,
@@ -1348,12 +1362,14 @@ _ORACLE = f"""
                    + (SELECT COUNT(*) FROM newk)                 AS n_aux,
                CAST((SELECT COALESCE(SUM(c_custkey), 0) FROM changed)
                     AS DOUBLE)                                   AS val
-        UNION ALL
+""",
+    "scd2_asof": f"""
         SELECT 'scd2_asof',
                (SELECT COUNT(*) FROM customer),
                (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk),
                CAST((SELECT COUNT(*) FROM changed) AS DOUBLE)
-        UNION ALL
+""",
+    "scd2_stored": f"""
         SELECT 'scd2_stored',
                -- stored layout must equal the logical merge exactly
                (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM newk)
@@ -1362,55 +1378,65 @@ _ORACLE = f"""
                    + (SELECT COUNT(*) FROM newk),
                CAST((SELECT COALESCE(SUM(c_custkey), 0) FROM changed)
                     AS DOUBLE)
-        UNION ALL
+""",
+    "versioned_stream": f"""
         SELECT 'versioned_stream',
                (SELECT COUNT(*) FROM ord_v0),
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
-        UNION ALL
+""",
+    "corpus_stream_dedup": f"""
         SELECT 'corpus_stream_dedup',
                (SELECT n FROM adm),
                (SELECT fed FROM adm),
                CAST((SELECT fed - n FROM adm) AS DOUBLE)
-        UNION ALL
+""",
+    "corpus_pack": f"""
         SELECT 'corpus_pack',
                0,
                (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 2),
                CAST((SELECT SUM(len({_TOKS})) FROM documents
                      WHERE doc_id % 7 = 2) AS DOUBLE)
-        UNION ALL
+""",
+    "incremental_refresh": f"""
         SELECT 'incremental_refresh',
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
                (SELECT COUNT(*) FROM ord),
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
-        UNION ALL
+""",
+    "incremental_equals_full": f"""
         SELECT 'incremental_equals_full',
                0,
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
                CAST(0.0 AS DOUBLE)
-        UNION ALL
+""",
+    "versioned_v0": f"""
         SELECT 'versioned_v0',
                (SELECT COUNT(*) FROM ord_v0),
                0,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
-        UNION ALL
+""",
+    "versioned_asof": f"""
         SELECT 'versioned_asof',
                (SELECT COUNT(*) FROM ord),
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
-        UNION ALL
+""",
+    "versioned_rollback": f"""
         SELECT 'versioned_rollback',
                (SELECT COUNT(*) FROM ord_v0),
                2,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
-        UNION ALL
+""",
+    "versioned_changes": f"""
         SELECT 'versioned_changes',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderdate >= TIMESTAMP '{_CUT}'),
                1,
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderdate >= TIMESTAMP '{_CUT}')
-        UNION ALL
+""",
+    "versioned_delete": f"""
         SELECT 'versioned_delete',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -1419,7 +1445,8 @@ _ORACLE = f"""
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
-        UNION ALL
+""",
+    "versioned_dv": f"""
         SELECT 'versioned_dv',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -1428,7 +1455,8 @@ _ORACLE = f"""
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
-        UNION ALL
+""",
+    "versioned_dv_materialize": f"""
         -- identical arithmetic: materialize_dv must preserve the
         -- visible rows exactly (its claim constant covers the layout)
         SELECT 'versioned_dv_materialize',
@@ -1439,7 +1467,8 @@ _ORACLE = f"""
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
-        UNION ALL
+""",
+    "versioned_update_dv": f"""
         -- merge-on-read UPDATE after materialize: complement rows all
         -- survive; every 10th order key carries +100000
         SELECT 'versioned_update_dv',
@@ -1453,7 +1482,8 @@ _ORACLE = f"""
                 FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
-        UNION ALL
+""",
+    "versioned_eqdel": f"""
         SELECT 'versioned_eqdel',
                (SELECT COUNT(*) FROM ord_v0),
                1,
@@ -1461,7 +1491,8 @@ _ORACLE = f"""
                              + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
                                                    THEN 1 END), 2)
                 FROM ord_v0)
-        UNION ALL
+""",
+    "versioned_diff": f"""
         SELECT 'versioned_diff',
                -- deletes (matched old images) + inserts (new images +
                -- shifted inserts)
@@ -1473,12 +1504,14 @@ _ORACLE = f"""
                      + 100000 * (SELECT COUNT(*) FROM mrg_upd)
                      + (SELECT COALESCE(SUM(o_totalprice), 0) FROM mrg_ins),
                      2)
-        UNION ALL
+""",
+    "versioned_checks": f"""
         SELECT 'versioned_checks',
                (SELECT COUNT(*) FROM ord),
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
-        UNION ALL
+""",
+    "versioned_retention": f"""
         -- partition retention: Q1 dropped metadata-only; the value is
         -- the partition-PRUNED Q2-Q3 read
         SELECT 'versioned_retention',
@@ -1487,7 +1520,8 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE EXTRACT(QUARTER FROM o_orderdate) IN (2, 3))
-        UNION ALL
+""",
+    "cdc_replica": f"""
         -- CDC replica = latest row per key: base prices, +100000 on
         -- re-versioned every-10th keys, +50000 offset-keyed inserts
         SELECT 'cdc_replica',
@@ -1500,7 +1534,8 @@ _ORACLE = f"""
                                     ELSE o_totalprice END) FROM ord)
                    + (SELECT COALESCE(SUM(o_totalprice + 50000), 0)
                       FROM ord WHERE o_orderkey % 100 = 0), 2)
-        UNION ALL
+""",
+    "expectations": f"""
         -- expectations quarantine: every 97th key; NULL conditions and
         -- the TPC-H price invariant quarantine nothing
         SELECT 'expectations',
@@ -1508,39 +1543,45 @@ _ORACLE = f"""
                1,
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderkey % 97 = 0)
-        UNION ALL
+""",
+    "versioned_compact": f"""
         -- compaction is a relayout: the full ord arithmetic must
         -- survive it unchanged
         SELECT 'versioned_compact',
                (SELECT COUNT(*) FROM ord),
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
-        UNION ALL
+""",
+    "versioned_bloom": f"""
         SELECT 'versioned_bloom',
                1,
                1,
                (SELECT ROUND(o_totalprice, 2) FROM ord
                 WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM ord))
-        UNION ALL
+""",
+    "versioned_evolution": f"""
         SELECT 'versioned_evolution',
                (SELECT COUNT(*) FROM ord),
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderdate < TIMESTAMP '{_CUT}'),
                CAST((SELECT SUM(o_orderkey % 7) FROM ord
                      WHERE o_orderdate >= TIMESTAMP '{_CUT}') AS DOUBLE)
-        UNION ALL
+""",
+    "versioned_merge": f"""
         SELECT 'versioned_merge',
                (SELECT COUNT(*) FROM mrg),
                1,
                (SELECT ROUND(SUM(p), 2) FROM mrg)
-        UNION ALL
+""",
+    "versioned_merge_mor": f"""
         -- identical arithmetic to versioned_merge: the merge-on-read
         -- strategy is a layout choice, never a semantics choice
         SELECT 'versioned_merge_mor',
                (SELECT COUNT(*) FROM mrg),
                1,
                (SELECT ROUND(SUM(p), 2) FROM mrg)
-        UNION ALL
+""",
+    "versioned_skipping": f"""
         SELECT 'versioned_skipping',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
@@ -1549,7 +1590,8 @@ _ORACLE = f"""
                (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                  AS BIGINT) FROM ord))
-        UNION ALL
+""",
+    "analytics_asof": f"""
         SELECT 'analytics_asof',
                (SELECT SUM((o_custkey % 100) * (o_orderkey % 1000))
                 FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'),
@@ -1558,7 +1600,8 @@ _ORACLE = f"""
                 FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'),
                (SELECT ROUND(AVG(o_orderkey % 1000), 4)
                 FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}')
-        UNION ALL
+""",
+    "ivf_maintenance": f"""
         SELECT 'ivf_maintenance',
                (SELECT SUM((a.cell + 1) * a.n) FROM (
                    SELECT asg.cell, COUNT(*) AS n FROM (
@@ -1591,7 +1634,8 @@ _ORACLE = f"""
                    FROM (SELECT vec_id, embedding FROM embeddings
                          WHERE vec_id % 5 = 3) h
                ) asg)
-        UNION ALL
+""",
+    "pii_counts": f"""
         SELECT 'pii_counts',
                (SELECT SUM(
                     len(regexp_extract_all(t2,
@@ -1609,18 +1653,41 @@ _ORACLE = f"""
                 )),
                (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0),
                1.0
-        UNION ALL
+""",
+    "streaming_mv": f"""
         SELECT 'streaming_mv',
                (SELECT COUNT(*) FROM ev_groups),
                (SELECT COUNT(*) FROM ev),
                (SELECT MAX(rs) FROM ev_groups)
-        UNION ALL
+""",
+    "streaming_mv_equals_batch": f"""
         SELECT 'streaming_mv_equals_batch',
                0,
                (SELECT COUNT(*) FROM ev_groups),
                CAST(0.0 AS DOUBLE)
-    ) ORDER BY check_name
-"""
+""",
+}
+
+
+def _oracle_for(checks: "list[str]") -> str:
+    """Compose the DuckDB oracle for a subset of audit rows. A zero-row
+    aliased header names the union's columns so every stored fragment
+    stays alias-free and byte-identical to the round-8 oracle text."""
+    header = (
+        "SELECT CAST(NULL AS VARCHAR) AS check_name, "
+        "CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS n_aux, "
+        "CAST(NULL AS DOUBLE) AS val WHERE 1 = 0"
+    )
+    body = "\n        UNION ALL\n".join(
+        [header] + [_CHECK_SQL[c] for c in checks]
+    )
+    return (
+        _ORACLE_PRELUDE
+        + "    SELECT * FROM (\n"
+        + body
+        + "\n    ) WHERE check_name IS NOT NULL ORDER BY check_name"
+    )
+
 
 
 def _asof_rows(
@@ -1719,54 +1786,116 @@ def _pii_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     return [_row(row, "pii_counts")]
 
 
-@register("warehouse_maintenance", _ORACLE)
-def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 + incremental refresh + versioned time travel + streaming MV
-    in one oracle-checked union (see module docstring). State lives in a
-    per-process temp dir rebuilt per call and REMOVED before returning:
-    the audit union is materialized eagerly (``localCheckpoint`` — it is
-    a dozen rows) so the returned frame depends on block-manager blocks,
-    not on the scratch files, and the session time zone can be restored
-    without shifting the cut literals of a later action."""
-    # the date-cut literals compare against TIMESTAMP columns: pin the
-    # session to UTC so a non-UTC driver session cannot shift the
-    # boundary relative to the naive-UTC DuckDB oracle (same contract
-    # as events_stream_source); restored in the finally below
-    tz_before = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"wh_maint_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
-    try:
-        # eager, lineage-truncating materialization of the (tiny) audit
-        # rows: after this the scratch dir is not referenced by any plan
-        out = build_maintenance_union(
-            spark, sf_dir, base, timed=True
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", tz_before)
-        shutil.rmtree(base, ignore_errors=True)
-    return out.orderBy("check_name")
+# ---------------------------------------------------------------------------
+# Branch registry and the three registered warehouse queries.
+#
+# Round-8 postmortem: ONE 33-row union carried the driver-correctness
+# signal for 22 components, and when it hash-mismatched nothing in the
+# artifact said which row diverged. The union is now split into three
+# queries of ≤14 audit rows each — a branch regression reds a SMALL
+# query — and tools/warehouse_rows.py persists per-row spark-vs-oracle
+# values every bench run so the next mismatch is diffable post-hoc.
+# ---------------------------------------------------------------------------
 
-
-# Per-branch wall-clock of the LAST timed build (bench.py reads this
-# after running warehouse_maintenance and emits it as
-# ``warehouse_branches`` — at 26 rows behind one suite number, a 5×
-# regression in one branch would otherwise hide inside VM noise).
+# Per-branch wall-clock of the LAST timed build across the three
+# registered queries (bench.py reads this after the suite and persists
+# it — a 5× regression in one branch would otherwise hide inside one
+# query's number). Branch names are unique across queries, so plain
+# key overwrite per run is the right merge.
 BRANCH_TIMES: dict[str, float] = {}
+
+# name -> (builder(spark, sf_dir, ord_df, base), audit rows it emits).
+# The check lists are load-bearing: they compose each query's DuckDB
+# oracle via _oracle_for and size the per-query blast radius.
+_BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
+    ("scd2", lambda s, sf, o, b: _scd2_rows(s, sf),
+     ["scd2_history", "scd2_asof"]),
+    ("scd2_stored", lambda s, sf, o, b: _scd2_stored_rows(s, sf, b),
+     ["scd2_stored"]),
+    ("incremental", lambda s, sf, o, b: _incremental_rows(s, o, b),
+     ["incremental_refresh", "incremental_equals_full"]),
+    ("versioned", lambda s, sf, o, b: _versioned_rows(s, o, b),
+     ["versioned_v0", "versioned_asof", "versioned_rollback",
+      "versioned_changes"]),
+    ("dv", lambda s, sf, o, b: _dv_rows(s, o, b),
+     ["versioned_dv", "versioned_dv_materialize", "versioned_update_dv"]),
+    ("eqdel", lambda s, sf, o, b: _eqdel_rows(s, o, b),
+     ["versioned_eqdel"]),
+    ("merge", lambda s, sf, o, b: _merge_rows(s, o, b),
+     ["versioned_merge", "versioned_merge_mor", "versioned_diff"]),
+    ("evolution", lambda s, sf, o, b: _evolution_rows(s, o, b),
+     ["versioned_evolution"]),
+    ("bloom", lambda s, sf, o, b: _bloom_rows(s, o, b),
+     ["versioned_bloom"]),
+    ("compact", lambda s, sf, o, b: _compact_rows(s, o, b),
+     ["versioned_compact"]),
+    ("expectations", lambda s, sf, o, b: _expectations_rows(s, o),
+     ["expectations"]),
+    ("cdc", lambda s, sf, o, b: _cdc_rows(s, o, b),
+     ["cdc_replica"]),
+    ("retention", lambda s, sf, o, b: _retention_rows(s, o, b),
+     ["versioned_retention"]),
+    ("checks", lambda s, sf, o, b: _checks_rows(s, o, b),
+     ["versioned_checks"]),
+    ("versioned_stream", lambda s, sf, o, b: _versioned_stream_rows(s, o, b),
+     ["versioned_stream"]),
+    ("skipping", lambda s, sf, o, b: _skipping_rows(s, o, b),
+     ["versioned_skipping", "versioned_delete"]),
+    ("streaming_mv", lambda s, sf, o, b: _streaming_mv_rows(s, sf, b),
+     ["streaming_mv", "streaming_mv_equals_batch"]),
+    ("corpus_stream", lambda s, sf, o, b: _corpus_stream_rows(s, sf, b),
+     ["corpus_stream_dedup"]),
+    ("packing", lambda s, sf, o, b: _packing_rows(s, sf),
+     ["corpus_pack"]),
+    ("asof", lambda s, sf, o, b: _asof_rows(s, sf, b),
+     ["analytics_asof"]),
+    ("ivf", lambda s, sf, o, b: _ivf_rows(s, sf),
+     ["ivf_maintenance"]),
+    ("pii", lambda s, sf, o, b: _pii_rows(s, sf),
+     ["pii_counts"]),
+]
+
+_BRANCH_NAMES = [n for n, _f, _c in _BRANCH_DEFS]
+_BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
+
+# The three-query split: row-level mutation core / table lifecycle +
+# composed audits / the streaming-and-pipeline scripts. Each stays ≤14
+# audit rows, so one regressing branch reds at most a third of the layer.
+_CORE_BRANCHES = ["versioned", "skipping", "dv", "eqdel", "merge", "evolution"]
+_LIFECYCLE_BRANCHES = [
+    "bloom", "compact", "expectations", "cdc", "retention", "checks",
+    "asof", "ivf", "pii",
+]
+_STREAMING_BRANCHES = [
+    "scd2", "scd2_stored", "incremental", "versioned_stream",
+    "streaming_mv", "corpus_stream", "packing",
+]
+assert sorted(_CORE_BRANCHES + _LIFECYCLE_BRANCHES + _STREAMING_BRANCHES) == \
+    sorted(_BRANCH_NAMES)
+
+WAREHOUSE_QUERIES: dict[str, "list[str]"] = {
+    "warehouse_maintenance": _CORE_BRANCHES,
+    "warehouse_lifecycle": _LIFECYCLE_BRANCHES,
+    "warehouse_streaming": _STREAMING_BRANCHES,
+}
+
+
+def checks_for(branches: "list[str]") -> "list[str]":
+    return [c for b in branches for c in _BRANCH_CHECKS[b]]
 
 
 def build_maintenance_union(
-    spark: SparkSession, sf_dir: str, base: str, timed: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    base: str,
+    timed: bool = False,
+    branches: "list[str] | None" = None,
 ) -> DataFrame:
-    """The LAZY twenty-eight-row audit union over scratch state under
-    ``base`` — runs every branch script eagerly (writes, commits,
-    streaming drains) but returns the un-materialized union, so the
-    per-branch physical plans stay inspectable. ``warehouse_maintenance``
-    wraps this with TZ pinning + checkpoint + scratch cleanup;
+    """The LAZY audit union over scratch state under ``base`` — runs each
+    selected branch script eagerly (writes, commits, streaming drains)
+    but returns the un-materialized union, so the per-branch physical
+    plans stay inspectable. The registered queries wrap this with TZ
+    pinning + checkpoint + scratch cleanup via ``_run_union``;
     ``tools/plan_audit.py`` calls it directly (the registered query's
     returned frame is a checkpoint scan, which would audit as a blank
     plan). Callers own ``base``'s lifecycle.
@@ -1783,36 +1912,12 @@ def build_maintenance_union(
     ord_df = load_table(spark, sf_dir, "orders").where(
         F.col("o_custkey") % 4 == 1
     )
-    builders: list[tuple[str, object]] = [
-        ("scd2", lambda: _scd2_rows(spark, sf_dir)),
-        ("scd2_stored", lambda: _scd2_stored_rows(spark, sf_dir, base)),
-        ("incremental", lambda: _incremental_rows(spark, ord_df, base)),
-        ("versioned", lambda: _versioned_rows(spark, ord_df, base)),
-        ("dv", lambda: _dv_rows(spark, ord_df, base)),
-        ("eqdel", lambda: _eqdel_rows(spark, ord_df, base)),
-        ("merge", lambda: _merge_rows(spark, ord_df, base)),
-        ("evolution", lambda: _evolution_rows(spark, ord_df, base)),
-        ("bloom", lambda: _bloom_rows(spark, ord_df, base)),
-        ("compact", lambda: _compact_rows(spark, ord_df, base)),
-        ("expectations", lambda: _expectations_rows(spark, ord_df)),
-        ("cdc", lambda: _cdc_rows(spark, ord_df, base)),
-        ("retention", lambda: _retention_rows(spark, ord_df, base)),
-        ("checks", lambda: _checks_rows(spark, ord_df, base)),
-        ("versioned_stream", lambda: _versioned_stream_rows(spark, ord_df, base)),
-        ("skipping", lambda: _skipping_rows(spark, ord_df, base)),
-        ("streaming_mv", lambda: _streaming_mv_rows(spark, sf_dir, base)),
-        ("corpus_stream", lambda: _corpus_stream_rows(spark, sf_dir, base)),
-        ("packing", lambda: _packing_rows(spark, sf_dir)),
-        ("asof", lambda: _asof_rows(spark, sf_dir, base)),
-        ("ivf", lambda: _ivf_rows(spark, sf_dir)),
-        ("pii", lambda: _pii_rows(spark, sf_dir)),
-    ]
-    if timed:
-        BRANCH_TIMES.clear()
+    selected = _BRANCH_NAMES if branches is None else list(branches)
+    by_name = {n: f for n, f, _c in _BRANCH_DEFS}
     rows: list[DataFrame] = []
-    for name, build in builders:
+    for name in selected:
         t0 = time.monotonic()
-        frames = build()
+        frames = by_name[name](spark, sf_dir, ord_df, base)
         if timed:
             frames = [f.localCheckpoint(eager=True) for f in frames]
             BRANCH_TIMES[name] = round(time.monotonic() - t0, 3)
@@ -1821,3 +1926,78 @@ def build_maintenance_union(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _run_union(
+    spark: SparkSession, sf_dir: str, branches: "list[str]"
+) -> DataFrame:
+    """Registered-query wrapper: pin UTC, build the selected branches in
+    a per-call scratch dir, eagerly checkpoint the (tiny) audit rows,
+    then restore the TZ and remove the scratch before returning — a
+    caller's session and filesystem come back exactly as they were.
+
+    The scratch name carries pid AND a fresh uuid: two concurrent runs
+    in the SAME process (driver harness threads, a concurrent bench)
+    must never share state — the round-8 union flaked unreproducibly,
+    and same-pid scratch collision was one of the few candidate causes
+    that could not be excluded from the artifact alone."""
+    # the date-cut literals compare against TIMESTAMP columns: pin the
+    # session to UTC so a non-UTC driver session cannot shift the
+    # boundary relative to the naive-UTC DuckDB oracle (same contract
+    # as events_stream_source); restored in the finally below
+    import uuid
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"wh_maint_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(base)
+    try:
+        # eager, lineage-truncating materialization of the (tiny) audit
+        # rows: after this the scratch dir is not referenced by any plan
+        out = build_maintenance_union(
+            spark, sf_dir, base, timed=True, branches=branches
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("check_name")
+
+
+@register(
+    "warehouse_maintenance",
+    _oracle_for(checks_for(_CORE_BRANCHES)),
+)
+def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level mutation core of the versioned layer: time travel +
+    rollback + change feed, stats/partition-pruned scans, copy-on-write
+    and merge-on-read DELETE/UPDATE/MERGE, equality deletes, schema
+    evolution — 14 oracle-checked audit rows (see module docstring)."""
+    return _run_union(spark, sf_dir, _CORE_BRANCHES)
+
+
+@register(
+    "warehouse_lifecycle",
+    _oracle_for(checks_for(_LIFECYCLE_BRANCHES)),
+)
+def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-lifecycle + composed audits: bloom point lookup, bin-pack
+    compaction, DLT-style expectations, CDC replication, partition
+    retention, CHECK constraints, time-travel DAX, IVF maintenance and
+    PII counts — 9 oracle-checked audit rows."""
+    return _run_union(spark, sf_dir, _LIFECYCLE_BRANCHES)
+
+
+@register(
+    "warehouse_streaming",
+    _oracle_for(checks_for(_STREAMING_BRANCHES)),
+)
+def warehouse_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-and-pipeline scripts: SCD2 (logical + stored layout),
+    incremental refresh, streaming ingest into a versioned table,
+    streaming MV maintenance, streaming corpus dedup and sequence
+    packing — 10 oracle-checked audit rows."""
+    return _run_union(spark, sf_dir, _STREAMING_BRANCHES)

@@ -35,7 +35,12 @@ def test_query_cap_and_sentinel_position():
         "pattern) instead of appending"
     )
     assert names[-1] == "zz_sentinel_tail"
-    assert "warehouse_maintenance" in names[:50]
+    for wh in (
+        "warehouse_maintenance",
+        "warehouse_lifecycle",
+        "warehouse_streaming",
+    ):
+        assert wh in names[:50]
 
 
 def test_every_query_has_an_oracle():

@@ -1011,3 +1011,29 @@ def test_ivfpq_topk_recall_ivf_bounded(spark):
     assert recall >= 0.5, f"IVFPQ recall {recall:.2f} below floor"
     for pair in set(approx) & set(exact):
         assert abs(approx[pair] - exact[pair]) < 1e-9
+
+
+def test_training_is_bit_reproducible_across_runs(spark):
+    """Repeat-training law (VERDICT r8 #3): kmeans_centroids and
+    pq_train_codebooks must return BIT-IDENTICAL arrays across two runs
+    over the same input — the driver-side reduce sorts partials by
+    (subspace, cluster, partition id) before float-summing, so collect
+    arrival order can no longer perturb trained centroids/codebooks by
+    ulps and flip near-tied assignments downstream."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # several partitions so the reduce really merges cross-partition
+    # partials (a 1-partition frame would pass trivially)
+    emb = emb.repartition(7)
+    c1 = kmeans_centroids(emb, k=8, iters=2)
+    c2 = kmeans_centroids(emb, k=8, iters=2)
+    assert np.array_equal(c1, c2)
+    b1 = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    b2 = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    assert np.array_equal(b1, b2)

@@ -174,6 +174,8 @@ def test_no_accidental_cartesian_or_nested_loop_anywhere(spark):
         "premerge_metrics",          # 1×1×1-row audit cross join (J4)
         "postmerge_metrics",         # scalar-subquery reconciliation (A4)
         "warehouse_maintenance",     # 1-row audit-branch cross joins
+        "warehouse_lifecycle",       # 1-row audit-branch cross joins
+        "warehouse_streaming",       # 1-row audit-branch cross joins
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -249,7 +251,7 @@ def test_simhash_plan_is_codegen_hash_aggregate(spark):
     traversals each recompute md5 per element. The HOF form would show
     `lambdafunction` in the plan; the codegen shape shows Generate
     (explode) feeding partial/final HashAggregate keyed on doc_id."""
-    plan = explain(QUERIES["simhash_sample"](spark, SF))
+    plan = explain(QUERIES["doc_fingerprints_sample"](spark, SF))
     assert "lambdafunction" not in plan
     assert "HashAggregate" in plan
     assert "Generate" in plan and "explode(shingles" in plan
@@ -261,9 +263,18 @@ def test_minhash_plan_is_shuffle_free_projection(spark):
     redundancy to reclaim, and min(string) is not hash-aggregatable —
     an explode→groupBy shape would force SortAggregate plus an
     exchange of the postings. Assert neither appears: the signature
-    stage is projection-only (the only Exchange/Sort allowed is the
-    final presentation orderBy)."""
-    plan = explain(QUERIES["minhash_signatures_sample"](spark, SF))
+    stage is projection-only. Asserted on the bare operator — the
+    registered ``doc_fingerprints_sample`` joins the simhash side,
+    whose explode would shadow this invariant."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        minhash_signatures,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").where("doc_id < 50")
+    plan = explain(minhash_signatures(docs, "doc_id", "text", num_hashes=8))
     assert "SortAggregate" not in plan
     assert "Generate" not in plan  # no explode: signatures are per-row
 

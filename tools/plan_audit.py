@@ -136,22 +136,23 @@ def audit(sf_dir: str) -> list[dict]:
     for name, fn in ent.queries().items():
         if name in SKIP:
             continue
-        if name == "warehouse_maintenance":
-            # the registered query returns an eagerly-checkpointed frame
+        if name.startswith("warehouse_"):
+            # the registered queries return eagerly-checkpointed frames
             # (scratch cleanup + TZ restore), whose plan is a checkpoint
             # scan; audit the LAZY union instead — the real per-branch
             # plans (same frame the checkpoint materializes)
             import tempfile
 
             from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+                WAREHOUSE_QUERIES,
                 build_maintenance_union,
             )
 
             base = tempfile.mkdtemp(prefix="plan_audit_whm_")
             scratch.append(base)
-            df = build_maintenance_union(spark, sf_dir, base).orderBy(
-                "check_name"
-            )
+            df = build_maintenance_union(
+                spark, sf_dir, base, branches=WAREHOUSE_QUERIES[name]
+            ).orderBy("check_name")
         else:
             df = fn(spark, sf_dir)
         qe = df._jdf.queryExecution()
