@@ -504,6 +504,117 @@ def kmeans_centroids(
     return cents
 
 
+def train_quantizers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Jointly train the IVF coarse quantizer AND the PQ codebooks in
+    ONE corpus pass per Lloyd iteration — (centroids, codebooks)
+    bit-identical to running ``kmeans_centroids`` and
+    ``pq_train_codebooks`` separately (same lowest-id init rows, same
+    per-partition partials, same canonical reduce order; asserted in
+    tests/test_llm_ops.py), at HALF the job count. An IVF+PQ deployment
+    always needs both models over the same corpus; on a small corpus
+    the trainings are pure Spark-job latency, and at 100 TB each saved
+    pass is a full corpus scan."""
+    init = (
+        df.orderBy(id_col)
+        .limit(max(k, ksub))
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    init_m = np.array(init, dtype=np.float64)
+    cents = init_m[:k].copy()
+    dim = init_m.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} does not divide dim={dim}")
+    dsub = dim // m
+    books = np.stack(
+        [init_m[:ksub, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    for _ in range(iters):
+        b_c = df.sparkSession.sparkContext.broadcast(cents)
+        b_b = df.sparkSession.sparkContext.broadcast(books)
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            acc_s: dict = {}
+            acc_n: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                # coarse-quantizer partials, keyed sub = -1
+                d = ((mat[:, None, :] - b_c.value[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                a = d.argmin(axis=1)
+                for c in np.unique(a):
+                    sel = mat[a == c]
+                    key = (-1, int(c))
+                    acc_s[key] = acc_s.get(key, 0) + sel.sum(axis=0)
+                    acc_n[key] = acc_n.get(key, 0) + len(sel)
+                # PQ subspace partials, keyed sub >= 0
+                for s in range(b_b.value.shape[0]):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    d = (
+                        (sub[:, None, :] - b_b.value[s][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    a = d.argmin(axis=1)
+                    for c in np.unique(a):
+                        sel = sub[a == c]
+                        key = (s, int(c))
+                        acc_s[key] = acc_s.get(key, 0) + sel.sum(axis=0)
+                        acc_n[key] = acc_n.get(key, 0) + len(sel)
+            rows = [
+                {
+                    "sub": s,
+                    "cluster": c,
+                    "pid": pid,
+                    "vsum": acc_s[(s, c)].tolist(),
+                    "n": int(acc_n[(s, c)]),
+                }
+                for (s, c) in acc_s
+            ]
+            yield pd.DataFrame(
+                rows, columns=["sub", "cluster", "pid", "vsum", "n"]
+            )
+
+        agg = (
+            df.select(vec_col)
+            .mapInPandas(
+                partials,
+                "sub int, cluster int, pid int, vsum array<double>, n long",
+            )
+            .collect()
+        )
+        c_sums = np.zeros_like(cents)
+        c_counts = np.zeros(len(cents))
+        b_sums = np.zeros_like(books)
+        b_counts = np.zeros((m, ksub))
+        for r in sorted(agg, key=lambda r: (r.sub, r.cluster, r.pid)):
+            if r.sub < 0:
+                c_sums[r.cluster] += np.array(r.vsum)
+                c_counts[r.cluster] += r.n
+            else:
+                b_sums[r.sub][r.cluster] += np.array(r.vsum)
+                b_counts[r.sub][r.cluster] += r.n
+        nonzero = c_counts > 0
+        cents[nonzero] = c_sums[nonzero] / c_counts[nonzero, None]
+        nz = b_counts > 0
+        books[nz] = b_sums[nz] / b_counts[nz][:, None]
+    return cents, books
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: "np.ndarray",

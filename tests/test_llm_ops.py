@@ -1037,3 +1037,28 @@ def test_training_is_bit_reproducible_across_runs(spark):
     b1 = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
     b2 = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
     assert np.array_equal(b1, b2)
+
+
+def test_joint_trainer_matches_separate_training(spark):
+    """train_quantizers must return BIT-IDENTICAL (centroids, codebooks)
+    to kmeans_centroids + pq_train_codebooks run separately — the joint
+    single-pass trainer is a job-count optimization, never a semantics
+    change (the registered embedding_ann_ivf injects its outputs into
+    all three methods, so any drift here would silently move the
+    measured recalls the floors were calibrated against)."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_train_codebooks,
+        train_quantizers,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(5)
+    c0 = kmeans_centroids(emb, k=8, iters=2)
+    b0 = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    c1, b1 = train_quantizers(emb, k=8, m=8, ksub=16, iters=2)
+    assert np.array_equal(c0, c1)
+    assert np.array_equal(b0, b1)
