@@ -987,7 +987,13 @@ def _apply_eqdel(
     — but ONLY from files inside the entry's scope. One NULL-safe
     anti-join per entry (chained equality deletes are rare; a hot path
     would union same-schema key frames first), keys broadcast — the
-    frame is an erasure list, orders of magnitude under the data."""
+    frame is an erasure list, orders of magnitude under the data.
+
+    Scope membership rides a broadcast LOOKUP FRAME (the ``_dv_pairs``
+    pattern), not an ``isin`` literal list: on a 100K-file table the
+    literal form inflates the join condition by O(files) string
+    constants per entry and degrades analysis/codegen; the lookup join
+    is one broadcast-hash probe regardless of file count."""
     for i, entry in enumerate(manifest.get("eqdel") or []):
         uris = _eqdel_scoped_uris(table_dir, entry, paths)
         if not uris:
@@ -995,14 +1001,22 @@ def _apply_eqdel(
         keys = spark.read.parquet(
             os.path.join(table_dir, entry["ref"])
         ).dropDuplicates()
-        cond = F.col(fp_col).isin(uris)
+        mark = f"__eq_scope_{i}"
+        scope = spark.createDataFrame(
+            [(u, True) for u in uris], f"{fp_col} string, {mark} boolean"
+        )
+        # left join the (file-unique) scope frame to tag in-scope rows,
+        # then a single anti-join conditioned on the tag + key equality
+        d = data.join(F.broadcast(scope), fp_col, "left").alias(
+            f"__eqd_{i}"
+        )
         k = keys.alias(f"__eqk_{i}")
-        d = data.alias(f"__eqd_{i}")
+        cond = F.col(f"__eqd_{i}.{mark}")
         for c in entry["cols"]:
             cond = cond & F.col(f"__eqd_{i}.{c}").eqNullSafe(
                 F.col(f"__eqk_{i}.{c}")
             )
-        data = d.join(F.broadcast(k), cond, "left_anti")
+        data = d.join(F.broadcast(k), cond, "left_anti").drop(mark)
     return data
 
 
@@ -1867,6 +1881,10 @@ def rollback(table_dir: str, to_version: int) -> int:
         manifest["dv"] = src["dv"]
     if "eqdel" in src:
         manifest["eqdel"] = src["eqdel"]
+    if "partitions" in src:  # same visible rows ⇒ same per-dir tags —
+        # dropping them would silently turn later drop_partitions into
+        # cannot-prove no-ops and unprune partition-scoped reads
+        manifest["partitions"] = src["partitions"]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -2117,12 +2135,81 @@ def update_version_where(
     )
 
 
+def _vet_rowlevel_race(
+    table_dir: str,
+    base_version: int,
+    base_manifest: dict,
+    own_dv_keys: "set[str] | None",
+    op: str,
+) -> "tuple[list[int], dict]":
+    """Commit reconciliation for lost row-level races (the Delta
+    conflict-resolution posture, WriteSerializable flavor): decide
+    whether a ``delete_dv``/``delete_eq`` commit that lost the manifest
+    race can be REBASED onto the new latest version, or must surface the
+    conflict. Returns (versions, latest_manifest) when every intervening
+    commit is provably disjoint from this op; raises FileExistsError
+    otherwise.
+
+    Mergeable interveners — none of these moves or removes a data file,
+    so this op's position sidecars / key scopes stay valid verbatim:
+
+    - ``append``: adds fresh directories this op's scan never saw.
+      Rebasing keeps WriteSerializable semantics — the delete applies to
+      the snapshot it read; concurrently-appended rows survive even if
+      they match the predicate (re-run the delete to cover them).
+    - ``delete_eq``: adds an erasure-list entry; anti-joins compose, and
+      ``fast_count`` already declines any manifest carrying eqdel, so no
+      metadata count can lie about the row overlap.
+    - ``delete_dv``: mergeable iff its vectored FILE set is disjoint
+      from ours (``own_dv_keys``) — overlapping files could double-count
+      a position in the per-file cardinalities that fast_count and the
+      DV≡CoW audits rely on. Disjointness is read off the manifest dv
+      delta (base → latest), so the check is metadata-sized.
+
+    Everything else (overwrite, rollback, CoW delete/update/merge,
+    compaction, materialize, drop_partitions, clone) rewrote, removed,
+    or re-keyed directories this op's artifacts reference — rebasing
+    could resurrect rows or vector a rewritten file; the caller must
+    re-read and re-run."""
+    versions = _manifests(table_dir)
+    latest = _load_manifest(table_dir, versions[-1])
+    for v in versions:
+        if v <= base_version:
+            continue
+        m = latest if v == versions[-1] else _load_manifest(table_dir, v)
+        mode = (m or {}).get("mode", "")
+        if mode in ("append", "delete_eq"):
+            continue
+        if mode == "delete_dv":
+            continue  # file-disjointness vetted below on the dv delta
+        raise FileExistsError(
+            f"{op} on {table_dir} lost the race to a {mode!r} commit "
+            f"(version {v}) that restructured the table — not retrying; "
+            "re-read and re-run (the written sidecar is debris for "
+            "vacuum)"
+        )
+    if own_dv_keys is not None:
+        base_dv = base_manifest.get("dv") or {}
+        new_dv = latest.get("dv") or {}
+        touched = {k for k, e in new_dv.items() if base_dv.get(k) != e}
+        clash = touched & own_dv_keys
+        if clash:
+            raise FileExistsError(
+                f"{op} on {table_dir} lost the race to a concurrent "
+                f"delete_dv vectoring the SAME files ({sorted(clash)[:3]}"
+                f"{'…' if len(clash) > 3 else ''}) — positions may "
+                "overlap; re-read and re-run"
+            )
+    return versions, latest
+
+
 def delete_version_vectors(
     spark: SparkSession,
     table_dir: str,
     predicate,
     prune: dict | None = None,
     expected_version: int | None = None,
+    retries: int = 3,
 ) -> int:
     """Merge-on-read DELETE (Delta/Iceberg deletion-vector posture):
     publish a new version equal to the latest minus the rows matching
@@ -2237,24 +2324,47 @@ def delete_version_vectors(
     if not counts:  # nothing matched: no redefinition to publish
         shutil.rmtree(dv_dir)
         return versions[-1]
-    dv = {k: dict(v) for k, v in src_dv.items()}
-    for fkey, n in counts.items():
-        ent = dv.setdefault(fkey, {"refs": [], "n": 0})
-        ent["refs"] = ent["refs"] + [dv_rel]
-        ent["n"] += n
-    version = versions[-1] + 1
-    manifest = {
-        "version": version,
-        "committed_at": _commit_ts(src),
-        "mode": "delete_dv",
-        "dirs": src["dirs"],
-        "dv": dv,
-    }
-    for carry in ("files", "max_batch", "schema", "checks", "eqdel", "partitions"):
-        if carry in src:
-            manifest[carry] = src[carry]
-    _publish_manifest(table_dir, version, manifest)
-    return version
+    # Optimistic publish with commit reconciliation: a lost race against
+    # a provably-disjoint row-level commit (append / delete_eq /
+    # file-disjoint delete_dv — see _vet_rowlevel_race) REBASES onto the
+    # winner instead of surfacing FileExistsError; anything that
+    # restructured directories still refuses.
+    base_version, base_manifest = versions[-1], src
+    cur = src
+    cur_versions = versions
+    for attempt in range(retries + 1):
+        dv = {k: dict(v) for k, v in (cur.get("dv") or {}).items()}
+        for fkey, n in counts.items():
+            ent = dv.setdefault(fkey, {"refs": [], "n": 0})
+            ent["refs"] = ent["refs"] + [dv_rel]
+            ent["n"] += n
+        version = cur_versions[-1] + 1
+        manifest = {
+            "version": version,
+            "committed_at": _commit_ts(cur),
+            "mode": "delete_dv",
+            "dirs": cur["dirs"],
+            "dv": dv,
+        }
+        for carry in (
+            "files", "max_batch", "schema", "checks", "eqdel", "partitions"
+        ):
+            if carry in cur:
+                manifest[carry] = cur[carry]
+        try:
+            _publish_manifest(table_dir, version, manifest)
+            return version
+        except FileExistsError:
+            if attempt == retries:
+                raise
+            cur_versions, cur = _vet_rowlevel_race(
+                table_dir,
+                base_version,
+                base_manifest,
+                set(counts),
+                "delete_dv",
+            )
+    raise AssertionError("unreachable")
 
 
 def delete_version_keys(
@@ -2321,24 +2431,43 @@ def delete_version_keys(
     if n_keys == 0:
         shutil.rmtree(eq_dir)
         return versions[-1]
+    # the entry's SCOPE is pinned to the dirs visible at OUR commit time
+    # even if the publish rebases past a racing append — the scoping
+    # contract (later appends of a deleted key survive) is exactly what
+    # makes the rebase semantics-preserving
     entry = {
         "ref": os.path.relpath(eq_dir, table_dir),
         "cols": cols,
         "dirs": list(src["dirs"]),
     }
-    version = versions[-1] + 1
-    manifest = {
-        "version": version,
-        "committed_at": _commit_ts(src),
-        "mode": "delete_eq",
-        "dirs": src["dirs"],
-        "eqdel": list(src.get("eqdel") or []) + [entry],
-    }
-    for carry in ("files", "max_batch", "schema", "checks", "dv", "partitions"):
-        if carry in src:
-            manifest[carry] = src[carry]
-    _publish_manifest(table_dir, version, manifest)
-    return version
+    base_version, base_manifest = versions[-1], src
+    cur = src
+    cur_versions = versions
+    retries = 3
+    for attempt in range(retries + 1):
+        version = cur_versions[-1] + 1
+        manifest = {
+            "version": version,
+            "committed_at": _commit_ts(cur),
+            "mode": "delete_eq",
+            "dirs": cur["dirs"],
+            "eqdel": list(cur.get("eqdel") or []) + [entry],
+        }
+        for carry in (
+            "files", "max_batch", "schema", "checks", "dv", "partitions"
+        ):
+            if carry in cur:
+                manifest[carry] = cur[carry]
+        try:
+            _publish_manifest(table_dir, version, manifest)
+            return version
+        except FileExistsError:
+            if attempt == retries:
+                raise
+            cur_versions, cur = _vet_rowlevel_race(
+                table_dir, base_version, base_manifest, None, "delete_eq"
+            )
+    raise AssertionError("unreachable")
 
 
 def _carry_eqdel(
