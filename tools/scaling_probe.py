@@ -776,6 +776,209 @@ def probe_bloom(spark, sf_dir: str) -> None:
     print(f"bloom_lookup: {pts}")
 
 
+def probe_cdc(spark, sf_dir: str) -> None:
+    """CDC-replication claim (``replicate_changes``): once the replica
+    is bootstrapped, each incremental apply costs O(changed keys) —
+    bytes written to the replica and apply wall-clock stay FLAT as the
+    replicated table grows 16× underneath. Builds a versioned source of
+    1×/4×/16× key-shifted orders commits, bootstraps a merge-on-read
+    replica, then appends ONE fixed ~256-key change batch (new images
+    of existing keys, scattered across the key space) and times the
+    second ``replicate_changes`` drain. Read-back pins the semantics:
+    the replica holds exactly the latest image per key."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_version,
+        replicate_changes,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(".")
+            )
+        return total
+
+    ord_df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("ver", F.lit(0).cast("long"))
+        .persist()
+    )
+    n = ord_df.count()
+    off = 10 ** len(str(n * 20))
+    results = []
+    for k in (1, 4, 16):
+        src = tempfile.mkdtemp(prefix=f"cdc_probe_src_{k}x_")
+        dst = tempfile.mkdtemp(prefix=f"cdc_probe_dst_{k}x_")
+        ckpt = tempfile.mkdtemp(prefix=f"cdc_probe_ckpt_{k}x_")
+        for i in range(k):
+            commit_version(
+                ord_df.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                ).repartitionByRange(8, "o_orderkey"),
+                src,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        # bootstrap: snapshot drain, O(table) by design — not the claim
+        t0 = time.monotonic()
+        replicate_changes(
+            spark, src, dst, ["o_orderkey"], "ver", ckpt,
+            stats_cols=["o_orderkey"],
+        )
+        dt_boot = time.monotonic() - t0
+        # ONE fixed change batch: ~256 existing keys get a new image,
+        # scattered across ALL k commit ranges (worst case for pruning)
+        per = max(1, 256 // k)
+        step = max(1, n // per)
+        changes = (
+            spark.range(k)
+            .selectExpr("id AS i")
+            .join(
+                ord_df.where(F.col("o_orderkey") % F.lit(step) == 17)
+                .selectExpr("o_orderkey AS base_key"),
+            )
+            .selectExpr(
+                f"base_key + i * CAST({off} AS BIGINT) AS o_orderkey",
+                "CAST(-1.0 AS DOUBLE) AS o_totalprice",
+                "CAST(1 AS BIGINT) AS ver",
+            )
+        )
+        n_changed = changes.count()
+        commit_version(changes, src, mode="append", stats_cols=["o_orderkey"])
+        before = tree_bytes(dst)
+        t0 = time.monotonic()
+        replicate_changes(
+            spark, src, dst, ["o_orderkey"], "ver", ckpt,
+            stats_cols=["o_orderkey"],
+        )
+        dt_apply = time.monotonic() - t0
+        apply_bytes = tree_bytes(dst) - before
+        rep = read_version(spark, dst)
+        n_rep = rep.count()
+        n_upd = rep.where(F.col("o_totalprice") == -1.0).count()
+        assert n_rep == n * k, (n_rep, n * k)
+        assert n_upd == n_changed, (n_upd, n_changed)
+        results.append((k, dt_boot, n_changed, dt_apply, apply_bytes))
+        for d in (src, dst, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    ord_df.unpersist()
+    pts = ", ".join(
+        f"{k}x boot={db:.2f}s apply({c}k)={da:.2f}s/{ab / 1e3:.0f}KB"
+        for k, db, c, da, ab in results
+    )
+    print(f"cdc_replication: {pts}")
+
+
+def probe_expectations(spark, sf_dir: str) -> None:
+    """Streaming-expectations-sink claims (``quality.py`` /
+    ``versioned_stream_sink``), both measured:
+
+    1. ONE aggregate pass regardless of expectation count — Spark JOBS
+       and wall-clock stay flat at 1/8/32 expectations over the same
+       batch (a per-expectation implementation would launch one job
+       per gate).
+    2. Quarantine overhead is O(batch) — the full sink (expectations +
+       clean commit + dead-letter commit) over 1×/4×/16× batches grows
+       linearly in rows, never in gates or table history.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.quality import (
+        apply_expectations,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        versioned_stream_sink,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ord_df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .persist()
+    )
+    n = ord_df.count()
+    tracker = spark.sparkContext.statusTracker()
+
+    def gates(m: int) -> dict:
+        # every gate a REAL predicate with failures (≈1% each), so the
+        # quarantine split is exercised, not constant-folded away
+        return {
+            f"g{i}": f"(o_orderkey + {i}) % 97 != 0" for i in range(m)
+        }
+
+    # axis 1: expectation count — jobs + time flat
+    flat = []
+    for m in (1, 8, 32):
+        group = f"exp_probe_{m}"
+        spark.sparkContext.setJobGroup(group, "expectations probe")
+        t0 = time.monotonic()
+        res = apply_expectations(ord_df, gates(m), on_fail="quarantine")
+        n_clean = res.clean.count()
+        n_bad = res.quarantined.count()
+        dt = time.monotonic() - t0
+        spark.sparkContext.setJobGroup(None, None)
+        jobs = len(tracker.getJobIdsForGroup(group))
+        assert n_clean + n_bad == n, (n_clean, n_bad, n)
+        flat.append((m, jobs, dt))
+    # axis 2: batch size — full sink O(batch). Untimed warm-up commit
+    # first so the 1x point is not JVM/commit-path startup cost.
+    wt = tempfile.mkdtemp(prefix="exp_probe_warm_t_")
+    wq = tempfile.mkdtemp(prefix="exp_probe_warm_q_")
+    versioned_stream_sink(
+        wt, stats_cols=["o_orderkey"], expectations=gates(8),
+        quarantine_dir=wq,
+    )(ord_df.limit(1000), 0)
+    shutil.rmtree(wt, ignore_errors=True)
+    shutil.rmtree(wq, ignore_errors=True)
+    lin = []
+    for k in (1, 4, 16):
+        batch = ord_df
+        for i in range(1, k):
+            batch = batch.unionByName(
+                ord_df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10 * n)
+                )
+            )
+        batch = batch.repartition(16).persist()
+        batch.count()
+        t = tempfile.mkdtemp(prefix=f"exp_probe_t_{k}x_")
+        q = tempfile.mkdtemp(prefix=f"exp_probe_q_{k}x_")
+        sink = versioned_stream_sink(
+            t,
+            stats_cols=["o_orderkey"],
+            expectations=gates(8),
+            quarantine_dir=q,
+        )
+        t0 = time.monotonic()
+        sink(batch, 0)
+        dt = time.monotonic() - t0
+        lin.append((k, n * k, dt))
+        batch.unpersist()
+        shutil.rmtree(t, ignore_errors=True)
+        shutil.rmtree(q, ignore_errors=True)
+    ord_df.unpersist()
+    pts_flat = ", ".join(f"{m}exp={j}jobs/{dt:.2f}s" for m, j, dt in flat)
+    pts_lin = ", ".join(f"{k}x({r}r)={dt:.2f}s" for k, r, dt in lin)
+    print(f"expectations_gates: {pts_flat}")
+    print(f"expectations_sink: {pts_lin}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -790,6 +993,8 @@ def main() -> None:
         ("update", probe_update),
         ("compact", probe_compact),
         ("bloom", probe_bloom),
+        ("cdc", probe_cdc),
+        ("expectations", probe_expectations),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
