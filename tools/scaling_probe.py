@@ -979,6 +979,109 @@ def probe_expectations(spark, sf_dir: str) -> None:
     print(f"expectations_sink: {pts_lin}")
 
 
+def probe_vacuum(spark, sf_dir: str) -> None:
+    """Vacuum orphan-sweep claim: at manifest scale (a 1K-version,
+    5K-directory table with dv/eqdel sidecars and crash debris) the
+    sweep's driver cost is MANIFEST-sized — it reads kept manifests and
+    directory listings, never a data file, and launches zero Spark jobs
+    — and its deletions are EXACT: everything unreferenced goes,
+    everything referenced stays. The table is built synthetically
+    (manifests via ``_publish_manifest``, data dirs as 1-file stubs) —
+    honest for what is measured, since vacuum itself never opens a data
+    file; correctness of vacuum against REAL op histories is the
+    property test (`tests/test_versioned_vacuum_props.py`)."""
+    import os
+    import shutil
+    import tempfile
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _commit_ts,
+        _load_manifest,
+        _manifests,
+        _publish_manifest,
+        vacuum,
+    )
+
+    results = []
+    for n_versions in (100, 400, 1000):
+        t = tempfile.mkdtemp(prefix=f"vac_probe_{n_versions}v_")
+        data_root = os.path.join(t, "_data")
+        dv_root = os.path.join(t, "_dv")
+        eq_root = os.path.join(t, "_eqdel")
+        for r in (data_root, dv_root, eq_root, os.path.join(t, "_versions")):
+            os.makedirs(r)
+        # streamed+compacted shape: each version's visibility is its own
+        # 5 fresh dirs (the compaction-heavy worst case for orphans);
+        # every 10th version carries a dv sidecar, every 25th an eqdel
+        prev = None
+        for v in range(n_versions):
+            dirs = []
+            for j in range(5):
+                d = f"b-{v:05d}-{j}"
+                os.mkdir(os.path.join(data_root, d))
+                with open(
+                    os.path.join(data_root, d, "part-0.parquet"), "wb"
+                ) as f:
+                    f.write(b"x" * 512)
+                dirs.append(os.path.join("_data", d))
+            manifest = {
+                "version": v,
+                "committed_at": _commit_ts(prev),
+                "mode": "overwrite",
+                "dirs": dirs,
+            }
+            if v % 10 == 0:
+                d = f"dv-{v:05d}"
+                os.mkdir(os.path.join(dv_root, d))
+                with open(os.path.join(dv_root, d, "pos.parquet"), "wb") as f:
+                    f.write(b"y" * 256)
+                manifest["dv"] = {
+                    dirs[0]: {"refs": [os.path.join("_dv", d)], "n": 1}
+                }
+            if v % 25 == 0:
+                d = f"eq-{v:05d}"
+                os.mkdir(os.path.join(eq_root, d))
+                with open(os.path.join(eq_root, d, "keys.parquet"), "wb") as f:
+                    f.write(b"z" * 256)
+                manifest["eqdel"] = [
+                    {"ref": os.path.join("_eqdel", d), "cols": ["k"],
+                     "dirs": dirs}
+                ]
+            _publish_manifest(t, v, manifest)
+            prev = manifest
+        # crash debris: committed by nobody, sweepable by contract
+        os.mkdir(os.path.join(data_root, "debris-crashed"))
+        with open(
+            os.path.join(data_root, "debris-crashed", "part-0.parquet"), "wb"
+        ) as f:
+            f.write(b"d" * 512)
+        n_dirs = len(os.listdir(data_root))
+        t0 = time.monotonic()
+        removed = vacuum(t, keep_last=10)
+        dt = time.monotonic() - t0
+        # exactness: survivors == exactly what kept manifests reference
+        kept = _manifests(t)
+        ref_data, ref_dv, ref_eq = set(), set(), set()
+        for v in kept:
+            m = _load_manifest(t, v)
+            ref_data.update(os.path.basename(d) for d in m["dirs"])
+            for ent in (m.get("dv") or {}).values():
+                ref_dv.update(os.path.basename(r) for r in ent["refs"])
+            for entry in m.get("eqdel") or []:
+                ref_eq.add(os.path.basename(entry["ref"]))
+        assert set(os.listdir(data_root)) == ref_data
+        assert set(os.listdir(dv_root)) == ref_dv
+        assert set(os.listdir(eq_root)) == ref_eq
+        assert len(kept) == 10
+        results.append((n_versions, n_dirs, removed, dt))
+        shutil.rmtree(t, ignore_errors=True)
+    pts = ", ".join(
+        f"{nv}v/{nd}d removed={rm} in {dt:.2f}s"
+        for nv, nd, rm, dt in results
+    )
+    print(f"vacuum_sweep: {pts}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -995,6 +1098,7 @@ def main() -> None:
         ("bloom", probe_bloom),
         ("cdc", probe_cdc),
         ("expectations", probe_expectations),
+        ("vacuum", probe_vacuum),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
