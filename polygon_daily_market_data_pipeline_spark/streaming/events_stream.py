@@ -183,6 +183,13 @@ def sessionize_stream_tws(events: DataFrame, watermark: str = "2 hours") -> Data
     with an opaque STREAM_FAILED; we fail fast with the dependency name
     instead. ``sessionize_stream`` (applyInPandasWithState) has no such
     dependency and is the registered/benched implementation.
+
+    Guard re-verified against pyspark 4.1.2 (2026-08): the vendored
+    ``pyspark.sql.streaming.proto.StateMessage_pb2`` still hard-imports
+    ``google.protobuf`` (descriptor/symbol_database/builder), which
+    pyspark declares as an optional extra, not a dependency — so the
+    guard is load-bearing wherever protobuf isn't shipped, and the
+    parity test runs the full TWS differential wherever it is.
     """
     try:
         import google.protobuf  # noqa: F401, PLC0415
