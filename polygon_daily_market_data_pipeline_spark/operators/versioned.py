@@ -2141,6 +2141,7 @@ def _vet_rowlevel_race(
     base_manifest: dict,
     own_dv_keys: "set[str] | None",
     op: str,
+    allow_eqdel: bool = True,
 ) -> "tuple[list[int], dict]":
     """Commit reconciliation for lost row-level races (the Delta
     conflict-resolution posture, WriteSerializable flavor): decide
@@ -2159,7 +2160,11 @@ def _vet_rowlevel_race(
       they match the predicate (re-run the delete to cover them).
     - ``delete_eq``: adds an erasure-list entry; anti-joins compose, and
       ``fast_count`` already declines any manifest carrying eqdel, so no
-      metadata count can lie about the row overlap.
+      metadata count can lie about the row overlap. Mergeable for
+      DELETE rebases only (``allow_eqdel``) — an ``update_dv`` rebasing
+      past it would RESURRECT concurrently-erased keys as fresh images
+      (the appended image dir postdates the eqdel's pinned scope), so
+      updates surface that race instead.
     - ``delete_dv``: mergeable iff its vectored FILE set is disjoint
       from ours (``own_dv_keys``) — overlapping files could double-count
       a position in the per-file cardinalities that fast_count and the
@@ -2178,7 +2183,7 @@ def _vet_rowlevel_race(
             continue
         m = latest if v == versions[-1] else _load_manifest(table_dir, v)
         mode = (m or {}).get("mode", "")
-        if mode in ("append", "delete_eq"):
+        if mode == "append" or (mode == "delete_eq" and allow_eqdel):
             continue
         if mode == "delete_dv":
             continue  # file-disjointness vetted below on the dv delta
@@ -2612,31 +2617,56 @@ def update_version_vectors(
                 )
     finally:
         matched.unpersist()
-    dv = {k: dict(v) for k, v in src_dv.items()}
-    for fkey, n in counts.items():
-        ent = dv.setdefault(fkey, {"refs": [], "n": 0})
-        ent["refs"] = ent["refs"] + [dv_rel]
-        ent["n"] += n
-    new_files = dict(src.get("files", {}))
-    if stats_cols:
-        new_files.update(
-            _collect_file_stats(spark, table_dir, ins_dir, stats_cols)
-        )
-    version = versions[-1] + 1
-    manifest = {
-        "version": version,
-        "committed_at": _commit_ts(src),
-        "mode": "update_dv",
-        "dirs": src["dirs"] + [os.path.relpath(ins_dir, table_dir)],
-        "dv": dv,
-    }
-    if new_files:
-        manifest["files"] = new_files
-    for carry in ("max_batch", "schema", "checks", "eqdel", "partitions"):
-        if carry in src:
-            manifest[carry] = src[carry]
-    _publish_manifest(table_dir, version, manifest)
-    return version
+    ins_stats = (
+        _collect_file_stats(spark, table_dir, ins_dir, stats_cols)
+        if stats_cols
+        else {}
+    )
+    # Optimistic publish with commit reconciliation (same posture as
+    # delete_version_vectors), but with allow_eqdel=False: rebasing an
+    # update past a racing equality delete would resurrect the erased
+    # keys as fresh images, so only append / file-disjoint delete_dv
+    # interveners are mergeable for updates.
+    base_version, base_manifest = versions[-1], src
+    cur = src
+    cur_versions = versions
+    retries = 3
+    for attempt in range(retries + 1):
+        dv = {k: dict(v) for k, v in (cur.get("dv") or {}).items()}
+        for fkey, n in counts.items():
+            ent = dv.setdefault(fkey, {"refs": [], "n": 0})
+            ent["refs"] = ent["refs"] + [dv_rel]
+            ent["n"] += n
+        new_files = dict(cur.get("files", {}))
+        new_files.update(ins_stats)
+        version = cur_versions[-1] + 1
+        manifest = {
+            "version": version,
+            "committed_at": _commit_ts(cur),
+            "mode": "update_dv",
+            "dirs": cur["dirs"] + [os.path.relpath(ins_dir, table_dir)],
+            "dv": dv,
+        }
+        if new_files:
+            manifest["files"] = new_files
+        for carry in ("max_batch", "schema", "checks", "eqdel", "partitions"):
+            if carry in cur:
+                manifest[carry] = cur[carry]
+        try:
+            _publish_manifest(table_dir, version, manifest)
+            return version
+        except FileExistsError:
+            if attempt == retries:
+                raise
+            cur_versions, cur = _vet_rowlevel_race(
+                table_dir,
+                base_version,
+                base_manifest,
+                set(counts),
+                "update_dv",
+                allow_eqdel=False,
+            )
+    raise AssertionError("unreachable")
 
 
 def materialize_dv(

@@ -239,3 +239,104 @@ def test_dv_delete_racing_eqdel_composes(spark, tmp_path, monkeypatch):
     assert v == len(history(t)) - 1
     assert [r[0] for r in _rows(read_version(spark, t))] == [5, 6, 7]
     assert fast_count(t) is None  # eqdel pending: cannot-prove, no lie
+
+
+def test_update_dv_racing_append_both_commit(spark, tmp_path, monkeypatch):
+    """update_dv loses the race to an append: both land. The update
+    applies to the snapshot it scanned (appended rows survive
+    unmodified even where they match the predicate), matched old rows
+    carry the new image, and the appended file stats survive the
+    rebase (the manifest merges cur.files with the image dir's)."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        update_version_vectors,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t, stats_cols=["k"])
+
+    _race_once(
+        monkeypatch,
+        V,
+        "update_dv",
+        lambda: V.commit_version(
+            _df(spark, 7, lo=2, n=4), t, mode="append", stats_cols=["k"]
+        ),
+    )
+    v = update_version_vectors(
+        spark, t, F.col("k") < 4, {"v": F.lit(-1.0)}, stats_cols=["k"]
+    )
+    assert v == len(history(t)) - 1
+    got = _rows(read_version(spark, t))
+    want = sorted(
+        [(k, tag, (-1.0 if k < 4 else val)) for k, tag, val in _rows(_df(spark, 0))]
+        + _rows(_df(spark, 7, lo=2, n=4))  # racer's rows untouched
+    )
+    assert got == want
+    assert fast_count(t) == len(want)
+
+
+def test_update_dv_racing_disjoint_dv_delete_both_commit(
+    spark, tmp_path, monkeypatch
+):
+    """update_dv racing a delete_dv on DISJOINT files: both land —
+    the dv delta proves no position can double-count."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        update_version_vectors,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(
+        _df(spark, 0, lo=0, n=8).repartitionByRange(2, "k"),
+        t, stats_cols=["k"],
+    )
+    commit_version(
+        _df(spark, 0, lo=100, n=8).repartitionByRange(2, "k"),
+        t, mode="append", stats_cols=["k"],
+    )
+
+    def racer():
+        V.delete_version_vectors(
+            spark, t, F.col("k") >= 100, prune={"k": (100, None)}
+        )
+
+    _race_once(monkeypatch, V, "update_dv", racer)
+    v = update_version_vectors(
+        spark, t, F.col("k") < 4, {"v": F.lit(-2.0)},
+        prune={"k": (None, 7)},
+    )
+    assert v == len(history(t)) - 1
+    got = _rows(read_version(spark, t))
+    want = sorted(
+        (k, tag, (-2.0 if k < 4 else val))
+        for k, tag, val in _rows(_df(spark, 0, lo=0, n=8))
+    )
+    assert got == want
+
+
+def test_update_dv_racing_eqdel_refuses(spark, tmp_path, monkeypatch):
+    """update_dv racing an equality delete must REFUSE: rebasing the
+    update past the eqdel would resurrect the erased keys as fresh
+    images (the appended image dir postdates the eqdel's pinned
+    scope). The image dir it wrote is debris for vacuum."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        update_version_vectors,
+        vacuum,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t, stats_cols=["k"])
+
+    def racer():
+        ks = spark.range(2).select(F.col("id").cast("long").alias("k"))
+        V.delete_version_keys(spark, t, ks, ["k"])
+
+    _race_once(monkeypatch, V, "update_dv", racer)
+    with pytest.raises(FileExistsError, match="delete_eq"):
+        update_version_vectors(spark, t, F.col("k") < 4, {"v": F.lit(-1.0)})
+    # the winner's state is intact; the loser's artifacts are sweepable
+    assert [r[0] for r in _rows(read_version(spark, t))] == list(range(2, 8))
+    vacuum(t, keep_last=1)
+    assert [r[0] for r in _rows(read_version(spark, t))] == list(range(2, 8))
