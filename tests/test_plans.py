@@ -250,11 +250,27 @@ def test_simhash_plan_is_codegen_hash_aggregate(spark):
     votes — not the per-row Column form whose 32 interpreted aggregate
     traversals each recompute md5 per element. The HOF form would show
     `lambdafunction` in the plan; the codegen shape shows Generate
-    (explode) feeding partial/final HashAggregate keyed on doc_id."""
-    plan = explain(QUERIES["doc_fingerprints_sample"](spark, SF))
+    (explode) feeding partial/final HashAggregate keyed on doc_id.
+    Asserted on the bare operator: the registered
+    ``doc_fingerprints_sample`` joins the minhash side, whose k
+    distinct-input transform() hashes are legitimately HOF projections
+    (see the minhash test) and would trip the lambdafunction scan."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        simhash_fingerprints,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").where("doc_id < 50")
+    plan = explain(simhash_fingerprints(docs, "doc_id", "text"))
     assert "lambdafunction" not in plan
     assert "HashAggregate" in plan
     assert "Generate" in plan and "explode(shingles" in plan
+    # and the registered merged query still carries the aggregate shape
+    merged = explain(QUERIES["doc_fingerprints_sample"](spark, SF))
+    assert "HashAggregate" in merged
+    assert "Generate" in merged and "explode(shingles" in merged
 
 
 def test_minhash_plan_is_shuffle_free_projection(spark):
