@@ -401,6 +401,18 @@ def commit_version(
                 if new_types.get(n) != t
             ]
             if not missing:
+                prev_names = {n for n, _t in _schema_sig(prev_schema)}
+                clash = sorted(
+                    (set(new_types) - prev_names) & _retired_names(prev)
+                )
+                if clash:
+                    raise ValueError(
+                        f"schema evolution on {table_dir} may not re-add "
+                        f"{clash}: live data files still store bytes under "
+                        "those RETIRED names (prior rename/drop) — by-name "
+                        "parquet resolution would resurrect them; rewrite "
+                        "the table (overwrite/optimize) before reusing them"
+                    )
                 return  # pure widening: adds columns, keeps every old one
             raise ValueError(
                 f"schema evolution on {table_dir} may only ADD columns: "
@@ -502,6 +514,13 @@ def commit_version(
             # new commit's rows are naturally outside them (a re-append
             # of a deleted key is a new row — the scoping contract)
             manifest["eqdel"] = prev["eqdel"]
+        if mode == "append" and prev is not None:
+            for ck in ("colmap", "retired_cols"):
+                # carried dirs still store renamed/dropped columns
+                # under prior names; the append itself writes current
+                # logical names (its schema was validated above)
+                if prev.get(ck):
+                    manifest[ck] = prev[ck]
         try:
             _publish_manifest(table_dir, version, manifest)
             return version
@@ -1013,7 +1032,11 @@ def _apply_eqdel(
         k = keys.alias(f"__eqk_{i}")
         cond = F.col(f"__eqd_{i}.{mark}")
         for c in entry["cols"]:
-            cond = cond & F.col(f"__eqd_{i}.{c}").eqNullSafe(
+            # entry cols are the names AT DELETE TIME; the data frame is
+            # the logical (current-name) view — a rename after the
+            # delete reverse-maps here, key sidecar untouched
+            dc = _current_name(manifest, c) or c
+            cond = cond & F.col(f"__eqd_{i}.{dc}").eqNullSafe(
                 F.col(f"__eqk_{i}.{c}")
             )
         data = d.join(F.broadcast(k), cond, "left_anti").drop(mark)
@@ -1038,7 +1061,7 @@ def _apply_row_deletes(
     dvu = _dv_pairs(spark, manifest, paths, table_dir)
     has_eq = bool(manifest.get("eqdel"))
     if dvu is None and not has_eq:
-        return df
+        return _map_to_logical(df, manifest) if "schema" in manifest else df
     data = df.select(
         F.col("_metadata.file_path").alias("__dv_fp"),
         F.col("_metadata.row_index").alias("__dv_ri"),
@@ -1051,9 +1074,272 @@ def _apply_row_deletes(
             & (F.col("__dv_ri") == F.col("__dv_pos")),
             "left_anti",
         )
+    if "schema" in manifest:
+        # logical view BEFORE the equality anti-joins: eqdel key
+        # columns resolve against current names (reverse-mapped from
+        # the entry's delete-time names in _apply_eqdel)
+        data = _map_to_logical(data, manifest)
     if has_eq:
         data = _apply_eqdel(spark, data, manifest, paths, table_dir, "__dv_fp")
     return data.drop("__dv_fp", "__dv_ri")
+
+
+def _colmap(manifest: dict) -> dict:
+    """``{current_logical_name: [prior storage names, newest first]}``
+    — the column-mapping record a ``rename_column`` commit leaves
+    behind. Files are never rewritten on rename: each keeps the name
+    the column had when the file was written, and readers coalesce the
+    prior names into the current one (``_map_to_logical``)."""
+    return manifest.get("colmap") or {}
+
+
+def _retired_names(manifest: dict) -> set:
+    """Storage names that may still exist inside live data files but no
+    longer name a visible column: every prior name of a renamed column,
+    plus every dropped column's storage names. Reusing one for a NEW
+    column would silently resurrect the old files' bytes under it —
+    rename/evolution guards refuse the reuse until an overwrite
+    redefines the table."""
+    out = set(manifest.get("retired_cols") or [])
+    for priors in _colmap(manifest).values():
+        out.update(priors)
+    return out
+
+
+def _current_name(manifest: dict, name: str) -> "str | None":
+    """The current logical name for a (possibly prior) storage name, or
+    None when the name belongs to no live column (dropped)."""
+    fields = {
+        f["name"] for f in (manifest.get("schema") or {}).get("fields", [])
+    }
+    if name in fields:
+        return name
+    for cur, priors in _colmap(manifest).items():
+        if name in priors:
+            return cur
+    return None
+
+
+def _stat_names(manifest: dict, col: str) -> list[str]:
+    """Stats/bloom keys to try for a logical column: files record stats
+    under the name the column had when they were written, so consults
+    fall back through the prior names (a file only ever carries one)."""
+    return [col, *_colmap(manifest).get(col, [])]
+
+
+def _extended_read_schema(manifest: dict):
+    """The physical read schema for this version: the logical manifest
+    schema plus one nullable twin field per PRIOR storage name (same
+    type — renames never retype). Parquet's by-name resolution then
+    reads each file's column under whichever name that file stored,
+    and ``_map_to_logical`` coalesces the twins into the logical
+    column."""
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType.fromJson(manifest["schema"])
+    cmap = _colmap(manifest)
+    if not cmap:
+        return st
+    fields = list(st.fields)
+    by_name = {f.name: f for f in fields}
+    for cur, priors in cmap.items():
+        base = by_name[cur]
+        for p in priors:
+            fields.append(StructField(p, base.dataType, True))
+    return StructType(fields)
+
+
+def _map_to_logical(df: DataFrame, manifest: dict) -> DataFrame:
+    """Collapse an ``_extended_read_schema`` frame to the logical
+    schema: each renamed column becomes ``coalesce(current, priors...)``
+    (a file populates exactly one of them), prior-name twin columns are
+    dropped, and non-schema helper columns (``__dv_*`` etc.) pass
+    through untouched."""
+    cmap = _colmap(manifest)
+    if not cmap:
+        return df
+    prior_all = {p for ps in cmap.values() for p in ps}
+    cols = []
+    for c in df.columns:
+        if c in prior_all:
+            continue
+        priors = cmap.get(c)
+        if priors:
+            cols.append(
+                F.coalesce(F.col(c), *[F.col(p) for p in priors]).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _refuse_checked_column(manifest: dict, col: str, op: str) -> None:
+    """Refuse a rename/drop of a column a CHECK constraint references —
+    check expressions are SQL strings in logical names; rewriting them
+    is not this engine's business (the Delta posture: ALTER fails when
+    a constraint depends on the column)."""
+    import re
+
+    for name, sql in (manifest.get("checks") or {}).items():
+        if re.search(rf"\b{re.escape(col)}\b", sql):
+            raise ValueError(
+                f"{op} of {col!r} refused: CHECK constraint {name!r} "
+                f"({sql}) references it — drop the constraint first "
+                "(redefine via overwrite)"
+            )
+
+
+def rename_column(
+    table_dir: str,
+    old: str,
+    new: str,
+    expected_version: int | None = None,
+) -> int:
+    """Metadata-only column RENAME (Delta column-mapping posture):
+    publishes a new version whose logical schema carries ``new`` in
+    place of ``old`` — ZERO data files touched. Files keep the column
+    under the name it was written with; every read path coalesces the
+    prior names into the current one (``_map_to_logical``), rewrites
+    (copy-on-write, compaction, ``materialize_dv``) migrate files to
+    the current name as a side effect, and data-skipping/bloom consults
+    fall back through the prior names (``_stat_names``), so pruning
+    keeps working on renamed columns without touching the stats.
+
+    Time travel keeps each version's own contract: pre-rename versions
+    read under the old name. The change feed / ``versioned_changes``
+    stream refuse to cross a rename (a schema redefinition is not
+    append-shaped), same as delete/merge.
+
+    Refused when: ``old`` is absent or ``new`` already names a column;
+    a CHECK constraint references ``old`` (constraints are SQL strings
+    in logical names); or ``new`` collides with a RETIRED storage name
+    (a prior name of any rename, or a dropped column — live files may
+    still store bytes under it, and by-name parquet resolution would
+    resurrect them)."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    schema = src.get("schema")
+    if schema is None:
+        raise ValueError(
+            f"rename_column on {table_dir} requires a schema-bearing "
+            "manifest — overwrite the table once to record one"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {table_dir} ({names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {table_dir}")
+    if new in _retired_names(src):
+        raise ValueError(
+            f"rename to {new!r} refused: live data files may still store "
+            "bytes under that retired name (prior rename/drop) — rewrite "
+            "the table (overwrite/compact) before reusing it"
+        )
+    _refuse_checked_column(src, old, "rename")
+    new_schema = {
+        **schema,
+        "fields": [
+            ({**f, "name": new} if f["name"] == old else f)
+            for f in schema["fields"]
+        ],
+    }
+    cmap = {k: list(v) for k, v in _colmap(src).items()}
+    cmap[new] = [old, *cmap.pop(old, [])]
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "rename_column",
+        "dirs": src["dirs"],
+        "schema": new_schema,
+        "colmap": cmap,
+    }
+    for carry in (
+        "files", "max_batch", "checks", "dv", "eqdel", "partitions",
+        "retired_cols",
+    ):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
+def drop_column(
+    table_dir: str,
+    col: str,
+    expected_version: int | None = None,
+) -> int:
+    """Metadata-only column DROP: publishes a new version whose logical
+    schema omits ``col`` — ZERO data files touched. The bytes stay in
+    the old files (parquet is columnar: readers that never project the
+    column never read its pages) until rewrites migrate them out; the
+    storage names are recorded as RETIRED so a later evolution append
+    cannot re-add a column under them and resurrect the old bytes
+    (rewrite the table before reusing the name). Pre-drop versions
+    still read the column via time travel.
+
+    Refused when a CHECK constraint or a live equality-delete entry
+    references the column (the erasure anti-join needs it —
+    ``materialize_dv`` first), or when it is the last column."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    schema = src.get("schema")
+    if schema is None:
+        raise ValueError(
+            f"drop_column on {table_dir} requires a schema-bearing "
+            "manifest — overwrite the table once to record one"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {table_dir} ({names})")
+    if len(names) == 1:
+        raise ValueError(f"cannot drop the last column of {table_dir}")
+    _refuse_checked_column(src, col, "drop")
+    for entry in src.get("eqdel") or []:
+        if any(_current_name(src, c) == col for c in entry["cols"]):
+            raise ValueError(
+                f"drop of {col!r} refused: equality-delete entry "
+                f"{entry['ref']!r} erases by it — materialize_dv first"
+            )
+    cmap = {k: list(v) for k, v in _colmap(src).items()}
+    retired = set(src.get("retired_cols") or [])
+    retired.add(col)
+    retired.update(cmap.pop(col, []))
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "drop_column",
+        "dirs": src["dirs"],
+        "schema": {
+            **schema,
+            "fields": [f for f in schema["fields"] if f["name"] != col],
+        },
+        "retired_cols": sorted(retired),
+    }
+    if cmap:
+        manifest["colmap"] = cmap
+    for carry in (
+        "files", "max_batch", "checks", "dv", "eqdel", "partitions",
+    ):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
 
 
 def _read_manifest_paths(
@@ -1080,9 +1366,10 @@ def _read_manifest_paths(
     DV-bearing manifest read without it raises (an internal misuse that
     would silently resurrect deleted rows)."""
     if "schema" in manifest:
-        from pyspark.sql.types import StructType
-
-        reader = spark.read.schema(StructType.fromJson(manifest["schema"]))
+        # extended with prior storage names where the manifest carries
+        # a column mapping — renamed columns read from old files under
+        # the name they were written with, coalesced to logical below
+        reader = spark.read.schema(_extended_read_schema(manifest))
     else:
         reader = spark.read
     df = reader.parquet(*paths)
@@ -1093,6 +1380,8 @@ def _read_manifest_paths(
                 "given to resolve them — reading would resurrect deleted rows"
             )
         df = _apply_row_deletes(spark, df, manifest, paths, table_dir)
+    else:
+        df = _map_to_logical(df, manifest) if "schema" in manifest else df
     return df
 
 
@@ -1257,7 +1546,13 @@ def prune_files(
             continue  # empty file: matches nothing
         keep = True
         for col, (lo, hi) in norm.items():
-            rng = (ent["stats"] or {}).get(col)
+            rng = None
+            for nm in _stat_names(manifest, col):
+                # a file records stats under the name the column had
+                # when it was written — fall back through prior names
+                rng = (ent["stats"] or {}).get(nm)
+                if rng is not None:
+                    break
             if rng is None:
                 continue  # no stats on this column
             fmin, fmax = _stat_from_json(rng[0]), _stat_from_json(rng[1])
@@ -1345,7 +1640,13 @@ def _bloom_prune(
             ent = sc.get(rel)
             if ent is not None:
                 for c, v in eq.items():
-                    ce = ent.get(c)
+                    ce = None
+                    for nm in _stat_names(manifest, c):
+                        # sidecar keys use the column's name at write
+                        # time — fall back through prior names
+                        ce = ent.get(nm)
+                        if ce is not None:
+                            break
                     if ce is not None and not _bloom_maybe_contains(ce, v):
                         keep = False
                         break
@@ -1885,6 +2186,12 @@ def rollback(table_dir: str, to_version: int) -> int:
         # dropping them would silently turn later drop_partitions into
         # cannot-prove no-ops and unprune partition-scoped reads
         manifest["partitions"] = src["partitions"]
+    for ck in ("colmap", "retired_cols"):
+        # same visible files ⇒ same storage-name mapping (rolling back
+        # ACROSS a rename restores the pre-rename logical schema too,
+        # because `schema` above is src's)
+        if src.get(ck):
+            manifest[ck] = src[ck]
     _publish_manifest(table_dir, version, manifest)
     return version
 
@@ -2020,6 +2327,10 @@ def _mutate_version(
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    for ck in ("colmap", "retired_cols"):
+        # carried dirs still store renamed columns under prior names
+        if src.get(ck):
+            manifest[ck] = src[ck]
     kept_parts = {d: v for d, v in parts_map.items() if d in carried_dirs}
     kept_parts.update(new_parts)
     if kept_parts:
@@ -2047,12 +2358,15 @@ def _mutate_version(
     return version
 
 
-def _dv_position_scan(reader, candidates: list[str], manifest: dict):
-    """(__dv_uri, __dv_scan_pos, *data columns) over ``candidates`` —
-    the row-position scan every merge-on-read writer starts from. The
-    position column carries a reserved dunder name so a TABLE column
-    named ``pos`` cannot collide with it; an actual data column named
-    like the internals is refused outright."""
+def _dv_position_scan(spark, candidates: list[str], manifest: dict):
+    """(__dv_uri, __dv_scan_pos, *logical data columns) over
+    ``candidates`` — the row-position scan every merge-on-read writer
+    starts from, with the manifest schema applied (renamed columns
+    coalesced to their current names, so caller predicates/keys in
+    logical names resolve against every file era). The position column
+    carries a reserved dunder name so a TABLE column named ``pos``
+    cannot collide with it; an actual data column named like the
+    internals is refused outright."""
     schema = manifest.get("schema") or {}
     for f in schema.get("fields", []):
         if f.get("name") in ("__dv_uri", "__dv_scan_pos"):
@@ -2060,11 +2374,16 @@ def _dv_position_scan(reader, candidates: list[str], manifest: dict):
                 f"table column {f['name']!r} collides with a reserved "
                 "internal column name"
             )
-    return reader.parquet(*candidates).select(
+    if schema:
+        reader = spark.read.schema(_extended_read_schema(manifest))
+    else:
+        reader = spark.read
+    scan = reader.parquet(*candidates).select(
         F.col("_metadata.file_path").alias("__dv_uri"),
         F.col("_metadata.row_index").alias("__dv_scan_pos"),
         "*",
     )
+    return _map_to_logical(scan, manifest) if schema else scan
 
 
 def delete_version_where(
@@ -2286,13 +2605,7 @@ def delete_version_vectors(
     # already-deleted positions never re-enter a vector; _metadata is
     # only resolvable on the fresh file scan, so it is selected FIRST
     # and the existing-DV anti-join runs on the aliased columns
-    if "schema" in src:
-        from pyspark.sql.types import StructType
-
-        reader = spark.read.schema(StructType.fromJson(src["schema"]))
-    else:
-        reader = spark.read
-    scan = _dv_position_scan(reader, candidates, src)
+    scan = _dv_position_scan(spark, candidates, src)
     prior = _dv_pairs(spark, src, candidates, table_dir)
     if prior is not None:
         scan = scan.join(
@@ -2352,7 +2665,8 @@ def delete_version_vectors(
             "dv": dv,
         }
         for carry in (
-            "files", "max_batch", "schema", "checks", "eqdel", "partitions"
+            "files", "max_batch", "schema", "checks", "eqdel", "partitions",
+            "colmap", "retired_cols",
         ):
             if carry in cur:
                 manifest[carry] = cur[carry]
@@ -2459,7 +2773,8 @@ def delete_version_keys(
             "eqdel": list(cur.get("eqdel") or []) + [entry],
         }
         for carry in (
-            "files", "max_batch", "schema", "checks", "dv", "partitions"
+            "files", "max_batch", "schema", "checks", "dv", "partitions",
+            "colmap", "retired_cols",
         ):
             if carry in cur:
                 manifest[carry] = cur[carry]
@@ -2551,13 +2866,7 @@ def update_version_vectors(
         uri_to_key[_file_uri(a)] = existing_abs.get(
             a, os.path.relpath(a, table_dir)
         )
-    if "schema" in src:
-        from pyspark.sql.types import StructType
-
-        reader = spark.read.schema(StructType.fromJson(src["schema"]))
-    else:
-        reader = spark.read
-    scan = _dv_position_scan(reader, candidates, src)
+    scan = _dv_position_scan(spark, candidates, src)
     prior = _dv_pairs(spark, src, candidates, table_dir)
     if prior is not None:
         scan = scan.join(
@@ -2649,7 +2958,10 @@ def update_version_vectors(
         }
         if new_files:
             manifest["files"] = new_files
-        for carry in ("max_batch", "schema", "checks", "eqdel", "partitions"):
+        for carry in (
+            "max_batch", "schema", "checks", "eqdel", "partitions",
+            "colmap", "retired_cols",
+        ):
             if carry in cur:
                 manifest[carry] = cur[carry]
         try:
@@ -2765,7 +3077,7 @@ def materialize_dv(
         manifest["files"] = new_files
     if new_parts:
         manifest["partitions"] = new_parts
-    for carry in ("max_batch", "schema", "checks"):
+    for carry in ("max_batch", "schema", "checks", "colmap", "retired_cols"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -2804,7 +3116,12 @@ def _dir_envelopes(
             if ent["rows"] == 0:
                 continue  # empty file: contributes no keys
             for k in keys:
-                rng = (ent["stats"] or {}).get(k)
+                rng = None
+                for nm in _stat_names(manifest, k):
+                    # prior storage names: see prune_files
+                    rng = (ent["stats"] or {}).get(nm)
+                    if rng is not None:
+                        break
                 if rng is None:
                     env = None
                     break
@@ -3082,25 +3399,17 @@ def merge_version(
                 os.path.join(table_dir, d) for d in sorted(touched)
             ]
             if touched_paths:
-                if tbl_schema is not None:
-                    from pyspark.sql.types import StructType
-
-                    reader = spark.read.schema(
-                        StructType.fromJson(tbl_schema)
-                    )
-                else:
-                    reader = spark.read
                 for k in keys:
                     if k in ("__dv_uri", "__dv_scan_pos"):
                         raise ValueError(
                             f"merge key {k!r} collides with a reserved "
                             "internal column name"
                         )
-                scan = reader.parquet(*touched_paths).select(
-                    F.col("_metadata.file_path").alias("__dv_uri"),
-                    F.col("_metadata.row_index").alias("__dv_scan_pos"),
-                    *keys,
-                )
+                # manifest-schema position scan (renamed key columns
+                # coalesced to current names), pruned to the keys
+                scan = _dv_position_scan(
+                    spark, touched_paths, src_manifest
+                ).select("__dv_uri", "__dv_scan_pos", *keys)
                 prior = _dv_pairs(
                     spark, src_manifest, touched_paths, table_dir
                 )
@@ -3237,6 +3546,11 @@ def merge_version(
         manifest["schema"] = tbl_schema
     if "checks" in src_manifest:
         manifest["checks"] = src_manifest["checks"]
+    for ck in ("colmap", "retired_cols"):
+        # carried/untouched dirs still store renamed columns under
+        # their prior names
+        if src_manifest.get(ck):
+            manifest[ck] = src_manifest[ck]
     if strategy == "merge_on_read":
         if mrg_parts:
             manifest["partitions"] = mrg_parts
@@ -3354,6 +3668,10 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    for ck in ("colmap", "retired_cols"):
+        # shared files store renamed columns under prior names
+        if src.get(ck):
+            manifest[ck] = src[ck]
     # register with the source's vacuum guard BEFORE the clone becomes
     # readable: a crash in between leaves a stale guard (recoverable
     # with drop_clone), never a readable clone an unguarded source
@@ -3671,7 +3989,7 @@ def optimize_compact(
     kept_parts.update(new_parts)
     if kept_parts:
         manifest["partitions"] = kept_parts
-    for carry in ("max_batch", "schema", "checks"):
+    for carry in ("max_batch", "schema", "checks", "colmap", "retired_cols"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -3864,7 +4182,7 @@ def drop_partitions(
     kept_parts = {d: v for d, v in parts.items() if d in surv_set}
     if kept_parts:
         manifest["partitions"] = kept_parts
-    for carry in ("max_batch", "schema", "checks"):
+    for carry in ("max_batch", "schema", "checks", "colmap", "retired_cols"):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)

@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _current_name,
     _dv_abs,
     _load_manifest,
     _manifests,
@@ -62,7 +63,8 @@ class _FilePartition(InputPartition):
         path: str | None,
         dv_paths: list[str] | None = None,
         dv_key: str | None = None,
-        eq_entries: list[tuple[list[str], list[str]]] | None = None,
+        eq_entries: "list[tuple[list[str], list[str], list[str]]] | None" = None,
+        colmap: dict | None = None,
     ):
         self.path = path
         # deletion-vector sidecars covering this file (absolute paths)
@@ -71,8 +73,14 @@ class _FilePartition(InputPartition):
         self.dv_paths = dv_paths or []
         self.dv_key = dv_key
         # equality deletes scoped to this file: [(key parquet files,
-        # key columns)] — the reader anti-joins each per Arrow batch
+        # key columns IN THE SIDECAR, current logical columns)] — the
+        # reader anti-joins each per Arrow batch
         self.eq_entries = eq_entries or []
+        # {current logical name: [prior storage names]} — files written
+        # before a rename store the column under a prior name; the
+        # reader normalizes batches to current names (rename_column is
+        # metadata-only, files are never rewritten)
+        self.colmap = colmap or {}
 
 
 def _reconcile_batch(batch, arrow_schema):
@@ -111,6 +119,7 @@ def _plan_file_partitions(
 
     dv = manifest.get("dv") or {}
     eqdel = manifest.get("eqdel") or []
+    colmap = manifest.get("colmap") or {}
     abs_key = {_dv_abs(table_dir, k, ent): k for k, ent in dv.items()}
     eq_scopes = []
     for entry in eqdel:
@@ -119,7 +128,11 @@ def _plan_file_partitions(
             os.path.abspath(os.path.join(base, d)) for d in entry["dirs"]
         }
         key_files = list_parquet_files(os.path.join(table_dir, entry["ref"]))
-        eq_scopes.append((scope, key_files, entry["cols"]))
+        # entry cols are the names AT DELETE TIME (the sidecar's column
+        # names); a later rename reverse-maps to the current names the
+        # normalized batches carry
+        data_cols = [_current_name(manifest, c) or c for c in entry["cols"]]
+        eq_scopes.append((scope, key_files, entry["cols"], data_cols))
 
     def _under(a: str, scope: set[str]) -> bool:
         cur = os.path.dirname(a)
@@ -135,9 +148,11 @@ def _plan_file_partitions(
         a = os.path.abspath(f)
         k = abs_key.get(a)
         eq_entries = [
-            (kf, cols) for scope, kf, cols in eq_scopes if _under(a, scope)
+            (kf, cols, dcols)
+            for scope, kf, cols, dcols in eq_scopes
+            if _under(a, scope)
         ]
-        if k is None and not eq_entries:
+        if k is None and not eq_entries and not colmap:
             parts.append(_FilePartition(f))
         else:
             parts.append(
@@ -156,6 +171,7 @@ def _plan_file_partitions(
                     else [],
                     dv_key=k,
                     eq_entries=eq_entries,
+                    colmap=colmap,
                 )
             )
     return parts
@@ -183,7 +199,10 @@ def _read_file_partition(partition: _FilePartition, bound_schema):
     if partition.eq_entries:
         import pyarrow.dataset as pads
 
-        for key_files, cols in partition.eq_entries:
+        for key_files, cols, dcols in partition.eq_entries:
+            # `cols` name the sidecar's columns (delete-time names);
+            # `dcols` are the current logical names the normalized
+            # batches below carry
             kt = pads.dataset(key_files, format="parquet").to_table(
                 columns=list(cols)
             )
@@ -191,7 +210,9 @@ def _read_file_partition(partition: _FilePartition, bound_schema):
                 # Arrow value set — the batch filter below runs as one
                 # vectorized pc.is_in per batch (null matches null,
                 # the eqNullSafe posture)
-                eq_keys.append((kt.column(cols[0]).combine_chunks(), cols))
+                eq_keys.append(
+                    (kt.column(cols[0]).combine_chunks(), dcols)
+                )
             else:
                 # multi-column keys: exact tuple-set fallback
                 # (erasure-list-sized, fine in memory; None == None in
@@ -201,7 +222,7 @@ def _read_file_partition(partition: _FilePartition, bound_schema):
                         set(
                             zip(*(kt.column(c).to_pylist() for c in cols))
                         ),
-                        cols,
+                        dcols,
                     )
                 )
     arrow_schema = None
@@ -210,9 +231,19 @@ def _read_file_partition(partition: _FilePartition, bound_schema):
 
         arrow_schema = to_arrow_schema(bound_schema)
 
+    # reverse column mapping: prior storage name -> current logical
+    # (files written before a rename store the old name; normalizing
+    # here keeps _reconcile_batch and the eq masks in logical names)
+    rev = {
+        p: cur for cur, priors in partition.colmap.items() for p in priors
+    }
     off = 0
     for batch in pq.ParquetFile(partition.path).iter_batches():
         n = batch.num_rows
+        if rev and any(nm in rev for nm in batch.schema.names):
+            batch = batch.rename_columns(
+                [rev.get(nm, nm) for nm in batch.schema.names]
+            )
         if arrow_schema is not None and batch.schema != arrow_schema:
             batch = _reconcile_batch(batch, arrow_schema)
         if deleted is not None or eq_keys:
