@@ -1410,6 +1410,19 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
                CAST(0.0 AS DOUBLE)
 """,
+    "versioned_rename": f"""
+        SELECT 'versioned_rename',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+""",
+    "versioned_rename_mutate": f"""
+        SELECT 'versioned_rename_mutate',
+               (SELECT COUNT(*) FROM ord WHERE o_orderkey % 10 <> 0),
+               1,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord
+                WHERE o_orderkey % 10 <> 0)
+""",
     "versioned_v0": f"""
         SELECT 'versioned_v0',
                (SELECT COUNT(*) FROM ord_v0),
@@ -1807,6 +1820,110 @@ BRANCH_TIMES: dict[str, float] = {}
 # name -> (builder(spark, sf_dir, ord_df, base), audit rows it emits).
 # The check lists are load-bearing: they compose each query's DuckDB
 # oracle via _oracle_for and size the per-query blast radius.
+def _rename_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Column-mapping script (``rename_column`` / ``drop_column`` —
+    operators/versioned.py): v0 = pre-cut orders, then TWO metadata-only
+    renames (o_totalprice→price, o_orderkey→okey), an append under the
+    NEW names (a second file era), a merge-on-read delete keyed by the
+    renamed column across both eras, and a metadata-only drop.
+
+    Row 1 (``versioned_rename``): n_rows/val are the full-table
+    count/SUM(price) the oracle recomputes as SUM(o_totalprice) over
+    ``ord`` — the coalesced read across file eras must lose nothing.
+    n_aux pins the mapping claims as a constant: both renames wrote
+    ZERO data bytes, time travel still reads v0 under the old names,
+    and a ``scan_version`` range prune on the RENAMED key both
+    scheduled fewer files than the version holds (the stats fallback
+    through prior names) and returned exactly the unpruned read's rows.
+
+    Row 2 (``versioned_rename_mutate``): after ``delete_version_vectors
+    (okey % 10 == 0)`` — the predicate names only CURRENT names while
+    the first era's files store the old ones — n_rows/val are the
+    SQL-exact complement count/sum; n_aux pins that ``drop_column
+    ('o_orderstatus')`` wrote zero bytes, the column vanished from the
+    latest version and still time-travels in the previous one."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        drop_column,
+        rename_column,
+        scan_version_with_stats,
+    )
+
+    tdir = os.path.join(base, "rename_vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    commit_version(
+        ord_df.where(F.col("o_orderdate") < cut).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+
+    def data_bytes() -> int:
+        total = 0
+        for r, _d, files in os.walk(os.path.join(tdir, "_data")):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    bytes_v0 = data_bytes()
+    rename_column(tdir, "o_totalprice", "price")
+    rename_column(tdir, "o_orderkey", "okey")
+    meta_only = data_bytes() == bytes_v0
+    commit_version(
+        ord_df.where(F.col("o_orderdate") >= cut)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumnRenamed("o_orderkey", "okey")
+        .repartitionByRange(4, "okey"),
+        tdir,
+        mode="append",
+        stats_cols=["okey"],
+    )
+    travels = "o_totalprice" in read_version(spark, tdir, version=0).columns
+    # range prune on the RENAMED key: era-1 files recorded stats under
+    # 'o_orderkey', era-2 under 'okey' — both must keep pruning
+    hi = ord_df.agg(F.max("o_orderkey")).first()[0] // 20
+    pruned, st = scan_version_with_stats(spark, tdir, {"okey": (None, hi)})
+    prune_ok = (
+        st.files_scheduled < st.files_total
+        and pruned.count()
+        == read_version(spark, tdir).where(F.col("okey") <= hi).count()
+    )
+    full = read_version(spark, tdir)
+    ren_row = full.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(1 if meta_only and travels and prune_ok else 0).alias("n_aux"),
+        F.round(F.sum("price"), 2).alias("val"),
+    )
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_vectors,
+    )
+
+    delete_version_vectors(spark, tdir, F.col("okey") % 10 == 0)
+    bytes_pre_drop = data_bytes()
+    v_drop = drop_column(tdir, "o_orderstatus")
+    drop_ok = (
+        data_bytes() == bytes_pre_drop
+        and "o_orderstatus" not in read_version(spark, tdir).columns
+        and "o_orderstatus"
+        in read_version(spark, tdir, version=v_drop - 1).columns
+    )
+    mut_row = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(1 if drop_ok else 0).alias("n_aux"),
+        F.round(F.sum("price"), 2).alias("val"),
+    )
+    return [
+        _row(ren_row, "versioned_rename"),
+        _row(mut_row, "versioned_rename_mutate"),
+    ]
+
+
 _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("scd2", lambda s, sf, o, b: _scd2_rows(s, sf),
      ["scd2_history", "scd2_asof"]),
@@ -1837,6 +1954,8 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["versioned_retention"]),
     ("checks", lambda s, sf, o, b: _checks_rows(s, o, b),
      ["versioned_checks"]),
+    ("rename", lambda s, sf, o, b: _rename_rows(s, o, b),
+     ["versioned_rename", "versioned_rename_mutate"]),
     ("versioned_stream", lambda s, sf, o, b: _versioned_stream_rows(s, o, b),
      ["versioned_stream"]),
     ("skipping", lambda s, sf, o, b: _skipping_rows(s, o, b),
@@ -1859,12 +1978,12 @@ _BRANCH_NAMES = [n for n, _f, _c in _BRANCH_DEFS]
 _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 
 # The three-query split: row-level mutation core / table lifecycle +
-# composed audits / the streaming-and-pipeline scripts. Each stays ≤14
+# composed audits / the streaming-and-pipeline scripts. Each stays ≤15
 # audit rows, so one regressing branch reds at most a third of the layer.
 _CORE_BRANCHES = ["versioned", "skipping", "dv", "eqdel", "merge", "evolution"]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",
-    "asof", "ivf", "pii",
+    "rename", "asof", "ivf", "pii",
 ]
 _STREAMING_BRANCHES = [
     "scd2", "scd2_stored", "incremental", "versioned_stream",
@@ -1986,8 +2105,9 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-lifecycle + composed audits: bloom point lookup, bin-pack
     compaction, DLT-style expectations, CDC replication, partition
-    retention, CHECK constraints, time-travel DAX, IVF maintenance and
-    PII counts — 9 oracle-checked audit rows."""
+    retention, CHECK constraints, metadata-only column RENAME/DROP
+    (column mapping), time-travel DAX, IVF maintenance and PII counts
+    — 11 oracle-checked audit rows."""
     return _run_union(spark, sf_dir, _LIFECYCLE_BRANCHES)
 
 

@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.001"
 
 EXPECTED_ROWS = {
     "warehouse_maintenance": 14,
-    "warehouse_lifecycle": 9,
+    "warehouse_lifecycle": 11,
     "warehouse_streaming": 10,
 }
 
@@ -80,7 +80,7 @@ def test_no_scratch_debris_tz_restored_nonutc_session(spark):
 
 
 def test_check_partition_is_total_and_disjoint():
-    """The three queries' check lists partition the 33 audit rows with
+    """The three queries' check lists partition the 35 audit rows with
     no overlap and no orphan, and every check has an oracle fragment —
     the blast-radius contract of the round-9 split."""
     from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
@@ -94,7 +94,7 @@ def test_check_partition_is_total_and_disjoint():
         cs = checks_for(branches)
         assert len(cs) <= 15, f"{name} covers {len(cs)} rows (>15)"
         all_checks.extend(cs)
-    assert len(all_checks) == len(set(all_checks)) == 33
+    assert len(all_checks) == len(set(all_checks)) == 35
     assert set(all_checks) == set(_CHECK_SQL)
 
 
