@@ -1236,11 +1236,16 @@ def rename_column(
         raise ValueError(f"no column {old!r} in {table_dir} ({names})")
     if new in names:
         raise ValueError(f"column {new!r} already exists in {table_dir}")
-    if new in _retired_names(src):
+    own_priors = set(_colmap(src).get(old, []))
+    if new in _retired_names(src) - own_priors:
+        # renaming BACK to this column's own prior name is safe (the
+        # bytes stored under it ARE this logical column); any other
+        # retired name would resurrect a different column's bytes
         raise ValueError(
             f"rename to {new!r} refused: live data files may still store "
-            "bytes under that retired name (prior rename/drop) — rewrite "
-            "the table (overwrite/compact) before reusing it"
+            "bytes under that retired name (prior rename/drop of another "
+            "column) — rewrite the table (overwrite/compact) before "
+            "reusing it"
         )
     _refuse_checked_column(src, old, "rename")
     new_schema = {
@@ -1251,7 +1256,13 @@ def rename_column(
         ],
     }
     cmap = {k: list(v) for k, v in _colmap(src).items()}
-    cmap[new] = [old, *cmap.pop(old, [])]
+    # a rename-back drops the target from the prior list: the current
+    # name now covers those files directly
+    priors = [p for p in [old, *cmap.pop(old, [])] if p != new]
+    if priors:
+        cmap[new] = priors
+    else:
+        cmap.pop(new, None)
     version = versions[-1] + 1
     manifest = {
         "version": version,
@@ -1259,8 +1270,9 @@ def rename_column(
         "mode": "rename_column",
         "dirs": src["dirs"],
         "schema": new_schema,
-        "colmap": cmap,
     }
+    if cmap:
+        manifest["colmap"] = cmap
     for carry in (
         "files", "max_batch", "checks", "dv", "eqdel", "partitions",
         "retired_cols",

@@ -300,3 +300,31 @@ def test_history_records_the_ops(spark, tmp_path):
     assert [h["mode"] for h in history(t)] == [
         "overwrite", "rename_column", "drop_column",
     ]
+
+
+def test_rename_back_to_own_prior_name(spark, tmp_path):
+    """Renaming a column BACK to its own prior name is allowed (the
+    bytes under it are this same logical column); a rename onto ANOTHER
+    column's retired name stays refused. Files written during the
+    intermediate era keep reading via the mapping."""
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0, 4), t, stats_cols=["k"])
+    rename_column(t, "v", "vx")
+    commit_version(
+        spark.range(4, 8).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 10.0).alias("vx"),
+            F.lit("x").alias("tag"),
+        ),
+        t, mode="append", stats_cols=["k"],
+    )
+    rename_column(t, "vx", "v")  # back — files exist under BOTH names
+    got = sorted((r.k, r.v) for r in read_version(spark, t).collect())
+    assert got == [(i, i * 10.0) for i in range(8)]
+    # "vx" is now retired (middle-era files store it): another column
+    # cannot take it, but "v"'s own history could again
+    with pytest.raises(ValueError, match="retired"):
+        rename_column(t, "tag", "vx")
+    rename_column(t, "v", "vx")
+    got = sorted((r.k, r.vx) for r in read_version(spark, t).collect())
+    assert got == [(i, i * 10.0) for i in range(8)]

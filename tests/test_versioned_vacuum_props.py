@@ -28,6 +28,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     _load_manifest,
     _manifests,
     clone_table,
+    rename_column,
     commit_version,
     delete_version_keys,
     delete_version_vectors,
@@ -50,7 +51,10 @@ def _df(spark, tag: int, n: int = 4):
 
 
 def _rows(df):
-    return sorted((r.k, r.tag, r.v) for r in df.collect())
+    # positional tuples, not attribute access: the random history
+    # includes column renames, and a version's logical names depend on
+    # where it sits relative to them — positions are stable
+    return sorted(tuple(r) for r in df.collect())
 
 
 def _disk(table_dir: str, sub: str) -> set:
@@ -96,7 +100,7 @@ def test_vacuum_sweeps_exactly_unreferenced(spark, tmp_path):
                 [
                     "append", "overwrite", "rollback", "delete_dv",
                     "delete_eq", "materialize_dv", "compact",
-                    "drop_partitions",
+                    "drop_partitions", "rename_roundtrip",
                 ]
             )
             versions = _manifests(t)
@@ -125,6 +129,19 @@ def test_vacuum_sweeps_exactly_unreferenced(spark, tmp_path):
                 delete_version_keys(spark, t, kdf, ["k"])
             elif op == "materialize_dv":
                 materialize_dv(spark, t)
+            elif op == "rename_roundtrip":
+                # two metadata-only commits; the second renames BACK to
+                # the column's own prior name (allowed) — files written
+                # under either name must keep reading identically, and
+                # vacuum must keep every era's dirs while referenced
+                if "v" in {
+                    f["name"]
+                    for f in _load_manifest(t, _manifests(t)[-1])["schema"][
+                        "fields"
+                    ]
+                }:
+                    rename_column(t, "v", "vx")
+                    rename_column(t, "vx", "v")
             elif op == "compact":
                 optimize_compact(spark, t)
             else:  # drop_partitions: retire one still-live tagged dir
