@@ -1189,6 +1189,110 @@ def _refuse_checked_column(manifest: dict, col: str, op: str) -> None:
             )
 
 
+def add_check(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    sql: str,
+    expected_version: int | None = None,
+) -> int:
+    """Post-hoc CHECK constraint — the ``ALTER TABLE ADD CONSTRAINT``
+    analog (Delta validates existing rows the same way): verifies the
+    predicate holds on every CURRENTLY VISIBLE row (one existence-probe
+    aggregate over the row-delete-applied read — a violating table
+    refuses, nothing published), then publishes a metadata-only commit
+    recording it. Every later append / UPDATE / MERGE-insert enforces
+    it exactly like overwrite-time ``checks``. SQL CHECK semantics:
+    NULL passes. The change feed crosses an ``add_check`` commit
+    silently (same visible rows)."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    checks = dict(src.get("checks") or {})
+    if name in checks:
+        raise ValueError(
+            f"CHECK {name!r} already exists on {table_dir} "
+            f"({checks[name]}) — drop_check it first"
+        )
+    bad = (
+        read_version(spark, table_dir)
+        .where(~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"add_check {name!r} ({sql}) refused: existing rows of "
+            f"{table_dir} violate it — nothing published (clean the data "
+            "or fix the predicate)"
+        )
+    checks[name] = sql
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "add_check",
+        "dirs": src["dirs"],
+        "checks": checks,
+    }
+    for carry in (
+        "files", "max_batch", "schema", "dv", "eqdel", "partitions",
+        "colmap", "retired_cols",
+    ):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
+def drop_check(
+    table_dir: str,
+    name: str,
+    expected_version: int | None = None,
+) -> int:
+    """Remove a CHECK constraint — metadata-only; later commits stop
+    enforcing it. Raises LookupError when the name is unknown (a
+    silent no-op would hide a typo in an intended policy change)."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if expected_version is not None and versions[-1] != expected_version:
+        raise FileExistsError(
+            f"expected latest version {expected_version} but table is at "
+            f"{versions[-1]} — re-read and retry"
+        )
+    src = _load_manifest(table_dir, versions[-1])
+    checks = dict(src.get("checks") or {})
+    if name not in checks:
+        raise LookupError(
+            f"no CHECK {name!r} on {table_dir} ({sorted(checks)})"
+        )
+    del checks[name]
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "committed_at": _commit_ts(src),
+        "mode": "drop_check",
+        "dirs": src["dirs"],
+    }
+    if checks:
+        manifest["checks"] = checks
+    for carry in (
+        "files", "max_batch", "schema", "dv", "eqdel", "partitions",
+        "colmap", "retired_cols",
+    ):
+        if carry in src:
+            manifest[carry] = src[carry]
+    _publish_manifest(table_dir, version, manifest)
+    return version
+
+
 def rename_column(
     table_dir: str,
     old: str,
@@ -1832,7 +1936,10 @@ def read_changes(
             new_dirs.extend(d for d in m["dirs"] if d not in base and d not in new_dirs)
         elif (
             mode.startswith("optimize_zorder")
-            or mode in ("materialize_dv", "optimize_compact")
+            or mode in (
+                "materialize_dv", "optimize_compact",
+                "add_check", "drop_check",  # metadata-only: same rows
+            )
         ):
             # same VISIBLE rows, new layout (materialize_dv only
             # rewrites already-vectored dirs clean; optimize_compact

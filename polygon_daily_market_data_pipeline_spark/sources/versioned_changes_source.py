@@ -336,7 +336,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             elif not (
                 mode.startswith("optimize_zorder")
-                or mode in ("materialize_dv", "optimize_compact")
+                or mode in (
+                    "materialize_dv", "optimize_compact",
+                    "add_check", "drop_check",  # metadata-only
+                )
             ):
                 # overwrite / rollback / delete / merge / delete_dv: the
                 # table was REDEFINED — not expressible as an append

@@ -92,3 +92,59 @@ def test_checks_survive_optimize_and_rollback(spark, tmp_path):
     commit_version(_df(spark, [(5, -9.0, "z")]), t, mode="overwrite")
     v = commit_version(_df(spark, [(6, -1.0, "q")]), t, mode="append")
     assert read_version(spark, t, version=v).count() == 2
+
+
+def test_add_check_validates_then_enforces(spark, tmp_path):
+    """Post-hoc constraint (ALTER TABLE ADD CONSTRAINT analog): the add
+    validates every currently VISIBLE row (row-level deletes applied),
+    refuses on violation publishing nothing, and once added is enforced
+    on later appends exactly like overwrite-time checks. The change
+    feed crosses the metadata-only commit silently."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        add_check,
+        commit_version,
+        delete_version_vectors,
+        drop_check,
+        history,
+        read_changes,
+        read_version,
+    )
+
+    t = str(tmp_path / "vt")
+    df = spark.range(8).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") - 2.0).alias("v"),  # k=0,1 have v<0
+    )
+    commit_version(df, t, stats_cols=["k"])
+    # violating rows visible: refuse, nothing published
+    with pytest.raises(ValueError, match="existing rows"):
+        add_check(spark, t, "v_pos", "v >= 0")
+    assert len(history(t)) == 1
+    # delete the violators merge-on-read; now the VISIBLE rows pass
+    delete_version_vectors(spark, t, F.col("v") < 0)
+    v = add_check(spark, t, "v_pos", "v >= 0")
+    assert history(t)[-1]["mode"] == "add_check"
+    # duplicate name refused
+    with pytest.raises(ValueError, match="already exists"):
+        add_check(spark, t, "v_pos", "v >= 1")
+    # enforced on later appends
+    bad = spark.range(1).select(
+        F.col("id").cast("long").alias("k"), F.lit(-9.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        commit_version(bad, t, mode="append")
+    ok = spark.range(100, 102).select(
+        F.col("id").cast("long").alias("k"), F.lit(1.0).alias("v")
+    )
+    commit_version(ok, t, mode="append")
+    # the feed crosses add_check silently: delta after v is exactly ok
+    assert read_changes(spark, t, v).count() == 2
+    assert read_version(spark, t).count() == 8
+    # drop: unknown name raises, known name stops enforcement
+    with pytest.raises(LookupError):
+        drop_check(t, "nope")
+    drop_check(t, "v_pos")
+    commit_version(bad, t, mode="append")
+    assert read_version(spark, t).where(F.col("v") < 0).count() == 1
