@@ -316,6 +316,7 @@ def commit_version(
     bloom_fpp: float = 0.01,
     checks: dict | None = None,
     partition_values: dict | None = None,
+    generated_cols: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
     Data lands in an immutable uuid directory; the fail-if-exists
@@ -374,13 +375,29 @@ def commit_version(
     ``vacuum``). SQL CHECK semantics: NULL passes — write an explicit
     ``c IS NOT NULL`` check for NOT NULL. Appends cannot pass
     ``checks``: constraints are table metadata, redefined only by an
-    overwrite."""
+    overwrite.
+
+    ``generated_cols`` (``{name: sql_expr}``, overwrite only) is the
+    Delta GENERATED ALWAYS AS analog: a writer that omits the column
+    gets it COMPUTED (overwrites and every later append, including the
+    streaming sink's); a writer that supplies it gets it VALIDATED —
+    definition also registers an implicit CHECK ``name <=> (expr)`` so
+    every enforcement point (appends, UPDATE images, MERGE inserts)
+    rejects inconsistent values, and rename/drop of any involved
+    column is refused by the checked-column guard. Pair with
+    ``stats_cols`` on the generated column to make derived-key
+    predicates prunable (the star schema's date_sk pattern)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     if checks is not None and mode != "overwrite":
         raise ValueError(
             "checks are table metadata, defined at overwrite — appends "
             "inherit and enforce the table's recorded constraints"
+        )
+    if generated_cols is not None and mode != "overwrite":
+        raise ValueError(
+            "generated_cols are table metadata, defined at overwrite — "
+            "appends inherit them (omitted columns are computed)"
         )
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     schema = df.schema.jsonValue()
@@ -447,6 +464,19 @@ def commit_version(
                     "scalar (comparable and JSON-stable)"
                 )
     existing, prev = load_latest()
+    gen_map = (
+        generated_cols
+        if mode == "overwrite"
+        else (prev or {}).get("generated")
+    )
+    if gen_map:
+        # compute omitted generated columns BEFORE the schema check —
+        # a writer that supplies them instead is validated below via
+        # the implicit name <=> (expr) CHECK
+        for gname, gsql in gen_map.items():
+            if gname not in df.columns:
+                df = df.withColumn(gname, F.expr(gsql))
+        schema = df.schema.jsonValue()
     check_schema(prev)
     # append-retry safety: everything committed after this point is an
     # "intervening" commit the retry loop must vet — not just the latest
@@ -462,6 +492,10 @@ def commit_version(
     if bloom_cols:
         _collect_file_blooms(df.sparkSession, data_dir, bloom_cols, bloom_fpp)
     tbl_checks = checks
+    if mode == "overwrite" and generated_cols:
+        tbl_checks = dict(checks or {})
+        for gname, gsql in generated_cols.items():
+            tbl_checks.setdefault(f"gen_{gname}", f"{gname} <=> ({gsql})")
     if mode == "append" and prev is not None:
         tbl_checks = prev.get("checks")
     if tbl_checks:
@@ -497,6 +531,8 @@ def commit_version(
             manifest["max_batch"] = max_batch
         if tbl_checks:
             manifest["checks"] = tbl_checks
+        if gen_map:
+            manifest["generated"] = gen_map
         parts = {}
         if mode == "append" and prev is not None:
             parts.update(prev.get("partitions") or {})
@@ -515,7 +551,7 @@ def commit_version(
             # of a deleted key is a new row — the scoping contract)
             manifest["eqdel"] = prev["eqdel"]
         if mode == "append" and prev is not None:
-            for ck in ("colmap", "retired_cols"):
+            for ck in ("colmap", "retired_cols", "generated"):
                 # carried dirs still store renamed/dropped columns
                 # under prior names; the append itself writes current
                 # logical names (its schema was validated above)
@@ -1243,7 +1279,7 @@ def add_check(
     }
     for carry in (
         "files", "max_batch", "schema", "dv", "eqdel", "partitions",
-        "colmap", "retired_cols",
+        "colmap", "retired_cols", "generated",
     ):
         if carry in src:
             manifest[carry] = src[carry]
@@ -1285,7 +1321,7 @@ def drop_check(
         manifest["checks"] = checks
     for carry in (
         "files", "max_batch", "schema", "dv", "eqdel", "partitions",
-        "colmap", "retired_cols",
+        "colmap", "retired_cols", "generated",
     ):
         if carry in src:
             manifest[carry] = src[carry]
@@ -1379,7 +1415,7 @@ def rename_column(
         manifest["colmap"] = cmap
     for carry in (
         "files", "max_batch", "checks", "dv", "eqdel", "partitions",
-        "retired_cols",
+        "retired_cols", "generated",
     ):
         if carry in src:
             manifest[carry] = src[carry]
@@ -1451,6 +1487,7 @@ def drop_column(
         manifest["colmap"] = cmap
     for carry in (
         "files", "max_batch", "checks", "dv", "eqdel", "partitions",
+        "generated",
     ):
         if carry in src:
             manifest[carry] = src[carry]
@@ -2305,7 +2342,7 @@ def rollback(table_dir: str, to_version: int) -> int:
         # dropping them would silently turn later drop_partitions into
         # cannot-prove no-ops and unprune partition-scoped reads
         manifest["partitions"] = src["partitions"]
-    for ck in ("colmap", "retired_cols"):
+    for ck in ("colmap", "retired_cols", "generated"):
         # same visible files ⇒ same storage-name mapping (rolling back
         # ACROSS a rename restores the pre-rename logical schema too,
         # because `schema` above is src's)
@@ -2446,7 +2483,7 @@ def _mutate_version(
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
-    for ck in ("colmap", "retired_cols"):
+    for ck in ("colmap", "retired_cols", "generated"):
         # carried dirs still store renamed columns under prior names
         if src.get(ck):
             manifest[ck] = src[ck]
@@ -2785,7 +2822,7 @@ def delete_version_vectors(
         }
         for carry in (
             "files", "max_batch", "schema", "checks", "eqdel", "partitions",
-            "colmap", "retired_cols",
+            "colmap", "retired_cols", "generated",
         ):
             if carry in cur:
                 manifest[carry] = cur[carry]
@@ -2893,7 +2930,7 @@ def delete_version_keys(
         }
         for carry in (
             "files", "max_batch", "schema", "checks", "dv", "partitions",
-            "colmap", "retired_cols",
+            "colmap", "retired_cols", "generated",
         ):
             if carry in cur:
                 manifest[carry] = cur[carry]
@@ -3079,7 +3116,7 @@ def update_version_vectors(
             manifest["files"] = new_files
         for carry in (
             "max_batch", "schema", "checks", "eqdel", "partitions",
-            "colmap", "retired_cols",
+            "colmap", "retired_cols", "generated",
         ):
             if carry in cur:
                 manifest[carry] = cur[carry]
@@ -3196,7 +3233,10 @@ def materialize_dv(
         manifest["files"] = new_files
     if new_parts:
         manifest["partitions"] = new_parts
-    for carry in ("max_batch", "schema", "checks", "colmap", "retired_cols"):
+    for carry in (
+        "max_batch", "schema", "checks", "colmap", "retired_cols",
+        "generated",
+    ):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -3665,7 +3705,7 @@ def merge_version(
         manifest["schema"] = tbl_schema
     if "checks" in src_manifest:
         manifest["checks"] = src_manifest["checks"]
-    for ck in ("colmap", "retired_cols"):
+    for ck in ("colmap", "retired_cols", "generated"):
         # carried/untouched dirs still store renamed columns under
         # their prior names
         if src_manifest.get(ck):
@@ -3787,7 +3827,7 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
-    for ck in ("colmap", "retired_cols"):
+    for ck in ("colmap", "retired_cols", "generated"):
         # shared files store renamed columns under prior names
         if src.get(ck):
             manifest[ck] = src[ck]
@@ -3879,6 +3919,10 @@ def optimize_zorder(
     if "checks" in src:
         # same rows, new layout: the constraint set rides along
         manifest["checks"] = src["checks"]
+    if "generated" in src:
+        # generation is table metadata like checks; the full relayout
+        # clears COLMAP (files migrated) but generation must survive
+        manifest["generated"] = src["generated"]
     # stats_cols defaults to the z-columns: the rewrite exists to give
     # every file a tight envelope on them, so index exactly those for
     # scan_version's manifest prune
@@ -4108,7 +4152,10 @@ def optimize_compact(
     kept_parts.update(new_parts)
     if kept_parts:
         manifest["partitions"] = kept_parts
-    for carry in ("max_batch", "schema", "checks", "colmap", "retired_cols"):
+    for carry in (
+        "max_batch", "schema", "checks", "colmap", "retired_cols",
+        "generated",
+    ):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
@@ -4301,7 +4348,10 @@ def drop_partitions(
     kept_parts = {d: v for d, v in parts.items() if d in surv_set}
     if kept_parts:
         manifest["partitions"] = kept_parts
-    for carry in ("max_batch", "schema", "checks", "colmap", "retired_cols"):
+    for carry in (
+        "max_batch", "schema", "checks", "colmap", "retired_cols",
+        "generated",
+    ):
         if carry in src:
             manifest[carry] = src[carry]
     _publish_manifest(table_dir, version, manifest)
