@@ -598,6 +598,27 @@ def commit_version(
                     ) from None
             base_version = existing[-1]  # gap vetted; next retry starts here
             check_schema(prev)
+            new_checks = (prev or {}).get("checks")
+            if new_checks != tbl_checks:
+                # the constraint set moved under us (a racing add_check /
+                # drop_check): our data dir was validated against the OLD
+                # set — re-publishing metadata-only would land rows an
+                # add_check never saw (it validates only rows VISIBLE at
+                # its commit) under a manifest that claims the constraint.
+                # Re-validate against the new set; carry it on success.
+                if new_checks:
+                    bad = _check_violation(
+                        df.sparkSession, [data_dir], new_checks
+                    )
+                    if bad is not None:
+                        raise ValueError(
+                            f"append to {table_dir} lost the race to a "
+                            f"commit that added CHECK {bad!r} "
+                            f"({new_checks[bad]}), which this batch "
+                            "violates — nothing published; the written "
+                            "data directory is debris for vacuum"
+                        )
+                tbl_checks = new_checks
     raise AssertionError("unreachable")
 
 

@@ -148,3 +148,63 @@ def test_add_check_validates_then_enforces(spark, tmp_path):
     drop_check(t, "v_pos")
     commit_version(bad, t, mode="append")
     assert read_version(spark, t).where(F.col("v") < 0).count() == 1
+
+
+def test_append_racing_add_check_revalidates(spark, tmp_path, monkeypatch):
+    """An append that loses its publish race to a concurrent add_check
+    must RE-VALIDATE its already-written data against the new
+    constraint set before the metadata-only retry: add_check only
+    validates rows visible at ITS commit, so the loser's rows were
+    never seen. Violating batch → refused loudly (debris for vacuum);
+    passing batch → lands carrying the new checks and later appends
+    enforce them."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        add_check,
+        commit_version,
+        read_version,
+    )
+
+    def frame(lo, v):
+        return spark.range(lo, lo + 2).select(
+            F.col("id").cast("long").alias("k"), F.lit(v).alias("v")
+        )
+
+    # case 1: violating loser refuses
+    t = str(tmp_path / "vt1")
+    commit_version(frame(0, 1.0), t)
+    real = V._publish_manifest
+    state = {"raced": False}
+
+    def racing(table_dir, version, manifest):
+        if not state["raced"] and manifest["mode"] == "append":
+            state["raced"] = True
+            add_check(spark, t, "v_pos", "v >= 0")
+        return real(table_dir, version, manifest)
+
+    monkeypatch.setattr(V, "_publish_manifest", racing)
+    with pytest.raises(ValueError, match="v_pos"):
+        V.commit_version(frame(10, -5.0), t, mode="append", retries=2)
+    monkeypatch.setattr(V, "_publish_manifest", real)
+    assert read_version(spark, t).where("v < 0").count() == 0
+    assert history(t)[-1]["mode"] == "add_check"
+
+    # case 2: passing loser rebases, carries the new checks forward
+    t2 = str(tmp_path / "vt2")
+    commit_version(frame(0, 1.0), t2)
+    state2 = {"raced": False}
+
+    def racing2(table_dir, version, manifest):
+        if not state2["raced"] and manifest["mode"] == "append":
+            state2["raced"] = True
+            add_check(spark, t2, "v_pos", "v >= 0")
+        return real(table_dir, version, manifest)
+
+    monkeypatch.setattr(V, "_publish_manifest", racing2)
+    V.commit_version(frame(10, 2.0), t2, mode="append", retries=2)
+    monkeypatch.setattr(V, "_publish_manifest", real)
+    assert read_version(spark, t2).count() == 4
+    with pytest.raises(ValueError, match="v_pos"):
+        commit_version(frame(20, -1.0), t2, mode="append")
