@@ -2681,6 +2681,11 @@ def _vet_rowlevel_race(
         mode = (m or {}).get("mode", "")
         if mode == "append" or (mode == "delete_eq" and allow_eqdel):
             continue
+        if mode in ("add_check", "drop_check") and allow_eqdel:
+            # metadata-only constraint change: a DELETE removes rows and
+            # cannot violate it; an update_dv (allow_eqdel=False) wrote
+            # images the new constraint never saw — it must re-run
+            continue
         if mode == "delete_dv":
             continue  # file-disjointness vetted below on the dv delta
         raise FileExistsError(

@@ -340,3 +340,33 @@ def test_update_dv_racing_eqdel_refuses(spark, tmp_path, monkeypatch):
     assert [r[0] for r in _rows(read_version(spark, t))] == list(range(2, 8))
     vacuum(t, keep_last=1)
     assert [r[0] for r in _rows(read_version(spark, t))] == list(range(2, 8))
+
+
+def test_dv_delete_racing_add_check_rebases(spark, tmp_path, monkeypatch):
+    """delete_dv losing to a concurrent add_check rebases and lands —
+    removing rows cannot violate a constraint — while update_dv racing
+    the same commit refuses (its images were never validated against
+    the new set)."""
+    import polygon_daily_market_data_pipeline_spark.operators.versioned as V
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        add_check,
+        update_version_vectors,
+    )
+
+    t = str(tmp_path / "vt")
+    commit_version(_df(spark, 0), t, stats_cols=["k"])
+
+    _race_once(
+        monkeypatch, V, "delete_dv",
+        lambda: add_check(spark, t, "v_ok", "v >= 0"),
+    )
+    v = delete_version_vectors(spark, t, F.col("k") < 2)
+    assert v == len(history(t)) - 1
+    assert [r[0] for r in _rows(read_version(spark, t))] == list(range(2, 8))
+
+    _race_once(
+        monkeypatch, V, "update_dv",
+        lambda: add_check(spark, t, "v_cap", "v < 1e9"),
+    )
+    with pytest.raises(FileExistsError, match="add_check"):
+        update_version_vectors(spark, t, F.col("k") == 5, {"v": F.lit(1.0)})
