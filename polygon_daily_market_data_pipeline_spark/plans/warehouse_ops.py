@@ -1412,16 +1412,18 @@ _CHECK_SQL: dict[str, str] = {
 """,
     "versioned_rename": f"""
         SELECT 'versioned_rename',
-               (SELECT COUNT(*) FROM ord),
+               (SELECT COUNT(*) FROM ord WHERE o_orderkey % 3 = 0),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord
+                WHERE o_orderkey % 3 = 0)
 """,
     "versioned_rename_mutate": f"""
         SELECT 'versioned_rename_mutate',
-               (SELECT COUNT(*) FROM ord WHERE o_orderkey % 10 <> 0),
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0),
                1,
                (SELECT ROUND(SUM(o_totalprice), 2) FROM ord
-                WHERE o_orderkey % 10 <> 0)
+                WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0)
 """,
     "versioned_v0": f"""
         SELECT 'versioned_v0',
@@ -1852,8 +1854,11 @@ def _rename_rows(
 
     tdir = os.path.join(base, "rename_vt")
     cut = F.lit(_CUT).cast("timestamp")
+    # a 1/3 key subset: the mapping claims need file ERAS, not volume —
+    # the oracle applies the same % 3 filter
+    rsub = ord_df.where(F.col("o_orderkey") % 3 == 0)
     commit_version(
-        ord_df.where(F.col("o_orderdate") < cut).repartitionByRange(
+        rsub.where(F.col("o_orderdate") < cut).repartitionByRange(
             4, "o_orderkey"
         ),
         tdir,
@@ -1875,10 +1880,10 @@ def _rename_rows(
     rename_column(tdir, "o_orderkey", "okey")
     meta_only = data_bytes() == bytes_v0
     commit_version(
-        ord_df.where(F.col("o_orderdate") >= cut)
+        rsub.where(F.col("o_orderdate") >= cut)
         .withColumnRenamed("o_totalprice", "price")
         .withColumnRenamed("o_orderkey", "okey")
-        .repartitionByRange(4, "okey"),
+        .coalesce(2),
         tdir,
         mode="append",
         stats_cols=["okey"],
@@ -1886,7 +1891,7 @@ def _rename_rows(
     travels = "o_totalprice" in read_version(spark, tdir, version=0).columns
     # range prune on the RENAMED key: era-1 files recorded stats under
     # 'o_orderkey', era-2 under 'okey' — both must keep pruning
-    hi = ord_df.agg(F.max("o_orderkey")).first()[0] // 20
+    hi = rsub.agg(F.max("o_orderkey")).first()[0] // 20
     pruned, st = scan_version_with_stats(spark, tdir, {"okey": (None, hi)})
     prune_ok = (
         st.files_scheduled < st.files_total
