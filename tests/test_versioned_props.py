@@ -127,7 +127,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     "overwrite", "append", "rollback", "optimize",
                     "delete", "update", "merge", "vacuum",
                     "delete_dv", "materialize_dv", "delete_eq",
-                    "update_dv", "compact",
+                    "update_dv", "compact", "constraint",
                 ]
             )
             versions = sorted(model)
@@ -214,6 +214,22 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                 )
                 if v != versions[-1]:  # no-op when nothing is vectored
                     model[v] = model[versions[-1]]
+            elif op == "constraint":
+                # metadata-only CHECK toggle: add_check validates the
+                # visible rows then publishes; drop_check removes it.
+                # Neither changes any version's row set — the model
+                # carries forward. (All generated rows satisfy the
+                # predicate, so enforcement never blocks later ops.)
+                from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+                    add_check,
+                    drop_check,
+                )
+
+                try:
+                    v = add_check(spark, t, "prop_chk", "v > -1e9")
+                except ValueError:  # already present: toggle off
+                    v = drop_check(t, "prop_chk")
+                model[v] = model[versions[-1]]
             elif op == "compact":
                 # bin-packing relayout: same visible rows, folds any
                 # pending row-level deletes for the dirs it rewrites
