@@ -328,3 +328,23 @@ def test_rename_back_to_own_prior_name(spark, tmp_path):
     rename_column(t, "v", "vx")
     got = sorted((r.k, r.vx) for r in read_version(spark, t).collect())
     assert got == [(i, i * 10.0) for i in range(8)]
+
+
+def test_bloom_point_lookup_survives_rename(spark, tmp_path):
+    """Sidecar blooms are keyed by the column's name at write time; a
+    point lookup on the RENAMED name must still prune through the
+    prior-name fallback (and stay exact)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version as cv,
+    )
+
+    t = str(tmp_path / "vt")
+    cv(
+        _df(spark, 0, 200).repartition(8, "k"), t,
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    rename_column(t, "k", "kid")
+    df, st = scan_version_with_stats(spark, t, {}, eq={"kid": 137})
+    assert st.files_scheduled < st.files_total
+    got = [(r.kid, r.v) for r in df.collect()]
+    assert got == [(137, 1370.0)]
