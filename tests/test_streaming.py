@@ -882,10 +882,67 @@ def test_versioned_stream_sink_expectations_quarantine(spark, tmp_path):
     assert deadr.where(F.col("value") > 0).count() == 0
     # every dead-letter version came from a batch that HAD violations
     assert len(history(dead)) <= len(history(table))
-    # replaying a committed batch id is a no-op on BOTH tables
-    replay_id = last_committed_batch(table)
+    # Replaying a batch id committed on BOTH tables is a no-op on both.
+    # Each side dedups on its OWN watermark, so the id must be one the
+    # dead-letter table has seen too: last_committed_batch(table) is
+    # order-sensitive (if the last-listed source file happened to hold
+    # no violating rows, dead's watermark is lower and a replay of the
+    # clean side's id would correctly re-publish the missing dead side
+    # — the crash-recovery semantics tested deterministically below).
+    replay_id = last_committed_batch(dead)
+    assert replay_id is not None
+    assert replay_id <= last_committed_batch(table)
     vt, vd = len(history(table)), len(history(dead))
     sink(df, batch_id=replay_id)
     assert len(history(table)) == vt and len(history(dead)) == vd
     assert read_version(spark, table).count() == len(rows) - n_bad
     assert read_version(spark, dead).count() == n_bad
+
+
+def test_versioned_stream_sink_quarantine_replays_missing_side(spark, tmp_path):
+    """A crash between the clean commit and the dead-letter commit of
+    the same micro-batch leaves the clean side at watermark N and the
+    dead side below it; replaying batch N must re-publish ONLY the
+    missing dead-letter side (versioned.py:687-689's exactly-once
+    contract, per-table watermarks)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        history,
+        last_committed_batch,
+        read_version,
+        versioned_stream_sink,
+    )
+
+    table = str(tmp_path / "table")
+    dead = str(tmp_path / "dead")
+    sink = versioned_stream_sink(
+        table,
+        expectations={"value_positive": "value > 0"},
+        quarantine_dir=dead,
+    )
+    b0 = _events_df(spark, [(0, 1, 1.0), (0, 2, -1.0)])
+    sink(b0, batch_id=0)  # both sides commit batch 0
+    assert last_committed_batch(table) == 0 == last_committed_batch(dead)
+
+    # simulate the crash: commit batch 1's CLEAN side directly, as the
+    # sink would have, then die before the dead-letter commit
+    b1 = _events_df(spark, [(1, 1, 2.0), (1, 2, -2.0)])
+    commit_version(
+        b1.where(F.col("value") > 0), table, mode="append", batch_id=1
+    )
+    assert last_committed_batch(table) == 1
+    assert last_committed_batch(dead) == 0
+
+    # checkpoint replay of batch 1: clean side no-op, dead side published
+    vt = len(history(table))
+    sink(b1, batch_id=1)
+    assert len(history(table)) == vt
+    assert last_committed_batch(dead) == 1
+    assert read_version(spark, table).count() == 2
+    assert read_version(spark, table).where(F.col("value") <= 0).count() == 0
+    assert read_version(spark, dead).count() == 2
+    assert read_version(spark, dead).where(F.col("value") > 0).count() == 0
+    # and replaying batch 1 AGAIN is now a no-op on both
+    vt, vd = len(history(table)), len(history(dead))
+    sink(b1, batch_id=1)
+    assert len(history(table)) == vt and len(history(dead)) == vd
