@@ -52,6 +52,7 @@ import datetime as dt
 import decimal
 import json
 import os
+import re
 import shutil
 import uuid
 from typing import NamedTuple
@@ -1565,12 +1566,15 @@ def read_version(
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
     partitions: dict | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
-    """The table at a version (default: latest), or AT a timestamp
+    """The table at a version (default: latest), AT a timestamp
     (``as_of``: the last version committed at or before it — Snowflake
-    ``AT(TIMESTAMP => ...)`` semantics). The version's manifest schema
-    is applied, so a schema-evolved table reads pre-evolution files
-    with the added columns as NULL (``_read_manifest_paths``).
+    ``AT(TIMESTAMP => ...)`` semantics), or at a named ``tag``
+    (``create_tag`` — vacuum-pinned, so the read stays valid). The
+    version's manifest schema is applied, so a schema-evolved table
+    reads pre-evolution files with the added columns as NULL
+    (``_read_manifest_paths``).
 
     ``partitions`` prunes WHOLE DIRECTORIES against the manifest's
     per-dir partition tags before any file listing — ``{col: value}``
@@ -1580,6 +1584,10 @@ def read_version(
     when row-exact semantics on the partition column are needed (the
     daily-append pattern tags whole commits, so dir-pruning usually IS
     exact)."""
+    if tag is not None:
+        if version is not None or as_of is not None:
+            raise ValueError("tag is exclusive with version/as_of")
+        version = resolve_tag(table_dir, tag)
     m = _resolve_manifest(table_dir, version, as_of)
     dirs = m["dirs"]
     if partitions:
@@ -2278,6 +2286,12 @@ def vacuum(
             cutoff = cutoff.replace(tzinfo=dt.timezone.utc)
     versions = _manifests(table_dir)
     keep = set(versions[-keep_last:])
+    # TAGGED versions are pinned: a tag is a promise that the version
+    # stays readable, so it (and the files it references) survives both
+    # the keep_last floor and the time guard until drop_tag
+    for tagged in list_tags(table_dir).values():
+        if tagged in versions:
+            keep.add(tagged)
     if cutoff is not None:
         for v in versions:
             committed = dt.datetime.fromisoformat(
@@ -3778,7 +3792,7 @@ def merge_version(
     return version
 
 
-def clone_table(src_dir: str, dst_dir: str) -> int:
+def clone_table(src_dir: str, dst_dir: str, at_version: int | None = None) -> int:
     """SHALLOW CLONE (Delta semantics): create a new versioned table at
     ``dst_dir`` whose v0 sees the SOURCE's latest version by REFERENCE —
     zero data is copied, the clone's manifest lists the source's data
@@ -3788,6 +3802,11 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     never touched, and ``vacuum`` on the clone only sweeps the clone's
     own ``_data``. Stats, schema, and CHECK constraints carry over;
     sidecar blooms ride with the referenced directories for free.
+
+    ``at_version`` forks a HISTORICAL version instead of the latest
+    (Delta ``CLONE ... VERSION AS OF``) — the manifest referenced is
+    that version's, so the clone starts from exactly the rows, schema,
+    and constraints visible then.
 
     Shared-fate guard: the clone registers a marker under the SOURCE's
     ``_versions/_clones/``, and ``vacuum`` on the source REFUSES while
@@ -3799,9 +3818,13 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     versions = _manifests(src_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {src_dir}")
+    if at_version is None:
+        at_version = versions[-1]
+    elif at_version not in versions:
+        raise LookupError(f"version {at_version} not in {versions}")
     if _manifests(dst_dir):
         raise FileExistsError(f"{dst_dir} already has versions")
-    src = _load_manifest(src_dir, versions[-1])
+    src = _load_manifest(src_dir, at_version)
     abs_dirs = [
         os.path.abspath(os.path.join(src_dir, d)) for d in src["dirs"]
     ]
@@ -3840,7 +3863,7 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     manifest = {
         "version": 0,
         "committed_at": _commit_ts(None),
-        "mode": f"clone({os.path.abspath(src_dir)}@{versions[-1]})",
+        "mode": f"clone({os.path.abspath(src_dir)}@{at_version})",
         "dirs": abs_dirs,
     }
     if files:
@@ -3853,6 +3876,15 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         manifest["schema"] = src["schema"]
     if "checks" in src:
         manifest["checks"] = src["checks"]
+    if src.get("partitions"):
+        # per-dir partition tags ride along, re-keyed to the clone's
+        # frame (the cloned dirs are recorded absolute) — same rows,
+        # same tags; dropping them would silently disable partition
+        # pruning and drop_partitions on the clone
+        manifest["partitions"] = {
+            os.path.abspath(os.path.join(src_dir, d)): tag
+            for d, tag in src["partitions"].items()
+        }
     for ck in ("colmap", "retired_cols", "generated"):
         # shared files store renamed columns under prior names
         if src.get(ck):
@@ -3865,7 +3897,7 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
     os.makedirs(cdir, exist_ok=True)
     marker = {
         "dst": os.path.abspath(dst_dir),
-        "src_version": versions[-1],
+        "src_version": at_version,
         "created_at": dt.datetime.now(dt.timezone.utc).isoformat(),
     }
     with open(os.path.join(cdir, f"{uuid.uuid4().hex}.json"), "w") as f:
@@ -4423,3 +4455,418 @@ def fast_count(table_dir: str, version: int | None = None) -> "int | None":
     for ent in (m.get("dv") or {}).values():
         total -= ent["n"]
     return total
+
+
+# --- named refs: branches, tags, write-audit-publish ------------------------
+#
+# The Iceberg/Nessie branch-and-tag posture on the manifest log. A
+# BRANCH is a first-class versioned table living INSIDE its parent at
+# ``<table>/_branches/<name>`` — a shallow clone of the fork point, so
+# every operation in this module (commit, row-level deletes, MERGE,
+# OPTIMIZE, time travel, streaming sink) works on it unchanged by
+# passing ``branch_dir(table, name)`` as the table dir. The parent is
+# vacuum-guarded while the branch lives (the clone marker). A TAG is an
+# immutable named version pointer under ``_versions/_tags/`` that
+# ``vacuum`` keeps alive. ``publish_branch`` is the WAP commit: if the
+# parent has not moved past the fork point, the branch's final state
+# becomes the parent's next version — data directories are ADOPTED by
+# rename (same filesystem subtree, zero bytes copied), deletion-vector
+# and equality-delete sidecars ride along, and the branch is retired.
+
+_BRANCHES_SUBDIR = "_branches"
+_TAGS_SUBDIR = "_tags"  # under _versions/
+_FORK_FILE = "_fork.json"  # under the branch's _versions/
+_PUBLISH_INTENT = "_publishing.json"  # under the branch's _versions/
+
+
+def _check_ref_name(name: str) -> None:
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+        raise ValueError(
+            f"ref name {name!r} must be 1-64 chars of [A-Za-z0-9._-], "
+            "starting alphanumeric (it becomes a path component)"
+        )
+
+
+def branch_dir(table_dir: str, name: str) -> str:
+    """The branch's table directory — pass it anywhere a table dir
+    goes: ``read_version(spark, branch_dir(t, "audit"))``,
+    ``commit_version(df, branch_dir(t, "audit"), mode="append")``."""
+    _check_ref_name(name)
+    return os.path.join(table_dir, _BRANCHES_SUBDIR, name)
+
+
+def create_branch(
+    table_dir: str, name: str, at_version: int | None = None
+) -> str:
+    """Fork a named branch off the table (default: at its latest
+    version) and return the branch's table dir. O(metadata): one
+    shallow-clone manifest write, zero data copied — forking a 100 TB
+    table is one JSON file. The WAP (write-audit-publish) workflow:
+
+        b = create_branch(table, "wap_20240102")
+        commit_version(batch, b, mode="append")      # write
+        assert read_version(spark, b).where(bad).count() == 0   # audit
+        publish_branch(table, "wap_20240102")        # publish
+
+    Readers of the parent never see the branch's commits until
+    ``publish_branch`` fast-forwards them in; a failed audit is
+    ``drop_branch`` and nothing ever surfaced. The parent's ``vacuum``
+    refuses while the branch lives (the shallow-clone guard), so the
+    fork point's files cannot be reclaimed out from under it."""
+    bdir = branch_dir(table_dir, name)
+    if _manifests(bdir):
+        raise FileExistsError(f"branch {name!r} already exists in {table_dir}")
+    pub = os.path.join(bdir, "_versions", _PUBLISH_INTENT)
+    if os.path.exists(pub):
+        raise FileExistsError(
+            f"branch {name!r} has an unfinished publish — re-run "
+            "publish_branch to complete it before reusing the name"
+        )
+    clone_table(table_dir, bdir, at_version=at_version)
+    src_version = (
+        at_version if at_version is not None else _manifests(table_dir)[-1]
+    )
+    with open(os.path.join(_versions_dir(bdir), _FORK_FILE), "w") as f:
+        json.dump(
+            {
+                "parent": os.path.abspath(table_dir),
+                "version": src_version,
+                "created_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+            },
+            f,
+        )
+    return bdir
+
+
+def _branch_fork(bdir: str) -> dict:
+    with open(os.path.join(_versions_dir(bdir), _FORK_FILE)) as f:
+        return json.load(f)
+
+
+def list_branches(table_dir: str) -> list[dict]:
+    """Live branches of the table: ``[{name, fork_version, version,
+    publishing}]`` — ``publishing`` marks a branch whose
+    ``publish_branch`` crashed mid-flight (re-run it to complete)."""
+    root = os.path.join(table_dir, _BRANCHES_SUBDIR)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        bdir = os.path.join(root, name)
+        versions = _manifests(bdir)
+        if not versions and not os.path.exists(
+            os.path.join(bdir, "_versions", _PUBLISH_INTENT)
+        ):
+            continue  # empty shell (crashed create before clone publish)
+        try:
+            fork_v = _branch_fork(bdir).get("version")
+        except FileNotFoundError:
+            fork_v = None
+        out.append(
+            {
+                "name": name,
+                "fork_version": fork_v,
+                "version": versions[-1] if versions else None,
+                "publishing": os.path.exists(
+                    os.path.join(bdir, "_versions", _PUBLISH_INTENT)
+                ),
+            }
+        )
+    return out
+
+
+def drop_branch(table_dir: str, name: str) -> None:
+    """Delete an UNPUBLISHED branch: unregister its vacuum guard on the
+    parent and remove the branch subtree (its own data commits die with
+    it — they were never visible to the parent). The failed-audit exit
+    of the WAP workflow. Refuses mid-publish (finish or repair with
+    ``publish_branch`` first — its data dirs may already live in the
+    parent)."""
+    bdir = branch_dir(table_dir, name)
+    if os.path.exists(os.path.join(bdir, "_versions", _PUBLISH_INTENT)):
+        raise RuntimeError(
+            f"branch {name!r} is mid-publish — re-run publish_branch to "
+            "complete it; its data directories may already be adopted"
+        )
+    if not os.path.isdir(bdir):
+        raise FileNotFoundError(f"no branch {name!r} in {table_dir}")
+    live = _clone_markers(bdir)
+    if live:
+        raise RuntimeError(
+            f"branch {name!r} has {len(live)} live shallow clone(s) — "
+            "drop_clone them first"
+        )
+    drop_clone(table_dir, bdir)
+    shutil.rmtree(bdir)
+
+
+def _publish_remap(path: str, branch_abs: str, parent_abs: str) -> str:
+    """Rewrite one manifest path (dir, file-stats key) from the
+    branch's frame to the parent's, assuming the branch's ``_data``
+    children have been renamed into the parent's ``_data``. Pure
+    string arithmetic."""
+    a = os.path.normpath(os.path.join(branch_abs, path))
+    bdata = os.path.join(branch_abs, "_data")
+    if a == bdata or a.startswith(bdata + os.sep):
+        return os.path.relpath(a, branch_abs)  # same name under parent
+    if a == parent_abs or a.startswith(parent_abs + os.sep):
+        return os.path.relpath(a, parent_abs)
+    return a if os.path.isabs(path) else path  # foreign ref: keep as-is
+
+
+def publish_branch(table_dir: str, name: str) -> int:
+    """Fast-forward the parent to the branch's final state — the WAP
+    publish. Requires the parent's latest version to still BE the fork
+    point (nothing was committed to the parent since ``create_branch``;
+    otherwise raises — drop the branch and re-fork, there is no
+    implicit rebase across a divergence). The branch's data
+    directories, deletion-vector sidecars, and equality-delete sidecars
+    are adopted into the parent by directory RENAME (same filesystem
+    subtree: zero bytes copied, O(branch commits) renames + one
+    manifest write, regardless of data size), inherited references are
+    re-based onto the parent, and the branch is retired (its vacuum
+    guard dropped, its manifest log deleted). Returns the parent's new
+    version. A branch with no commits past the fork retires with no new
+    parent version.
+
+    The published commit's mode is ``publish(<name>@<v>)`` — a
+    REDEFINITION to the append-only change feed (``read_changes`` and
+    the ``versioned_changes`` stream refuse to cross it): the branch
+    may have rewritten anything. Consumers subscribe to the branch's
+    own feed, or diff across the publish with ``diff_versions``.
+
+    Crash-safe: an intent marker under the branch's ``_versions`` makes
+    a crashed publish resumable — re-running ``publish_branch``
+    completes the renames (each is idempotent: source gone + target
+    present = done), re-publishes, and retires. A publish that loses
+    the manifest race to a concurrent parent commit UNDOES its renames
+    and raises, leaving both sides intact. Refuses while the branch has
+    live shallow clones of its own (their absolute refs would break).
+
+    Streaming note: the parent's replay watermark (``max_batch``) is
+    preserved; a branch-side stream's watermark is adopted only when
+    the parent has none — two live lineages keep the HIGHER one (the
+    safe direction: a replayed id is skipped, never double-applied)."""
+    bdir = branch_dir(table_dir, name)
+    vdir = _versions_dir(bdir)
+    intent_path = os.path.join(vdir, _PUBLISH_INTENT)
+    resuming = os.path.exists(intent_path)
+    if not os.path.isdir(bdir) or (not _manifests(bdir) and not resuming):
+        raise FileNotFoundError(f"no branch {name!r} in {table_dir}")
+    if _clone_markers(bdir):
+        raise RuntimeError(
+            f"branch {name!r} has live shallow clones — publishing would "
+            "break their references; drop_clone them first"
+        )
+    parent_abs = os.path.abspath(table_dir)
+    branch_abs = os.path.abspath(bdir)
+    fork = _branch_fork(bdir)
+    parent_versions = _manifests(table_dir)
+
+    def _retire() -> None:
+        drop_clone(table_dir, bdir)
+        shutil.rmtree(bdir)
+
+    if resuming:
+        with open(intent_path) as f:
+            intent = json.load(f)
+        target = intent["target_version"]
+        if target in parent_versions:
+            m = _load_manifest(table_dir, target)
+            if m.get("mode") == f"publish({name}@{intent['branch_version']})":
+                _retire()  # crashed after publish, before retire
+                return target
+            raise RuntimeError(
+                f"publish of branch {name!r} lost version {target} to a "
+                f"concurrent {m.get('mode')!r} commit mid-crash — the "
+                "branch's renames may be partial; resolve manually"
+            )
+        # crashed between renames and publish: fall through and redo
+        # (renames are idempotent), using the recorded branch manifest
+    if not parent_versions or parent_versions[-1] != fork["version"]:
+        raise RuntimeError(
+            f"branch {name!r} forked at parent version {fork['version']} "
+            f"but the parent is at "
+            f"{parent_versions[-1] if parent_versions else 'empty'} — "
+            "diverged; publish refused (drop the branch and re-fork)"
+        )
+    bversions = _manifests(bdir)
+    bv = bversions[-1]
+    if bv == 0 and not resuming:  # nothing committed past the fork
+        _retire()
+        return fork["version"]
+    bm = _load_manifest(bdir, bv)
+    target = fork["version"] + 1
+
+    # plan the adoptions: every child of the branch's _data/_dv/_eqdel
+    moves: list[tuple[str, str]] = []
+    for sub in ("_data", "_dv", "_eqdel"):
+        sroot = os.path.join(bdir, sub)
+        if not os.path.isdir(sroot):
+            continue
+        os.makedirs(os.path.join(table_dir, sub), exist_ok=True)
+        for child in sorted(os.listdir(sroot)):
+            src = os.path.join(sroot, child)
+            dst = os.path.join(table_dir, sub, child)
+            if not resuming and os.path.exists(dst):
+                raise FileExistsError(
+                    f"adoption target {dst} already exists — refusing"
+                )
+            moves.append((src, dst))
+    if not resuming:
+        os.makedirs(vdir, exist_ok=True)
+        with open(intent_path, "w") as f:
+            json.dump({"target_version": target, "branch_version": bv}, f)
+    done: list[tuple[str, str]] = []
+    for src, dst in moves:
+        if resuming and not os.path.exists(src) and os.path.exists(dst):
+            continue  # this rename already happened before the crash
+        os.rename(src, dst)
+        done.append((src, dst))
+
+    # rebuild the branch's final manifest in the parent's frame
+    manifest = {
+        "version": target,
+        "committed_at": _commit_ts(_load_manifest(table_dir, fork["version"])),
+        "mode": f"publish({name}@{bv})",
+        "dirs": [_publish_remap(d, branch_abs, parent_abs) for d in bm["dirs"]],
+    }
+    if bm.get("schema") is not None:
+        manifest["schema"] = bm["schema"]
+    files = {}
+    for k, ent in (bm.get("files") or {}).items():
+        files[_publish_remap(k, branch_abs, parent_abs)] = ent
+    if files:
+        manifest["files"] = files
+    dv = {}
+    bdata = os.path.join(branch_abs, "_data")
+    for k, ent in (bm.get("dv") or {}).items():
+        e2 = {"refs": ent["refs"], "n": ent["n"]}
+        a = _dv_abs(bdir, k, ent)
+        if a.startswith(bdata + os.sep):
+            # branch-own file, adopted: its key was assigned as
+            # relpath(file, branch) at first vectoring, which equals
+            # relpath(new location, parent) after the rename — resolve
+            # against the parent (no base)
+            if os.path.normpath(os.path.join(parent_abs, k)) != os.path.join(
+                parent_abs, os.path.relpath(a, branch_abs)
+            ):
+                raise AssertionError(
+                    f"unexpected dv key {k!r} for adopted file {a}"
+                )
+        else:
+            # not moved (fork-inherited or foreign): keep resolving to
+            # its absolute home via base — pure path arithmetic, valid
+            # after the branch dir is gone
+            e2["base"] = ent.get("base", branch_abs)
+        dv[k] = e2
+    if dv:
+        manifest["dv"] = dv
+    eqdel = []
+    for entry in bm.get("eqdel") or []:
+        e2 = dict(entry)
+        # branch-relative refs ("_eqdel/…") and scope dirs ("_data/…")
+        # resolve under the parent after adoption; absolute ones are
+        # untouched by the rename; entries with a base keep it
+        eqdel.append(e2)
+    if eqdel:
+        manifest["eqdel"] = eqdel
+    parts = {}
+    for d, tag in (bm.get("partitions") or {}).items():
+        parts[_publish_remap(d, branch_abs, parent_abs)] = tag
+    if parts:
+        manifest["partitions"] = parts
+    for ck in ("checks", "generated", "colmap", "retired_cols"):
+        if bm.get(ck):
+            manifest[ck] = bm[ck]
+    parent_mb = _load_manifest(table_dir, fork["version"]).get("max_batch")
+    branch_mb = bm.get("max_batch")
+    mb = (
+        parent_mb
+        if branch_mb is None
+        else branch_mb
+        if parent_mb is None
+        else max(parent_mb, branch_mb)
+    )
+    if mb is not None:
+        manifest["max_batch"] = mb
+    try:
+        _publish_manifest(table_dir, target, manifest)
+    except FileExistsError:
+        for src, dst in reversed(done):  # undo; both sides stay intact
+            os.rename(dst, src)
+        os.remove(intent_path)
+        raise FileExistsError(
+            f"publish of branch {name!r} lost the race: the parent "
+            f"committed version {target} concurrently — diverged; the "
+            "branch is intact (drop and re-fork, or retry after review)"
+        ) from None
+    _retire()
+    return target
+
+
+def create_tag(table_dir: str, name: str, version: int | None = None) -> int:
+    """Pin an immutable named TAG to a version (default: latest) —
+    ``read_version(spark, t, tag="audited_2024q1")`` reads it forever:
+    ``vacuum`` keeps tagged versions (and the files they reference)
+    alive regardless of ``keep_last``/``older_than``. Tags never move;
+    re-pointing is ``drop_tag`` + ``create_tag``. Returns the pinned
+    version."""
+    _check_ref_name(name)
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise LookupError(f"version {version} not in {versions}")
+    tdir = os.path.join(_versions_dir(table_dir), _TAGS_SUBDIR)
+    os.makedirs(tdir, exist_ok=True)
+    try:
+        with open(os.path.join(tdir, f"{name}.json"), "x") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "created_at": dt.datetime.now(
+                        dt.timezone.utc
+                    ).isoformat(),
+                },
+                f,
+            )
+    except FileExistsError:
+        raise FileExistsError(
+            f"tag {name!r} already exists in {table_dir} (tags are "
+            "immutable — drop_tag first to re-point)"
+        ) from None
+    return version
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """``{tag name: pinned version}`` for every live tag."""
+    tdir = os.path.join(_versions_dir(table_dir), _TAGS_SUBDIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(tdir, f)) as fh:
+                out[f[: -len(".json")]] = json.load(fh)["version"]
+    return out
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    """The version a tag pins; raises ``LookupError`` for an unknown
+    tag."""
+    tags = list_tags(table_dir)
+    if name not in tags:
+        raise LookupError(f"no tag {name!r} in {table_dir} (have {sorted(tags)})")
+    return tags[name]
+
+
+def drop_tag(table_dir: str, name: str) -> None:
+    """Unpin a tag — its version becomes vacuumable again once outside
+    the retention guards."""
+    p = os.path.join(_versions_dir(table_dir), _TAGS_SUBDIR, f"{name}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no tag {name!r} in {table_dir}")
+    os.remove(p)

@@ -114,3 +114,30 @@ def test_vacuum_on_clone_spares_source_files(spark, tmp_path):
     # the source's data is intact and readable
     assert read_version(spark, src).count() == 1000
     assert read_version(spark, dst).count() == 10
+
+
+def test_clone_carries_partition_tags_and_historical_fork(spark, tmp_path):
+    """Partition tags ride the clone (re-keyed to its absolute-dir
+    frame) so partition pruning and drop_partitions keep working; and
+    at_version forks the HISTORICAL manifest, tags included."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        drop_partitions,
+    )
+
+    src = str(tmp_path / "src")
+    commit_version(_df(spark, 0, 100), src, partition_values={"day": "d1"})
+    commit_version(
+        _df(spark, 100, 200), src, mode="append", partition_values={"day": "d2"}
+    )
+    commit_version(
+        _df(spark, 200, 300), src, mode="append", partition_values={"day": "d3"}
+    )
+    dst = str(tmp_path / "dst")
+    clone_table(src, dst, at_version=1)  # historical: d1+d2 only
+    assert read_version(spark, dst).count() == 200
+    assert read_version(spark, dst, partitions={"day": "d1"}).count() == 100
+    # metadata-only retention works on the clone (tags were carried)
+    drop_partitions(dst, {"day": "d1"})
+    assert read_version(spark, dst).count() == 100
+    # the source is untouched at its own head
+    assert read_version(spark, src).count() == 300

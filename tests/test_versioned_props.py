@@ -121,6 +121,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
             partition_values={"t": tag},
         )
         model[v] = _rows(_df(spark, tag))
+        ref_tags: dict[str, int] = {}  # tag name -> pinned version
         for _step in range(10):
             op = rng.choice(
                 [
@@ -128,6 +129,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     "delete", "update", "merge", "vacuum",
                     "delete_dv", "materialize_dv", "delete_eq",
                     "update_dv", "compact", "constraint",
+                    "branch_wap", "tag",
                 ]
             )
             versions = sorted(model)
@@ -271,10 +273,55 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     model[v] = [
                         r for r in model[versions[-1]] if r[0] >= bound
                     ]
+            elif op == "branch_wap":
+                # the write-audit-publish cycle as ONE model step: fork,
+                # mutate the branch (invisible to the parent — checked
+                # mid-cycle), then either publish (fast-forward: the
+                # branch's final rows become the next version) or drop
+                # (the model is untouched, as if nothing happened)
+                from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+                    create_branch,
+                    drop_branch,
+                    publish_branch,
+                )
+
+                name = f"wap_{_step}"
+                b = create_branch(t, name)
+                tag += 1
+                commit_version(
+                    _df(spark, tag), b, mode="append", stats_cols=["k"],
+                    partition_values={"t": tag},
+                )
+                branch_rows = sorted(
+                    model[versions[-1]] + _rows(_df(spark, tag))
+                )
+                if rng.random() < 0.5:  # a row-level delete on the branch
+                    bound = rng.randrange(0, 5)
+                    delete_version_vectors(spark, b, F.col("k") < bound)
+                    branch_rows = [r for r in branch_rows if r[0] >= bound]
+                # branch commits are invisible to the parent until publish
+                assert (
+                    _rows(read_version(spark, t)) == model[versions[-1]]
+                ), f"seed={seed} step={_step} branch leaked pre-publish"
+                if rng.random() < 0.5:
+                    v = publish_branch(t, name)
+                    model[v] = branch_rows
+                else:
+                    drop_branch(t, name)
+            elif op == "tag":
+                from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+                    create_tag,
+                )
+
+                name = f"tag_{_step}"
+                ref_tags[name] = create_tag(t, name, rng.choice(versions))
             else:  # vacuum
                 keep = rng.randint(1, len(versions))
                 vacuum(t, keep_last=keep)
+                pinned = set(ref_tags.values())
                 for old in versions[:-keep]:
+                    if old in pinned:  # tagged: vacuum must keep it
+                        continue
                     del model[old]
                     with pytest.raises(LookupError):
                         read_version(spark, t, version=old)
