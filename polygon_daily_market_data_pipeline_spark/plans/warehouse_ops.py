@@ -1461,6 +1461,36 @@ _CHECK_SQL: dict[str, str] = {
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
 """,
+    "versioned_wap_isolation": """
+        -- the parent while a branch holds an append + a DV delete:
+        -- untouched v0 arithmetic (branch commits are invisible)
+        SELECT 'versioned_wap_isolation',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord)
+""",
+    "versioned_wap_published": """
+        -- after the fast-forward publish: %20==5 rows DV-deleted, the
+        -- appended %100 batch (key-shifted by a multiple of 20, so
+        -- never matching the delete) wholly present with unchanged
+        -- prices
+        SELECT 'versioned_wap_published',
+               (SELECT COUNT(*) FROM ord WHERE o_orderkey % 20 <> 5)
+                   + (SELECT COUNT(*) FROM ord WHERE o_orderkey % 100 = 0),
+               1,
+               ROUND((SELECT COALESCE(SUM(o_totalprice), 0) FROM ord
+                      WHERE o_orderkey % 20 <> 5)
+                     + (SELECT COALESCE(SUM(o_totalprice), 0) FROM ord
+                        WHERE o_orderkey % 100 = 0), 2)
+""",
+    "versioned_wap_tag": """
+        -- the pre-fork tag after publish + vacuum(keep_last=1): tags
+        -- pin their version (and files) — v0 arithmetic, forever
+        SELECT 'versioned_wap_tag',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord)
+""",
     "versioned_dv": f"""
         SELECT 'versioned_dv',
                (SELECT COUNT(*) FROM ord
@@ -1801,6 +1831,89 @@ def _pii_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     return [_row(row, "pii_counts")]
 
 
+def _wap_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Write-audit-publish script (``create_branch`` / ``publish_branch``
+    / ``create_tag`` — operators/versioned.py named refs): v0 = the ord
+    frame, tagged ``prefork``; a branch appends the key-shifted %100
+    subset (shift = power of 10 over MAX(o_orderkey) — collision-free
+    at any scale, and divisible by 20 so the shifted rows never match
+    the delete below) and DV-deletes every o_orderkey % 20 == 5 row.
+
+    ``versioned_wap_isolation``: the PARENT read while the branch holds
+    both mutations — count/sum must be the untouched v0 arithmetic
+    (branches are invisible until publish); n_aux pins the file-set
+    claim (the parent's scheduled data files are exactly the pre-fork
+    set). ``versioned_wap_published``: after the fast-forward publish —
+    survivors (%20 <> 5) plus the whole appended batch, recomputed by
+    DuckDB from orders alone; n_aux pins the ZERO-COPY adoption claim
+    (every pre-fork file carried verbatim; growth is exactly ONE
+    adopted directory — the branch's append; the DV rides as a sidecar,
+    not a rewrite). ``versioned_wap_tag``: after ``vacuum(keep_last=1)``
+    the pre-fork TAG still reads the v0 arithmetic (tags pin versions
+    and their files through publish + vacuum); n_aux pins the kept
+    manifest set = {tagged v0, published v1}."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _manifests,
+        create_branch,
+        create_tag,
+        delete_version_vectors,
+        publish_branch,
+        vacuum,
+    )
+
+    tdir = os.path.join(base, "wap_vt")
+    mxk = ord_df.agg(F.max("o_orderkey")).first()[0]
+    shift = 10 ** len(str(mxk))
+    commit_version(
+        ord_df.repartitionByRange(4, "o_orderkey"),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    pre_files = set(read_version(spark, tdir).inputFiles())
+    create_tag(tdir, "prefork")
+    b = create_branch(tdir, "audit")
+    commit_version(
+        ord_df.where(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_orderkey", (F.col("o_orderkey") + F.lit(shift)).cast("long")
+        ),
+        b,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    delete_version_vectors(spark, b, F.col("o_orderkey") % 20 == 5)
+
+    def _summ(df: DataFrame, aux: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(aux).alias("n_aux"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "val"
+            ),
+        )
+
+    par = read_version(spark, tdir)
+    iso_claim = 1 if set(par.inputFiles()) == pre_files else 0
+    iso_row = _summ(par, iso_claim)
+    v_pub = publish_branch(tdir, "audit")
+    pub = read_version(spark, tdir)
+    pub_data = {
+        f for f in pub.inputFiles() if f"{os.sep}_dv{os.sep}" not in f
+    }
+    new_dirs = {os.path.dirname(f) for f in pub_data - pre_files}
+    pub_claim = 1 if pre_files <= pub_data and len(new_dirs) == 1 else 0
+    pub_row = _summ(pub, pub_claim)
+    vacuum(tdir, keep_last=1)
+    tag_claim = 1 if sorted(_manifests(tdir)) == [0, v_pub] else 0
+    tag_row = _summ(read_version(spark, tdir, tag="prefork"), tag_claim)
+    return [
+        _row(iso_row, "versioned_wap_isolation"),
+        _row(pub_row, "versioned_wap_published"),
+        _row(tag_row, "versioned_wap_tag"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Branch registry and the three registered warehouse queries.
 #
@@ -1977,6 +2090,9 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["ivf_maintenance"]),
     ("pii", lambda s, sf, o, b: _pii_rows(s, sf),
      ["pii_counts"]),
+    ("wap", lambda s, sf, o, b: _wap_rows(s, o, b),
+     ["versioned_wap_isolation", "versioned_wap_published",
+      "versioned_wap_tag"]),
 ]
 
 _BRANCH_NAMES = [n for n, _f, _c in _BRANCH_DEFS]
@@ -1988,7 +2104,7 @@ _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 _CORE_BRANCHES = ["versioned", "skipping", "dv", "eqdel", "merge", "evolution"]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",
-    "rename", "asof", "ivf", "pii",
+    "rename", "asof", "ivf", "pii", "wap",
 ]
 _STREAMING_BRANCHES = [
     "scd2", "scd2_stored", "incremental", "versioned_stream",
@@ -2111,8 +2227,10 @@ def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-lifecycle + composed audits: bloom point lookup, bin-pack
     compaction, DLT-style expectations, CDC replication, partition
     retention, CHECK constraints, metadata-only column RENAME/DROP
-    (column mapping), time-travel DAX, IVF maintenance and PII counts
-    — 11 oracle-checked audit rows."""
+    (column mapping), time-travel DAX, IVF maintenance, PII counts,
+    and the branch write-audit-publish cycle (isolation → zero-copy
+    fast-forward → tag pinned through vacuum) — 14 oracle-checked
+    audit rows."""
     return _run_union(spark, sf_dir, _LIFECYCLE_BRANCHES)
 
 

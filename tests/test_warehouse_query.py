@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.001"
 
 EXPECTED_ROWS = {
     "warehouse_maintenance": 14,
-    "warehouse_lifecycle": 11,
+    "warehouse_lifecycle": 14,
     "warehouse_streaming": 10,
 }
 

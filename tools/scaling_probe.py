@@ -1082,6 +1082,91 @@ def probe_vacuum(spark, sf_dir: str) -> None:
     print(f"vacuum_sweep: {pts}")
 
 
+
+
+def probe_branch(spark, sf_dir: str) -> None:
+    """Branch/WAP claim: forking a branch is O(metadata) (one manifest
+    JSON — independent of table size) and publish_branch is O(branch
+    commits) (renames + one manifest — zero data bytes copied,
+    independent of PARENT size). Builds versioned orders tables from
+    1x/4x/16x key-shifted commits, runs one WAP cycle per scale (fork,
+    append a fixed ~1/64 batch, dv-delete ~64 scattered rows, publish)
+    and reports fork/publish wall-clock plus the bytes the PUBLISH
+    step itself added to the table subtree (manifest-only if the
+    zero-copy claim holds; the renames move bytes, never copy them).
+    Read-back pins correctness at every scale."""
+    import os
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        create_branch,
+        delete_version_vectors,
+        publish_branch,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(".")
+            )
+        return total
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).persist()
+    n = ord_df.count()
+    off = 10 ** len(str(n * 20))
+    batch = ord_df.limit(max(1, n // 64)).withColumn(
+        "o_orderkey", (F.col("o_orderkey") + F.lit(99 * off)).cast("long")
+    ).persist()
+    nb = batch.count()
+    step = max(1, n // 64)
+    for k in (1, 4, 16):
+        t = tempfile.mkdtemp(prefix=f"branch_probe_{k}x_")
+        for i in range(k):
+            commit_version(
+                ord_df.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                ).repartitionByRange(8, "o_orderkey"),
+                t,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        t0 = _t.monotonic()
+        b = create_branch(t, "wap")
+        t_fork = _t.monotonic() - t0
+        commit_version(batch, b, mode="append", stats_cols=["o_orderkey"])
+        # scattered dv delete across EVERY parent commit dir
+        delete_version_vectors(
+            spark, b, (F.col("o_orderkey") % off) % step == 0
+        )
+        n_del = k * -(-n // step)  # ceil(n/step) matches per commit
+        before = tree_bytes(t)
+        t0 = _t.monotonic()
+        publish_branch(t, "wap")
+        t_pub = _t.monotonic() - t0
+        pub_bytes = tree_bytes(t) - before
+        got = read_version(spark, t).count()
+        want = k * n + nb - n_del - -(-nb // step)  # batch rows match too
+        ok = "ok" if got == want else f"MISMATCH want {want}"
+        print(
+            f"branch {k}x({k * n}r): fork={t_fork * 1000:.1f}ms "
+            f"publish={t_pub:.2f}s publish_bytes={pub_bytes / 1024:.1f}KB "
+            f"readback={got} {ok}"
+        )
+    ord_df.unpersist()
+    batch.unpersist()
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1099,6 +1184,7 @@ def main() -> None:
         ("cdc", probe_cdc),
         ("expectations", probe_expectations),
         ("vacuum", probe_vacuum),
+        ("branch", probe_branch),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
