@@ -22,11 +22,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 SF = "/root/testdata/sf0.001"
 
-EXPECTED_ROWS = {
-    "warehouse_maintenance": 14,
-    "warehouse_lifecycle": 14,
-    "warehouse_streaming": 10,
-}
+def _expected_rows() -> dict[str, int]:
+    # derived from the branch registry, not hardcoded: the partition
+    # test below owns totality/disjointness; this just sizes each query
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        WAREHOUSE_QUERIES,
+        checks_for,
+    )
+
+    return {n: len(checks_for(b)) for n, b in WAREHOUSE_QUERIES.items()}
+
+
+EXPECTED_ROWS = _expected_rows()
 
 
 def _debris() -> list[str]:
@@ -80,9 +87,13 @@ def test_no_scratch_debris_tz_restored_nonutc_session(spark):
 
 
 def test_check_partition_is_total_and_disjoint():
-    """The three queries' check lists partition the 35 audit rows with
+    """The three queries' check lists partition the audit rows with
     no overlap and no orphan, and every check has an oracle fragment —
-    the blast-radius contract of the round-9 split."""
+    the blast-radius contract of the round-9 split. The expected total
+    is derived from _CHECK_SQL itself (a hardcoded 35 went stale the
+    moment round 9's final commit added the 3-row WAP branch — VERDICT
+    r9 "What's wrong #2"); the load-bearing hardcoded assertions are
+    disjointness and the ≤15-rows-per-query blast-radius cap."""
     from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
         _CHECK_SQL,
         WAREHOUSE_QUERIES,
@@ -94,7 +105,7 @@ def test_check_partition_is_total_and_disjoint():
         cs = checks_for(branches)
         assert len(cs) <= 15, f"{name} covers {len(cs)} rows (>15)"
         all_checks.extend(cs)
-    assert len(all_checks) == len(set(all_checks)) == 35
+    assert len(all_checks) == len(set(all_checks)) == len(_CHECK_SQL)
     assert set(all_checks) == set(_CHECK_SQL)
 
 
