@@ -2169,7 +2169,10 @@ def build_maintenance_union(
 
 
 def _run_union(
-    spark: SparkSession, sf_dir: str, branches: "list[str]"
+    spark: SparkSession,
+    sf_dir: str,
+    branches: "list[str]",
+    name: str = "warehouse",
 ) -> DataFrame:
     """Registered-query wrapper: pin UTC, build the selected branches in
     a per-call scratch dir, eagerly checkpoint the (tiny) audit rows,
@@ -2180,7 +2183,16 @@ def _run_union(
     in the SAME process (driver harness threads, a concurrent bench)
     must never share state — the round-8 union flaked unreproducibly,
     and same-pid scratch collision was one of the few candidate causes
-    that could not be excluded from the artifact alone."""
+    that could not be excluded from the artifact alone.
+
+    EVERY evaluation is self-evidencing (round-10, VERDICT r9 #1): the
+    checkpointed audit rows are collected here — a second collect of a
+    14-row localCheckpoint is free, and it reads the SAME materialized
+    partitions the caller's collect will read — and appended, raw plus
+    driver-normalized plus fingerprint, to ``WAREHOUSE_EVAL_LOG.jsonl``
+    via :mod:`..evidence`. The next driver-side hash mismatch is
+    therefore diffable to a named row from the committed log without
+    any reproduction attempt."""
     # the date-cut literals compare against TIMESTAMP columns: pin the
     # session to UTC so a non-UTC driver session cannot shift the
     # boundary relative to the naive-UTC DuckDB oracle (same contract
@@ -2204,7 +2216,11 @@ def _run_union(
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
         shutil.rmtree(base, ignore_errors=True)
-    return out.orderBy("check_name")
+    out = out.orderBy("check_name")
+    from polygon_daily_market_data_pipeline_spark.evidence import log_eval
+
+    log_eval(name, sf_dir, out.columns, [tuple(r) for r in out.collect()])
+    return out
 
 
 @register(
@@ -2216,7 +2232,9 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollback + change feed, stats/partition-pruned scans, copy-on-write
     and merge-on-read DELETE/UPDATE/MERGE, equality deletes, schema
     evolution — 14 oracle-checked audit rows (see module docstring)."""
-    return _run_union(spark, sf_dir, _CORE_BRANCHES)
+    return _run_union(
+        spark, sf_dir, _CORE_BRANCHES, name="warehouse_maintenance"
+    )
 
 
 @register(
@@ -2231,7 +2249,9 @@ def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the branch write-audit-publish cycle (isolation → zero-copy
     fast-forward → tag pinned through vacuum) — 14 oracle-checked
     audit rows."""
-    return _run_union(spark, sf_dir, _LIFECYCLE_BRANCHES)
+    return _run_union(
+        spark, sf_dir, _LIFECYCLE_BRANCHES, name="warehouse_lifecycle"
+    )
 
 
 @register(
@@ -2243,4 +2263,6 @@ def warehouse_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental refresh, streaming ingest into a versioned table,
     streaming MV maintenance, streaming corpus dedup and sequence
     packing — 10 oracle-checked audit rows."""
-    return _run_union(spark, sf_dir, _STREAMING_BRANCHES)
+    return _run_union(
+        spark, sf_dir, _STREAMING_BRANCHES, name="warehouse_streaming"
+    )

@@ -1,0 +1,151 @@
+"""The self-evidencing eval log (evidence.py): its normalization must
+be byte-identical to the harness mirror ``tools/check_oracle._norm``
+(the log's normalized values are only diagnostic if they reduce rows
+exactly the way the driver's hash does), and every ``_run_union``
+evaluation must leave a parseable JSONL record with full-precision raw
+values — the round-8/9 flakes were unreproducible precisely because the
+failing evaluations recorded nothing row-level."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import math
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+SF = "/root/testdata/sf0.001"
+
+_BATTERY = [
+    None,
+    0,
+    -7,
+    12345678901234567,
+    "plain",
+    "",
+    "with|pipe",
+    0.0,
+    -0.0,
+    1.5,
+    2.675,
+    -123.456789123,
+    1e-9,
+    1e17,
+    float("nan"),
+    float("inf"),
+    decimal.Decimal("0"),
+    decimal.Decimal("0.000000"),
+    decimal.Decimal("-12.30"),
+    datetime.date(2024, 2, 29),
+    datetime.datetime(2024, 2, 29, 23, 59, 59, 123456),
+    datetime.datetime(
+        2024, 6, 1, 12, 0, 0, tzinfo=datetime.timezone.utc
+    ),
+    datetime.datetime(
+        2024, 6, 1, 12, 0, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=-5)),
+    ),
+    [1, 2.5, "x"],
+    [],
+    [[1.0], [float("nan")]],
+    True,
+    False,
+]
+
+
+def test_norm_matches_check_oracle_norm():
+    from check_oracle import _norm
+
+    from polygon_daily_market_data_pipeline_spark.evidence import norm_value
+
+    for v in _BATTERY:
+        for side in (True, False):
+            got, want = norm_value(v, side), _norm(v, spark_side=side)
+            assert got == want, (v, side, got, want)
+
+
+def test_fingerprint_matches_check_oracle_fingerprint():
+    from check_oracle import fingerprint as oracle_fp
+
+    from polygon_daily_market_data_pipeline_spark.evidence import fingerprint
+
+    cols = ["check_name", "n_rows", "n_aux", "val"]
+    rows = [
+        ("a_check", 10, 1, 123.45),
+        ("b_check", 0, 0, float("nan")),
+        ("c_check", 7, 2, -0.005),
+    ]
+    for side in (True, False):
+        assert fingerprint(cols, rows, side) == oracle_fp(
+            cols, rows, spark_side=side
+        )
+    # order-insensitive in rows, sensitive to values
+    assert fingerprint(cols, rows) == fingerprint(cols, rows[::-1])
+    bumped = [rows[0][:3] + (123.450001,)] + rows[1:]
+    assert fingerprint(cols, rows) != fingerprint(cols, bumped)
+
+
+def test_log_eval_appends_jsonl_and_prints(tmp_path, monkeypatch, capsys):
+    from polygon_daily_market_data_pipeline_spark.evidence import log_eval
+
+    log = tmp_path / "eval.jsonl"
+    monkeypatch.setenv("WAREHOUSE_EVAL_LOG", str(log))
+    rows = [("x_check", 3, 1, 1.23456789), ("y_check", 0, 0, 0.0)]
+    cols = ["check_name", "n_rows", "n_aux", "val"]
+    fp1 = log_eval("q1", "/some/sf", cols, rows)
+    fp2 = log_eval("q1", "/some/sf", cols, rows)
+    assert fp1 == fp2
+    out = capsys.readouterr().out
+    assert f"fp={fp1}" in out and "query=q1" in out
+    lines = [json.loads(x) for x in log.read_text().splitlines()]
+    assert len(lines) == 2
+    rec = lines[0]
+    assert rec["query"] == "q1" and rec["fingerprint"] == fp1
+    assert rec["cols"] == cols
+    # raw keeps full precision, norm is the 6dp driver reduction
+    assert rec["rows"][0]["raw"][3] == repr(1.23456789)
+    assert rec["rows"][0]["norm"][3] == "1.234568"
+    assert rec["pid"] == os.getpid()
+
+
+def test_log_eval_never_raises_on_unwritable_sink(monkeypatch, capsys):
+    from polygon_daily_market_data_pipeline_spark.evidence import log_eval
+
+    monkeypatch.setenv(
+        "WAREHOUSE_EVAL_LOG", "/nonexistent-dir/nope/eval.jsonl"
+    )
+    fp = log_eval("q", "/sf", ["check_name", "val"], [("c", 1.0)])
+    assert f"fp={fp}" in capsys.readouterr().out
+    # empty value disables the sink entirely, stdout line remains
+    monkeypatch.setenv("WAREHOUSE_EVAL_LOG", "")
+    fp = log_eval("q", "/sf", ["check_name", "val"], [("c", 1.0)])
+    assert f"fp={fp}" in capsys.readouterr().out
+
+
+def test_run_union_writes_eval_record(spark, tmp_path, monkeypatch):
+    """An actual registered-query evaluation (smallest branch: packing,
+    one audit row over sf0.001 documents) leaves a complete log record
+    whose normalized values match what a caller's own collect sees."""
+    from check_oracle import _norm
+
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        _run_union,
+    )
+
+    log = tmp_path / "eval.jsonl"
+    monkeypatch.setenv("WAREHOUSE_EVAL_LOG", str(log))
+    df = _run_union(spark, SF, ["packing"], name="eval_probe")
+    got = [tuple(r) for r in df.collect()]
+    recs = [json.loads(x) for x in log.read_text().splitlines()]
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["query"] == "eval_probe" and rec["sf_dir"] == SF
+    assert len(rec["rows"]) == len(got) == 1
+    assert rec["rows"][0]["norm"] == [
+        _norm(v, spark_side=True) for v in got[0]
+    ]
+    assert not math.isnan(float(rec["rows"][0]["raw"][3]))
