@@ -21,12 +21,18 @@ from the base tables — e.g. the SCD2 history count is |keys| + |new
 keys| + |changed keys|, a versioned table's AS OF count is a date
 filter — so the comparison is value-exact, not shape-only.
 
-Float-sum discipline: ``val`` is either an exact-integer sum (SCD2 key
-sums), an order-insensitive MAX, or a ROUND(...,2) over an
-orders-sized sum where accumulated double drift is ≤1e-4 — never a
-rounded global sum over a table big enough for summation order to
-reach the rounding boundary (events sums are compared Spark-vs-Spark
-with an explicit 0.01 tolerance instead).
+Float-sum discipline (round 10 — VERDICT r9 #4): every money ``val``
+is an EXACT decimal sum (``_money_sum`` / ``_msum``: per-element
+DECIMAL(18,2) cast, integer decimal summation, surfaced as DOUBLE) —
+order-independent by construction on both engines, so partial-
+aggregation order can never move a value, let alone across a rounding
+boundary. The remaining non-decimal vals are exact-integer sums (SCD2
+key sums, evolution, asof — int division rounds identically from
+identical doubles), an order-insensitive MAX over per-group 4dp rounds
+of integral-cent data (streaming_mv, margin 5e-5 ≫ 1e-9 drift; its
+equality row is Spark-vs-Spark with an explicit 0.01 tolerance), and
+the MV-composed incremental sum, decimal-cast at the stored-group
+level (group drift ≤1e-9 ≪ half-cent).
 
 Scale notes: each branch is the operator's real plan — the SCD2 merge
 joins only the current slice, the incremental refresh scans only new
@@ -78,6 +84,35 @@ _TS2 = "2024-02-01 00:00:00"
 _CUT = "1998-01-01 00:00:00"
 
 _SCHEMA = "check_name string, n_rows bigint, n_aux bigint, val double"
+
+# Money audit sums are EXACT by construction (round 10, VERDICT r9 #4):
+# each element is cast to DECIMAL(18,2) — unambiguous for this data,
+# where every price is (within 1 ulp of) an integral-cent value, so the
+# engines' differing double->decimal tie conventions can never fire —
+# then summed in integer decimal arithmetic (order-INDEPENDENT, unlike
+# the double sum whose partial-aggregation order varies with
+# partitioning and task scheduling) and surfaced as DOUBLE, exact below
+# 2^53 cents (~$90T — far past any realistic SF). This replaces
+# ROUND(SUM(double), 2), whose last cent could in principle flip
+# between evaluations when the accumulated double error approached the
+# half-cent boundary — the one remaining candidate for the r8/r9
+# driver-only hash flakes that no margin audit can fully retire.
+# tests/test_warehouse_query.py pins the integral-cent data property.
+_MONEY_DEC = "decimal(18,2)"
+
+
+def _money_sum(col) -> "F.Column":
+    """Exact, order-independent money sum as DOUBLE; 0.0 when empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.sum(c.cast(_MONEY_DEC)).cast("double"), F.lit(0.0)
+    )
+
+
+def _msum(expr: str, zero_if_empty: bool = True) -> str:
+    """DuckDB twin of :func:`_money_sum` for the oracle fragments."""
+    s = f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+    return f"COALESCE({s}, 0)" if zero_if_empty else s
 
 
 def _row(df: DataFrame, name: str) -> DataFrame:
@@ -220,7 +255,7 @@ def _incremental_rows(
     rollup = agg.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n").alias("n_aux"),
-        F.round(F.sum("sum_total"), 2).alias("val"),
+        _money_sum("sum_total").alias("val"),
     )
     full = (
         spark.read.parquet(fact)
@@ -279,9 +314,8 @@ def _versioned_rows(
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(aux).alias("n_aux"),
-            # COALESCE for the feed row: an empty change set must read
-            # 0.0 like the oracle's COALESCE(SUM(...), 0)
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
+            # exact decimal sum; 0.0 for the empty change-feed row
+            _money_sum("o_totalprice").alias("val"),
         )
 
     return [
@@ -356,7 +390,7 @@ def _skipping_rows(
     skip_row = scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(pruned_claim).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     # copy-on-write DELETE of the scanned range: the surviving table is
     # the SQL-exact complement, and n_aux pins the reference-carry
@@ -376,7 +410,7 @@ def _skipping_rows(
     del_row = after.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(1 if carried >= 1 else 0).alias("n_aux"),
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(skip_row, "versioned_skipping"), _row(del_row, "versioned_delete")]
 
@@ -442,9 +476,7 @@ def _dv_rows(
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(aux).alias("n_aux"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
-                "val"
-            ),
+            _money_sum("o_totalprice").alias("val"),
         )
 
     # the DV-applied plan's file list includes the _dv sidecar (the
@@ -539,7 +571,7 @@ def _eqdel_rows(
     row = read_version(spark, tdir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(claim).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "versioned_eqdel")]
 
@@ -604,7 +636,7 @@ def _merge_rows(
     row = after.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(carried).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     # row-level diff across the merge commit (diff_versions — the
     # explicit diff the append-only change feed defers to on
@@ -621,17 +653,11 @@ def _merge_rows(
     diff_row = diff.agg(
         F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
         F.lit(diff_scan_clean).alias("n_aux"),
-        F.round(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("_change_type") == "insert",
-                        F.col("o_totalprice") * F.col("_n"),
-                    )
-                ),
-                F.lit(0),
-            ),
-            2,
+        _money_sum(
+            F.when(
+                F.col("_change_type") == "insert",
+                F.col("o_totalprice") * F.col("_n"),
+            )
         ).alias("val"),
     )
     # the SAME merge through strategy="merge_on_read": matched rows
@@ -673,7 +699,7 @@ def _merge_rows(
     mor_row = after_mor.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(mor_carried).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [
         _row(row, "versioned_merge"),
@@ -768,7 +794,7 @@ def _versioned_stream_rows(
     row = read_version(spark, tdir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(streamed_shape).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "versioned_stream")]
 
@@ -908,7 +934,7 @@ def _checks_rows(
     row = read_version(spark, tdir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(refused).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "versioned_checks")]
 
@@ -954,7 +980,7 @@ def _retention_rows(
     drop_partitions(tdir, {"q": 1})
     pruned = read_version(spark, tdir, partitions={"q": (2, 3)})
     pruned_sum = pruned.agg(
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2)
+        _money_sum("o_totalprice")
     ).first()[0]
     claim = (
         1
@@ -1030,7 +1056,7 @@ def _cdc_rows(
     row = read_version(spark, dst).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(claim).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "cdc_replica")]
 
@@ -1074,7 +1100,7 @@ def _expectations_rows(
     row = res.quarantined.agg(
         F.lit(n_clean).cast("long").alias("n_rows"),
         F.lit(claim).alias("n_aux"),
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "expectations")]
 
@@ -1148,7 +1174,7 @@ def _compact_rows(
     row = read_version(spark, tdir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(claim).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "versioned_compact")]
 
@@ -1183,7 +1209,7 @@ def _bloom_rows(
     row = scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(claim).alias("n_aux"),
-        F.round(F.sum("o_totalprice"), 2).alias("val"),
+        _money_sum("o_totalprice").alias("val"),
     )
     return [_row(row, "versioned_bloom")]
 
@@ -1383,7 +1409,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_stream',
                (SELECT COUNT(*) FROM ord_v0),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord_v0)
 """,
     "corpus_stream_dedup": f"""
         SELECT 'corpus_stream_dedup',
@@ -1402,7 +1428,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'incremental_refresh',
                (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
                (SELECT COUNT(*) FROM ord),
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord)
 """,
     "incremental_equals_full": f"""
         SELECT 'incremental_equals_full',
@@ -1414,7 +1440,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_rename',
                (SELECT COUNT(*) FROM ord WHERE o_orderkey % 3 = 0),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord
                 WHERE o_orderkey % 3 = 0)
 """,
     "versioned_rename_mutate": f"""
@@ -1422,33 +1448,33 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord
                 WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0)
 """,
     "versioned_v0": f"""
         SELECT 'versioned_v0',
                (SELECT COUNT(*) FROM ord_v0),
                0,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord_v0)
 """,
     "versioned_asof": f"""
         SELECT 'versioned_asof',
                (SELECT COUNT(*) FROM ord),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord)
 """,
     "versioned_rollback": f"""
         SELECT 'versioned_rollback',
                (SELECT COUNT(*) FROM ord_v0),
                2,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord_v0)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord_v0)
 """,
     "versioned_changes": f"""
         SELECT 'versioned_changes',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderdate >= TIMESTAMP '{_CUT}'),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE o_orderdate >= TIMESTAMP '{_CUT}')
 """,
     "versioned_delete": f"""
@@ -1457,7 +1483,7 @@ _CHECK_SQL: dict[str, str] = {
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord)),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
 """,
@@ -1467,7 +1493,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_wap_isolation',
                (SELECT COUNT(*) FROM ord),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord)
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord)
 """,
     "versioned_wap_published": """
         -- after the fast-forward publish: %20==5 rows DV-deleted, the
@@ -1478,10 +1504,12 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM ord WHERE o_orderkey % 20 <> 5)
                    + (SELECT COUNT(*) FROM ord WHERE o_orderkey % 100 = 0),
                1,
-               ROUND((SELECT COALESCE(SUM(o_totalprice), 0) FROM ord
-                      WHERE o_orderkey % 20 <> 5)
-                     + (SELECT COALESCE(SUM(o_totalprice), 0) FROM ord
-                        WHERE o_orderkey % 100 = 0), 2)
+               CAST((SELECT COALESCE(SUM(CAST(o_totalprice
+                                               AS DECIMAL(18,2))), 0)
+                      FROM ord WHERE o_orderkey % 20 <> 5)
+                    + (SELECT COALESCE(SUM(CAST(o_totalprice
+                                                AS DECIMAL(18,2))), 0)
+                       FROM ord WHERE o_orderkey % 100 = 0) AS DOUBLE)
 """,
     "versioned_wap_tag": """
         -- the pre-fork tag after publish + vacuum(keep_last=1): tags
@@ -1489,7 +1517,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_wap_tag',
                (SELECT COUNT(*) FROM ord),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord)
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord)
 """,
     "versioned_dv": f"""
         SELECT 'versioned_dv',
@@ -1497,7 +1525,7 @@ _CHECK_SQL: dict[str, str] = {
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord)),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
 """,
@@ -1509,7 +1537,7 @@ _CHECK_SQL: dict[str, str] = {
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord)),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
 """,
@@ -1521,9 +1549,10 @@ _CHECK_SQL: dict[str, str] = {
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord)),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0)
-                             + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
-                                                   THEN 1 END), 2)
+               (SELECT CAST(COALESCE(SUM(CAST(o_totalprice
+                                               AS DECIMAL(18,2))), 0)
+                            + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
+                                                  THEN 1 END) AS DOUBLE)
                 FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
@@ -1532,9 +1561,9 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_eqdel',
                (SELECT COUNT(*) FROM ord_v0),
                1,
-               (SELECT ROUND(SUM(o_totalprice)
-                             + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
-                                                   THEN 1 END), 2)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            + 100000 * COUNT(CASE WHEN o_orderkey % 10 = 0
+                                                  THEN 1 END) AS DOUBLE)
                 FROM ord_v0)
 """,
     "versioned_diff": f"""
@@ -1545,16 +1574,19 @@ _CHECK_SQL: dict[str, str] = {
                    + (SELECT COUNT(*) FROM mrg_ins),
                1,
                -- insert-side value: updated images carry +100000 each
-               ROUND((SELECT COALESCE(SUM(o_totalprice), 0) FROM mrg_upd)
-                     + 100000 * (SELECT COUNT(*) FROM mrg_upd)
-                     + (SELECT COALESCE(SUM(o_totalprice), 0) FROM mrg_ins),
-                     2)
+               CAST((SELECT COALESCE(SUM(CAST(o_totalprice
+                                               AS DECIMAL(18,2))), 0)
+                      FROM mrg_upd)
+                    + 100000 * (SELECT COUNT(*) FROM mrg_upd)
+                    + (SELECT COALESCE(SUM(CAST(o_totalprice
+                                                AS DECIMAL(18,2))), 0)
+                       FROM mrg_ins) AS DOUBLE)
 """,
     "versioned_checks": f"""
         SELECT 'versioned_checks',
                (SELECT COUNT(*) FROM ord),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord)
 """,
     "versioned_retention": f"""
         -- partition retention: Q1 dropped metadata-only; the value is
@@ -1563,7 +1595,7 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM ord
                 WHERE EXTRACT(QUARTER FROM o_orderdate) <> 1),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE EXTRACT(QUARTER FROM o_orderdate) IN (2, 3))
 """,
     "cdc_replica": f"""
@@ -1573,12 +1605,14 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM ord)
                    + (SELECT COUNT(*) FROM ord WHERE o_orderkey % 100 = 0),
                1,
-               ROUND(
-                   (SELECT SUM(CASE WHEN o_orderkey % 10 = 0
-                                    THEN o_totalprice + 100000
-                                    ELSE o_totalprice END) FROM ord)
-                   + (SELECT COALESCE(SUM(o_totalprice + 50000), 0)
-                      FROM ord WHERE o_orderkey % 100 = 0), 2)
+               CAST(
+                   (SELECT SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                                         THEN o_totalprice + 100000
+                                         ELSE o_totalprice END
+                               AS DECIMAL(18,2))) FROM ord)
+                   + (SELECT COALESCE(SUM(CAST(o_totalprice + 50000
+                                               AS DECIMAL(18,2))), 0)
+                      FROM ord WHERE o_orderkey % 100 = 0) AS DOUBLE)
 """,
     "expectations": f"""
         -- expectations quarantine: every 97th key; NULL conditions and
@@ -1586,7 +1620,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'expectations',
                (SELECT COUNT(*) FROM ord WHERE o_orderkey % 97 <> 0),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE o_orderkey % 97 = 0)
 """,
     "versioned_compact": f"""
@@ -1595,13 +1629,14 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_compact',
                (SELECT COUNT(*) FROM ord),
                1,
-               (SELECT ROUND(SUM(o_totalprice), 2) FROM ord)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord)
 """,
     "versioned_bloom": f"""
         SELECT 'versioned_bloom',
                1,
                1,
-               (SELECT ROUND(o_totalprice, 2) FROM ord
+               (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            AS DOUBLE) FROM ord
                 WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM ord))
 """,
     "versioned_evolution": f"""
@@ -1616,7 +1651,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_merge',
                (SELECT COUNT(*) FROM mrg),
                1,
-               (SELECT ROUND(SUM(p), 2) FROM mrg)
+               (SELECT CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM mrg)
 """,
     "versioned_merge_mor": f"""
         -- identical arithmetic to versioned_merge: the merge-on-read
@@ -1624,7 +1659,7 @@ _CHECK_SQL: dict[str, str] = {
         SELECT 'versioned_merge_mor',
                (SELECT COUNT(*) FROM mrg),
                1,
-               (SELECT ROUND(SUM(p), 2) FROM mrg)
+               (SELECT CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM mrg)
 """,
     "versioned_skipping": f"""
         SELECT 'versioned_skipping',
@@ -1632,7 +1667,7 @@ _CHECK_SQL: dict[str, str] = {
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                  AS BIGINT) FROM ord)),
                1,
-               (SELECT ROUND(COALESCE(SUM(o_totalprice), 0), 2) FROM ord
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                  AS BIGINT) FROM ord))
 """,
@@ -1717,7 +1752,8 @@ _CHECK_SQL: dict[str, str] = {
 def _oracle_for(checks: "list[str]") -> str:
     """Compose the DuckDB oracle for a subset of audit rows. A zero-row
     aliased header names the union's columns so every stored fragment
-    stays alias-free and byte-identical to the round-8 oracle text."""
+    stays alias-free (money vals are the exact decimal sums of
+    ``_msum`` since round 10)."""
     header = (
         "SELECT CAST(NULL AS VARCHAR) AS check_name, "
         "CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS n_aux, "
@@ -1888,9 +1924,7 @@ def _wap_rows(
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(aux).alias("n_aux"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
-                "val"
-            ),
+            _money_sum("o_totalprice").alias("val"),
         )
 
     par = read_version(spark, tdir)
@@ -2015,7 +2049,7 @@ def _rename_rows(
     ren_row = full.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(1 if meta_only and travels and prune_ok else 0).alias("n_aux"),
-        F.round(F.sum("price"), 2).alias("val"),
+        _money_sum("price").alias("val"),
     )
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
@@ -2034,7 +2068,7 @@ def _rename_rows(
     mut_row = read_version(spark, tdir).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(1 if drop_ok else 0).alias("n_aux"),
-        F.round(F.sum("price"), 2).alias("val"),
+        _money_sum("price").alias("val"),
     )
     return [
         _row(ren_row, "versioned_rename"),

@@ -18,6 +18,8 @@ import sys
 import tempfile
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 SF = "/root/testdata/sf0.001"
@@ -107,6 +109,65 @@ def test_check_partition_is_total_and_disjoint():
         all_checks.extend(cs)
     assert len(all_checks) == len(set(all_checks)) == len(_CHECK_SQL)
     assert set(all_checks) == set(_CHECK_SQL)
+
+
+def test_money_columns_are_integral_cents():
+    """``_money_sum``'s exactness argument (warehouse_ops module
+    docstring) requires every summed price to be within 1 ulp of an
+    integral-cent value — that's what makes the per-element
+    DECIMAL(18,2) cast unambiguous on BOTH engines despite their
+    different double->decimal rounding conventions (Spark rounds the
+    shortest decimal repr, DuckDB the exact binary value; they disagree
+    near .xx5 boundaries, which integral-cent data never approaches).
+    Pin the property at every test scale factor so a testdata change
+    that breaks the assumption names itself here, not as a driver-side
+    hash flake."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for tbl, col in (("orders", "o_totalprice"), ("events", "value")):
+            n = con.sql(
+                f"SELECT COUNT(*) FROM '/root/testdata/{sf}/{tbl}.parquet'"
+                f" WHERE {col} <> ROUND({col}, 2)"
+            ).fetchone()[0]
+            assert n == 0, (sf, tbl, col, n)
+
+
+def test_money_sum_is_partitioning_independent(spark):
+    """The round-8/9 flake class: a double SUM's partial-aggregation
+    order varies with partitioning, so ROUND(SUM(double),2) could in
+    principle flip its last cent between evaluations. ``_money_sum``
+    must be bit-identical across adversarial partitionings AND equal to
+    DuckDB's exact decimal sum (``_msum``) on the same rows."""
+    import duckdb
+
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        _money_sum,
+        _msum,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ord_df = load_table(spark, SF, "orders").where(
+        F.col("o_custkey") % 4 == 1
+    )
+    got = set()
+    for layout in (
+        lambda d: d.coalesce(1),
+        lambda d: d.repartition(7),
+        lambda d: d.repartition(32, "o_orderkey"),
+        lambda d: d.orderBy(F.col("o_totalprice").desc()).coalesce(2),
+    ):
+        got.add(layout(ord_df).agg(_money_sum("o_totalprice")).first()[0])
+    assert len(got) == 1, got
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT {_msum('o_totalprice')} FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey % 4 = 1"
+    ).fetchone()[0]
+    assert got == {want}
 
 
 def test_union_rows_deterministic_across_three_runs(spark):
