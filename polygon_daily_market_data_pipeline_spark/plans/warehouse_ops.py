@@ -909,11 +909,33 @@ def _packing_rows(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 def _checks_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
-    """Table-level CHECK constraints: v0 defines ``o_totalprice > 0``,
-    an append of NEGATED prices must be REFUSED (publishing nothing —
+    """Table-level CHECK constraints, at-overwrite AND post-hoc.
+
+    Row 1 (``versioned_checks``): v0 defines ``o_totalprice > 0``, an
+    append of NEGATED prices must be REFUSED (publishing nothing —
     n_aux pins that the ValueError fired and the row count proves no
     partial state leaked), then the honest append lands. n_rows/val are
-    the SQL-exact count/sum over the full ord set."""
+    the SQL-exact count/sum over the full ord set.
+
+    Row 2 (``versioned_checks_posthoc`` — new r10, VERDICT r9 #3): the
+    ``add_check``/``drop_check`` lifecycle on LIVE data. On the full
+    table: (a) ``add_check`` of a predicate the data satisfies
+    (``o_custkey % 4 = 1`` — true by the ord slice construction) lands
+    METADATA-ONLY (zero data bytes moved, visible rows unchanged);
+    (b) ``add_check`` of a violated predicate (``o_totalprice < 0``)
+    raises and publishes NOTHING (version unchanged); (c) a later
+    append violating the post-hoc constraint (custkey shifted off the
+    residue) is REFUSED with the table count unchanged — post-hoc
+    checks enforce exactly like overwrite-time ones; (d) after
+    ``drop_check`` the SAME batch lands — proving the refusal came
+    from the constraint, not the data. n_rows/val are the SQL-exact
+    count/sum of ord + the landed batch (= pre-cut rows re-keyed);
+    n_aux packs a-d as one all-or-nothing claim bit."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        add_check,
+        drop_check,
+    )
+
     tdir = os.path.join(base, "chk_vt")
     cut = F.lit(_CUT).cast("timestamp")
     pre = ord_df.where(F.col("o_orderdate") < cut)
@@ -936,7 +958,139 @@ def _checks_rows(
         F.lit(refused).alias("n_aux"),
         _money_sum("o_totalprice").alias("val"),
     )
-    return [_row(row, "versioned_checks")]
+
+    # --- post-hoc lifecycle (row 2) ---
+    def data_bytes() -> int:
+        total = 0
+        for r, _d, files in os.walk(os.path.join(tdir, "_data")):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    n_full = read_version(spark, tdir).count()
+    bytes_before = data_bytes()
+    v_add = add_check(spark, tdir, "custkey_residue", "o_custkey % 4 = 1")
+    add_meta_only = (
+        data_bytes() == bytes_before
+        and read_version(spark, tdir).count() == n_full
+        and history(tdir)[-1]["version"] == v_add
+    )
+    refused_add = 0
+    try:
+        add_check(spark, tdir, "never_true", "o_totalprice < 0")
+    except ValueError:
+        refused_add = 1
+    nothing_published = history(tdir)[-1]["version"] == v_add
+    # the batch: pre-cut rows re-keyed off the %4==1 residue (violates
+    # the post-hoc check; prices untouched so the oracle recomputes its
+    # sum from ord_v0 directly)
+    batch = pre.withColumn(
+        "o_custkey", (F.col("o_custkey") + F.lit(1)).cast("long")
+    ).coalesce(4)
+    refused_enforce = 0
+    try:
+        commit_version(batch, tdir, mode="append")
+    except ValueError:
+        refused_enforce = 1
+    enforce_clean = read_version(spark, tdir).count() == n_full
+    drop_check(tdir, "custkey_residue")
+    commit_version(batch, tdir, mode="append")  # same batch now lands
+    claim = (
+        1
+        if add_meta_only
+        and refused_add
+        and nothing_published
+        and refused_enforce
+        and enforce_clean
+        else 0
+    )
+    posthoc = read_version(spark, tdir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        _money_sum("o_totalprice").alias("val"),
+    )
+    return [
+        _row(row, "versioned_checks"),
+        _row(posthoc, "versioned_checks_posthoc"),
+    ]
+
+
+def _generated_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Generated columns (Delta ``GENERATED ALWAYS AS`` analog — new
+    r10, VERDICT r9 #3) as the star-schema date_sk pattern: v0 = the
+    pre-cut ord slice committed with ``date_sk GENERATED ALWAYS AS
+    yyyyMMdd(o_orderdate)``, range-clustered on o_orderdate with stats
+    on the GENERATED key; the post-cut append OMITS the column and the
+    table computes it in-commit.
+
+    n_rows = SQL-exact full count; val = the exact decimal price sum of
+    a derived-key range scan (``date_sk <= yyyyMMdd(cut)-1``) — DuckDB
+    recomputes it from the TIMESTAMP cut directly, so the generated
+    key's prune must be row-exact, not just file-sparing. n_aux packs
+    the claims: (a) every stored date_sk equals the expression (the
+    table computes, writers don't), (b) an append SUPPLYING an
+    inconsistent date_sk is refused by the implicit ``gen_`` CHECK with
+    the count unchanged, (c) the derived-key scan scheduled strictly
+    fewer files than the table holds (generated-key stats prune like
+    stored-column stats)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    tdir = os.path.join(base, "gen_vt")
+    cut = F.lit(_CUT).cast("timestamp")
+    gen = {"date_sk": "CAST(date_format(o_orderdate, 'yyyyMMdd') AS INT)"}
+    pre = ord_df.where(F.col("o_orderdate") < cut)
+    post = ord_df.where(F.col("o_orderdate") >= cut)
+    commit_version(
+        pre.repartitionByRange(4, "o_orderdate"),
+        tdir,
+        generated_cols=gen,
+        stats_cols=["date_sk"],
+    )
+    commit_version(
+        post.coalesce(2), tdir, mode="append", stats_cols=["date_sk"]
+    )
+    full = read_version(spark, tdir)
+    n_full = full.count()
+    computed_ok = (
+        full.where(
+            ~F.col("date_sk").eqNullSafe(F.expr(gen["date_sk"]))
+        )
+        .limit(1)
+        .count()
+        == 0
+    )
+    refused = 0
+    try:
+        commit_version(
+            post.withColumn("date_sk", F.lit(0)), tdir, mode="append"
+        )
+    except ValueError:
+        refused = 1
+    clean = read_version(spark, tdir).count() == n_full
+    # yyyyMMdd of the day before the cut: == the timestamp cut for the
+    # midnight-aligned orderdates (pinned by the oracle's recompute)
+    hi_sk = int(_CUT[:10].replace("-", "")) - 1
+    pruned, st = scan_version_with_stats(
+        spark, tdir, {"date_sk": (None, hi_sk)}
+    )
+    pruned_sum = pruned.agg(_money_sum("o_totalprice")).first()[0]
+    prune_files_ok = st.files_scheduled < st.files_total
+    claim = (
+        1 if computed_ok and refused and clean and prune_files_ok else 0
+    )
+    row = full.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(claim).alias("n_aux"),
+        F.lit(pruned_sum).cast("double").alias("val"),
+    )
+    return [_row(row, "versioned_generated")]
 
 
 def _retention_rows(
@@ -1588,6 +1742,32 @@ _CHECK_SQL: dict[str, str] = {
                1,
                (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ord)
 """,
+    "versioned_checks_posthoc": f"""
+        -- add_check/drop_check lifecycle: final table = full ord plus
+        -- the once-refused re-keyed pre-cut batch (prices untouched);
+        -- n_aux = 1 iff metadata-only add + both refusals + clean
+        -- enforcement all held
+        SELECT 'versioned_checks_posthoc',
+               (SELECT COUNT(*) FROM ord) + (SELECT COUNT(*) FROM ord_v0),
+               1,
+               CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM ord)
+                    + (SELECT COALESCE(SUM(CAST(o_totalprice
+                                               AS DECIMAL(18,2))), 0)
+                       FROM ord_v0) AS DOUBLE)
+""",
+    "versioned_generated": f"""
+        -- date_sk GENERATED ALWAYS AS yyyyMMdd(o_orderdate): n_rows =
+        -- full count; val = the derived-key range scan's exact price
+        -- sum, which DuckDB recomputes from the TIMESTAMP cut (the
+        -- generated key's prune must be row-exact)
+        SELECT 'versioned_generated',
+               (SELECT COUNT(*) FROM ord),
+               1,
+               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice
+                                              AS DECIMAL(18,2)))
+                                     AS DOUBLE), 0) FROM ord_v0)
+""",
     "versioned_retention": f"""
         -- partition retention: Q1 dropped metadata-only; the value is
         -- the partition-PRUNED Q2-Q3 read
@@ -2094,6 +2274,8 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["versioned_merge", "versioned_merge_mor", "versioned_diff"]),
     ("evolution", lambda s, sf, o, b: _evolution_rows(s, o, b),
      ["versioned_evolution"]),
+    ("generated", lambda s, sf, o, b: _generated_rows(s, o, b),
+     ["versioned_generated"]),
     ("bloom", lambda s, sf, o, b: _bloom_rows(s, o, b),
      ["versioned_bloom"]),
     ("compact", lambda s, sf, o, b: _compact_rows(s, o, b),
@@ -2105,7 +2287,7 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("retention", lambda s, sf, o, b: _retention_rows(s, o, b),
      ["versioned_retention"]),
     ("checks", lambda s, sf, o, b: _checks_rows(s, o, b),
-     ["versioned_checks"]),
+     ["versioned_checks", "versioned_checks_posthoc"]),
     ("rename", lambda s, sf, o, b: _rename_rows(s, o, b),
      ["versioned_rename", "versioned_rename_mutate"]),
     ("versioned_stream", lambda s, sf, o, b: _versioned_stream_rows(s, o, b),
@@ -2135,7 +2317,10 @@ _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 # The three-query split: row-level mutation core / table lifecycle +
 # composed audits / the streaming-and-pipeline scripts. Each stays ≤15
 # audit rows, so one regressing branch reds at most a third of the layer.
-_CORE_BRANCHES = ["versioned", "skipping", "dv", "eqdel", "merge", "evolution"]
+_CORE_BRANCHES = [
+    "versioned", "skipping", "dv", "eqdel", "merge", "evolution",
+    "generated",
+]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",
     "rename", "asof", "ivf", "pii", "wap",
