@@ -353,6 +353,33 @@ def _ann_recall_audit(ann: DataFrame, bf: DataFrame, k: int) -> DataFrame:
     )
 
 
+# SQL-portable deterministic audit slice (sample_every=N keeps the
+# queries where this holds): Knuth multiplicative hash, bigint-safe
+# (first modulus bounds the product below 2^63), HIGH 16 bits taken
+# before the residue (the multiplier is odd, so low bits degenerate to
+# vec_id % N). IDENTICAL integer arithmetic in Spark and DuckDB — a
+# sliced audit keeps an exact n_queries oracle, unlike the previous
+# pmod(hash(id), N) slice (Spark Murmur3 has no DuckDB twin, which is
+# why the registered queries could not default to a slice before r10).
+_SLICE_MOD, _SLICE_MULT = 1_000_000_007, 2_654_435_761
+_SLICE_RING, _SLICE_SHIFT = 4_294_967_296, 16
+
+
+def _audit_slice(n: int, col: str = "vec_id"):
+    h = F.pmod(
+        F.pmod(F.col(col), F.lit(_SLICE_MOD)) * F.lit(_SLICE_MULT),
+        F.lit(_SLICE_RING),
+    )
+    return F.pmod(F.shiftright(h, _SLICE_SHIFT), F.lit(n)) == 0
+
+
+def _slice_sql(n: int, col: str = "vec_id") -> str:
+    return (
+        f"((({col} % {_SLICE_MOD}) * {_SLICE_MULT} % {_SLICE_RING}) "
+        f">> {_SLICE_SHIFT}) % {n} = 0"
+    )
+
+
 ANN_AUDIT_ORACLE = """
     SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
            TRUE AS mean_recall_floor{extra}
@@ -379,12 +406,12 @@ def embedding_ann_lsh(
 
     The audit deliberately pays the brute-force baseline; at production
     scale pass ``sample_every=N`` to audit the deterministic 1/N query
-    slice (pmod(hash(id), N) = 0) — see SCALE.md, 'ANN recall-audit
-    cost model'."""
+    slice (the SQL-portable multiplicative-hash slice ``_audit_slice``)
+    — see SCALE.md, 'ANN recall-audit cost model'."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 100")
     if sample_every > 1:
-        q = q.where(F.pmod(F.hash("vec_id"), F.lit(sample_every)) == 0)
+        q = q.where(_audit_slice(sample_every))
     k = 3
     audit = _ann_recall_audit(
         cosine_topk_lsh(emb, q, k=k), cosine_topk_pandas(emb, q, k=k), k
@@ -396,27 +423,34 @@ def embedding_ann_lsh(
     )
 
 
-ANN_QUANT_ORACLE = """
+# The registered quantizer audit defaults to the 1/4 slice (VERDICT r9
+# #5): the brute-force baseline is the query's dominant cost and scales
+# with |Q|; the slice is SQL-portable so n_queries stays ORACLE-EXACT.
+# The full-slice audit (sample_every=1, floors unchanged) stays pinned
+# in tests/test_llm_ops.py.
+_ANN_IVF_SLICE = 4
+
+ANN_QUANT_ORACLE = f"""
     SELECT 'ivf' AS method,
            CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
            TRUE AS mean_recall_floor
-    FROM embeddings WHERE vec_id < 100
+    FROM embeddings WHERE vec_id < 100 AND {_slice_sql(_ANN_IVF_SLICE)}
     UNION ALL
     SELECT 'ivfpq',
            CAST(COUNT(DISTINCT vec_id) AS BIGINT),
            TRUE
-    FROM embeddings WHERE vec_id < 100
+    FROM embeddings WHERE vec_id < 100 AND {_slice_sql(_ANN_IVF_SLICE)}
     UNION ALL
     SELECT 'pq',
            CAST(COUNT(DISTINCT vec_id) AS BIGINT),
            TRUE
-    FROM embeddings WHERE vec_id < 100
+    FROM embeddings WHERE vec_id < 100 AND {_slice_sql(_ANN_IVF_SLICE)}
 """
 
 
 @register("embedding_ann_ivf", ANN_QUANT_ORACLE)
 def embedding_ann_ivf(
-    spark: SparkSession, sf_dir: str, sample_every: int = 1
+    spark: SparkSession, sf_dir: str, sample_every: int = _ANN_IVF_SLICE
 ) -> DataFrame:
     """Quantizer-family ANN recall audits, one row per method (the
     registered-query cap folds PQ in here, the warehouse_maintenance
@@ -449,7 +483,11 @@ def embedding_ann_ivf(
     distortion but not an unprobed cell.
 
     ``sample_every=N`` audits the deterministic 1/N query slice — see
-    SCALE.md, 'ANN recall-audit cost model'."""
+    SCALE.md, 'ANN recall-audit cost model'. The REGISTERED default is
+    the 1/4 slice (the baseline dominates the query's cost; the
+    SQL-portable slice keeps n_queries oracle-exact); floors were
+    re-measured on the slice at sf0.01/sf0.1 and the full-slice audit
+    stays in tests/test_llm_ops.py."""
     from polygon_daily_market_data_pipeline_spark.operators.similarity import (
         cosine_topk_ivfpq,
         cosine_topk_pq,
@@ -467,7 +505,7 @@ def embedding_ann_ivf(
     )
     q = emb.where("vec_id < 100")
     if sample_every > 1:
-        q = q.where(F.pmod(F.hash("vec_id"), F.lit(sample_every)) == 0)
+        q = q.where(_audit_slice(sample_every))
     k = 3
     # Train each quantizer ONCE, jointly, and inject it: ivf + ivfpq
     # share the coarse centroids, pq + ivfpq share the PQ codebooks,

@@ -550,9 +550,10 @@ def test_extract_audio_features_decodes_pcm_samples(spark):
 
 
 def test_ann_audit_sample_every_is_deterministic_slice(spark):
-    """sample_every=N audits the pmod(hash(id), N)=0 query slice:
-    deterministic across runs, strictly smaller query set, same gate
-    schema (the production-scale audit mode from SCALE.md)."""
+    """sample_every=N audits the SQL-portable multiplicative-hash
+    query slice (_audit_slice): deterministic across runs, strictly
+    smaller query set, same gate schema (the production-scale audit
+    mode from SCALE.md)."""
     from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
         embedding_ann_lsh,
     )
