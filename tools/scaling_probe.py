@@ -1164,6 +1164,45 @@ def probe_branch(spark, sf_dir: str) -> None:
             f"publish={t_pub:.2f}s publish_bytes={pub_bytes / 1024:.1f}KB "
             f"readback={got} {ok}"
         )
+    # second axis: parent fixed, BRANCH COMMIT COUNT grows — publish is
+    # one rename per branch commit + one manifest, so wall-clock should
+    # track the commit count (and stay trivially small)
+    k = 4
+    for n_commits in (1, 4, 16):
+        t = tempfile.mkdtemp(prefix=f"branch_probe_c{n_commits}_")
+        for i in range(k):
+            commit_version(
+                ord_df.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit(i * off)).cast("long"),
+                ).repartitionByRange(8, "o_orderkey"),
+                t,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        b = create_branch(t, "wap")
+        for j in range(n_commits):
+            commit_version(
+                batch.withColumn(
+                    "o_orderkey",
+                    (F.col("o_orderkey") + F.lit((j + 50) * off)).cast(
+                        "long"
+                    ),
+                ),
+                b,
+                mode="append",
+                stats_cols=["o_orderkey"],
+            )
+        t0 = _t.monotonic()
+        publish_branch(t, "wap")
+        t_pub = _t.monotonic() - t0
+        got = read_version(spark, t).count()
+        want = k * n + n_commits * nb
+        ok = "ok" if got == want else f"MISMATCH want {want}"
+        print(
+            f"branch-commits {n_commits}: publish={t_pub * 1000:.1f}ms "
+            f"readback={got} {ok}"
+        )
     ord_df.unpersist()
     batch.unpersist()
 
