@@ -2343,12 +2343,39 @@ def checks_for(branches: "list[str]") -> "list[str]":
     return [c for b in branches for c in _BRANCH_CHECKS[b]]
 
 
+# One eagerly-checkpointed ord slice per (SparkContext, sf_dir),
+# shared by the three registered queries within a process (VERDICT r9
+# #7): every branch runs several actions over the slice, and before
+# this cache each action re-scanned the orders parquet — ~40 scans per
+# trio run for a frame that is ~1/4 of orders. The checkpoint is tiny
+# (truncated lineage, one in-memory copy) and semantically inert: the
+# branches commit the slice to scratch tables and audit the read-backs,
+# so a pinned partitioning changes no audit value (vals are exact
+# decimal sums besides). plan_audit's direct build_maintenance_union
+# calls keep the raw parquet-scan frame (inspectable pushdown).
+_ORD_CACHE: "dict[tuple, DataFrame]" = {}
+
+
+def _ord_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    df = _ORD_CACHE.get(key)
+    if df is None:
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") % 4 == 1)
+            .localCheckpoint(eager=True)
+        )
+        _ORD_CACHE[key] = df
+    return df
+
+
 def build_maintenance_union(
     spark: SparkSession,
     sf_dir: str,
     base: str,
     timed: bool = False,
     branches: "list[str] | None" = None,
+    ord_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """The LAZY audit union over scratch state under ``base`` — runs each
     selected branch script eagerly (writes, commits, streaming drains)
@@ -2368,9 +2395,10 @@ def build_maintenance_union(
     plan-inspectable)."""
     import time
 
-    ord_df = load_table(spark, sf_dir, "orders").where(
-        F.col("o_custkey") % 4 == 1
-    )
+    if ord_df is None:
+        ord_df = load_table(spark, sf_dir, "orders").where(
+            F.col("o_custkey") % 4 == 1
+        )
     selected = _BRANCH_NAMES if branches is None else list(branches)
     by_name = {n: f for n, f, _c in _BRANCH_DEFS}
     rows: list[DataFrame] = []
@@ -2430,7 +2458,12 @@ def _run_union(
         # eager, lineage-truncating materialization of the (tiny) audit
         # rows: after this the scratch dir is not referenced by any plan
         out = build_maintenance_union(
-            spark, sf_dir, base, timed=True, branches=branches
+            spark,
+            sf_dir,
+            base,
+            timed=True,
+            branches=branches,
+            ord_df=_ord_slice(spark, sf_dir),
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
