@@ -179,7 +179,7 @@ def main() -> None:
     if reruns:
         full["outlier_first_runs"] = reruns
     # Per-branch wall-clock of the three warehouse queries' LAST runs
-    # (warehouse_ops.BRANCH_TIMES): 33 audit rows behind three query
+    # (warehouse_ops.BRANCH_TIMES): 40 audit rows behind three query
     # numbers would otherwise hide a single-branch regression in VM
     # noise. Sums to slightly less than the queries' own timings (the
     # residual is each checkpointed-union pass + noop write).
