@@ -2415,6 +2415,47 @@ def build_maintenance_union(
     return out
 
 
+# Reentrant, process-wide UTC pin (round 10): the session TZ is SHARED
+# session state, and the driver may evaluate queries CONCURRENTLY in
+# one session (the `_run_union` docstring's harness-threads hypothesis;
+# tools/chaos_eval.py exercises it). A plain pin/restore per query
+# means query A's restore can land MID-FLIGHT in query B's build — B's
+# remaining `_CUT` literals would then parse under the restored
+# (possibly non-UTC) zone and shift real row values, an
+# only-under-concurrency flake no serial re-run reproduces. The guard
+# makes overlapping pins share one window: first-in saves and pins,
+# last-out restores.
+_TZ_GUARD = {"lock": None, "depth": 0, "saved": None}
+
+
+class _utc_pin:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        import threading
+
+        if _TZ_GUARD["lock"] is None:
+            _TZ_GUARD["lock"] = threading.Lock()
+        with _TZ_GUARD["lock"]:
+            if _TZ_GUARD["depth"] == 0:
+                _TZ_GUARD["saved"] = self.spark.conf.get(
+                    "spark.sql.session.timeZone"
+                )
+                self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _TZ_GUARD["depth"] += 1
+        return self
+
+    def __exit__(self, *exc):
+        with _TZ_GUARD["lock"]:
+            _TZ_GUARD["depth"] -= 1
+            if _TZ_GUARD["depth"] == 0:
+                self.spark.conf.set(
+                    "spark.sql.session.timeZone", _TZ_GUARD["saved"]
+                )
+        return False
+
+
 def _run_union(
     spark: SparkSession,
     sf_dir: str,
@@ -2443,11 +2484,10 @@ def _run_union(
     # the date-cut literals compare against TIMESTAMP columns: pin the
     # session to UTC so a non-UTC driver session cannot shift the
     # boundary relative to the naive-UTC DuckDB oracle (same contract
-    # as events_stream_source); restored in the finally below
+    # as events_stream_source); _utc_pin restores when the LAST
+    # overlapping evaluation exits
     import uuid
 
-    tz_before = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     base = os.path.join(
         tempfile.gettempdir(),
         f"wh_maint_{os.path.basename(os.path.normpath(sf_dir))}"
@@ -2455,18 +2495,19 @@ def _run_union(
     )
     os.makedirs(base)
     try:
-        # eager, lineage-truncating materialization of the (tiny) audit
-        # rows: after this the scratch dir is not referenced by any plan
-        out = build_maintenance_union(
-            spark,
-            sf_dir,
-            base,
-            timed=True,
-            branches=branches,
-            ord_df=_ord_slice(spark, sf_dir),
-        ).localCheckpoint(eager=True)
+        with _utc_pin(spark):
+            # eager, lineage-truncating materialization of the (tiny)
+            # audit rows: after this the scratch dir is not referenced
+            # by any plan
+            out = build_maintenance_union(
+                spark,
+                sf_dir,
+                base,
+                timed=True,
+                branches=branches,
+                ord_df=_ord_slice(spark, sf_dir),
+            ).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.session.timeZone", tz_before)
         shutil.rmtree(base, ignore_errors=True)
     out = out.orderBy("check_name")
     from polygon_daily_market_data_pipeline_spark.evidence import log_eval

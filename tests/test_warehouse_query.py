@@ -170,6 +170,50 @@ def test_money_sum_is_partitioning_independent(spark):
     assert got == {want}
 
 
+def test_concurrent_unions_share_one_tz_pin(spark):
+    """Two warehouse evaluations OVERLAPPING in one non-UTC session:
+    the reentrant _utc_pin must hold UTC until the last one exits (a
+    per-query pin/restore lets A's restore land mid-flight in B's
+    build, shifting B's _CUT literals — the only-under-concurrency
+    flake class tools/chaos_eval.py exercises at full scale), and the
+    session TZ must come back as the caller set it. Row values are
+    asserted identical to a serial run."""
+    import threading
+
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        _run_union,
+    )
+
+    before_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        serial = {
+            b: sorted(tuple(r) for r in _run_union(spark, SF, [b]).collect())
+            for b in ("versioned", "retention")
+        }
+        results: dict = {}
+
+        def run(branch: str):
+            df = _run_union(spark, SF, [branch])
+            results[branch] = sorted(tuple(r) for r in df.collect())
+
+        threads = [
+            threading.Thread(target=run, args=(b,))
+            for b in ("versioned", "retention")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == serial
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before_tz)
+
+
 def test_union_rows_deterministic_across_three_runs(spark):
     """Determinism by construction, asserted: run every warehouse branch
     3× in one session and require byte-identical audit rows under the
