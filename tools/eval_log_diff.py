@@ -1,0 +1,101 @@
+"""Localize a warehouse hash mismatch from the eval log in one command.
+
+When a driver round records ``hash_match: false`` for a warehouse
+query, the failing evaluation has already appended its rows to
+``WAREHOUSE_EVAL_LOG.jsonl`` (every ``_run_union`` evaluation does).
+This tool names the divergent row(s) without any reproduction attempt:
+
+    python tools/eval_log_diff.py <query> [--log PATH] [--sf SUBSTR]
+
+For the given query it groups the log's evaluations by fingerprint,
+prints the fingerprint census (a flake shows up as a minority
+fingerprint), and for each minority fingerprint diffs its rows against
+the majority one — naming the check, the side values (raw, so last-ULP
+differences are visible), and which of (n_rows, n_aux, val) moved.
+
+Exit 0 = all evaluations agree; 2 = divergent fingerprints found
+(diffs printed); 1 = no records for the query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from collections import Counter, defaultdict
+from pathlib import Path
+
+_DEFAULT_LOG = Path(__file__).resolve().parent.parent / "WAREHOUSE_EVAL_LOG.jsonl"
+
+
+def load(log_path: Path, query: str, sf_substr: str) -> list[dict]:
+    recs = []
+    with open(log_path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if r.get("query") == query and sf_substr in r.get("sf_dir", ""):
+                recs.append(r)
+    return recs
+
+
+def rows_by_check(rec: dict) -> dict[str, dict]:
+    # check_name is always the first column of the audit schema
+    return {r["norm"][0]: r for r in rec["rows"]}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("query")
+    ap.add_argument("--log", default=str(_DEFAULT_LOG))
+    ap.add_argument(
+        "--sf", default="", help="substring filter on sf_dir (e.g. sf0.01)"
+    )
+    args = ap.parse_args()
+
+    recs = load(Path(args.log), args.query, args.sf)
+    if not recs:
+        print(f"no eval-log records for query={args.query!r} sf~{args.sf!r}")
+        return 1
+
+    census = Counter(r["fingerprint"] for r in recs)
+    print(f"{len(recs)} evaluations of {args.query} (sf~{args.sf!r}):")
+    for fp, n in census.most_common():
+        sfs = sorted({r["sf_dir"] for r in recs if r["fingerprint"] == fp})
+        print(f"  {fp}  x{n}  {sfs}")
+    if len(census) == 1:
+        print("all evaluations agree — nothing to diff")
+        return 0
+
+    by_fp: dict[str, dict] = defaultdict(dict)
+    for r in recs:
+        by_fp.setdefault(r["fingerprint"], r)
+    majority_fp = census.most_common(1)[0][0]
+    maj = rows_by_check(by_fp[majority_fp])
+    cols = by_fp[majority_fp]["cols"]
+    for fp in census:
+        if fp == majority_fp:
+            continue
+        other = rows_by_check(by_fp[fp])
+        print(f"\n--- {fp} vs majority {majority_fp} ---")
+        for check in sorted(set(maj) | set(other)):
+            a, b = maj.get(check), other.get(check)
+            if a is None or b is None:
+                print(f"  {check}: present only in "
+                      f"{'majority' if b is None else 'minority'}")
+                continue
+            if a["norm"] == b["norm"]:
+                continue
+            for i, col in enumerate(cols):
+                if a["norm"][i] != b["norm"][i]:
+                    print(
+                        f"  {check}.{col}: majority={a['raw'][i]} "
+                        f"minority={b['raw'][i]} "
+                        f"(norm {a['norm'][i]} vs {b['norm'][i]})"
+                    )
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
