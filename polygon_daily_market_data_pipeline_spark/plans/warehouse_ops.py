@@ -2343,27 +2343,35 @@ def checks_for(branches: "list[str]") -> "list[str]":
     return [c for b in branches for c in _BRANCH_CHECKS[b]]
 
 
-# One eagerly-checkpointed ord slice per (SparkContext, sf_dir),
-# shared by the three registered queries within a process (VERDICT r9
-# #7): every branch runs several actions over the slice, and before
-# this cache each action re-scanned the orders parquet — ~40 scans per
-# trio run for a frame that is ~1/4 of orders. The checkpoint is tiny
-# (truncated lineage, one in-memory copy) and semantically inert: the
-# branches commit the slice to scratch tables and audit the read-backs,
-# so a pinned partitioning changes no audit value (vals are exact
-# decimal sums besides). plan_audit's direct build_maintenance_union
-# calls keep the raw parquet-scan frame (inspectable pushdown).
+# One persisted ord slice per (SparkContext, sf_dir), shared by the
+# three registered queries within a process (VERDICT r9 #7): every
+# branch runs several actions over the slice, and before this cache
+# each action re-scanned the orders parquet — ~40 scans per trio run
+# for a frame that is ~1/4 of orders. persist-with-lineage, NOT
+# localCheckpoint: a checkpoint's blocks can be dropped over a long
+# session (ContextCleaner / memory pressure) and are then
+# UNRECOVERABLE — the cached frame throws
+# checkpointRDDBlockIdNotFoundError on the next evaluation (caught by
+# the full pytest suite in round 10; a long driver session would hit
+# the same wall). A persisted frame recomputes evicted blocks from the
+# parquet scan instead. Semantically inert either way: the branches
+# commit the slice to scratch tables and audit the read-backs, and the
+# audit vals are exact decimal sums. plan_audit's direct
+# build_maintenance_union calls keep the raw parquet-scan frame
+# (inspectable pushdown).
 _ORD_CACHE: "dict[tuple, DataFrame]" = {}
 
 
 def _ord_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     df = _ORD_CACHE.get(key)
     if df is None:
         df = (
             load_table(spark, sf_dir, "orders")
             .where(F.col("o_custkey") % 4 == 1)
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _ORD_CACHE[key] = df
     return df

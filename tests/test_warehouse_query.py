@@ -170,6 +170,28 @@ def test_money_sum_is_partitioning_independent(spark):
     assert got == {want}
 
 
+def test_ord_slice_survives_storage_eviction(spark):
+    """The shared ord slice must be persist-with-lineage, NOT a
+    localCheckpoint: over a long session (the full pytest suite, a
+    long driver session) checkpoint blocks get dropped and are
+    unrecoverable — round 10's first cut threw
+    checkpointRDDBlockIdNotFoundError on every later evaluation. After
+    a full storage eviction the cached frame and fresh evaluations must
+    recompute, not raise."""
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        _ord_slice,
+        _run_union,
+    )
+
+    df = _ord_slice(spark, SF)
+    n = df.count()
+    assert n > 0
+    spark.catalog.clearCache()  # what a long session eventually does
+    assert df.count() == n  # lineage recompute, no checkpoint error
+    got = _run_union(spark, SF, ["versioned"]).collect()
+    assert len(got) == 4
+
+
 def test_concurrent_unions_share_one_tz_pin(spark):
     """Two warehouse evaluations OVERLAPPING in one non-UTC session:
     the reentrant _utc_pin must hold UTC until the last one exits (a
