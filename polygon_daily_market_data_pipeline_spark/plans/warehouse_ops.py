@@ -773,9 +773,7 @@ def _versioned_stream_rows(
     )
     # bound each micro-batch's shuffle width, same rationale as the
     # streaming-MV branch: the per-batch frames are tiny
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _narrow_shuffle_pin(spark):
         q = (
             stream.writeStream.foreachBatch(versioned_stream_sink(tdir))
             .option("checkpointLocation", os.path.join(base, "vs_ckpt"))
@@ -783,8 +781,6 @@ def _versioned_stream_rows(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
     hist = history(tdir)
     streamed_shape = 1 if (
         len(hist) >= 2
@@ -847,9 +843,7 @@ def _corpus_stream_rows(
     )
     # the dedup joins per micro-batch run over a few hundred docs:
     # bound the shuffle width like the other streaming branches
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _narrow_shuffle_pin(spark):
         q = (
             stream.writeStream.foreachBatch(sink.process)
             .option("checkpointLocation", os.path.join(base, "cs_ckpt"))
@@ -857,8 +851,6 @@ def _corpus_stream_rows(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
     fed = 2 * docs.count()  # dup is a 1:1 id-shifted copy of docs
     row = sink.admitted().agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1402,9 +1394,7 @@ def _streaming_mv_rows(
     # in a vanilla driver session (200 default shuffle partitions, no
     # AQE) each foreachBatch groupBy would otherwise shuffle the tiny
     # per-batch partial across 200 tasks.
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _narrow_shuffle_pin(spark):
         q = (
             ev.writeStream.foreachBatch(
                 streaming_aggregate_sink(["event_type"], measures, state)
@@ -1414,8 +1404,6 @@ def _streaming_mv_rows(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
     mv = read_aggregate(spark, state, ["event_type"], measures)
     # oracle-facing val = MAX of per-group ROUNDED sums: per-group
     # magnitude keeps double drift ≪ the 4dp boundary, and MAX is
@@ -2384,6 +2372,7 @@ def build_maintenance_union(
     timed: bool = False,
     branches: "list[str] | None" = None,
     ord_df: "DataFrame | None" = None,
+    parallel: int = 1,
 ) -> DataFrame:
     """The LAZY audit union over scratch state under ``base`` — runs each
     selected branch script eagerly (writes, commits, streaming drains)
@@ -2409,59 +2398,102 @@ def build_maintenance_union(
         )
     selected = _BRANCH_NAMES if branches is None else list(branches)
     by_name = {n: f for n, f, _c in _BRANCH_DEFS}
-    rows: list[DataFrame] = []
-    for name in selected:
+
+    def _build(name: str) -> "list[DataFrame]":
         t0 = time.monotonic()
         frames = by_name[name](spark, sf_dir, ord_df, base)
         if timed:
             frames = [f.localCheckpoint(eager=True) for f in frames]
             BRANCH_TIMES[name] = round(time.monotonic() - t0, 3)
-        rows.extend(frames)
+        return frames
+
+    if parallel > 1 and len(selected) > 1:
+        # The branch scripts are independent by construction (disjoint
+        # scratch subdirs, shared state only through the reentrant
+        # _conf_pin guards) and each is many small Spark jobs with
+        # driver-side gaps (manifest IO, claim probes) — exactly the
+        # shape Spark's FIFO scheduler interleaves well. Audit values
+        # cannot move with scheduling: exact decimal sums, integer
+        # counts, and file-set claims against each branch's own
+        # scratch. ex.map preserves order; the union is orderBy'd and
+        # the driver hash is row-order-insensitive anyway. Under
+        # `timed`, per-branch wall-clock includes co-scheduling
+        # interference — sums exceed the wall-clock; bench documents
+        # this.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(parallel, len(selected))
+        ) as ex:
+            rows = [f for fl in ex.map(_build, selected) for f in fl]
+    else:
+        rows = []
+        for name in selected:
+            rows.extend(_build(name))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
 
 
-# Reentrant, process-wide UTC pin (round 10): the session TZ is SHARED
-# session state, and the driver may evaluate queries CONCURRENTLY in
-# one session (the `_run_union` docstring's harness-threads hypothesis;
-# tools/chaos_eval.py exercises it). A plain pin/restore per query
-# means query A's restore can land MID-FLIGHT in query B's build — B's
-# remaining `_CUT` literals would then parse under the restored
-# (possibly non-UTC) zone and shift real row values, an
-# only-under-concurrency flake no serial re-run reproduces. The guard
-# makes overlapping pins share one window: first-in saves and pins,
-# last-out restores.
-_TZ_GUARD = {"lock": None, "depth": 0, "saved": None}
+# Reentrant, process-wide session-conf pins (round 10): session conf is
+# SHARED state, and evaluations overlap — the driver may run queries
+# concurrently in one session (the `_run_union` docstring's
+# harness-threads hypothesis; tools/chaos_eval.py exercises it) and the
+# branch scripts run in parallel threads within one evaluation. A plain
+# pin/restore per scope means scope A's restore can land MID-FLIGHT in
+# scope B: for the TZ pin B's remaining `_CUT` literals would parse
+# under the restored (possibly non-UTC) zone and shift real row values
+# — an only-under-concurrency flake no serial re-run reproduces; for
+# the streaming branches' shuffle-width pin it would only cost
+# performance (every audit val is partition-independent by
+# construction). The guard makes overlapping pins of one key share one
+# window: first-in saves and pins, last-out restores. Overlapping pins
+# of the SAME key must agree on the value (asserted) — all current
+# callers pin fixed constants.
+import threading as _threading
+
+_PIN_LOCK = _threading.Lock()
+_PIN_STATE: "dict[str, dict]" = {}
 
 
-class _utc_pin:
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
+class _conf_pin:
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, str(value)
 
     def __enter__(self):
-        import threading
-
-        if _TZ_GUARD["lock"] is None:
-            _TZ_GUARD["lock"] = threading.Lock()
-        with _TZ_GUARD["lock"]:
-            if _TZ_GUARD["depth"] == 0:
-                _TZ_GUARD["saved"] = self.spark.conf.get(
-                    "spark.sql.session.timeZone"
+        with _PIN_LOCK:
+            st = _PIN_STATE.setdefault(self.key, {"depth": 0, "saved": None})
+            if st["depth"] == 0:
+                st["saved"] = self.spark.conf.get(self.key)
+                self.spark.conf.set(self.key, self.value)
+            else:
+                assert st["value"] == self.value, (
+                    f"conflicting pins of {self.key}: "
+                    f"{st['value']} vs {self.value}"
                 )
-                self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-            _TZ_GUARD["depth"] += 1
+            st["value"] = self.value
+            st["depth"] += 1
         return self
 
     def __exit__(self, *exc):
-        with _TZ_GUARD["lock"]:
-            _TZ_GUARD["depth"] -= 1
-            if _TZ_GUARD["depth"] == 0:
-                self.spark.conf.set(
-                    "spark.sql.session.timeZone", _TZ_GUARD["saved"]
-                )
+        with _PIN_LOCK:
+            st = _PIN_STATE[self.key]
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                self.spark.conf.set(self.key, st["saved"])
         return False
+
+
+def _utc_pin(spark: SparkSession) -> _conf_pin:
+    return _conf_pin(spark, "spark.sql.session.timeZone", "UTC")
+
+
+def _narrow_shuffle_pin(spark: SparkSession) -> _conf_pin:
+    """The streaming branches' micro-batch frames are tiny; bound their
+    shuffle width to 8 for the drain (shared reentrant pin — see
+    above)."""
+    return _conf_pin(spark, "spark.sql.shuffle.partitions", "8")
 
 
 def _run_union(
@@ -2514,6 +2546,7 @@ def _run_union(
                 timed=True,
                 branches=branches,
                 ord_df=_ord_slice(spark, sf_dir),
+                parallel=8,
             ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
