@@ -60,3 +60,42 @@ def train_val_test_split(
     df: DataFrame, key: str, train: float = 0.8, val: float = 0.1
 ) -> DataFrame:
     return df.withColumn("split", split_column(key, train, val))
+
+
+def stratified_threshold(
+    strata_col: Column | str,
+    rates: "dict[str, float]",
+    default_rate: float = 0.0,
+) -> Column:
+    """Per-stratum md5 threshold as a CASE column — each stratum gets
+    its own exact-rate cut of the SAME hash, so per-stratum rates
+    compose without re-hashing and a row's decision is a pure function
+    of (key, its own stratum): deterministic across engines,
+    partitionings, and corpus growth."""
+    c = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    expr = None
+    for value, rate in rates.items():
+        cond = c == F.lit(value)
+        thr = F.lit(hex_threshold(rate))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    dflt = F.lit(hex_threshold(default_rate))
+    return dflt if expr is None else expr.otherwise(dflt)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: "dict[str, float]",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Quality/domain-weighted data mixing: keep ~rates[stratum] of each
+    stratum's rows (default_rate elsewhere), decided solely by
+    md5(key) — the deterministic per-stratum Bernoulli that training
+    mixes need (e.g. keep 90% of high-quality English, 10% of the
+    tail) with every guarantee of :func:`deterministic_sample`:
+    no shuffle, no RNG, engine-portable (the DuckDB oracle reproduces
+    it bit-for-bit), and a kept doc stays kept as the corpus grows."""
+    return df.where(
+        _hash_col(key) < stratified_threshold(strata_col, rates, default_rate)
+    )

@@ -965,12 +965,24 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(pairs, release_pairs=True).orderBy("doc_id")
 
 
+# Language-mix profile for the stratified-sample rows of
+# corpus_split_counts: the data-mixing pattern (keep most of the
+# primary language, thin the tail) with rates exercising several
+# distinct md5 thresholds. Shared by the Spark query and its oracle.
+MIX_RATES = {"en": 0.9, "zh": 0.5, "fr": 0.25}
+MIX_DEFAULT = 0.1
+
+
 def _split_oracle() -> str:
     from polygon_daily_market_data_pipeline_spark.operators.sampling import (
         hex_threshold,
     )
 
     t1, t2 = hex_threshold(0.8), hex_threshold(0.9)
+    mix_case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN '{hex_threshold(r)}'"
+        for k, r in MIX_RATES.items()
+    ) + f" ELSE '{hex_threshold(MIX_DEFAULT)}' END"
     return f"""
     SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t1}' THEN 'train'
                 WHEN md5(CAST(doc_id AS VARCHAR)) < '{t2}' THEN 'val'
@@ -980,6 +992,12 @@ def _split_oracle() -> str:
            CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY 1, 2
+    UNION ALL
+    SELECT 'mix' AS split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < {mix_case}
+    GROUP BY 1, 2
     ORDER BY split, lang
     """
 
@@ -987,23 +1005,40 @@ def _split_oracle() -> str:
 @register("corpus_split_counts", _split_oracle())
 def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (disjoint md5-threshold
-    ranges): per-split per-language doc and char counts. A doc's split
-    never changes as the corpus grows — the property training pipelines
-    need for leak-free incremental ingestion."""
+    ranges) PLUS the language-mix stratified sample (r10): per-split
+    per-language doc and char counts, and one 'mix' row per language
+    counting the docs the per-stratum Bernoulli keeps under MIX_RATES
+    (keep 90% en, 50% zh, 25% fr, 10% tail — the data-mixing op
+    training pipelines run before packing). A doc's split and its mix
+    decision never change as the corpus grows — the leak-free
+    incremental-ingestion property; DuckDB reproduces both md5
+    constructions bit-for-bit."""
     from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
         train_val_test_split,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    counts = ["split", "lang"]
+    splits = (
         train_val_test_split(docs, "doc_id", train=0.8, val=0.1)
-        .groupBy("split", "lang")
+        .groupBy(*counts)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
-        .orderBy("split", "lang")
     )
+    mix = (
+        stratified_sample(
+            docs, "doc_id", "lang", MIX_RATES, default_rate=MIX_DEFAULT
+        )
+        .groupBy(F.lit("mix").alias("split"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return splits.unionByName(mix).orderBy("split", "lang")
 
 
 KEEP_BEST_ORACLE = f"""

@@ -145,6 +145,56 @@ def test_deterministic_sample_and_split(spark):
     assert full_labels == half_labels
 
 
+def test_stratified_sample_per_stratum_rates(spark):
+    """Language/quality-weighted mixing: each stratum keeps its OWN
+    exact md5-threshold rate off the same hash — deterministic,
+    nested across rates, growth-stable, and a kept row's decision
+    depends only on (key, its own stratum)."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 12000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("fr"), F.lit("xx")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    rates = {"en": 0.9, "zh": 0.5, "fr": 0.25}
+    got = stratified_sample(df, "doc_id", "lang", rates, default_rate=0.1)
+    per = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, rate in {**rates, "xx": 0.1}.items():
+        assert abs(per[lang] / 3000 - rate) < 0.05, (lang, per[lang])
+    # per-stratum decisions are exactly the flat sample at that rate,
+    # restricted to the stratum (same hash, same threshold)
+    for lang, rate in rates.items():
+        want = {
+            r.doc_id
+            for r in deterministic_sample(
+                df.where(F.col("lang") == lang), "doc_id", rate
+            ).collect()
+        }
+        have = {
+            r.doc_id for r in got.where(F.col("lang") == lang).collect()
+        }
+        assert have == want, lang
+    # growth-stability: the kept set over a sub-corpus equals the kept
+    # set of the full corpus restricted to it
+    sub = stratified_sample(
+        df.where("doc_id < 6000"), "doc_id", "lang", rates, 0.1
+    )
+    assert {r.doc_id for r in sub.collect()} == {
+        r.doc_id for r in got.where("doc_id < 6000").collect()
+    }
+
+
 def test_char_shingles_cjk(spark):
     from polygon_daily_market_data_pipeline_spark.functions.text import (
         char_shingles,
