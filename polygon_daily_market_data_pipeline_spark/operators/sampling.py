@@ -99,3 +99,37 @@ def stratified_sample(
     return df.where(
         _hash_col(key) < stratified_threshold(strata_col, rates, default_rate)
     )
+
+
+def mix_rates_for_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    target_shares: "dict[str, float]",
+    total_budget: float,
+) -> "dict[str, float]":
+    """Solve the mixing-plan side of :func:`stratified_sample`: given
+    per-stratum TARGET SHARES of a total token budget (e.g. 60% en /
+    20% zh / 20% rest-of-world of 1e12 tokens), measure each stratum's
+    available weight in ONE aggregate pass and return the per-stratum
+    keep-rates that hit the budget in expectation — capped at 1.0, so
+    an under-supplied stratum contributes everything it has (the
+    caller can see the shortfall: rate == 1.0). Deterministic given the
+    corpus; the sampling itself stays the md5 per-row decision, so the
+    plan is computed once on aggregates and never touches row order."""
+    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"target shares sum to {sum(target_shares.values())}, not 1"
+        )
+    avail = {
+        r[0]: float(r[1])
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(weight_col))
+        .collect()
+    }
+    rates = {}
+    for stratum, share in target_shares.items():
+        have = avail.get(stratum, 0.0)
+        want = share * total_budget
+        rates[stratum] = 1.0 if have <= want else want / have
+    return rates

@@ -195,6 +195,43 @@ def test_stratified_sample_per_stratum_rates(spark):
     }
 
 
+def test_mix_rates_for_token_budget(spark):
+    """The mixing plan: target shares of a token budget -> per-stratum
+    keep-rates off one aggregate pass; under-supplied strata cap at 1.0
+    (contribute everything, shortfall visible)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        mix_rates_for_token_budget,
+        stratified_sample,
+    )
+
+    # en: 8000 rows x 100 tokens = 800k; zh: 2000 x 100 = 200k
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 < 4, "en").otherwise("zh").alias("lang"),
+        F.lit(100).alias("n_tokens"),
+    )
+    rates = mix_rates_for_token_budget(
+        df, "lang", "n_tokens",
+        {"en": 0.5, "zh": 0.5}, total_budget=400_000,
+    )
+    # en wants 200k of 800k -> 0.25; zh wants 200k of 200k -> capped 1.0
+    assert rates == {"en": 0.25, "zh": 1.0}
+    kept = stratified_sample(df, "doc_id", "lang", rates)
+    per = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per["zh"] == 2000  # rate 1.0 keeps everything
+    assert abs(per["en"] / 8000 - 0.25) < 0.05
+    with pytest.raises(ValueError, match="sum"):
+        mix_rates_for_token_budget(
+            df, "lang", "n_tokens", {"en": 0.7}, 1000
+        )
+
+
 def test_char_shingles_cjk(spark):
     from polygon_daily_market_data_pipeline_spark.functions.text import (
         char_shingles,
