@@ -919,6 +919,10 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+    hex_threshold as _hexthr,
+)
+
 CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
     t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
@@ -945,7 +949,15 @@ CLUSTERS_ORACLE = f"""
         SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
     )
     SELECT node AS doc_id, MIN(r) AS cluster_id,
-           (node = MIN(r)) AS is_canonical
+           (node = MIN(r)) AS is_canonical,
+           -- leak-free split: the md5 split of the CLUSTER id, so a
+           -- whole near-dup cluster lands in ONE split (a test doc's
+           -- near-dups can never leak into train)
+           CASE WHEN md5(CAST(MIN(r) AS VARCHAR)) < '{_hexthr(0.8)}'
+                     THEN 'train'
+                WHEN md5(CAST(MIN(r) AS VARCHAR)) < '{_hexthr(0.9)}'
+                     THEN 'val'
+                ELSE 'test' END AS split
     FROM reach GROUP BY node ORDER BY doc_id
 """
 
@@ -953,16 +965,31 @@ CLUSTERS_ORACLE = f"""
 @register("neardup_clusters", CLUSTERS_ORACLE)
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive clusters (iterative min-label
-    propagation) → per-doc keep/drop decision. The oracle computes the
-    same closure with a recursive CTE — the distributed iteration is
-    checked value-exactly, not just structurally."""
+    propagation) → per-doc keep/drop decision, PLUS the leak-free
+    split label (r10): train/val/test assigned from the md5 of the
+    CLUSTER id so no near-dup pair ever straddles a split boundary.
+    The oracle computes the same closure with a recursive CTE and the
+    same md5 thresholds — the distributed iteration AND the leak-free
+    assignment are checked value-exactly, not just structurally."""
     from polygon_daily_market_data_pipeline_spark.operators.graph import (
         neardup_components,
     )
 
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        split_column,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    return neardup_components(pairs, release_pairs=True).orderBy("doc_id")
+    return (
+        neardup_components(pairs, release_pairs=True)
+        # leak-free train/val/test: split by CLUSTER id, not doc id —
+        # a whole near-dup cluster lands in one split, so a held-out
+        # doc's near-duplicates cannot appear in train (the
+        # contamination mode plain per-doc splitting invites)
+        .withColumn("split", split_column(F.col("cluster_id"), 0.8, 0.1))
+        .orderBy("doc_id")
+    )
 
 
 # Language-mix profile for the stratified-sample rows of

@@ -213,6 +213,35 @@ def test_connected_components_chain_and_clique(spark):
     }
 
 
+def test_neardup_clusters_split_is_leak_free(spark):
+    """The registered cluster query's split column must be a pure
+    function of cluster_id: every doc in a cluster shares the split, so
+    no near-dup PAIR straddles train/val/test — the contamination mode
+    per-doc splitting invites — and the label equals the md5 split of
+    the cluster id (what the DuckDB oracle recomputes)."""
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        hex_threshold,
+    )
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+        neardup_clusters,
+    )
+
+    rows = neardup_clusters(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "testdata plants near-dup pairs; clusters expected"
+    by_cluster: dict = {}
+    t1, t2 = hex_threshold(0.8), hex_threshold(0.9)
+    import hashlib
+
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        h = hashlib.md5(str(r.cluster_id).encode()).hexdigest()
+        want = "train" if h < t1 else ("val" if h < t2 else "test")
+        assert r.split == want, (r.doc_id, r.cluster_id, r.split, want)
+    assert all(len(s) == 1 for s in by_cluster.values()), {
+        c: s for c, s in by_cluster.items() if len(s) > 1
+    }
+
+
 def test_training_shard_export_deterministic(spark, tmp_path):
     import glob
     import hashlib
