@@ -441,3 +441,58 @@ def simhash_fingerprints(
     for p in range(32):
         fp = fp + F.when(F.col(f"v{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/RefinedWeb cleaning
+    stage document-level dedup cannot do): a line occurring in
+    ``min_docs`` or more DISTINCT documents is boilerplate (nav bars,
+    cookie banners, footers) — drop EVERY occurrence, reassemble each
+    document's remaining lines in their original order, and drop
+    documents left empty. Lines shorter than ``min_line_chars`` are
+    exempt (they collide naturally; removing them mangles text).
+
+    Returns (id_col, text_col, n_lines) — the cleaned text and its
+    kept-line count.
+
+    Scale shape: one posexplode (linear), ONE shuffle on the line
+    value for the distinct-doc frequency (boilerplate lines are the
+    hottest keys but ride the shuffle as partial counts, never row
+    lists), a left join of exploded lines against the hot set
+    (output-sized — AQE broadcasts it when small, and at web scale the
+    hot set is the SMALL side by construction: only lines crossing the
+    min_docs floor), and one groupBy(id) reassembly whose
+    array_sort(collect_list(struct(pos, line))) is codegen'd. Order
+    reassembly via the carried position, never a global sort."""
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.where(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("line", F.lit(True).alias("_hot"))
+    )
+    kept = (
+        lines.join(hot, "line", "left")
+        .where(
+            (F.length("line") < min_line_chars) | F.col("_hot").isNull()
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr(
+                "concat_ws('\\n', array_sort(collect_list(struct(pos, line))).line)"
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1518,6 +1518,36 @@ _ORACLE_PRELUDE = f"""
     ev_groups AS (
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS rs
         FROM ev GROUP BY 1
+    ),
+    -- line-dedup corpus: the % 11 == 7 docs augmented with two shared
+    -- footer lines and one per-doc unique line (same augmentation as
+    -- the Spark branch, mechanically)
+    ld_docs AS (
+        SELECT doc_id,
+               text || chr(10) || 'subscribe to our newsletter today'
+                    || chr(10) || 'unique contact line '
+                    || CAST(doc_id AS VARCHAR)
+                    || chr(10) || 'all rights reserved worldwide' AS t2
+        FROM documents WHERE doc_id % 11 = 7
+    ),
+    ld_lines AS (
+        SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+        FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls
+              FROM ld_docs),
+             UNNEST(list_transform(range(1, len(ls)+1),
+                    i -> {{'pos': i, 'line': ls[i]}})) AS u(s)
+    ),
+    ld_hot AS (
+        SELECT line FROM ld_lines WHERE LENGTH(line) >= 10
+        GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ld_out AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2,
+               COUNT(*) AS n_lines
+        FROM ld_lines
+        WHERE LENGTH(line) < 10
+           OR line NOT IN (SELECT line FROM ld_hot)
+        GROUP BY doc_id
     )
 """
 
@@ -1565,6 +1595,12 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 2),
                CAST((SELECT SUM(len({_TOKS})) FROM documents
                      WHERE doc_id % 7 = 2) AS DOUBLE)
+""",
+    "corpus_line_dedup": f"""
+        SELECT 'corpus_line_dedup',
+               (SELECT COUNT(*) FROM ld_out),
+               (SELECT SUM(n_lines) FROM ld_out),
+               (SELECT CAST(SUM(LENGTH(t2)) AS DOUBLE) FROM ld_out)
 """,
     "incremental_refresh": f"""
         SELECT 'incremental_refresh',
@@ -1939,6 +1975,49 @@ def _oracle_for(checks: "list[str]") -> str:
 
 
 
+def _line_dedup_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    """Line-level boilerplate removal (``operators/text_dedup.py:
+    line_dedup`` — the C4/RefinedWeb cleaning stage document dedup
+    cannot do; new r10): the documents % 11 == 7 slice, each doc
+    augmented with two SHARED footer lines and one per-doc unique line
+    (the same deterministic-augmentation pattern as the pii row — the
+    corpus itself has no line structure). min_docs=2 must drop the
+    footers from EVERY doc, keep every unique line, and drop duplicate
+    original texts as cross-doc repeated lines. n_rows = surviving
+    docs, n_aux = total kept lines, val = total characters of the
+    order-preserving reassembled texts — all recomputed mechanically
+    by DuckDB from the same augmentation."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        line_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 11 == 7
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter today"),
+            F.concat(
+                F.lit("unique contact line "),
+                F.col("doc_id").cast("string"),
+            ),
+            F.lit("all rights reserved worldwide"),
+        ).alias("text"),
+    )
+    cleaned = line_dedup(aug, min_docs=2, min_line_chars=10)
+    row = cleaned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_lines").alias("n_aux"),
+        F.sum(F.length("text")).cast("double").alias("val"),
+    )
+    return [_row(row, "corpus_line_dedup")]
+
+
 def _asof_rows(
     spark: SparkSession, sf_dir: str, base: str
 ) -> list[DataFrame]:
@@ -2288,6 +2367,8 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["corpus_stream_dedup"]),
     ("packing", lambda s, sf, o, b: _packing_rows(s, sf),
      ["corpus_pack"]),
+    ("line_dedup", lambda s, sf, o, b: _line_dedup_rows(s, sf),
+     ["corpus_line_dedup"]),
     ("asof", lambda s, sf, o, b: _asof_rows(s, sf, b),
      ["analytics_asof"]),
     ("ivf", lambda s, sf, o, b: _ivf_rows(s, sf),
@@ -2315,7 +2396,7 @@ _LIFECYCLE_BRANCHES = [
 ]
 _STREAMING_BRANCHES = [
     "scd2", "scd2_stored", "incremental", "versioned_stream",
-    "streaming_mv", "corpus_stream", "packing",
+    "streaming_mv", "corpus_stream", "packing", "line_dedup",
 ]
 assert sorted(_CORE_BRANCHES + _LIFECYCLE_BRANCHES + _STREAMING_BRANCHES) == \
     sorted(_BRANCH_NAMES)
@@ -2595,8 +2676,9 @@ def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def warehouse_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-and-pipeline scripts: SCD2 (logical + stored layout),
     incremental refresh, streaming ingest into a versioned table,
-    streaming MV maintenance, streaming corpus dedup and sequence
-    packing — 10 oracle-checked audit rows."""
+    streaming MV maintenance, streaming corpus dedup, sequence
+    packing, and line-level boilerplate dedup — 11 oracle-checked
+    audit rows."""
     return _run_union(
         spark, sf_dir, _STREAMING_BRANCHES, name="warehouse_streaming"
     )

@@ -213,6 +213,47 @@ def test_connected_components_chain_and_clique(spark):
     }
 
 
+def test_line_dedup_boilerplate_removal(spark):
+    """C4-style line dedup: cross-doc repeated lines drop from EVERY
+    doc, short lines are exempt, order is preserved on reassembly,
+    within-doc repeats alone don't trigger (distinct-DOC counting),
+    docs left empty disappear, and min_docs bounds the floor."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        line_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "first unique line\nSHARED FOOTER LINE HERE\nok\nlast unique line"),
+            (2, "SHARED FOOTER LINE HERE\nmiddle only here\nok"),
+            (3, "repeated inside doc\nrepeated inside doc\ntail here x"),
+            (4, "SHARED FOOTER LINE HERE"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines)
+        for r in line_dedup(df, min_docs=2, min_line_chars=10).collect()
+    }
+    # shared footer dropped everywhere; short 'ok' exempt; order kept
+    assert got[1] == ("first unique line\nok\nlast unique line", 3)
+    assert got[2] == ("middle only here\nok", 2)
+    # within-doc repetition is NOT cross-doc boilerplate
+    assert got[3] == (
+        "repeated inside doc\nrepeated inside doc\ntail here x",
+        3,
+    )
+    # a doc that was ALL boilerplate disappears
+    assert 4 not in got
+    # min_docs=3: the footer (2 docs... actually 3 docs) still drops,
+    # raise the floor past its df and everything survives
+    all_kept = {
+        r.doc_id: r.n_lines
+        for r in line_dedup(df, min_docs=4, min_line_chars=10).collect()
+    }
+    assert all_kept == {1: 4, 2: 3, 3: 3, 4: 1}
+
+
 def test_neardup_clusters_split_is_leak_free(spark):
     """The registered cluster query's split column must be a pure
     function of cluster_id: every doc in a cluster shares the split, so
