@@ -380,19 +380,28 @@ def _slice_sql(n: int, col: str = "vec_id") -> str:
     )
 
 
+# The LSH audit registers on the 1/2 slice (same rationale and
+# machinery as _ANN_IVF_SLICE below; sliced mean recall 0.961 sf0.01 /
+# 0.974 sf0.1 vs the 0.85 floor, min per-query hits 2/3 vs the >=1
+# floor — full-slice audit stays in pytest).
+_ANN_LSH_SLICE = 2
+
 ANN_AUDIT_ORACLE = """
     SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
            TRUE AS mean_recall_floor{extra}
-    FROM embeddings WHERE vec_id < 100
+    FROM embeddings WHERE vec_id < 100 AND {slice_sql}
 """
 
 
 @register(
     "embedding_ann_lsh",
-    ANN_AUDIT_ORACLE.format(extra=",\n           TRUE AS every_query_hit"),
+    ANN_AUDIT_ORACLE.format(
+        extra=",\n           TRUE AS every_query_hit",
+        slice_sql=_slice_sql(_ANN_LSH_SLICE),
+    ),
 )
 def embedding_ann_lsh(
-    spark: SparkSession, sf_dir: str, sample_every: int = 1
+    spark: SparkSession, sf_dir: str, sample_every: int = _ANN_LSH_SLICE
 ) -> DataFrame:
     """Hyperplane-LSH ANN top-3 (the scale path: bucket join instead of
     cross join), registered as a RECALL AUDIT: the full ANN pipeline
