@@ -122,8 +122,24 @@ def log_eval(query: str, sf_dir: str, cols, rows) -> str:
     try:
         path = _log_path()
         if path is not None:
+            _rotate_if_large(path)
             with open(path, "a", encoding="utf-8") as f:
                 f.write(json.dumps(record, separators=(",", ":")) + "\n")
     except OSError:
         pass
     return fp
+
+
+_ROTATE_BYTES = 4 * 1024 * 1024
+
+
+def _rotate_if_large(path: Path) -> None:
+    """Bound the committed log: past ~4 MB (thousands of evaluations)
+    the current file becomes ``<name>.prev`` (replacing the previous
+    generation) and a fresh one starts — the current and prior windows
+    are always retained, which is what a flake investigation needs."""
+    try:
+        if path.exists() and path.stat().st_size >= _ROTATE_BYTES:
+            path.replace(path.with_suffix(path.suffix + ".prev"))
+    except OSError:
+        pass

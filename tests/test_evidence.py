@@ -126,6 +126,29 @@ def test_log_eval_never_raises_on_unwritable_sink(monkeypatch, capsys):
     assert f"fp={fp}" in capsys.readouterr().out
 
 
+def test_log_rotation_keeps_two_windows(tmp_path, monkeypatch):
+    from polygon_daily_market_data_pipeline_spark import evidence
+    from polygon_daily_market_data_pipeline_spark.evidence import log_eval
+
+    log = tmp_path / "eval.jsonl"
+    monkeypatch.setenv("WAREHOUSE_EVAL_LOG", str(log))
+    monkeypatch.setattr(evidence, "_ROTATE_BYTES", 500)
+    cols = ["check_name", "val"]
+    for i in range(20):
+        log_eval(f"q{i}", "/sf", cols, [("c", float(i))])
+    prev = tmp_path / "eval.jsonl.prev"
+    assert prev.exists() and log.exists()
+    # every record lives in exactly one of the two windows, none lost
+    # beyond the single retired generation
+    names = [
+        json.loads(x)["query"]
+        for p in (prev, log)
+        for x in p.read_text().splitlines()
+    ]
+    assert names[-1] == "q19" and len(names) == len(set(names))
+    assert log.stat().st_size < 600
+
+
 def test_run_union_writes_eval_record(spark, tmp_path, monkeypatch):
     """An actual registered-query evaluation (smallest branch: packing,
     one audit row over sf0.001 documents) leaves a complete log record
