@@ -24,6 +24,13 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
 
+# The warehouse queries' self-evidencing log (evidence.py) would also
+# run each evaluation's DuckDB oracle INSIDE the timed window; bench's
+# per-row dual artifact (tools/warehouse_rows.py, below) already records
+# both sides at both scale factors, so the timed runs skip the in-eval
+# oracle — the suite timing stays a SPARK measurement.
+os.environ.setdefault("WAREHOUSE_ORACLE_EVAL", "0")
+
 _REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO))
 sys.path.insert(0, str(_REPO / "tools"))
@@ -179,7 +186,7 @@ def main() -> None:
     if reruns:
         full["outlier_first_runs"] = reruns
     # Per-branch wall-clock of the three warehouse queries' LAST runs
-    # (warehouse_ops.BRANCH_TIMES): 40 audit rows behind three query
+    # (warehouse_ops.BRANCH_TIMES): 41 audit rows behind three query
     # numbers would otherwise hide a single-branch regression in VM
     # noise. Sums to slightly less than the queries' own timings (the
     # residual is each checkpointed-union pass + noop write).

@@ -172,3 +172,30 @@ def test_run_union_writes_eval_record(spark, tmp_path, monkeypatch):
         _norm(v, spark_side=True) for v in got[0]
     ]
     assert not math.isnan(float(rec["rows"][0]["raw"][3]))
+    # round 11: the record carries the code version and BOTH halves of
+    # the evaluation — the local DuckDB oracle must have run and agreed
+    assert rec["sha"] not in ("", None)
+    assert rec["oracle_match"] is True
+    assert rec["oracle_fingerprint"] == rec["fingerprint"]
+    assert len(rec["oracle_rows"]) == len(rec["rows"])
+
+
+def test_log_eval_oracle_env_gate(tmp_path, monkeypatch):
+    """WAREHOUSE_ORACLE_EVAL=0 (bench's timed runs) must skip the
+    in-evaluation oracle entirely; a broken oracle SQL must degrade to
+    an error field, never an exception."""
+    from polygon_daily_market_data_pipeline_spark.evidence import log_eval
+
+    log = tmp_path / "eval.jsonl"
+    monkeypatch.setenv("WAREHOUSE_EVAL_LOG", str(log))
+    monkeypatch.setenv("WAREHOUSE_ORACLE_EVAL", "0")
+    cols = ["check_name", "n_rows", "n_aux", "val"]
+    log_eval("q", "/sf", cols, [("c", 1, 1, 2)], oracle_sql="SELECT 1")
+    monkeypatch.setenv("WAREHOUSE_ORACLE_EVAL", "1")
+    log_eval(
+        "q", "/sf", cols, [("c", 1, 1, 2)], oracle_sql="SELECT nope FROM"
+    )
+    recs = [json.loads(x) for x in log.read_text().splitlines()]
+    assert "oracle_fingerprint" not in recs[0]
+    assert "oracle_error" not in recs[0]
+    assert "oracle_error" in recs[1] and "oracle_match" not in recs[1]

@@ -6,6 +6,14 @@ query, the failing evaluation has already appended its rows to
 This tool names the divergent row(s) without any reproduction attempt:
 
     python tools/eval_log_diff.py <query> [--log PATH] [--sf SUBSTR]
+                                    [--sha SHA]
+
+Both rotation windows are read (``<log>`` and ``<log>.prev``) — after a
+rotation the majority fingerprints or the divergent record itself may
+live only in the prior generation. Records carry the git HEAD they were
+produced at (round 11); the census prints it and ``--sha`` restricts
+the diff to one code version, since fingerprints are only comparable
+within one (a row-set change legitimately moves every fingerprint).
 
 For the given query it groups the log's evaluations by fingerprint,
 prints the fingerprint census (a flake shows up as a minority
@@ -27,16 +35,29 @@ from pathlib import Path
 _DEFAULT_LOG = Path(__file__).resolve().parent.parent / "WAREHOUSE_EVAL_LOG.jsonl"
 
 
-def load(log_path: Path, query: str, sf_substr: str) -> list[dict]:
+def load(
+    log_path: Path, query: str, sf_substr: str, sha: str = ""
+) -> list[dict]:
     recs = []
-    with open(log_path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            r = json.loads(line)
-            if r.get("query") == query and sf_substr in r.get("sf_dir", ""):
-                recs.append(r)
+    # .prev first so records stay in chronological order across the
+    # rotation boundary (the rotation contract retains both windows
+    # precisely for investigations like this one)
+    prev = log_path.with_suffix(log_path.suffix + ".prev")
+    for path in (prev, log_path):
+        if not path.exists():
+            continue
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                r = json.loads(line)
+                if (
+                    r.get("query") == query
+                    and sf_substr in r.get("sf_dir", "")
+                    and (not sha or r.get("sha", "") == sha)
+                ):
+                    recs.append(r)
     return recs
 
 
@@ -52,9 +73,13 @@ def main() -> int:
     ap.add_argument(
         "--sf", default="", help="substring filter on sf_dir (e.g. sf0.01)"
     )
+    ap.add_argument(
+        "--sha", default="",
+        help="restrict to records produced at one git HEAD",
+    )
     args = ap.parse_args()
 
-    recs = load(Path(args.log), args.query, args.sf)
+    recs = load(Path(args.log), args.query, args.sf, args.sha)
     if not recs:
         print(f"no eval-log records for query={args.query!r} sf~{args.sf!r}")
         return 1
@@ -62,8 +87,19 @@ def main() -> int:
     census = Counter(r["fingerprint"] for r in recs)
     print(f"{len(recs)} evaluations of {args.query} (sf~{args.sf!r}):")
     for fp, n in census.most_common():
-        sfs = sorted({r["sf_dir"] for r in recs if r["fingerprint"] == fp})
-        print(f"  {fp}  x{n}  {sfs}")
+        mine = [r for r in recs if r["fingerprint"] == fp]
+        sfs = sorted({r["sf_dir"] for r in mine})
+        shas = sorted({r.get("sha", "?") for r in mine})
+        omatch = sorted(
+            {str(r["oracle_match"]) for r in mine if "oracle_match" in r}
+        )
+        extra = f" oracle_match={','.join(omatch)}" if omatch else ""
+        print(f"  {fp}  x{n}  {sfs} sha={','.join(shas)}{extra}")
+    if len({r.get("sha", "?") for r in recs}) > 1 and not args.sha:
+        print(
+            "  note: multiple code versions present — fingerprints are "
+            "only comparable within one; re-run with --sha"
+        )
     if len(census) == 1:
         print("all evaluations agree — nothing to diff")
         return 0
