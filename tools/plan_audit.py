@@ -153,6 +153,15 @@ def audit(sf_dir: str) -> list[dict]:
             df = build_maintenance_union(
                 spark, sf_dir, base, branches=WAREHOUSE_QUERIES[name]
             ).orderBy("check_name")
+        elif name == "embedding_ann_ivf":
+            # round 11: the registered query checkpoints its three audit
+            # rows inside worker threads (co-scheduled audits); audit the
+            # LAZY union so the real encode/join plans stay inspectable
+            from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+                embedding_ann_ivf,
+            )
+
+            df = embedding_ann_ivf(spark, sf_dir, eager=False)
         else:
             df = fn(spark, sf_dir)
         qe = df._jdf.queryExecution()
