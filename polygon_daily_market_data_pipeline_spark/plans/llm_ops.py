@@ -1034,6 +1034,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_RATES = {"en": 0.9, "zh": 0.5, "fr": 0.25}
 MIX_DEFAULT = 0.1
 
+# Mixing-PLANNER shares for the shortfall-contract rows (round 11,
+# VERDICT r10 #6): against a budget of the corpus's own total chars,
+# 'en' (~40% of chars) can supply its 25% share, while 'fr' and 'zh'
+# (~15% each) cannot supply 50%/25% — the planner must cap their
+# keep-rate at 1.0 and the rows price exactly what each stratum
+# contributes and that the cap fired. Quarter/half shares ×
+# integer-char budgets are exact in BOTH engines' arithmetic (binary
+# fractions of ints < 2^52), so the rows are value-exact at any SF.
+PLAN_SHARES = {"en": 0.25, "fr": 0.5, "zh": 0.25}
+
 
 def _split_oracle() -> str:
     from polygon_daily_market_data_pipeline_spark.operators.sampling import (
@@ -1045,6 +1055,9 @@ def _split_oracle() -> str:
         f"WHEN lang = '{k}' THEN '{hex_threshold(r)}'"
         for k, r in MIX_RATES.items()
     ) + f" ELSE '{hex_threshold(MIX_DEFAULT)}' END"
+    share_values = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(PLAN_SHARES.items())
+    )
     return f"""
     SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t1}' THEN 'train'
                 WHEN md5(CAST(doc_id AS VARCHAR)) < '{t2}' THEN 'val'
@@ -1060,6 +1073,18 @@ def _split_oracle() -> str:
     FROM documents
     WHERE md5(CAST(doc_id AS VARCHAR)) < {mix_case}
     GROUP BY 1, 2
+    UNION ALL
+    -- the planner's shortfall contract: n_docs = 1 iff the stratum is
+    -- under-supplied (keep-rate capped at 1.0), n_chars = its exact
+    -- expected contribution floor(min(share*budget, available))
+    SELECT 'plan' AS split, s.lang,
+           CAST(a.have <= s.share * b.total AS BIGINT) AS n_docs,
+           CAST(FLOOR(LEAST(s.share * b.total, a.have)) AS BIGINT)
+               AS n_chars
+    FROM (VALUES {share_values}) s(lang, share)
+    JOIN (SELECT lang, SUM(n_chars) AS have FROM documents GROUP BY 1) a
+      ON a.lang = s.lang
+    CROSS JOIN (SELECT SUM(n_chars) AS total FROM documents) b
     ORDER BY split, lang
     """
 
@@ -1074,8 +1099,22 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipelines run before packing). A doc's split and its mix
     decision never change as the corpus grows — the leak-free
     incremental-ingestion property; DuckDB reproduces both md5
-    constructions bit-for-bit."""
+    constructions bit-for-bit.
+
+    Round 11 adds the PLANNER's shortfall-contract rows (VERDICT r10
+    #6): ``mix_rates_for_token_budget`` runs against PLAN_SHARES with
+    the corpus's own total chars as the budget — 'fr' and 'zh' cannot
+    supply their shares and must come back rate==1.0 — and one 'plan'
+    row per stratum prices (a) that the cap fired exactly where
+    under-supply exists and (b) each stratum's expected contribution
+    floor(min(want, available)), both recomputed by DuckDB from
+    SUM(n_chars) directly. The arithmetic is exact on both engines:
+    quarter/half shares of an integer budget are exact binary
+    fractions, so no float boundary exists to flake across."""
+    import math
+
     from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        mix_rates_for_token_budget,
         stratified_sample,
         train_val_test_split,
     )
@@ -1100,7 +1139,28 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
-    return splits.unionByName(mix).orderBy("split", "lang")
+    # the planner's one aggregate pass (strata-sized collect), plus the
+    # same aggregate for the pricing arithmetic — both are single-column
+    # scans reduced map-side; the emitted frame is |strata| rows
+    agg = docs.groupBy("lang").agg(F.sum("n_chars").alias("have")).collect()
+    avail = {r["lang"]: int(r["have"]) for r in agg}
+    budget = float(sum(avail.values()))
+    rates = mix_rates_for_token_budget(
+        docs, "lang", "n_chars", PLAN_SHARES, budget
+    )
+    plan_rows = [
+        (
+            "plan",
+            lang,
+            1 if rates[lang] >= 1.0 else 0,  # the planner's cap decision
+            math.floor(min(share * budget, avail.get(lang, 0))),
+        )
+        for lang, share in sorted(PLAN_SHARES.items())
+    ]
+    plan = spark.createDataFrame(
+        plan_rows, "split string, lang string, n_docs long, n_chars long"
+    )
+    return splits.unionByName(mix).unionByName(plan).orderBy("split", "lang")
 
 
 KEEP_BEST_ORACLE = f"""
