@@ -4870,3 +4870,171 @@ def drop_tag(table_dir: str, name: str) -> None:
     if not os.path.exists(p):
         raise FileNotFoundError(f"no tag {name!r} in {table_dir}")
     os.remove(p)
+
+
+# --- ANALYZE / DESCRIBE STATISTICS ------------------------------------------
+#
+# The warehouse CBO surface (Snowflake's automatic clustering metadata /
+# Delta ANALYZE TABLE / Iceberg puffin NDV sketches, re-expressed on the
+# manifest log): ANALYZE runs the one scan statistics need and persists
+# a version-keyed sidecar; DESCRIBE is metadata-only — row counts come
+# from the manifest (fast_count), column envelopes from the manifest
+# stats where recorded, and NDV from the persisted sketch. The NDV
+# sketch is KMV (k minimum values) over md5 of the column's string form:
+# md5 is engine-portable (the same primitive as the sampling/split
+# operators), so the sketch's sufficient statistic — the k-th smallest
+# distinct hash — is a STRING both engines compute bit-identically; no
+# float ever reaches a comparison surface. The estimate derived from it
+# ((k-1)·2^128 / kmv as an exact big-int division) is a pure function
+# of the pinned sketch.
+
+_STATS_SUBDIR = "_stats"
+
+
+def _kmv_sketch(
+    df: "DataFrame", col: str, k: int
+) -> "tuple[int, str | None]":
+    """(n_distinct_capped_at_k, k-th smallest distinct md5 hash) — the
+    KMV sketch of one column. Distinct-shuffle then a k-bounded
+    take-ordered (Spark keeps k per partition — never a full sort), so
+    the job scales like any COUNT(DISTINCT) while collecting only k
+    strings."""
+    from pyspark.sql import functions as F
+
+    hashes = (
+        df.select(F.md5(F.col(col).cast("string")).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    if not hashes:
+        return 0, None
+    return len(hashes), hashes[-1]["h"]
+
+
+def kmv_estimate(ndv_k: int, kmv: "str | None", k: int) -> int:
+    """NDV estimate from the pinned sketch: exact when the column has
+    fewer than k distinct values (the sketch saw them all), else the
+    classic KMV estimator (k-1)/F(kmv) in exact integer arithmetic over
+    the first 64 bits of the hash (the prefix is as uniform as the full
+    hash, and 64-bit arithmetic keeps the identical computation
+    expressible in DuckDB HUGEINT — ``(k-1)·2^64 // prefix`` — so the
+    estimate itself can sit on an oracle-checked surface)."""
+    if kmv is None or ndv_k < k:
+        return ndv_k
+    return ((k - 1) * (2**64)) // int(kmv[:16], 16)
+
+
+def analyze_version(
+    spark: SparkSession,
+    table_dir: str,
+    cols: "list[str]",
+    k: int = 64,
+    version: "int | None" = None,
+) -> dict:
+    """ANALYZE: one aggregate pass for null counts and value envelopes
+    over every requested column, plus one KMV job per column, persisted
+    as ``_stats/v{N}.json`` beside the manifest log (metadata, not a
+    table version — re-analyzing does not move the table). Returns the
+    stats dict. Values are stored as strings (exact for the int/string
+    columns statistics target; see describe_statistics)."""
+    from pyspark.sql import functions as F
+
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    df = read_version(spark, table_dir, version=v)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs).first()
+    stats: dict = {"k": int(k), "columns": {}}
+    for c in cols:
+        ndv_k, kmv = _kmv_sketch(df, c, k)
+        stats["columns"][c] = {
+            "nulls": int(one[f"{c}__nulls"] or 0),
+            "min": one[f"{c}__min"],
+            "max": one[f"{c}__max"],
+            "ndv_k": ndv_k,
+            "kmv": kmv,
+        }
+    sdir = os.path.join(table_dir, _STATS_SUBDIR)
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, f".v{v}.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(sdir, f"v{v}.json"))
+    return stats
+
+
+def describe_statistics(
+    spark: SparkSession,
+    table_dir: str,
+    version: "int | None" = None,
+) -> DataFrame:
+    """DESCRIBE STATISTICS: the metadata-only statistics table — one
+    row per analyzed column: (column, n_rows, n_nulls, ndv_k, kmv,
+    ndv_est, min_val, max_val). n_rows comes from the manifest alone
+    (``fast_count``); min/max come from the MANIFEST's per-file stat
+    envelopes when the column has them (merged across files — the
+    data-skipping metadata doubling as CBO metadata), else from the
+    ANALYZE sidecar; NDV fields come from the persisted KMV sketch.
+    Zero data IO, zero scan jobs — at a 100 TB table this is a
+    driver-side walk of file-count-sized metadata."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    spath = os.path.join(table_dir, _STATS_SUBDIR, f"v{v}.json")
+    if not os.path.exists(spath):
+        raise FileNotFoundError(
+            f"version {v} of {table_dir} has not been analyzed "
+            f"(run analyze_version first)"
+        )
+    with open(spath) as f:
+        stats = json.load(f)
+    n_rows = fast_count(table_dir, version=v)
+    if n_rows is None:  # unprovable from metadata: one count job
+        n_rows = read_version(spark, table_dir, version=v).count()
+    manifest = _load_manifest(table_dir, v)
+    files = manifest.get("files") or {}
+    k = stats["k"]
+    rows = []
+    for c, st in sorted(stats["columns"].items()):
+        lo, hi = st["min"], st["max"]
+        envs = []
+        for ent in files.values():
+            rng = None
+            for nm in _stat_names(manifest, c):
+                rng = ((ent or {}).get("stats") or {}).get(nm)
+                if rng is not None:
+                    break
+            envs.append(rng)
+        if envs and all(e is not None for e in envs):
+            los = [_stat_from_json(e[0]) for e in envs]
+            his = [_stat_from_json(e[1]) for e in envs]
+            lo, hi = str(min(los)), str(max(his))
+        rows.append(
+            (
+                c,
+                int(n_rows),
+                st["nulls"],
+                st["ndv_k"],
+                st["kmv"],
+                kmv_estimate(st["ndv_k"], st["kmv"], k),
+                lo,
+                hi,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, ndv_k long, "
+        "kmv string, ndv_est long, min_val string, max_val string",
+    )
