@@ -20,12 +20,26 @@ oracle fragment and NAMES any divergent check.
 
 Usage:
     python tools/chaos_eval.py [sf_dir] [iterations]
+    python tools/chaos_eval.py --driver-seq [sf_dir] [passes]
+
+``--driver-seq`` (round 11, VERDICT r10 #7) reproduces the DRIVER'S OWN
+evaluation shape instead of the adversarial-concurrency one: the full
+registered suite, in driver order, differentially checked against
+DuckDB, run ``passes`` times (default 2) in ONE session with the CPU/GC
+pressure on — the driver's red rounds interleaved the warehouse queries
+with the other 48 in exactly this sequence. Every warehouse evaluation
+flows through `_run_union`, so each also lands in the eval log WITH its
+locally-run oracle half (WAREHOUSE_ORACLE_EVAL stays on), and the tail
+of the run prints the per-query fingerprint census across passes — a
+sequence-position-dependent divergence names itself twice: once in the
+differential, once in the log.
 
 Exit 0 = every evaluation row-exact under load; 1 = divergence (named).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import threading
 import time
@@ -70,7 +84,81 @@ def _cpu_load(stop, n_procs: int = 4):
     stop.append((q, procs))
 
 
+def driver_seq(sf_dir: str, passes: int = 2) -> int:
+    """The full suite in driver order, ``passes``× in one session under
+    CPU load, differentially checked pass by pass (check_oracle's exact
+    compare), then the warehouse fingerprint census across passes."""
+    import duckdb
+
+    from check_oracle import TABLES, run_suite
+    from polygon_daily_market_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("chaos-driver-seq")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    stop: list = []
+    _cpu_load(stop)
+    total_checked, all_failures = 0, []
+    try:
+        for n in range(passes):
+            t0 = time.monotonic()
+            checked, failures = run_suite(
+                spark, con, sf_dir, label=f"p{n} "
+            )
+            dt = time.monotonic() - t0
+            total_checked += checked
+            all_failures += [f"pass {n}: {f}" for f in failures]
+            print(
+                f"pass {n}: {checked - len(failures)}/{checked} ok "
+                f"in {dt:.0f}s"
+            )
+    finally:
+        for q, procs in stop:
+            q.put(1)
+            for p in procs:
+                p.terminate()
+    # fingerprint census: every warehouse evaluation this process logged
+    # must agree with itself across passes AND with its own oracle half
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        WAREHOUSE_QUERIES,
+    )
+
+    import eval_log_diff as eld
+
+    log = Path(
+        os.environ.get("WAREHOUSE_EVAL_LOG")
+        or (_REPO / "WAREHOUSE_EVAL_LOG.jsonl")
+    )
+    pid = os.getpid()
+    for qname in WAREHOUSE_QUERIES:
+        recs = [
+            r
+            for r in eld.load(log, qname, sf_dir)
+            if r.get("pid") == pid
+        ]
+        fps = {r["fingerprint"] for r in recs}
+        omatch = {r.get("oracle_match") for r in recs if "oracle_match" in r}
+        print(
+            f"census {qname}: {len(recs)} evals, fingerprints={sorted(fps)}, "
+            f"oracle_match={sorted(str(x) for x in omatch)}"
+        )
+        if len(fps) > 1 or omatch - {True}:
+            all_failures.append(f"census {qname}: {sorted(fps)} {omatch}")
+    print(
+        f"\n{total_checked - len(all_failures)}/{total_checked} clean "
+        f"under the driver sequence; {len(all_failures)} divergences"
+    )
+    return 1 if all_failures else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--driver-seq":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        return driver_seq(sf, int(sys.argv[3]) if len(sys.argv) > 3 else 2)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 

@@ -69,21 +69,15 @@ def fingerprint(cols, rows, spark_side=False):
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def run_suite(
+    spark, con, sf_dir: str, only: "set[str] | None" = None,
+    label: str = "",
+) -> "tuple[int, list[str]]":
+    """One differential pass over the registered suite in driver order:
+    run each Spark query, run its DuckDB oracle, compare count/columns/
+    value hash. Returns (checked, failures). Reused by main() and by
+    tools/chaos_eval.py --driver-seq (the full-sequence chaos mode)."""
     import __spark_entry__ as ent
-    from polygon_daily_market_data_pipeline_spark.session import get_spark
-
-    spark = get_spark("oracle-check")
-    spark.sparkContext.setLogLevel("WARN")
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     failures = []
@@ -97,18 +91,18 @@ def main() -> int:
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {label}{name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows-only ({len(srows)} rows)")
+            print(f"weak  {label}{name}: rows-only ({len(srows)} rows)")
             continue
         try:
             orel = con.sql(oracles[name])
             ocols = [c.lower() for c in orel.columns]
             orows = orel.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {label}{name}: duckdb error: {e}")
             failures.append(name)
             continue
         scols_l = [c.lower() for c in scols]
@@ -123,10 +117,28 @@ def main() -> int:
             if sh != oh:
                 problems.append(f"hash spark={sh} duckdb={oh}")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            print(f"FAIL  {label}{name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"ok    {name} ({len(srows)} rows)")
+            print(f"ok    {label}{name} ({len(srows)} rows)")
+    return checked, failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from polygon_daily_market_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("WARN")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    checked, failures = run_suite(spark, con, sf_dir, only or None)
     print(f"\n{checked - len(failures)}/{checked} ok")
     return 1 if failures else 0
 
