@@ -1206,6 +1206,73 @@ def probe_branch(spark, sf_dir: str) -> None:
     ord_df.unpersist()
     batch.unpersist()
 
+def probe_analyze(spark, sf_dir: str) -> None:
+    """ANALYZE/DESCRIBE claim (round 11): ANALYZE is one scan — its
+    cost grows ~linearly with rows (the KMV jobs are distinct-shuffles
+    with k-bounded collects) — while DESCRIBE afterwards is
+    metadata-only: flat sub-second driver latency independent of table
+    size (the only Spark job is collecting the |columns|-row result),
+    with n_rows from fast_count's manifest walk. Builds orders-derived
+    tables at 1x/4x/16x (key-shifted self-union), absorbs session
+    warmup with a throwaway 1000-row analyze first, and reports both
+    wall-clocks plus the describe read-back (n_rows asserted equal to
+    the true count at every point)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_version,
+        commit_version,
+        describe_statistics,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    base_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    n = base_df.count()
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    warm = tempfile.mkdtemp(prefix="analyze_probe_warm_")
+    commit_version(base_df.limit(1000).coalesce(1), warm)
+    analyze_version(spark, warm, cols, k=64)
+    describe_statistics(spark, warm).collect()
+    shutil.rmtree(warm, ignore_errors=True)
+    results = []
+    for k in (1, 4, 16):
+        df = base_df
+        for i in range(1, k):
+            df = df.unionByName(
+                base_df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10 * n)
+                )
+            )
+        t = tempfile.mkdtemp(prefix=f"analyze_probe_{k}x_")
+        commit_version(
+            df.repartition(max(4, 2 * k)), t, stats_cols=["o_orderkey"]
+        )
+        t0 = time.monotonic()
+        analyze_version(spark, t, cols, k=64)
+        dt_analyze = time.monotonic() - t0
+        t0 = time.monotonic()
+        desc = describe_statistics(spark, t)
+        rows = desc.collect()
+        dt_describe = time.monotonic() - t0
+        assert all(r.n_rows == n * k for r in rows), (k, rows)
+        results.append((k, n * k, dt_analyze, dt_describe))
+        shutil.rmtree(t, ignore_errors=True)
+    pts = ", ".join(
+        f"{k}x ({rows} rows) analyze={a:.2f}s describe={d * 1000:.0f}ms"
+        for k, rows, a, d in results
+    )
+    slopes = ", ".join(
+        f"{math.log(results[i + 1][2] / results[i][2], 4):.2f}"
+        for i in range(len(results) - 1)
+    )
+    print(f"analyze_describe: {pts}; analyze scaling exponents [{slopes}]")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1224,6 +1291,7 @@ def main() -> None:
         ("expectations", probe_expectations),
         ("vacuum", probe_vacuum),
         ("branch", probe_branch),
+        ("analyze", probe_analyze),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
