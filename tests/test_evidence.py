@@ -199,3 +199,40 @@ def test_log_eval_oracle_env_gate(tmp_path, monkeypatch):
     assert "oracle_fingerprint" not in recs[0]
     assert "oracle_error" not in recs[0]
     assert "oracle_error" in recs[1] and "oracle_match" not in recs[1]
+
+
+def test_eval_log_diff_reads_both_windows_and_filters_by_sha(tmp_path):
+    """tools/eval_log_diff must see records across the rotation
+    boundary (.prev + current) and restrict by code version with
+    --sha — fingerprints are only comparable within one (ADVICE r10 /
+    VERDICT r10 #3)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    import eval_log_diff as eld
+
+    log = tmp_path / "log.jsonl"
+    prev = tmp_path / "log.jsonl.prev"
+
+    def rec(sha, fp, sf="/sf0.01"):
+        return json.dumps(
+            {
+                "query": "q",
+                "sf_dir": sf,
+                "sha": sha,
+                "fingerprint": fp,
+                "cols": ["check_name", "val"],
+                "rows": [{"raw": ["'c'", "1"], "norm": ["c", "1"]}],
+            }
+        )
+
+    prev.write_text(rec("aaa", "fp_old") + "\n")
+    log.write_text(rec("bbb", "fp_new") + "\n" + rec("bbb", "fp_new") + "\n")
+    both = eld.load(log, "q", "")
+    assert [r["sha"] for r in both] == ["aaa", "bbb", "bbb"]  # prev first
+    only_b = eld.load(log, "q", "", sha="bbb")
+    assert {r["fingerprint"] for r in only_b} == {"fp_new"}
+    assert eld.load(log, "q", "sf0.001") == []
