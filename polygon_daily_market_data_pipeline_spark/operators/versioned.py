@@ -5005,6 +5005,15 @@ def describe_statistics(
         n_rows = read_version(spark, table_dir, version=v).count()
     manifest = _load_manifest(table_dir, v)
     files = manifest.get("files") or {}
+    # The manifest envelope covers STORED rows; pending row-level
+    # deletes (dv sidecars, eqdel scopes) hide some of them, so the
+    # merged envelope could report an extremum no visible row has.
+    # Exact-or-sidecar, never approximate: prefer the manifest only on
+    # a delete-free version (the ANALYZE sidecar always reflects the
+    # visible rows — it scanned them).
+    deletes_pending = bool(manifest.get("dv")) or bool(
+        manifest.get("eqdel")
+    )
     k = stats["k"]
     rows = []
     for c, st in sorted(stats["columns"].items()):
@@ -5017,7 +5026,9 @@ def describe_statistics(
                 if rng is not None:
                     break
             envs.append(rng)
-        if envs and all(e is not None for e in envs):
+        if envs and not deletes_pending and all(
+            e is not None for e in envs
+        ):
             los = [_stat_from_json(e[0]) for e in envs]
             his = [_stat_from_json(e[1]) for e in envs]
             lo, hi = str(min(los)), str(max(his))

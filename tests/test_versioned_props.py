@@ -129,7 +129,7 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
                     "delete", "update", "merge", "vacuum",
                     "delete_dv", "materialize_dv", "delete_eq",
                     "update_dv", "compact", "constraint",
-                    "branch_wap", "tag",
+                    "branch_wap", "tag", "analyze",
                 ]
             )
             versions = sorted(model)
@@ -315,6 +315,42 @@ def test_random_op_sequences_pinned_reader_invariant(spark, tmp_path):
 
                 name = f"tag_{_step}"
                 ref_tags[name] = create_tag(t, name, rng.choice(versions))
+            elif op == "analyze":
+                # ANALYZE + DESCRIBE are READ-ONLY against the model:
+                # no version appears, and the statistics must agree
+                # with the model's own rows at the latest version under
+                # whatever delete/merge/compact debris the interleaving
+                # left behind (the manifest-envelope fast path must
+                # yield to the sidecar whenever dv/eqdel entries hide
+                # stored rows)
+                from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+                    _manifests,
+                    analyze_version,
+                    describe_statistics,
+                )
+
+                latest = versions[-1]
+                analyze_version(spark, t, ["k", "tag"], k=8)
+                desc = {
+                    r["column"]: r
+                    for r in describe_statistics(spark, t).collect()
+                }
+                assert _manifests(t)[-1] == latest, "analyze moved the table"
+                rows_now = model[latest]
+                for col, idx in (("k", 0), ("tag", 1)):
+                    vals = [r[idx] for r in rows_now]
+                    d = desc[col]
+                    assert d.n_rows == len(rows_now), (seed, _step, col)
+                    assert d.n_nulls == 0
+                    assert d.ndv_k == min(8, len(set(vals)))
+                    if d.ndv_k < 8:
+                        assert d.ndv_est == len(set(vals))
+                    if vals:
+                        assert (d.min_val, d.max_val) == (
+                            str(min(vals)), str(max(vals)),
+                        ), (seed, _step, col)
+                    else:
+                        assert d.min_val is None and d.max_val is None
             else:  # vacuum
                 keep = rng.randint(1, len(versions))
                 vacuum(t, keep_last=keep)
