@@ -134,6 +134,56 @@ def quality_score(col: Column | str) -> Column:
     return F.round((length_ok + sw_score + diversity) / 3, 6)
 
 
+def mean_word_len(col: Column | str) -> Column:
+    """Mean token length — the Gopher 3-10-chars gate's feature. No
+    per-element lambda (interpreted-HOF policy): total token chars is
+    the length of the separator-free concat."""
+    t = tokens(col)
+    n = F.size(t)
+    chars = F.length(F.concat_ws("", t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(chars.cast("double") / n)
+
+
+def alpha_word_ratio(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one letter (post-
+    normalization, so [a-z]) — Gopher's >0.8 rule; numeric/symbol soup
+    scores low. Cheap per-element predicate over a short array — the
+    declarative form the HOF policy keeps."""
+    t = tokens(col)
+    n = F.size(t)
+    hits = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Symbol-to-word ratio (Gopher's <0.1 rule): '#' and '...'
+    occurrences per token — boilerplate/markup tells."""
+    s = normalize_text(col)
+    n = F.greatest(F.size(tokens(col)), F.lit(1))
+    syms = F.regexp_count(s, F.lit("#")) + F.regexp_count(
+        s, F.lit(r"\.\.\.")
+    )
+    return syms.cast("double") / n
+
+
+def gopher_pass(col: Column | str) -> Column:
+    """The composite Gopher repetition-free quality gate (Rae et al.
+    2021 §A1.1, the SQL-expressible subset): token count in [50, 1e5],
+    mean word length in [3, 10], alpha-word fraction > 0.8, symbol
+    ratio < 0.1. Both engines compute the identical doubles from the
+    same integer counts, so the boolean is value-exact."""
+    n = F.size(tokens(col))
+    mwl = mean_word_len(col)
+    return (
+        (n >= 50)
+        & (n <= 100000)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (alpha_word_ratio(col) > 0.8)
+        & (symbol_word_ratio(col) < 0.1)
+    )
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit ratios (the language-ID features)."""
     t = tokens(col)

@@ -16,14 +16,18 @@ from pyspark.sql import functions as F
 
 from polygon_daily_market_data_pipeline_spark.functions.text import (
     LANG_STOPWORDS,
+    alpha_word_ratio,
     distinct_token_ratio,
     est_bpe_tokens,
     fingerprint_md5,
+    gopher_pass,
     lang_id,
+    mean_word_len,
     quality_score,
     repetition_stats,
     rolling_hash,
     stopword_ratio,
+    symbol_word_ratio,
     token_count,
 )
 from polygon_daily_market_data_pipeline_spark.operators.similarity import (
@@ -213,7 +217,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_quality_scores",
     f"""
-    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {NORM} AS nrm, {TOKS} AS toks FROM documents),
     f AS (
         SELECT doc_id,
                len(toks) AS n,
@@ -221,7 +225,14 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / greatest(len(toks), 1) AS sw,
                len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS ttr,
                list_transform(range(1, len(toks)),
-                              i -> toks[i] || ' ' || toks[i+1]) AS grams
+                              i -> toks[i] || ' ' || toks[i+1]) AS grams,
+               len(array_to_string(toks, '')) * 1.0
+                   / greatest(len(toks), 1) AS mwl,
+               len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                   / greatest(len(toks), 1) AS alpha,
+               (len(regexp_extract_all(nrm, '#'))
+                    + len(regexp_extract_all(nrm, '\.\.\.'))) * 1.0
+                   / greatest(len(toks), 1) AS syms
         FROM t
     )
     SELECT doc_id,
@@ -230,7 +241,12 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + least(sw * 4, 1.0) + ttr) / 3, 6) AS quality,
            ROUND(CASE WHEN len(grams) > 0
                       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
-                      ELSE 0.0 END, 6) AS dup_2gram_frac
+                      ELSE 0.0 END, 6) AS dup_2gram_frac,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(alpha, 6) AS alpha_word_frac,
+           ROUND(syms, 6) AS symbol_word_ratio,
+           (n BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+                AND alpha > 0.8 AND syms < 0.1) AS gopher_pass
     FROM f
     ORDER BY doc_id
     """,
@@ -251,6 +267,10 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         quality_score("text").alias("quality"),
         F.round(rep["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+        F.round(mean_word_len("text"), 6).alias("mean_word_len"),
+        F.round(alpha_word_ratio("text"), 6).alias("alpha_word_frac"),
+        F.round(symbol_word_ratio("text"), 6).alias("symbol_word_ratio"),
+        gopher_pass("text").alias("gopher_pass"),
     ).orderBy("doc_id")
 
 

@@ -426,3 +426,44 @@ def test_repetition_stats(spark):
         *[c.alias(n) for n, c in repetition_stats("text").items()]
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_gopher_quality_rules(spark):
+    """The round-11 Gopher gates (mean word length, alpha-word
+    fraction, symbol ratio, composite pass) on adversarial texts:
+    natural prose passes, numeric soup fails the alpha rule, markup
+    soup fails the symbol rule, short text fails the length floor, and
+    the mean-word-length band rejects single-char and very-long-token
+    streams."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        alpha_word_ratio,
+        gopher_pass,
+        mean_word_len,
+        symbol_word_ratio,
+    )
+
+    prose = " ".join(
+        ["the quick brown fox jumps over the lazy sleeping dog"] * 6
+    )  # 60 tokens, mwl ~4, all alpha, no symbols
+    numbers = " ".join(str(i) for i in range(100, 160))  # 60 numeric tokens
+    markup = " ".join(["### section ..."] * 30)  # symbol-saturated
+    short = "tiny but honest text"
+    chars = " ".join(["a b c d"] * 20)  # mwl 1
+    rows = [(i, t) for i, t in enumerate([prose, numbers, markup, short, chars])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            mean_word_len("text").alias("mwl"),
+            alpha_word_ratio("text").alias("alpha"),
+            symbol_word_ratio("text").alias("syms"),
+            gopher_pass("text").alias("ok"),
+        ).collect()
+    }
+    assert got[0].ok is True
+    assert 3 <= got[0].mwl <= 10 and got[0].alpha == 1.0 and got[0].syms == 0.0
+    assert got[1].ok is False and got[1].alpha == 0.0  # numeric soup
+    assert got[2].ok is False and got[2].syms > 0.1  # '#' + '...' per token
+    assert got[3].ok is False  # under the 50-token floor
+    assert got[4].ok is False and got[4].mwl == 1.0  # single-char stream
