@@ -155,3 +155,36 @@ def test_kmv_estimate_low_cardinality_is_exact():
     # at the cap the estimator uses the 64-bit prefix exactly
     kmv = "0000000000000010" + "f" * 16  # prefix = 16
     assert kmv_estimate(64, kmv, 64) == (63 * 2**64) // 16
+
+
+def test_analyze_counts_nulls_from_schema_evolution(spark, tmp_path):
+    """n_nulls on a real NULL population: after a schema-evolved append
+    adds o_flag, pre-evolution files surface it as NULL — ANALYZE must
+    count exactly those rows, the KMV sketch must ignore them, and the
+    envelope must come from the non-NULL values."""
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "evo")
+    ord_df = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_totalprice")
+    )
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    pre = ord_df.where(F.col("o_orderkey") <= mx // 2)
+    post = ord_df.where(F.col("o_orderkey") > mx // 2).withColumn(
+        "o_flag", (F.col("o_orderkey") % 7).cast("long")
+    )
+    commit_version(pre.coalesce(2), tdir)
+    commit_version(
+        post.coalesce(2), tdir, mode="append", schema_evolution=True
+    )
+    analyze_version(spark, tdir, ["o_flag"], k=K)
+    row = describe_statistics(spark, tdir).collect()[0]
+    n_pre, n_post = pre.count(), post.count()
+    assert row.n_rows == n_pre + n_post
+    assert row.n_nulls == n_pre  # exactly the pre-evolution rows
+    n_distinct = post.select("o_flag").distinct().count()  # 7 residues
+    assert row.ndv_k == min(K, n_distinct) == row.ndv_est == n_distinct
+    flags = [r.o_flag for r in post.select("o_flag").collect()]
+    assert (row.min_val, row.max_val) == (str(min(flags)), str(max(flags)))
