@@ -4956,8 +4956,17 @@ def analyze_version(
         ]
     one = df.agg(*aggs).first()
     stats: dict = {"k": int(k), "columns": {}}
+    # one KMV job per column, co-scheduled: the jobs are independent
+    # distinct-shuffles with driver-side gaps, exactly what the FIFO
+    # scheduler interleaves (the same pattern as the warehouse branches)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:
+        sketches = dict(
+            zip(cols, ex.map(lambda c: _kmv_sketch(df, c, k), cols))
+        )
     for c in cols:
-        ndv_k, kmv = _kmv_sketch(df, c, k)
+        ndv_k, kmv = sketches[c]
         stats["columns"][c] = {
             "nulls": int(one[f"{c}__nulls"] or 0),
             "min": one[f"{c}__min"],

@@ -2122,17 +2122,17 @@ def _stats_rows(
     slim = ord_df.select(*_STATS_COLS)
     mx = ord_df.agg(F.max("o_orderkey")).first()[0]
     half = mx // 2
+    # coalesce, not repartitionByRange: the envelope MERGE is what the
+    # row audits (min/max across all files), which holds under any file
+    # layout — range-clustering would only narrow per-file envelopes,
+    # buying nothing here for two extra sampling jobs + shuffles
     commit_version(
-        slim.where(F.col("o_orderkey") <= half).repartitionByRange(
-            2, "o_orderkey"
-        ),
+        slim.where(F.col("o_orderkey") <= half).coalesce(2),
         tdir,
         stats_cols=["o_orderkey"],
     )
     commit_version(
-        slim.where(F.col("o_orderkey") > half).repartitionByRange(
-            2, "o_orderkey"
-        ),
+        slim.where(F.col("o_orderkey") > half).coalesce(2),
         tdir,
         mode="append",
         stats_cols=["o_orderkey"],
