@@ -7,7 +7,9 @@ post-hoc: for every audit check it records the Spark-side
 (n_rows, n_aux, val) triple, the DuckDB oracle's twin (each check's
 fragment runs standalone via ``_oracle_for([check])``), and a per-row
 match verdict under the driver-normalization (``check_oracle._norm`` —
-floats at 6dp, the same reduction the driver's hash applies).
+floats at 6dp, the same reduction the driver's hash applies — since
+round 11 every val is a scaled BIGINT, so the money/ratio columns
+compare as integers).
 
 ``bench.py`` calls :func:`compare` every round and writes
 ``WAREHOUSE_ROWS_r{N}.json`` (N inferred from the existing
