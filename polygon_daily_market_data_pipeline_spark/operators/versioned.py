@@ -4891,27 +4891,28 @@ def drop_tag(table_dir: str, name: str) -> None:
 _STATS_SUBDIR = "_stats"
 
 
-def _kmv_sketch(
-    df: "DataFrame", col: str, k: int
-) -> "tuple[int, str | None]":
-    """(n_distinct_capped_at_k, k-th smallest distinct md5 hash) — the
-    KMV sketch of one column. Distinct-shuffle then a k-bounded
-    take-ordered (Spark keeps k per partition — never a full sort), so
-    the job scales like any COUNT(DISTINCT) while collecting only k
-    strings."""
+def _kmv_sketch(df: "DataFrame", col: str, k: int) -> "list[str]":
+    """The k smallest DISTINCT md5 hashes of one column — the KMV
+    sketch's full state. Distinct-shuffle then a k-bounded take-ordered
+    (Spark keeps k per partition — never a full sort), so the job
+    scales like any COUNT(DISTINCT) while collecting only k strings.
+    The FULL k-set (not just the k-th value) is what makes the sketch
+    MERGEABLE: the k smallest distinct hashes of a union are always
+    among the union of each side's k smallest — the exactness that
+    powers ``analyze_incremental``."""
     from pyspark.sql import functions as F
 
-    hashes = (
-        df.select(F.md5(F.col(col).cast("string")).alias("h"))
-        .where(F.col("h").isNotNull())
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-        .collect()
-    )
-    if not hashes:
-        return 0, None
-    return len(hashes), hashes[-1]["h"]
+    return [
+        r["h"]
+        for r in (
+            df.select(F.md5(F.col(col).cast("string")).alias("h"))
+            .where(F.col("h").isNotNull())
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+    ]
 
 
 def kmv_estimate(ndv_k: int, kmv: "str | None", k: int) -> int:
@@ -4927,6 +4928,77 @@ def kmv_estimate(ndv_k: int, kmv: "str | None", k: int) -> int:
     return ((k - 1) * (2**64)) // int(kmv[:16], 16)
 
 
+def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
+    """One aggregate pass (null counts + TYPED value envelopes) plus
+    one co-scheduled KMV job per column. Envelope values are stored
+    through the same tagged JSON as the manifest's file stats
+    (``_stat_to_json``), so they stay comparable — mergeable — after a
+    round trip; unsupported column types raise there (analyze the
+    prunable/countable columns, not blobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs).first()
+    with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:
+        sketches = dict(
+            zip(cols, ex.map(lambda c: _kmv_sketch(df, c, k), cols))
+        )
+    out = {}
+    for c in cols:
+        mn, mx = one[f"{c}__min"], one[f"{c}__max"]
+        out[c] = {
+            "nulls": int(one[f"{c}__nulls"] or 0),
+            "min": None if mn is None else _stat_to_json(mn),
+            "max": None if mx is None else _stat_to_json(mx),
+            "kmv_set": sketches[c],
+        }
+    return out
+
+
+def _merge_col_stats(a: dict, b: dict, k: int) -> dict:
+    """Exact merge of two disjoint row sets' column stats: null counts
+    add, typed envelopes take the extrema (None is the empty-set
+    identity), and the KMV sets union-sort-truncate — the k smallest
+    distinct hashes of the union are among the union of each side's k
+    smallest, so the merged sketch is BIT-IDENTICAL to a full rescan's
+    (over a union of distinct-hash sets; duplicates collapse in the
+    set union exactly like they collapse in the full distinct)."""
+    def _ext(x, y, pick):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return _stat_to_json(pick(_stat_from_json(x), _stat_from_json(y)))
+
+    return {
+        "nulls": a["nulls"] + b["nulls"],
+        "min": _ext(a["min"], b["min"], min),
+        "max": _ext(a["max"], b["max"], max),
+        "kmv_set": sorted(set(a["kmv_set"]) | set(b["kmv_set"]))[:k],
+    }
+
+
+def _stats_path(table_dir: str, v: int) -> str:
+    return os.path.join(table_dir, _STATS_SUBDIR, f"v{v}.json")
+
+
+def _write_stats(table_dir: str, v: int, stats: dict) -> None:
+    sdir = os.path.join(table_dir, _STATS_SUBDIR)
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, f".v{v}.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, _stats_path(table_dir, v))
+
+
 def analyze_version(
     spark: SparkSession,
     table_dir: str,
@@ -4934,52 +5006,118 @@ def analyze_version(
     k: int = 64,
     version: "int | None" = None,
 ) -> dict:
-    """ANALYZE: one aggregate pass for null counts and value envelopes
-    over every requested column, plus one KMV job per column, persisted
-    as ``_stats/v{N}.json`` beside the manifest log (metadata, not a
-    table version — re-analyzing does not move the table). Returns the
-    stats dict. Values are stored as strings (exact for the int/string
-    columns statistics target; see describe_statistics)."""
-    from pyspark.sql import functions as F
-
+    """ANALYZE: one aggregate pass for null counts and typed value
+    envelopes over every requested column, plus one KMV job per column
+    (co-scheduled), persisted as ``_stats/v{N}.json`` beside the
+    manifest log (metadata, not a table version — re-analyzing does
+    not move the table). Returns the stats dict."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
     v = versions[-1] if version is None else version
     df = read_version(spark, table_dir, version=v)
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    one = df.agg(*aggs).first()
-    stats: dict = {"k": int(k), "columns": {}}
-    # one KMV job per column, co-scheduled: the jobs are independent
-    # distinct-shuffles with driver-side gaps, exactly what the FIFO
-    # scheduler interleaves (the same pattern as the warehouse branches)
-    from concurrent.futures import ThreadPoolExecutor
+    stats: dict = {
+        "k": int(k),
+        "version": int(v),
+        "columns": _column_stats(spark, df, cols, k),
+    }
+    _write_stats(table_dir, v, stats)
+    return stats
 
-    with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:
-        sketches = dict(
-            zip(cols, ex.map(lambda c: _kmv_sketch(df, c, k), cols))
+
+def analyze_incremental(
+    spark: SparkSession, table_dir: str
+) -> dict:
+    """Incremental ANALYZE — extend the newest analyzed sidecar to the
+    latest version by scanning ONLY the data committed since (the 100
+    TB lever: a daily append re-analyzes the day, not the table). The
+    merge is EXACT, not approximate — additive null counts, extrema of
+    typed envelopes, and KMV sets that merge losslessly (see
+    ``_merge_col_stats``) — so the resulting sidecar is value-identical
+    to a full re-analysis.
+
+    Exactness requires an append-only window with nothing hidden or
+    renamed since the analyzed version; whenever that cannot be PROVEN
+    from the manifests — any non-append commit, any dv/eqdel anywhere
+    in the window (new vectors could hide rows the old sidecar already
+    counted), a schema or column-mapping change, or no prior sidecar
+    at all — this falls back to a full ``analyze_version`` with the
+    same columns/k (cannot-prove re-scans, never returns a wrong
+    statistic; same asymmetry as ``fast_count``). Returns the stats
+    dict with a ``mode`` key: 'current' (sidecar already at the latest
+    version), 'incremental', or 'full'."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1]
+    if os.path.exists(_stats_path(table_dir, v)):
+        with open(_stats_path(table_dir, v)) as f:
+            stats = json.load(f)
+        stats["mode"] = "current"
+        return stats
+    prior = [
+        pv for pv in versions
+        if pv < v and os.path.exists(_stats_path(table_dir, pv))
+    ]
+
+    def _full(base: dict) -> dict:
+        stats = analyze_version(
+            spark, table_dir, list(base["columns"]), k=base["k"]
         )
-    for c in cols:
-        ndv_k, kmv = sketches[c]
-        stats["columns"][c] = {
-            "nulls": int(one[f"{c}__nulls"] or 0),
-            "min": one[f"{c}__min"],
-            "max": one[f"{c}__max"],
-            "ndv_k": ndv_k,
-            "kmv": kmv,
-        }
-    sdir = os.path.join(table_dir, _STATS_SUBDIR)
-    os.makedirs(sdir, exist_ok=True)
-    tmp = os.path.join(sdir, f".v{v}.json.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, os.path.join(sdir, f"v{v}.json"))
+        stats["mode"] = "full"
+        return stats
+
+    if not prior:
+        raise FileNotFoundError(
+            f"no analyzed version in {table_dir} to extend "
+            f"(run analyze_version first)"
+        )
+    v0 = prior[-1]
+    with open(_stats_path(table_dir, v0)) as f:
+        base = json.load(f)
+    m0 = _load_manifest(table_dir, v0)
+    mv = _load_manifest(table_dir, v)
+    window = [w for w in versions if v0 < w <= v]
+    appends_only = all(
+        _load_manifest(table_dir, w).get("mode") == "append"
+        for w in window
+    )
+    hidden = any(
+        bool(m.get("dv")) or bool(m.get("eqdel")) for m in (m0, mv)
+    )
+    shape_same = (
+        m0.get("schema") == mv.get("schema")
+        and m0.get("colmap") == mv.get("colmap")
+        and m0.get("retired_cols") == mv.get("retired_cols")
+    )
+    old_dirs, new_dirs = list(m0["dirs"]), list(mv["dirs"])
+    carried = set(old_dirs) <= set(new_dirs)
+    if not (appends_only and not hidden and shape_same and carried):
+        return _full(base)
+    delta = [d for d in new_dirs if d not in set(old_dirs)]
+    if not delta:
+        stats = dict(base)
+        stats["version"] = int(v)
+        _write_stats(table_dir, v, stats)
+        stats["mode"] = "incremental"
+        return stats
+    paths = [
+        d if os.path.isabs(d) else os.path.join(table_dir, d)
+        for d in delta
+    ]
+    ddf = _read_manifest_paths(spark, mv, paths, table_dir=table_dir)
+    k = int(base["k"])
+    delta_stats = _column_stats(spark, ddf, list(base["columns"]), k)
+    stats = {
+        "k": k,
+        "version": int(v),
+        "columns": {
+            c: _merge_col_stats(base["columns"][c], delta_stats[c], k)
+            for c in base["columns"]
+        },
+    }
+    _write_stats(table_dir, v, stats)
+    stats["mode"] = "incremental"
     return stats
 
 
@@ -5026,7 +5164,8 @@ def describe_statistics(
     k = stats["k"]
     rows = []
     for c, st in sorted(stats["columns"].items()):
-        lo, hi = st["min"], st["max"]
+        lo = None if st["min"] is None else str(_stat_from_json(st["min"]))
+        hi = None if st["max"] is None else str(_stat_from_json(st["max"]))
         envs = []
         for ent in files.values():
             rng = None
@@ -5041,14 +5180,17 @@ def describe_statistics(
             los = [_stat_from_json(e[0]) for e in envs]
             his = [_stat_from_json(e[1]) for e in envs]
             lo, hi = str(min(los)), str(max(his))
+        kmv_set = st["kmv_set"]
+        ndv_k = len(kmv_set)  # capped at k by construction
+        kmv = kmv_set[-1] if kmv_set else None
         rows.append(
             (
                 c,
                 int(n_rows),
                 st["nulls"],
-                st["ndv_k"],
-                st["kmv"],
-                kmv_estimate(st["ndv_k"], st["kmv"], k),
+                ndv_k,
+                kmv,
+                kmv_estimate(ndv_k, kmv, k),
                 lo,
                 hi,
             )

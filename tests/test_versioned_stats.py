@@ -188,3 +188,104 @@ def test_analyze_counts_nulls_from_schema_evolution(spark, tmp_path):
     assert row.ndv_k == min(K, n_distinct) == row.ndv_est == n_distinct
     flags = [r.o_flag for r in post.select("o_flag").collect()]
     assert (row.min_val, row.max_val) == (str(min(flags)), str(max(flags)))
+
+
+def test_incremental_analyze_equals_full_rescan(spark, tmp_path):
+    """The exactness law: after appends, analyze_incremental (scans
+    ONLY the delta dirs) must produce a sidecar value-identical to a
+    full re-analysis — null counts, typed envelopes, and the merged
+    KMV sets, column by column. The delta deliberately moves the
+    extrema (key-shifted append) and adds new distinct values."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+    )
+
+    tdir = str(tmp_path / "vt")
+    ord_df = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    commit_version(
+        ord_df.where(F.col("o_orderkey") <= mx // 2).coalesce(2),
+        tdir,
+        stats_cols=["o_orderkey"],
+    )
+    analyze_version(
+        spark, tdir, ["o_orderkey", "o_custkey", "o_orderpriority"], k=16
+    )
+    # two appends: the second shifts keys past the max (new extrema +
+    # new distinct hashes)
+    commit_version(
+        ord_df.where(F.col("o_orderkey") > mx // 2).coalesce(2),
+        tdir,
+        mode="append",
+    )
+    commit_version(
+        ord_df.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10 * mx))
+        .coalesce(1),
+        tdir,
+        mode="append",
+    )
+    inc = analyze_incremental(spark, tdir)
+    assert inc["mode"] == "incremental"
+    inc_rows = sorted(
+        tuple(r) for r in describe_statistics(spark, tdir).collect()
+    )
+    # full rescan into a fresh sidecar must land on identical bytes
+    full = analyze_version(
+        spark, tdir, ["o_orderkey", "o_custkey", "o_orderpriority"], k=16
+    )
+    full_rows = sorted(
+        tuple(r) for r in describe_statistics(spark, tdir).collect()
+    )
+    assert inc_rows == full_rows
+    inc.pop("mode")
+    assert json.dumps(inc, sort_keys=True) == json.dumps(
+        full, sort_keys=True
+    )
+
+
+def test_incremental_analyze_fallbacks(spark, tmp_path):
+    """Cannot-prove re-scans, never returns a wrong statistic: a
+    deletion vector in the window or a non-append commit falls back to
+    a full re-analysis (mode='full', values still exact); an
+    already-current sidecar is a no-op read (mode='current'); a
+    window with no new dirs carries the sidecar forward."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+        delete_version_vectors,
+        rollback,
+    )
+
+    tdir = str(tmp_path / "vt")
+    ord_df = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_totalprice")
+    )
+    commit_version(ord_df.coalesce(2), tdir)
+    analyze_version(spark, tdir, ["o_orderkey"], k=8)
+    assert analyze_incremental(spark, tdir)["mode"] == "current"
+    # dv delete: new vectors hide rows the sidecar counted -> full
+    delete_version_vectors(spark, tdir, F.col("o_orderkey") % 10 == 0)
+    res = analyze_incremental(spark, tdir)
+    assert res["mode"] == "full"
+    row = describe_statistics(spark, tdir).collect()[0]
+    expected = ord_df.where(F.col("o_orderkey") % 10 != 0).count()
+    assert row.n_rows == expected
+    # rollback (non-append) -> full
+    rollback(tdir, to_version=0)
+    res = analyze_incremental(spark, tdir)
+    assert res["mode"] == "full"
+    assert describe_statistics(spark, tdir).collect()[0].n_rows == (
+        ord_df.count()
+    )

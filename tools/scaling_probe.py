@@ -1272,6 +1272,55 @@ def probe_analyze(spark, sf_dir: str) -> None:
     )
     print(f"analyze_describe: {pts}; analyze scaling exponents [{slopes}]")
 
+    # Incremental ANALYZE vs full rescan: a fixed-size daily append on
+    # growing tables — the incremental cost must track the APPEND, the
+    # full rescan the TABLE (the 100 TB lever). Values pinned identical.
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+    )
+
+    day = base_df.limit(5000)
+    inc_results = []
+    for k in (1, 4, 16):
+        df = base_df
+        for i in range(1, k):
+            df = df.unionByName(
+                base_df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10 * n)
+                )
+            )
+        t = tempfile.mkdtemp(prefix=f"inc_analyze_probe_{k}x_")
+        commit_version(df.repartition(max(4, 2 * k)), t)
+        analyze_version(spark, t, cols, k=64)
+        commit_version(
+            day.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100 * k * n)
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+        t0 = time.monotonic()
+        res = analyze_incremental(spark, t)
+        dt_inc = time.monotonic() - t0
+        assert res["mode"] == "incremental", res.get("mode")
+        inc_rows = sorted(
+            tuple(r) for r in describe_statistics(spark, t).collect()
+        )
+        t0 = time.monotonic()
+        analyze_version(spark, t, cols, k=64)
+        dt_full = time.monotonic() - t0
+        full_rows = sorted(
+            tuple(r) for r in describe_statistics(spark, t).collect()
+        )
+        assert inc_rows == full_rows, f"{k}x: incremental != full"
+        inc_results.append((k, n * k, dt_inc, dt_full))
+        shutil.rmtree(t, ignore_errors=True)
+    pts = ", ".join(
+        f"{k}x ({rows}+5000 rows) incremental={i_:.2f}s full={f_:.2f}s"
+        for k, rows, i_, f_ in inc_results
+    )
+    print(f"analyze_incremental: {pts} (values pinned identical)")
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
