@@ -1993,8 +1993,12 @@ def _stats_check_sql(col: str) -> str:
     return f"""
         SELECT 'stats_{col}',
                (SELECT COUNT(*) FROM ord),
+               -- +100000: the incremental-merge claim (the branch must
+               -- have extended the sidecar from the delta dirs, not
+               -- fallen back to a full rescan)
                (SELECT COUNT(*) FROM ({h}) t)
-                   + 1000 * (SELECT COUNT(*) FROM ord WHERE {col} IS NULL),
+                   + 1000 * (SELECT COUNT(*) FROM ord WHERE {col} IS NULL)
+                   + 100000,
                (SELECT CAST(('0x' || substr(md5(
                         kmv || '|' || mn || '|' || mx || '|'
                             || CAST(est AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -2092,18 +2096,22 @@ def _stats_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
     """ANALYZE / DESCRIBE STATISTICS (``analyze_version`` /
-    ``describe_statistics`` — round 11, VERDICT r10 #8): the ord slice's
-    four stats columns committed as two range halves with manifest
-    envelopes on o_orderkey, ANALYZEd once (null counts + value
-    envelopes in one pass, a portable KMV NDV sketch per column), then
-    DESCRIBEd metadata-only. One audit row per column, the 8-column
-    statistics surface packed into the audit shape:
+    ``analyze_incremental`` / ``describe_statistics`` — round 11,
+    VERDICT r10 #8): the ord slice's four stats columns committed as
+    two halves with manifest envelopes on o_orderkey — the bottom half
+    ANALYZEd (null counts + typed value envelopes in one pass, a
+    portable KMV NDV sketch per column), the top half APPENDED and the
+    statistics extended INCREMENTALLY (delta-dirs scan + lossless
+    KMV-set merge), then DESCRIBEd metadata-only. One audit row per
+    column, the 8-column statistics surface packed into the audit
+    shape:
 
     * n_rows — the DESCRIBE row count, which comes from ``fast_count``
       (manifest metadata alone); the oracle prices COUNT(*), so the
       metadata arithmetic must be row-exact,
-    * n_aux — ndv_k + 1000·n_nulls (the sketch's capped distinct count
-      and the null count),
+    * n_aux — ndv_k + 1000·n_nulls + 100000·(the incremental path ran —
+      a fallback to a full rescan would give right values but wrong
+      evidence, and reds the row),
     * val — BIGINT of the first 15 hex chars of
       md5(kmv|min|max|ndv_est): pins the k-th-smallest-hash sketch
       value, the column envelope (o_orderkey's comes from the MANIFEST
@@ -2114,6 +2122,7 @@ def _stats_rows(
     import hashlib
 
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
         analyze_version,
         describe_statistics,
     )
@@ -2131,13 +2140,23 @@ def _stats_rows(
         tdir,
         stats_cols=["o_orderkey"],
     )
+    # ANALYZE the bottom half, then APPEND the top and extend the
+    # statistics INCREMENTALLY (round 11): the final sidecar the row
+    # digests is produced by the merge path — delta-dirs scan + lossless
+    # KMV-set merge — while the oracle recomputes the same numbers from
+    # the FULL ord slice, so the driver gates the incremental path's
+    # exactness, not just the one-shot scan's
+    analyze_version(spark, tdir, _STATS_COLS, k=_STATS_K)
     commit_version(
         slim.where(F.col("o_orderkey") > half).coalesce(2),
         tdir,
         mode="append",
         stats_cols=["o_orderkey"],
     )
-    analyze_version(spark, tdir, _STATS_COLS, k=_STATS_K)
+    inc = analyze_incremental(spark, tdir)
+    # the claim bit: the merge path really ran (an unprovable window
+    # would fall back to a full rescan — right values, wrong evidence)
+    inc_ran = 1 if inc.get("mode") == "incremental" else 0
     desc = describe_statistics(spark, tdir)  # metadata-only read-back
     out = []
     for r in desc.collect():
@@ -2150,7 +2169,9 @@ def _stats_rows(
                     (
                         f"stats_{r.column}",
                         int(r.n_rows),
-                        int(r.ndv_k) + 1000 * int(r.n_nulls),
+                        int(r.ndv_k)
+                        + 1000 * int(r.n_nulls)
+                        + 100000 * inc_ran,
                         int(digest[:15], 16),
                     )
                 ],
