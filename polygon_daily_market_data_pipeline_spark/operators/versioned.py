@@ -229,19 +229,30 @@ def _collect_file_stats(
                         if env[c] is None:
                             return None
                         lo, hi = env[c]
+                        truncated = False
                         if isinstance(lo, str) and isinstance(hi, str):
                             # Delta-style truncation: the manifest must
                             # stay O(files), not O(files × value length)
                             t = _truncate_str_env(lo, hi)
                             if t is None:
                                 return None
+                            truncated = t != (lo, hi)
                             lo, hi = t
                         try:
-                            return [_stat_to_json(lo), _stat_to_json(hi)]
+                            enc = [_stat_to_json(lo), _stat_to_json(hi)]
                         except TypeError:
                             # unencodable stats type (e.g. BINARY):
                             # record none — the column stays unprunable
                             return None
+                        if truncated:
+                            # third element flags a BOUND-not-VALUE
+                            # envelope (ADVICE r11): still sound for
+                            # pruning (lo ≤ true min, hi ≥ true max)
+                            # but describe_statistics must not surface
+                            # it as an exact extremum — positional
+                            # readers (rng[0]/rng[1]) are unaffected
+                            enc.append(1)
+                        return enc
 
                     enc = {c: enc_col(c) for c in cols}
                     rows.append((p, nrows, json.dumps(enc)))
@@ -4925,7 +4936,11 @@ def kmv_estimate(ndv_k: int, kmv: "str | None", k: int) -> int:
     estimate itself can sit on an oracle-checked surface)."""
     if kmv is None or ndv_k < k:
         return ndv_k
-    return ((k - 1) * (2**64)) // int(kmv[:16], 16)
+    # max(prefix, 1): an all-zero 64-bit md5 prefix is a 2^-64 event,
+    # but it must degrade to a huge estimate, not a ZeroDivisionError
+    # (ADVICE r11; the DuckDB twin in _stats_check_sql carries the same
+    # GREATEST guard so the arithmetic stays engine-identical)
+    return ((k - 1) * (2**64)) // max(int(kmv[:16], 16), 1)
 
 
 def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
@@ -4939,6 +4954,8 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
 
     from pyspark.sql import functions as F
 
+    if not cols:  # df.agg() requires >= 1 expression (ADVICE r11)
+        return {}
     aggs = []
     for c in cols:
         aggs += [
@@ -5038,14 +5055,19 @@ def analyze_incremental(
 
     Exactness requires an append-only window with nothing hidden or
     renamed since the analyzed version; whenever that cannot be PROVEN
-    from the manifests — any non-append commit, any dv/eqdel anywhere
-    in the window (new vectors could hide rows the old sidecar already
-    counted), a schema or column-mapping change, or no prior sidecar
-    at all — this falls back to a full ``analyze_version`` with the
-    same columns/k (cannot-prove re-scans, never returns a wrong
-    statistic; same asymmetry as ``fast_count``). Returns the stats
-    dict with a ``mode`` key: 'current' (sidecar already at the latest
-    version), 'incremental', or 'full'."""
+    from the manifests — any non-append commit, any dv/eqdel on ANY
+    manifest in the window (new vectors could hide rows the old sidecar
+    already counted), a schema or column-mapping change anywhere in the
+    window (even one an append-mode commit later reverted) — this falls
+    back to a full ``analyze_version`` (cannot-prove re-scans, never
+    returns a wrong statistic; same asymmetry as ``fast_count``). The
+    fallback re-analyzes the base sidecar's columns mapped through the
+    CURRENT column mapping, dropping columns no longer visible. With no
+    prior sidecar at all there is nothing to extend OR to name columns
+    from, so this raises ``FileNotFoundError`` (run ``analyze_version``
+    first). Returns the stats dict with a ``mode`` key: 'current'
+    (sidecar already at the latest version), 'incremental', or
+    'full'."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
@@ -5061,9 +5083,24 @@ def analyze_incremental(
     ]
 
     def _full(base: dict) -> dict:
-        stats = analyze_version(
-            spark, table_dir, list(base["columns"]), k=base["k"]
-        )
+        # The base sidecar's column names may predate a rename/drop:
+        # map each through the CURRENT manifest's column mapping and
+        # drop columns no longer visible (ADVICE r11 — a raw
+        # analyze_version on stale names raised AnalysisException
+        # instead of completing a clean full re-analysis).
+        latest = _load_manifest(table_dir, v)
+        cols: "list[str]" = []
+        for c in base["columns"]:
+            cur = _current_name(latest, c)
+            if cur is not None and cur not in cols:
+                cols.append(cur)
+        if not cols:
+            raise ValueError(
+                f"none of the analyzed columns {list(base['columns'])} "
+                f"are visible in version {v} of {table_dir} — run "
+                f"analyze_version with current column names"
+            )
+        stats = analyze_version(spark, table_dir, cols, k=base["k"])
         stats["mode"] = "full"
         return stats
 
@@ -5078,17 +5115,22 @@ def analyze_incremental(
     m0 = _load_manifest(table_dir, v0)
     mv = _load_manifest(table_dir, v)
     window = [w for w in versions if v0 < w <= v]
-    appends_only = all(
-        _load_manifest(table_dir, w).get("mode") == "append"
-        for w in window
-    )
+    # every manifest in the window, not just the endpoints (ADVICE
+    # r11): an append-mode commit that transiently carried dv/eqdel or
+    # a schema/colmap change mid-window and was reverted before v must
+    # still fail the exactness proof — the delta-dirs scan below reads
+    # files as they exist NOW, and the base sidecar counted rows as
+    # they were at v0; any intermediate mutation breaks that algebra.
+    wmans = [_load_manifest(table_dir, w) for w in window]
+    appends_only = all(m.get("mode") == "append" for m in wmans)
     hidden = any(
-        bool(m.get("dv")) or bool(m.get("eqdel")) for m in (m0, mv)
+        bool(m.get("dv")) or bool(m.get("eqdel")) for m in (m0, *wmans)
     )
-    shape_same = (
-        m0.get("schema") == mv.get("schema")
-        and m0.get("colmap") == mv.get("colmap")
-        and m0.get("retired_cols") == mv.get("retired_cols")
+    shape_same = all(
+        m0.get("schema") == m.get("schema")
+        and m0.get("colmap") == m.get("colmap")
+        and m0.get("retired_cols") == m.get("retired_cols")
+        for m in wmans
     )
     old_dirs, new_dirs = list(m0["dirs"]), list(mv["dirs"])
     carried = set(old_dirs) <= set(new_dirs)
@@ -5174,8 +5216,22 @@ def describe_statistics(
                 if rng is not None:
                     break
             envs.append(rng)
+        # A manifest string envelope may be a TRUNCATED BOUND, not a
+        # value any row has (_truncate_str_env): honor the write-time
+        # flag, and for legacy entries written before the flag treat a
+        # max-length string as possibly-truncated (ADVICE r11). Exact-
+        # or-sidecar, never approximate — a flagged column falls back
+        # to the ANALYZE sidecar's exact extrema.
+        def _maybe_truncated(e) -> bool:
+            if len(e) > 2 and e[2]:
+                return True
+            return any(
+                j["t"] == "str" and len(j["v"]) >= _STR_STAT_MAXLEN
+                for j in e[:2]
+            )
+
         if envs and not deletes_pending and all(
-            e is not None for e in envs
+            e is not None and not _maybe_truncated(e) for e in envs
         ):
             los = [_stat_from_json(e[0]) for e in envs]
             his = [_stat_from_json(e[1]) for e in envs]

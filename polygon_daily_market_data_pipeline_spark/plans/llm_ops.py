@@ -216,7 +216,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_scores",
-    f"""
+    # rf-string: the '\.\.\.' regex literal below must reach DuckDB
+    # verbatim (VERDICT r11 #6 — a non-raw f-string made it a
+    # DeprecationWarning and a future SyntaxError)
+    rf"""
     WITH t AS (SELECT doc_id, {NORM} AS nrm, {TOKS} AS toks FROM documents),
     f AS (
         SELECT doc_id,

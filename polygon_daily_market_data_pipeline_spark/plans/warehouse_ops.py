@@ -2006,10 +2006,12 @@ def _stats_check_sql(col: str) -> str:
                     SELECT kmv, mn, mx,
                            CASE WHEN ndv_k < {_STATS_K} OR kmv IS NULL
                                 THEN ndv_k
+                                -- GREATEST(.., 1): same all-zero-prefix
+                                -- guard as kmv_estimate (ADVICE r11)
                                 ELSE CAST(CAST({_STATS_K - 1} AS HUGEINT)
                                      * CAST(18446744073709551616 AS HUGEINT)
-                                     // CAST(('0x' || substr(kmv, 1, 16))
-                                             AS UBIGINT) AS BIGINT)
+                                     // GREATEST(CAST(('0x' || substr(kmv, 1, 16))
+                                             AS UBIGINT), 1) AS BIGINT)
                            END AS est
                     FROM (
                         SELECT (SELECT COUNT(*) FROM ({h}) t) AS ndv_k,

@@ -289,3 +289,159 @@ def test_incremental_analyze_fallbacks(spark, tmp_path):
     assert describe_statistics(spark, tdir).collect()[0].n_rows == (
         ord_df.count()
     )
+
+
+# --- round 12: ADVICE r11 hardening ---------------------------------------
+
+
+def test_kmv_estimate_zero_prefix_guard():
+    """An all-zero 64-bit md5 prefix (2^-64 event) degrades to a huge
+    estimate instead of ZeroDivisionError — and the DuckDB twin's
+    GREATEST guard lands on the same integer."""
+    import duckdb as _d
+
+    kmv = "0" * 32
+    assert kmv_estimate(64, kmv, 64) == 63 * 2**64
+    # the twin's HUGEINT division under the same guard lands on the
+    # same integer (the outer BIGINT cast is irrelevant here: a real
+    # sketch's prefix is never zero, this pins only the guard parity)
+    est_sql = _d.sql(
+        "SELECT CAST(63 AS HUGEINT)"
+        " * CAST(18446744073709551616 AS HUGEINT)"
+        f" // GREATEST(CAST(('0x' || substr('{kmv}', 1, 16)) AS UBIGINT), 1)"
+    ).fetchone()[0]
+    assert int(est_sql) == kmv_estimate(64, kmv, 64)
+
+
+def test_column_stats_empty_cols_returns_empty(spark, stats_table):
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _column_stats,
+        read_version,
+    )
+
+    df = read_version(spark, stats_table)
+    assert _column_stats(spark, df, [], 8) == {}
+
+
+def test_incremental_analyze_no_prior_sidecar_raises(spark, stats_table):
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+    )
+
+    with pytest.raises(FileNotFoundError, match="analyze_version"):
+        analyze_incremental(spark, stats_table)
+
+
+def test_incremental_fallback_survives_rename(spark, tmp_path):
+    """A rename between the analyzed version and the latest breaks the
+    append-only proof (colmap changed) — the fallback must complete a
+    clean full re-analysis under the CURRENT name instead of raising
+    AnalysisException on the stale one (ADVICE r11)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+        rename_column,
+    )
+
+    tdir = str(tmp_path / "vt")
+    ord_df = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_totalprice")
+    )
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    commit_version(ord_df.where(F.col("o_orderkey") <= mx // 2).coalesce(2), tdir)
+    analyze_version(spark, tdir, ["o_orderkey"], k=8)
+    rename_column(tdir, "o_orderkey", "okey")
+    commit_version(
+        ord_df.where(F.col("o_orderkey") > mx // 2)
+        .withColumnRenamed("o_orderkey", "okey")
+        .coalesce(1),
+        tdir,
+        mode="append",
+    )
+    res = analyze_incremental(spark, tdir)
+    assert res["mode"] == "full"
+    assert list(res["columns"]) == ["okey"]
+    row = describe_statistics(spark, tdir).collect()[0]
+    assert row.column == "okey"
+    assert row.n_rows == ord_df.count()
+    mn, mx2 = ord_df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert (row.min_val, row.max_val) == (str(mn), str(mx2))
+
+
+def test_incremental_transient_window_mutation_falls_back(spark, tmp_path):
+    """Exactness must be proven on EVERY manifest in the window, not
+    just the endpoints (ADVICE r11): an intermediate append-mode commit
+    that carried a dv which a later commit reverted would pass an
+    endpoint-only check — simulate one by tagging the middle manifest
+    with a dv entry and assert the proof fails (mode='full')."""
+    import json as _json
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _manifests,
+        analyze_incremental,
+    )
+
+    tdir = str(tmp_path / "vt")
+    ord_df = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_totalprice")
+    )
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    third = mx // 3
+    commit_version(ord_df.where(F.col("o_orderkey") <= third).coalesce(1), tdir)
+    analyze_version(spark, tdir, ["o_orderkey"], k=8)
+    commit_version(
+        ord_df.where(
+            (F.col("o_orderkey") > third) & (F.col("o_orderkey") <= 2 * third)
+        ).coalesce(1),
+        tdir,
+        mode="append",
+    )
+    commit_version(
+        ord_df.where(F.col("o_orderkey") > 2 * third).coalesce(1),
+        tdir,
+        mode="append",
+    )
+    mid = _manifests(tdir)[1]
+    mpath = os.path.join(tdir, "_versions", f"{mid}.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    m["dv"] = {"_data/fake.parquet": "_dv/fake"}  # transient, reverted later
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    res = analyze_incremental(spark, tdir)
+    assert res["mode"] == "full"  # endpoint-only checks would say 'incremental'
+    assert describe_statistics(spark, tdir).collect()[0].n_rows == ord_df.count()
+
+
+def test_truncated_string_envelope_yields_to_sidecar(spark, tmp_path):
+    """A >64-char string column's manifest envelope is a truncated
+    BOUND (hi is prefix-incremented) — describe_statistics must surface
+    the ANALYZE sidecar's exact extrema, never a bound value no row has
+    (ADVICE r11). The flag rides the manifest entry; pruning readers
+    (positional rng[0]/rng[1]) are unaffected."""
+    long_pad = "x" * 100
+    df = spark.createDataFrame(
+        [(i, f"{long_pad}{chr(97 + i % 5)}tail") for i in range(50)],
+        "id long, s string",
+    )
+    tdir = str(tmp_path / "vt")
+    commit_version(df.coalesce(2), tdir, stats_cols=["s"])
+    analyze_version(spark, tdir, ["s"], k=8)
+    row = describe_statistics(spark, tdir).collect()[0]
+    truth = df.agg(F.min("s"), F.max("s")).first()
+    assert (row.min_val, row.max_val) == (str(truth[0]), str(truth[1]))
+    # and the manifest entry is flagged, so the fallback was flag-driven
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest,
+        _manifests,
+    )
+
+    man = _load_manifest(tdir, _manifests(tdir)[-1])
+    envs = [
+        (ent.get("stats") or {}).get("s")
+        for ent in (man.get("files") or {}).values()
+    ]
+    assert envs and all(e is not None and len(e) > 2 and e[2] for e in envs)
