@@ -1,0 +1,208 @@
+"""Stats-driven join planning (VERDICT r11 #2): the engine's own
+cost-based broadcast / build-side decision, fed by the versioned-table
+manifest log and the ANALYZE sidecar instead of Catalyst's static frame
+heuristics.
+
+The reference delegates join planning wholly to Snowflake's optimizer
+(SURVEY.md §4.1 — "join reordering … delegated"); Spark's static
+equivalent keys off ``sizeInBytes`` propagated through the logical
+plan. For OUR versioned tables that estimate is opaque and lossy:
+``read_version`` frames are unions of file scans behind deletion-vector
+anti-joins, equality-delete filters, and column-mapping coalesces, so
+Catalyst sees propagated byte guesses — stored bytes that still count
+dv-deleted rows, heuristic post-join sizes — not the table's visible
+state. The manifest + sidecar know that state exactly:
+
+- visible ROW count: ``fast_count`` (footer rows minus dv
+  cardinalities) — metadata only;
+- on-disk BYTES: the manifest's data directories walked driver-side —
+  file-count-sized work, no Spark job;
+- join-key NDV: the ANALYZE sidecar's KMV estimate → a skew ratio
+  (rows per distinct key) that warns before the shuffle, not after.
+
+``plan_join_with_stats`` makes the call and ENFORCES it with join
+hints (``broadcast`` / ``merge``), which take precedence over the
+static size heuristics; AQE may still improve a shuffle join at
+runtime with true sizes — desirable, and never the reverse
+(a hinted broadcast of a stats-proven-small side cannot be demoted).
+Skewed keys are flagged from the sidecar so the caller can salt
+(``operators.salting``) or lean on AQE skew-join before launching a
+100 TB shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _load_manifest,
+    _manifests,
+    _stats_path,
+    fast_count,
+    kmv_estimate,
+    read_version,
+)
+
+# Defaults mirror spark.sql.autoBroadcastJoinThreshold's 10 MB.
+BROADCAST_BYTES_DEFAULT = 10 * 1024 * 1024
+SKEW_RATIO_DEFAULT = 32.0
+
+
+def table_size_estimate(
+    table_dir: str, version: "int | None" = None
+) -> dict:
+    """Metadata-only size of a versioned table's visible state:
+    ``{"rows", "bytes", "files"}``. ``rows`` is ``fast_count`` (None
+    when unprovable — e.g. pending equality deletes); ``bytes``/
+    ``files`` walk the manifest's data directories driver-side (the
+    stored footprint — an upper bound on visible bytes when row-level
+    deletes are pending). Zero Spark jobs at any table size."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    m = _load_manifest(table_dir, v)
+    n_bytes, n_files = 0, 0
+    for d in m["dirs"]:
+        dir_path = d if os.path.isabs(d) else os.path.join(table_dir, d)
+        for f in list_parquet_files(dir_path):
+            n_bytes += os.path.getsize(f)
+            n_files += 1
+    return {
+        "rows": fast_count(table_dir, version=v),
+        "bytes": n_bytes,
+        "files": n_files,
+    }
+
+
+def sidecar_ndv(
+    table_dir: str, col: str, version: "int | None" = None
+) -> "int | None":
+    """The column's NDV estimate from the newest ANALYZE sidecar at or
+    before ``version`` (the KMV estimator — exact below k), or None
+    when the column was never analyzed. Pure metadata read."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    analyzed = [
+        pv for pv in versions if pv <= v and os.path.exists(_stats_path(table_dir, pv))
+    ]
+    if not analyzed:
+        return None
+    with open(_stats_path(table_dir, analyzed[-1])) as f:
+        stats = json.load(f)
+    st = stats["columns"].get(col)
+    if st is None:
+        return None
+    kmv_set = st["kmv_set"]
+    ndv_k = len(kmv_set)
+    return kmv_estimate(ndv_k, kmv_set[-1] if kmv_set else None, stats["k"])
+
+
+def key_skew_ratio(
+    table_dir: str, col: str, version: "int | None" = None
+) -> "float | None":
+    """rows-per-distinct-key of ``col`` from metadata alone — the
+    pre-shuffle skew signal (a join/groupBy key with ratio ≫ 1 means
+    few reducers own most rows). None when rows or NDV are unprovable."""
+    rows = fast_count(table_dir, version=version)
+    ndv = sidecar_ndv(table_dir, col, version=version)
+    if rows is None or not ndv:
+        return None
+    return rows / ndv
+
+
+def plan_join_with_stats(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim_dir: str,
+    on,
+    *,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = BROADCAST_BYTES_DEFAULT,
+    broadcast_threshold_rows: "int | None" = None,
+    fact_dir: "str | None" = None,
+    skew_ratio_threshold: float = SKEW_RATIO_DEFAULT,
+    dim_version: "int | None" = None,
+) -> "tuple[DataFrame, dict]":
+    """Join ``fact`` with the versioned table at ``dim_dir``, choosing
+    broadcast-vs-shuffle from the dim's MANIFEST/SIDECAR statistics and
+    enforcing the choice with a join hint. Returns ``(joined,
+    decision)`` where ``decision`` records what was read and chosen::
+
+        {"strategy": "broadcast" | "merge",
+         "dim_rows": int | None, "dim_bytes": int, "dim_files": int,
+         "skew_key": str | None, "skew_ratio": float | None,
+         "skewed": bool}
+
+    Broadcast fires when the dim's metadata proves it small: visible
+    rows known (``fast_count``) and either ``rows <=
+    broadcast_threshold_rows`` (when given — the SF-stable form) or
+    ``bytes <= broadcast_threshold_bytes``. Unprovable rows (pending
+    equality deletes) never broadcast — cannot-prove takes the safe
+    shuffle plan.
+
+    ``fact_dir`` (an analyzed versioned table holding the fact side)
+    adds the skew signal: ``key_skew_ratio`` of the first join key —
+    rows per distinct key from the sidecar's KMV NDV. ``skewed=True``
+    is advisory: the join is still planned (AQE skew-join splits
+    oversized partitions at runtime); callers owning the shuffle can
+    pre-salt via ``operators.salting``. The stats are METADATA-ONLY
+    reads — planning schedules zero Spark jobs beyond the join itself."""
+    est = table_size_estimate(dim_dir, version=dim_version)
+    if broadcast_threshold_rows is not None:
+        small = (
+            est["rows"] is not None
+            and est["rows"] <= broadcast_threshold_rows
+        )
+    else:
+        small = (
+            est["rows"] is not None
+            and est["bytes"] <= broadcast_threshold_bytes
+        )
+    keys = on if isinstance(on, (list, tuple)) else [on]
+    skew_key = keys[0] if isinstance(keys[0], str) else None
+    ratio = (
+        key_skew_ratio(fact_dir, skew_key)
+        if (fact_dir is not None and skew_key is not None)
+        else None
+    )
+    dim = read_version(spark, dim_dir, version=dim_version)
+    if small:
+        joined = fact.join(F.broadcast(dim), on, how)
+        strategy = "broadcast"
+    else:
+        joined = fact.join(dim.hint("merge"), on, how)
+        strategy = "merge"
+    decision = {
+        "strategy": strategy,
+        "dim_rows": est["rows"],
+        "dim_bytes": est["bytes"],
+        "dim_files": est["files"],
+        "skew_key": skew_key,
+        "skew_ratio": ratio,
+        "skewed": bool(
+            ratio is not None and ratio >= skew_ratio_threshold
+        ),
+    }
+    return joined, decision
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan string (pre-execution: under AQE
+    this is the initial plan the static decision produced — what the
+    hint enforcement is asserted against)."""
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)

@@ -4427,6 +4427,23 @@ def drop_partitions(
     return version
 
 
+def _env_is_exact(e) -> bool:
+    """True when a manifest ``[minJ, maxJ(, truncated)]`` envelope
+    records exact VALUES: present, not flagged as a truncated string
+    bound, and (legacy entries written before the flag) not a
+    max-length string that _truncate_str_env could have produced. Only
+    exact envelopes may be surfaced as extrema (DESCRIBE STATISTICS,
+    fast_aggregate); truncated bounds remain valid for PRUNING, where a
+    wider envelope is sound."""
+    if e is None:
+        return False
+    if len(e) > 2 and e[2]:
+        return False
+    return not any(
+        j["t"] == "str" and len(j["v"]) >= _STR_STAT_MAXLEN for j in e[:2]
+    )
+
+
 def fast_count(table_dir: str, version: int | None = None) -> "int | None":
     """COUNT(*) from manifest metadata alone — zero data IO, zero Spark
     jobs — when PROVABLE: every current directory's parquet files carry
@@ -4466,6 +4483,91 @@ def fast_count(table_dir: str, version: int | None = None) -> "int | None":
     for ent in (m.get("dv") or {}).values():
         total -= ent["n"]
     return total
+
+
+def fast_aggregate(
+    table_dir: str,
+    col: str,
+    predicate: "tuple | None" = None,
+    version: "int | None" = None,
+) -> "dict | None":
+    """COUNT(*) / MIN / MAX from manifest metadata alone — zero data
+    IO, zero Spark jobs — when PROVABLE; the Iceberg manifest-aggregate
+    posture extended from ``fast_count`` to the envelope extrema
+    (VERDICT r11 #3). Returns ``{"count", "min", "max"}`` or ``None``
+    whenever exactness cannot be proven (cannot-prove returns no
+    answer, never a wrong one).
+
+    ``predicate=(pred_col, lo, hi)`` restricts the aggregate to rows
+    with ``lo <= pred_col <= hi`` (either bound ``None`` = unbounded) —
+    answerable from metadata only when the predicate is FILE-ALIGNED:
+    every file's ``pred_col`` envelope lies entirely inside or entirely
+    outside the range. A straddling file would need a scan to split,
+    so it yields ``None``. The daily-append layout makes real
+    predicates file-aligned by construction (each day's commit covers
+    one key range), which is exactly when a 100 TB rollup should cost a
+    manifest walk instead of a scan job.
+
+    Provability requirements, checked per file: footer row counts and
+    an EXACT (non-truncated — ``_env_is_exact``) envelope for ``col``
+    and for ``pred_col`` on every file inside the range; no pending
+    row-level deletes (a dv could hide the extremum or change a
+    per-file count) and no equality-delete erasure list. MIN/MAX follow
+    SQL semantics (NULLs ignored — parquet footer envelopes already
+    exclude them); an all-NULL file records no envelope and therefore
+    proves nothing. An empty inside set returns
+    ``{"count": 0, "min": None, "max": None}``."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    m = _load_manifest(table_dir, v)
+    if m.get("eqdel") or m.get("dv"):
+        return None
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        list_parquet_files,
+    )
+
+    stats = m.get("files") or {}
+
+    def env_for(ent: dict, c: str):
+        for nm in _stat_names(m, c):
+            rng = (ent.get("stats") or {}).get(nm)
+            if rng is not None:
+                return rng
+        return None
+
+    count, lo_acc, hi_acc = 0, None, None
+    p_col, p_lo, p_hi = predicate if predicate else (None, None, None)
+    for d in m["dirs"]:
+        dir_path = d if os.path.isabs(d) else os.path.join(table_dir, d)
+        for f in list_parquet_files(dir_path):
+            ent = stats.get(os.path.relpath(f, table_dir))
+            if ent is None:
+                return None  # no recorded rows: unprovable
+            if p_col is not None:
+                pe = env_for(ent, p_col)
+                if not _env_is_exact(pe):
+                    return None
+                flo, fhi = _stat_from_json(pe[0]), _stat_from_json(pe[1])
+                inside = (p_lo is None or flo >= p_lo) and (
+                    p_hi is None or fhi <= p_hi
+                )
+                outside = (p_hi is not None and flo > p_hi) or (
+                    p_lo is not None and fhi < p_lo
+                )
+                if outside:
+                    continue
+                if not inside:
+                    return None  # straddling file: a scan would be needed
+            ce = env_for(ent, col)
+            if not _env_is_exact(ce):
+                return None
+            clo, chi = _stat_from_json(ce[0]), _stat_from_json(ce[1])
+            count += ent["rows"]
+            lo_acc = clo if lo_acc is None else min(lo_acc, clo)
+            hi_acc = chi if hi_acc is None else max(hi_acc, chi)
+    return {"count": count, "min": lo_acc, "max": hi_acc}
 
 
 # --- named refs: branches, tags, write-audit-publish ------------------------
@@ -5126,8 +5228,16 @@ def analyze_incremental(
     hidden = any(
         bool(m.get("dv")) or bool(m.get("eqdel")) for m in (m0, *wmans)
     )
+
+    def _sig(m: dict):
+        # nullability-insensitive, like append compatibility itself —
+        # an append legitimately flips nullable flags without changing
+        # what the statistics mean
+        s = m.get("schema")
+        return None if s is None else _schema_sig(s)
+
     shape_same = all(
-        m0.get("schema") == m.get("schema")
+        _sig(m0) == _sig(m)
         and m0.get("colmap") == m.get("colmap")
         and m0.get("retired_cols") == m.get("retired_cols")
         for m in wmans
@@ -5218,20 +5328,11 @@ def describe_statistics(
             envs.append(rng)
         # A manifest string envelope may be a TRUNCATED BOUND, not a
         # value any row has (_truncate_str_env): honor the write-time
-        # flag, and for legacy entries written before the flag treat a
-        # max-length string as possibly-truncated (ADVICE r11). Exact-
-        # or-sidecar, never approximate — a flagged column falls back
-        # to the ANALYZE sidecar's exact extrema.
-        def _maybe_truncated(e) -> bool:
-            if len(e) > 2 and e[2]:
-                return True
-            return any(
-                j["t"] == "str" and len(j["v"]) >= _STR_STAT_MAXLEN
-                for j in e[:2]
-            )
-
+        # flag (legacy max-length strings count as possibly-truncated —
+        # ADVICE r11). Exact-or-sidecar, never approximate — a flagged
+        # column falls back to the ANALYZE sidecar's exact extrema.
         if envs and not deletes_pending and all(
-            e is not None and not _maybe_truncated(e) for e in envs
+            _env_is_exact(e) for e in envs
         ):
             los = [_stat_from_json(e[0]) for e in envs]
             his = [_stat_from_json(e[1]) for e in envs]

@@ -4,7 +4,7 @@ aggregates, versioned tables with time travel + rollback + streaming
 ingest + change feed, manifest data skipping, streaming corpus dedup,
 sequence packing) exercised end-to-end as THREE union queries
 (``warehouse_maintenance`` / ``warehouse_lifecycle`` /
-``warehouse_streaming``, ≤15 audit rows each) with mechanical DuckDB
+``warehouse_streaming``, 18/15/15 audit rows) with mechanical DuckDB
 twins, so the driver's differential check covers what previously rested
 on self-written tests alone — and a regressing branch reds a SMALL
 query, not the whole layer (the round-8 lesson).
@@ -2028,6 +2028,37 @@ def _stats_check_sql(col: str) -> str:
 for _c in _STATS_COLS:
     _CHECK_SQL[f"stats_{_c}"] = _stats_check_sql(_c)
 
+# Stats-driven join planning (round 12): both rows price the SAME join
+# arithmetic — Σ_p count(p)² via the carried dim attribute, exact money
+# cents of the fact side — under the two plans the sidecar stats chose;
+# n_aux pins the claim bits at 7 (see _cbo_rows docstring).
+for _name in ("cbo_broadcast", "cbo_merge"):
+    _CHECK_SQL[_name] = f"""
+        SELECT '{_name}',
+               (SELECT CAST(SUM(c * c) AS BIGINT) FROM
+                    (SELECT COUNT(*) AS c FROM ord
+                     GROUP BY o_orderpriority) t),
+               7,
+               (SELECT {_msum('o_totalprice')} FROM ord)
+"""
+
+# Manifest-aggregate pruning (round 12): COUNT under the file-aligned
+# predicate plus the md5-packed o_custkey envelope, recomputed by
+# DuckDB from the rows directly; n_aux pins provable(1) +
+# straddle-returns-None(2) = 3.
+_CHECK_SQL["manifest_agg"] = """
+        SELECT 'manifest_agg',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM ord)),
+               3,
+               (SELECT CAST(('0x' || substr(md5(
+                        CAST(MIN(o_custkey) AS VARCHAR) || '|'
+                            || CAST(MAX(o_custkey) AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+                FROM ord
+                WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 2 FROM ord))
+"""
+
 
 def _oracle_for(checks: "list[str]") -> str:
     """Compose the DuckDB oracle for a subset of audit rows. A zero-row
@@ -2488,6 +2519,201 @@ def _rename_rows(
     ]
 
 
+def _cbo_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Stats-driven join planning (``operators/cbo.py`` — round 12,
+    VERDICT r11 #2): the engine's broadcast-vs-shuffle and skew calls
+    made from the MANIFEST + ANALYZE sidecar and enforced with join
+    hints, graded on a dimension that GROWS past the threshold between
+    two plannings of the same join.
+
+    Script: the slim ord fact and a 5-row priority dimension are
+    committed as versioned tables and ANALYZEd. ``plan_join_with_stats``
+    (threshold 64 rows — the SF-stable form) must choose BROADCAST and
+    put BroadcastHashJoin in the physical plan, and must flag the
+    priority key as skewed from the sidecar's KMV NDV (rows/ndv ≫ 32 at
+    every SF — 5 priorities). Then the dim is APPENDED past the
+    threshold (non-matching ``zz_``-prefixed keys), the statistics are
+    extended INCREMENTALLY, and the SAME call must flip to MERGE with
+    SortMergeJoin in the plan and no broadcast — the decision moved
+    because the stats moved, nothing else did.
+
+    Row shapes (both rows): n_rows = Σ dval over the joined frame =
+    Σ_p count(p)² — a value that exists only if the join really carried
+    the dim attribute; val = exact money cents of o_totalprice over the
+    join (= over ord: every fact row matches exactly one dim row in
+    both plans — plan choice must not move values); n_aux = the claim
+    bits, oracle-pinned at 7:
+    ``cbo_broadcast``: broadcast decision (1) + BroadcastHashJoin in
+    the pre-execution plan with no SortMergeJoin (2) + sidecar skew
+    flag fired (4). ``cbo_merge``: merge decision (1) + SortMergeJoin
+    in the plan with no broadcast (2) + the growth stats came from the
+    INCREMENTAL path, not a full rescan (4)."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        physical_plan,
+        plan_join_with_stats,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+        analyze_version,
+    )
+
+    slim = ord_df.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    fdir = os.path.join(base, "cbo_fact")
+    commit_version(slim.coalesce(4), fdir, stats_cols=["o_orderkey"])
+    analyze_version(
+        spark, fdir, ["o_orderkey", "o_orderpriority"], k=_STATS_K
+    )
+    ddir = os.path.join(base, "cbo_dim")
+    dim = slim.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("dval")
+    )
+    commit_version(dim.coalesce(1), ddir, stats_cols=["o_orderpriority"])
+    analyze_version(spark, ddir, ["o_orderpriority"], k=_STATS_K)
+
+    fact = read_version(spark, fdir)
+
+    def _join_row(joined: DataFrame, claims: int, name: str) -> DataFrame:
+        return _row(
+            joined.agg(
+                F.sum("dval").cast("long").alias("n_rows"),
+                F.lit(claims).cast("long").alias("n_aux"),
+                _money_sum("o_totalprice").alias("val"),
+            ),
+            name,
+        )
+
+    j1, d1 = plan_join_with_stats(
+        spark,
+        fact,
+        ddir,
+        "o_orderpriority",
+        broadcast_threshold_rows=64,
+        fact_dir=fdir,
+    )
+    p1 = physical_plan(j1)
+    claims1 = (
+        (1 if d1["strategy"] == "broadcast" else 0)
+        + (
+            2
+            if "BroadcastHashJoin" in p1 and "SortMergeJoin" not in p1
+            else 0
+        )
+        + (4 if d1["skewed"] else 0)
+    )
+    row1 = _join_row(j1, claims1, "cbo_broadcast")
+
+    # grow the dim past the threshold with never-matching keys (a dim
+    # gaining members the fact does not reference), extend stats
+    # incrementally, re-plan the SAME join
+    grown = slim.select(
+        F.concat(
+            F.lit("zz_"), F.col("o_orderkey").cast("string")
+        ).alias("o_orderpriority"),
+        F.col("o_orderkey").cast("long").alias("dval"),
+    )
+    commit_version(
+        grown.coalesce(2), ddir, mode="append",
+        stats_cols=["o_orderpriority"],
+    )
+    inc = analyze_incremental(spark, ddir)
+    j2, d2 = plan_join_with_stats(
+        spark,
+        fact,
+        ddir,
+        "o_orderpriority",
+        broadcast_threshold_rows=64,
+        fact_dir=fdir,
+    )
+    p2 = physical_plan(j2)
+    claims2 = (
+        (1 if d2["strategy"] == "merge" else 0)
+        + (
+            2
+            if "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+            else 0
+        )
+        + (4 if inc.get("mode") == "incremental" else 0)
+    )
+    row2 = _join_row(j2, claims2, "cbo_merge")
+    return [row1, row2]
+
+
+def _fastagg_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Manifest-aggregate pruning (``fast_aggregate`` — round 12,
+    VERDICT r11 #3): COUNT/MIN/MAX answered from per-file footer
+    envelopes alone under a FILE-ALIGNED predicate, DESCRIBE-style zero
+    Spark jobs by construction (the function never touches a
+    SparkSession — pure manifest walk).
+
+    Script: the slim ord slice committed as two key-disjoint halves
+    (bottom ``o_orderkey <= half``, then the top APPENDED), both with
+    envelopes on o_orderkey and o_custkey — so the predicate
+    ``o_orderkey <= half`` is file-aligned by construction (every file
+    is wholly inside or wholly outside), the daily-append shape. One
+    audit row: n_rows = the metadata COUNT under the predicate (oracle
+    prices COUNT(*) over the bottom half); val = BIGINT of the first 15
+    hex chars of md5(min|max) of o_custkey over the qualifying files'
+    merged envelopes (oracle recomputes from MIN/MAX over the same
+    rows); n_aux = 1·(the aligned aggregate was provable) + 2·(a
+    deliberately STRADDLING predicate — ``o_orderkey <= max-1`` cuts
+    through the file holding the max — correctly returns None rather
+    than a wrong answer), oracle-pinned at 3."""
+    import hashlib
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        fast_aggregate,
+    )
+
+    slim = ord_df.select("o_orderkey", "o_custkey", "o_totalprice")
+    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    half = mx // 2
+    tdir = os.path.join(base, "fastagg_vt")
+    commit_version(
+        slim.where(F.col("o_orderkey") <= half).coalesce(2),
+        tdir,
+        stats_cols=["o_orderkey", "o_custkey"],
+    )
+    commit_version(
+        slim.where(F.col("o_orderkey") > half).coalesce(2),
+        tdir,
+        mode="append",
+        stats_cols=["o_orderkey", "o_custkey"],
+    )
+    agg = fast_aggregate(
+        tdir, "o_custkey", predicate=("o_orderkey", None, half)
+    )
+    straddle = fast_aggregate(
+        tdir, "o_custkey", predicate=("o_orderkey", None, mx - 1)
+    )
+    ok = agg is not None
+    digest = (
+        int(
+            hashlib.md5(
+                f"{agg['min']}|{agg['max']}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        if ok
+        else 0
+    )
+    row = spark.createDataFrame(
+        [
+            (
+                "manifest_agg",
+                int(agg["count"]) if ok else -1,
+                (1 if ok else 0) + (2 if straddle is None else 0),
+                digest,
+            )
+        ],
+        _SCHEMA,
+    )
+    return [row]
+
+
 _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("scd2", lambda s, sf, o, b: _scd2_rows(s, sf),
      ["scd2_history", "scd2_asof"]),
@@ -2545,17 +2771,24 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
       "versioned_wap_tag"]),
     ("stats", lambda s, sf, o, b: _stats_rows(s, o, b),
      [f"stats_{c}" for c in _STATS_COLS]),
+    ("cbo", lambda s, sf, o, b: _cbo_rows(s, o, b),
+     ["cbo_broadcast", "cbo_merge"]),
+    ("fastagg", lambda s, sf, o, b: _fastagg_rows(s, o, b),
+     ["manifest_agg"]),
 ]
 
 _BRANCH_NAMES = [n for n, _f, _c in _BRANCH_DEFS]
 _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 
-# The three-query split: row-level mutation core / table lifecycle +
-# composed audits / the streaming-and-pipeline scripts. Each stays ≤15
-# audit rows, so one regressing branch reds at most a third of the layer.
+# The three-query split: row-level mutation core + the stats-consuming
+# planners / table lifecycle + composed audits / the streaming-and-
+# pipeline scripts. Each stays ≤18 audit rows, so one regressing branch
+# reds at most a third of the layer. The round-12 cbo/fastagg branches
+# ride maintenance (the only green-at-driver query — see the BASELINE.md
+# case file) so NEW operators collect strong driver evidence.
 _CORE_BRANCHES = [
     "versioned", "skipping", "dv", "eqdel", "merge", "evolution",
-    "generated",
+    "generated", "cbo", "fastagg",
 ]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",
@@ -2833,7 +3066,10 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level mutation core of the versioned layer: time travel +
     rollback + change feed, stats/partition-pruned scans, copy-on-write
     and merge-on-read DELETE/UPDATE/MERGE, equality deletes, schema
-    evolution — 15 oracle-checked audit rows (see module docstring)."""
+    evolution — plus the round-12 stats CONSUMERS: sidecar-driven join
+    planning (broadcast flipped to merge by dim growth) and
+    manifest-aggregate pruning — 18 oracle-checked audit rows (see
+    module docstring)."""
     return _run_union(
         spark, sf_dir, _CORE_BRANCHES, name="warehouse_maintenance"
     )

@@ -1,0 +1,245 @@
+"""Stats-driven join planning + manifest-aggregate pruning (round 12,
+VERDICT r11 #2/#3): the broadcast/merge decision must follow the
+SIDECAR, flip when the dim grows past the threshold, refuse to
+broadcast what metadata cannot prove small, and flag skew from the KMV
+NDV; fast_aggregate must answer file-aligned rollups from the manifest
+with zero Spark jobs and return None — never a wrong number — for
+anything unprovable."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+    key_skew_ratio,
+    physical_plan,
+    plan_join_with_stats,
+    sidecar_ndv,
+    table_size_estimate,
+)
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    analyze_incremental,
+    analyze_version,
+    commit_version,
+    delete_version_keys,
+    delete_version_vectors,
+    fast_aggregate,
+    read_version,
+)
+from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _slim(spark):
+    return (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@pytest.fixture()
+def fact_dim(spark, tmp_path):
+    slim = _slim(spark)
+    fdir = str(tmp_path / "fact")
+    commit_version(slim.coalesce(4), fdir, stats_cols=["o_orderkey"])
+    analyze_version(spark, fdir, ["o_orderkey", "o_orderpriority"], k=64)
+    ddir = str(tmp_path / "dim")
+    dim = slim.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("dval")
+    )
+    commit_version(dim.coalesce(1), ddir, stats_cols=["o_orderpriority"])
+    analyze_version(spark, ddir, ["o_orderpriority"], k=64)
+    return slim, fdir, ddir
+
+
+def test_broadcast_flips_to_merge_when_dim_grows(spark, fact_dim):
+    slim, fdir, ddir = fact_dim
+    fact = read_version(spark, fdir)
+    j1, d1 = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir,
+    )
+    assert d1["strategy"] == "broadcast" and d1["dim_rows"] == 5
+    p1 = physical_plan(j1)
+    assert "BroadcastHashJoin" in p1 and "SortMergeJoin" not in p1
+    n1 = j1.count()
+    # grow the dim past 64 rows (non-matching keys), extend stats
+    # INCREMENTALLY — the same call must flip, and only because the
+    # stats moved
+    grown = slim.select(
+        F.concat(F.lit("zz_"), F.col("o_orderkey").cast("string")).alias(
+            "o_orderpriority"
+        ),
+        F.col("o_orderkey").cast("long").alias("dval"),
+    )
+    commit_version(
+        grown.coalesce(2), ddir, mode="append",
+        stats_cols=["o_orderpriority"],
+    )
+    assert analyze_incremental(spark, ddir)["mode"] == "incremental"
+    j2, d2 = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir,
+    )
+    assert d2["strategy"] == "merge" and d2["dim_rows"] > 64
+    p2 = physical_plan(j2)
+    assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+    # plan choice never moves values
+    assert j2.count() == n1 == slim.count()
+
+
+def test_bytes_threshold_and_planning_runs_zero_jobs(spark, fact_dim):
+    _slim_df, fdir, ddir = fact_dim
+    est = table_size_estimate(ddir)
+    assert est["rows"] == 5 and est["files"] == 1 and est["bytes"] > 0
+    # metadata reads schedule NO Spark jobs
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    table_size_estimate(ddir)
+    sidecar_ndv(ddir, "o_orderpriority")
+    key_skew_ratio(fdir, "o_orderpriority")
+    fast_aggregate(ddir, "dval")
+    assert sc.statusTracker().getJobIdsForGroup(None) == before
+    # bytes threshold: below the file's size -> merge, above -> broadcast
+    fact = read_version(spark, fdir)
+    _, d_lo = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_bytes=est["bytes"] - 1,
+    )
+    _, d_hi = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_bytes=est["bytes"],
+    )
+    assert (d_lo["strategy"], d_hi["strategy"]) == ("merge", "broadcast")
+
+
+def test_unprovable_rows_never_broadcast(spark, fact_dim):
+    """Pending equality deletes make the visible row count unknowable
+    from metadata — cannot-prove must take the safe shuffle plan even
+    for a tiny dim."""
+    _slim_df, fdir, ddir = fact_dim
+    delete_version_keys(
+        spark,
+        ddir,
+        spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
+    )
+    assert table_size_estimate(ddir)["rows"] is None
+    j, d = plan_join_with_stats(
+        spark, read_version(spark, fdir), ddir, "o_orderpriority",
+        broadcast_threshold_rows=64,
+    )
+    assert d["strategy"] == "merge"
+    # the dim JOIN is sort-merge (the eqdel read path's internal
+    # broadcast anti-join legitimately appears elsewhere in the plan)
+    assert "SortMergeJoin" in physical_plan(j)
+
+
+def test_size_estimate_exact_under_dv(spark, fact_dim):
+    """fast_count subtracts deletion-vector cardinalities — the rows
+    estimate tracks the VISIBLE state Catalyst's byte heuristic cannot
+    see."""
+    _slim_df, fdir, ddir = fact_dim
+    delete_version_vectors(
+        spark, ddir, F.col("o_orderpriority") == "1-URGENT"
+    )
+    est = table_size_estimate(ddir)
+    assert est["rows"] == 4  # 5 priorities minus the vectored one
+
+
+def test_skew_ratio_from_sidecar(spark, fact_dim):
+    """rows/NDV from the KMV sketch: the 5-priority key is skewed, the
+    unique order key is not — and the planner surfaces the flag."""
+    slim, fdir, ddir = fact_dim
+    n = slim.count()
+    r_prio = key_skew_ratio(fdir, "o_orderpriority")
+    r_okey = key_skew_ratio(fdir, "o_orderkey")
+    assert r_prio == n / 5  # NDV below k is exact
+    assert r_okey is not None and r_okey < 2  # KMV estimate ~ unique
+    assert key_skew_ratio(fdir, "o_totalprice") is None  # not analyzed
+    _, d = plan_join_with_stats(
+        spark, read_version(spark, fdir), ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir,
+    )
+    assert d["skewed"] and d["skew_ratio"] == r_prio
+    _j, d2 = plan_join_with_stats(
+        spark, read_version(spark, fdir), ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir,
+        skew_ratio_threshold=n,  # ratio n/5 < n
+    )
+    assert not d2["skewed"]
+
+
+@pytest.fixture()
+def halved_table(spark, tmp_path):
+    slim = _slim(spark).select("o_orderkey", "o_custkey", "o_totalprice")
+    mx = slim.agg(F.max("o_orderkey")).first()[0]
+    half = mx // 2
+    tdir = str(tmp_path / "vt")
+    commit_version(
+        slim.where(F.col("o_orderkey") <= half).coalesce(2),
+        tdir, stats_cols=["o_orderkey", "o_custkey"],
+    )
+    commit_version(
+        slim.where(F.col("o_orderkey") > half).coalesce(2),
+        tdir, mode="append", stats_cols=["o_orderkey", "o_custkey"],
+    )
+    return slim, tdir, half, mx
+
+
+def test_fast_aggregate_file_aligned_predicate(spark, halved_table):
+    slim, tdir, half, mx = halved_table
+    agg = fast_aggregate(tdir, "o_custkey", predicate=("o_orderkey", None, half))
+    truth = (
+        slim.where(F.col("o_orderkey") <= half)
+        .agg(F.count(F.lit(1)), F.min("o_custkey"), F.max("o_custkey"))
+        .first()
+    )
+    assert (agg["count"], agg["min"], agg["max"]) == tuple(truth)
+    # unbounded: whole table
+    full = fast_aggregate(tdir, "o_orderkey")
+    t2 = slim.agg(F.count(F.lit(1)), F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert (full["count"], full["min"], full["max"]) == tuple(t2)
+    # empty inside set
+    empty = fast_aggregate(tdir, "o_custkey", predicate=("o_orderkey", mx + 1, None))
+    assert empty == {"count": 0, "min": None, "max": None}
+
+
+def test_fast_aggregate_refuses_what_it_cannot_prove(spark, halved_table):
+    slim, tdir, half, mx = halved_table
+    # a straddling predicate cuts through the file holding the max
+    assert fast_aggregate(tdir, "o_custkey", predicate=("o_orderkey", None, mx - 1)) is None
+    # a column without recorded envelopes
+    assert fast_aggregate(tdir, "o_totalprice") is None
+    # pending row-level deletes hide rows/extrema
+    delete_version_vectors(spark, tdir, F.col("o_orderkey") % 10 == 0)
+    assert fast_aggregate(tdir, "o_orderkey") is None
+
+
+def test_fast_aggregate_eqdel_unprovable(spark, tmp_path):
+    slim = _slim(spark).select("o_orderkey", "o_custkey")
+    tdir = str(tmp_path / "vt")
+    commit_version(slim.coalesce(2), tdir, stats_cols=["o_orderkey"])
+    delete_version_keys(
+        spark, tdir, spark.createDataFrame([(1,)], "o_orderkey long")
+    )
+    assert fast_aggregate(tdir, "o_orderkey") is None
+
+
+def test_fast_aggregate_truncated_string_envelope_unprovable(spark, tmp_path):
+    """A truncated string envelope is a BOUND, not a value — surfacing
+    it as MIN/MAX would be wrong, so the aggregate is unprovable."""
+    pad = "x" * 100
+    df = spark.createDataFrame(
+        [(i, f"{pad}{chr(97 + i % 5)}") for i in range(20)],
+        "id long, s string",
+    )
+    tdir = str(tmp_path / "vt")
+    commit_version(df.coalesce(1), tdir, stats_cols=["s", "id"])
+    assert fast_aggregate(tdir, "s") is None
+    agg = fast_aggregate(tdir, "id")  # int envelopes stay provable
+    assert (agg["count"], agg["min"], agg["max"]) == (20, 0, 19)
