@@ -1322,6 +1322,101 @@ def probe_analyze(spark, sf_dir: str) -> None:
     print(f"analyze_incremental: {pts} (values pinned identical)")
 
 
+def probe_cbo(spark, sf_dir: str) -> None:
+    """Stats-driven planning + manifest-aggregate claim (round 12,
+    VERDICT r11 #2/#3): the planner's inputs (fast_count rows, data-dir
+    byte walk, sidecar NDV) and fast_aggregate's file-aligned rollup
+    are METADATA-ONLY, so their driver latency stays ~flat as the table
+    grows 1x/4x/16x, while the scan-based alternative (count + MIN/MAX
+    aggregate job over the same table) grows with it. Values pinned:
+    the metadata rollup equals the scan's numbers at every size, and
+    the broadcast decision stays correct (rows exact at every size)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        plan_join_with_stats,
+        table_size_estimate,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_version,
+        commit_version,
+        fast_aggregate,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    base_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    n = base_df.count()
+    fact = base_df.limit(10000).localCheckpoint(eager=True)
+    results = []
+    for k in (1, 4, 16):
+        df = base_df
+        for i in range(1, k):
+            df = df.unionByName(
+                base_df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10 * n)
+                )
+            )
+        t = tempfile.mkdtemp(prefix=f"cbo_probe_{k}x_")
+        # the daily-append layout: key-disjoint commits make the
+        # predicate below FILE-ALIGNED (each file wholly in or out) —
+        # a straddling layout would correctly return None
+        half = df.agg(F.max("o_orderkey")).first()[0] // 2
+        commit_version(
+            df.where(F.col("o_orderkey") <= half).repartitionByRange(
+                max(2, k), "o_orderkey"
+            ),
+            t,
+            stats_cols=["o_orderkey", "o_custkey"],
+        )
+        commit_version(
+            df.where(F.col("o_orderkey") > half).repartitionByRange(
+                max(2, k), "o_orderkey"
+            ),
+            t,
+            mode="append",
+            stats_cols=["o_orderkey", "o_custkey"],
+        )
+        analyze_version(spark, t, ["o_orderpriority"], k=64)
+        # metadata path: estimate + plan + aligned rollup
+        t0 = time.monotonic()
+        est = table_size_estimate(t)
+        _j, dec = plan_join_with_stats(
+            spark, fact, t, "o_orderkey", broadcast_threshold_rows=10**9
+        )
+        agg = fast_aggregate(
+            t, "o_custkey", predicate=("o_orderkey", None, half)
+        )
+        dt_meta = time.monotonic() - t0
+        # scan path: the same numbers as Spark jobs
+        t0 = time.monotonic()
+        vt = read_version(spark, t)
+        scan_rows = vt.count()
+        truth = (
+            vt.where(F.col("o_orderkey") <= half)
+            .agg(F.count(F.lit(1)), F.min("o_custkey"), F.max("o_custkey"))
+            .first()
+        )
+        dt_scan = time.monotonic() - t0
+        assert est["rows"] == scan_rows == n * k
+        assert dec["strategy"] == "broadcast" and dec["dim_rows"] == n * k
+        assert agg is not None and (
+            agg["count"], agg["min"], agg["max"]
+        ) == tuple(truth), (k, agg, truth)
+        results.append((k, n * k, dt_meta, dt_scan))
+        shutil.rmtree(t, ignore_errors=True)
+    pts = ", ".join(
+        f"{k}x ({rows} rows) metadata={m * 1000:.0f}ms scan={s:.2f}s"
+        for k, rows, m, s in results
+    )
+    print(f"cbo_fastagg: {pts} (values pinned equal at every size)")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1341,6 +1436,7 @@ def main() -> None:
         ("vacuum", probe_vacuum),
         ("branch", probe_branch),
         ("analyze", probe_analyze),
+        ("cbo", probe_cbo),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
