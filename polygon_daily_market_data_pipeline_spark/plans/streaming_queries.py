@@ -135,21 +135,77 @@ def run_available_now(
     SELECT a.hour_start, a.event_type, a.n_events, a.sum_value
     FROM agg a, mx
     WHERE a.hour_start + INTERVAL 1 HOUR <= mx.m
-    ORDER BY a.hour_start, a.event_type
+    UNION ALL
+    -- the stream-stream interval join's pairs, rolled up by click
+    -- hour: INNER join output is complete on bounded data (no
+    -- withheld-window predicate — state eviction only drops rows that
+    -- can no longer match)
+    SELECT date_trunc('hour', c.ts) AS hour_start,
+           'join:click_view' AS event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(v.value), 4) AS sum_value
+    FROM (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+    GROUP BY 1
+    ORDER BY hour_start, event_type
     """,
     retime=False,  # re-running a checkpoint-fresh stream measures
     # state-store bring-up, not the plan (see analytics.NO_RETIME)
 )
 def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregate, run as a real streaming
-    job (incremental state + append emission), drained with
-    AvailableNow. Oracle: the batch hourly rollup minus the final
-    in-progress window."""
+    """Watermarked tumbling-window aggregate PLUS the watermarked
+    STREAM-STREAM interval join (round 12, VERDICT r11 #4) — both run
+    as real streaming jobs (incremental state, append emission, state
+    eviction by watermark + range condition), drained with
+    AvailableNow. The join pairs every click with the same user's
+    views from the preceding 10 minutes (two independent streaming
+    scans meeting in symmetric-hash-join state), then the drained
+    pairs roll up per click-hour into the hourly schema as
+    ``event_type = 'join:click_view'`` rows. Oracle: the batch hourly
+    rollup minus the final in-progress window, UNION the batch
+    interval join's identical rollup — the streaming join's output is
+    proven value-equal to its batch twin (pair-level equality and both
+    state-store backends are pinned in tests/test_streaming.py)."""
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        interval_join_stream,
+    )
+
     ev = events_stream_source(spark, sf_dir)
     out = run_available_now(
         hourly_event_counts(ev, watermark="0 seconds"), "hourly_stream"
     )
-    return out.orderBy("hour_start", "event_type")
+    clicks = events_stream_source(spark, sf_dir).where(
+        "event_type = 'click'"
+    )
+    views = events_stream_source(spark, sf_dir).where(
+        "event_type = 'view'"
+    )
+    pairs = run_available_now(
+        interval_join_stream(
+            clicks, views, lookback="10 minutes", watermark="0 seconds"
+        ),
+        "ssjoin_stream",
+    )
+    jrows = (
+        pairs.groupBy(
+            F.date_trunc("hour", "click_ts").alias("hour_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("view_value"), 4).alias("sum_value"),
+        )
+        .select(
+            "hour_start",
+            F.lit("join:click_view").alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return out.unionByName(jrows).orderBy("hour_start", "event_type")
 
 
 @register(

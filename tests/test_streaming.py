@@ -946,3 +946,143 @@ def test_versioned_stream_sink_quarantine_replays_missing_side(spark, tmp_path):
     vt, vd = len(history(table)), len(history(dead))
     sink(b1, batch_id=1)
     assert len(history(table)) == vt and len(history(dead)) == vd
+
+
+# --- round 12: watermarked stream-stream interval join ---------------------
+
+
+def _click_view_df(spark, clicks, views):
+    """clicks/views: [(minute, user, value)] -> one events frame with
+    both types (the registered query's self-source shape)."""
+    rows = [(m, u, "click", v) for m, u, v in clicks] + [
+        (m, u, "view", v) for m, u, v in views
+    ]
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, v, "{}")
+            for i, (m, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _pair_key(r):
+    return (r.user_id, r.click_ts, r.view_ts, r.click_value, r.view_value)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """PAIR-level equality vs the batch twin (same operator on batch
+    frames): every click picks up every same-user view in the trailing
+    10 minutes — boundary-inclusive both ends, no pairs for other
+    users, none from the future, none beyond the lookback."""
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        interval_join_stream,
+    )
+
+    clicks = [(10, 1, 1.0), (30, 1, 2.0), (10, 2, 3.0), (50, 3, 4.0)]
+    views = [
+        (0, 1, 10.0),   # 10 min before click@10 (boundary: included)
+        (10, 1, 11.0),  # same instant as click@10 (included)
+        (25, 1, 12.0),  # within 10 min of click@30
+        (11, 1, 13.0),  # future of click@10, >10 min before click@30: no pair
+        (5, 2, 14.0),   # user 2's view for user 2's click
+        (35, 3, 15.0),  # 15 min before click@50: outside lookback
+    ]
+    df = _click_view_df(spark, clicks, views)
+    c_s = _stream_events(spark, df, tmp_path / "src").where("event_type = 'click'")
+    v_s = _stream_events(spark, df, tmp_path / "src2").where("event_type = 'view'")
+    got = run_available_now(
+        interval_join_stream(c_s, v_s, lookback="10 minutes"), "t_ssj"
+    )
+    want = interval_join_stream(
+        df.where("event_type = 'click'"), df.where("event_type = 'view'"),
+        lookback="10 minutes",
+    )
+    got_rows = sorted(_pair_key(r) for r in got.collect())
+    assert got_rows == sorted(_pair_key(r) for r in want.collect())
+    # hand-checked pair set: (user, click_min, view_min)
+    mins = sorted(
+        (u, int((ct - dt.datetime(2024, 1, 1)).total_seconds() // 60),
+         int((vt - dt.datetime(2024, 1, 1)).total_seconds() // 60))
+        for u, ct, vt, _cv, _vv in got_rows
+    )
+    assert mins == [(1, 10, 0), (1, 10, 10), (1, 30, 25), (2, 10, 5)]
+
+
+def test_interval_join_stream_rocksdb_parity(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        interval_join_stream,
+    )
+
+    clicks = [(10 * i, i % 3, float(i)) for i in range(12)]
+    views = [(10 * i - 4, i % 3, 100.0 + i) for i in range(1, 12)]
+    df = _click_view_df(spark, clicks, views)
+
+    def run(tag, **kw):
+        c = _stream_events(spark, df, tmp_path / f"{tag}_c").where(
+            "event_type = 'click'"
+        )
+        v = _stream_events(spark, df, tmp_path / f"{tag}_v").where(
+            "event_type = 'view'"
+        )
+        return run_available_now(
+            interval_join_stream(c, v), f"t_ssj_{tag}", **kw
+        )
+
+    mem = sorted(_pair_key(r) for r in run("mem").collect())
+    rdb = sorted(_pair_key(r) for r in run("rdb", state_store="rocksdb").collect())
+    assert mem == rdb and len(mem) > 0
+
+
+def test_interval_join_state_spans_micro_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1: views arriving in an EARLIER micro-batch
+    must still match clicks from a later one — the pairs live in
+    symmetric-hash-join state across batches, and the result equals
+    the batch twin exactly."""
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        interval_join_stream,
+    )
+
+    early = _click_view_df(
+        spark, clicks=[(5, 1, 1.0)], views=[(0, 1, 10.0), (4, 2, 11.0)]
+    )
+    late = _click_view_df(
+        spark, clicks=[(8, 1, 2.0), (9, 2, 3.0)], views=[(7, 1, 12.0)]
+    )
+
+    def two_file_source(tag):
+        d = tmp_path / tag
+        early.coalesce(1).write.parquet(str(d / "b0"))
+        late.coalesce(1).write.parquet(str(d / "b1"))
+        return (
+            spark.readStream.schema(early.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(d))
+        )
+
+    c = two_file_source("c_src").where("event_type = 'click'")
+    v = two_file_source("v_src").where("event_type = 'view'")
+    got = run_available_now(interval_join_stream(c, v), "t_ssj_mb")
+    both = early.unionByName(late)
+    want = interval_join_stream(
+        both.where("event_type = 'click'"), both.where("event_type = 'view'")
+    )
+    got_rows = sorted(_pair_key(r) for r in got.collect())
+    want_rows = sorted(_pair_key(r) for r in want.collect())
+    assert got_rows == want_rows
+    # the cross-batch pairs specifically: batch-0 views matched by
+    # batch-1 clicks
+    assert (1, dt.datetime(2024, 1, 1, 0, 8), dt.datetime(2024, 1, 1), 2.0, 10.0) in got_rows
+    assert (2, dt.datetime(2024, 1, 1, 0, 9), dt.datetime(2024, 1, 1, 0, 4), 3.0, 11.0) in got_rows
