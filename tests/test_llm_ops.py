@@ -1198,3 +1198,77 @@ def test_ivf_maintenance_argmin_margin_dwarfs_float_noise():
             f"measured engine discrepancy {max_err:.3g} — the "
             "ivf_maintenance checksum is tie-fragile on this data"
         )
+
+
+# --- round 12: SemDeDup (semantic dedup over embeddings) -------------------
+
+
+def test_semantic_dedup_keeps_best_and_names_witnesses(spark):
+    """Hand-built corpus: two tight semantic groups plus singletons.
+    Within a group the HIGHEST-quality member is kept, every other
+    member is dropped with the kept member as witness at cos >= tau;
+    dissimilar vectors all survive."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng_free = [
+        # group A: near-identical direction (cos ~ 1)
+        (0, [1.0, 0.0, 0.0, 0.0], 0.2),
+        (1, [0.999, 0.01, 0.0, 0.0], 0.9),   # best quality -> canonical
+        (2, [0.998, 0.02, 0.0, 0.0], 0.5),
+        # group B
+        (10, [0.0, 1.0, 0.0, 0.0], 0.7),
+        (11, [0.0, 0.999, 0.01, 0.0], 0.3),
+        # singletons (orthogonal)
+        (20, [0.0, 0.0, 1.0, 0.0], 0.1),
+        (21, [0.0, 0.0, 0.0, 1.0], 0.1),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], float(q)) for i, v, q in rng_free],
+        "vec_id long, embedding array<double>, quality double",
+    )
+    # k=1: one cell — the greedy pass sees everything (clustering
+    # separation is covered by the corpus test below)
+    cents = np.zeros((1, 4))
+    sd = semantic_dedup(
+        emb, quality_col="quality", tau=0.9, centroids=cents
+    ).collect()
+    by_id = {r.vec_id: r for r in sd}
+    assert sorted(r.vec_id for r in sd if r.keep) == [1, 10, 20, 21]
+    assert by_id[0].witness_id == 1 and by_id[0].witness_cos >= 0.9
+    assert by_id[2].witness_id == 1
+    assert by_id[11].witness_id == 10
+    for kept in (1, 10, 20, 21):
+        assert by_id[kept].witness_id is None
+
+
+def test_semantic_dedup_corpus_audit_and_determinism(spark):
+    """On the driver testdata: the independent per-cell recheck passes
+    (partition exact, witnesses valid, kept set tau-independent,
+    non-vacuous drops), and two runs are bit-identical (deterministic
+    centroids + deterministic greedy order)."""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+        _SEMDEDUP_K,
+        _SEMDEDUP_TAU,
+        _semdedup_cell_audit,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sd = semantic_dedup(emb, k_clusters=_SEMDEDUP_K, tau=_SEMDEDUP_TAU)
+    cells = _semdedup_cell_audit(sd, emb).collect()
+    assert all(r.witness_ok and r.independent for r in cells)
+    assert sum(r.n_members for r in cells) == emb.count()
+    assert sum(r.n_kept + r.n_dropped for r in cells) == emb.count()
+    assert sum(r.n_dropped for r in cells) >= 1
+    key = lambda r: (r.vec_id, r.cell, r.keep, r.witness_id)  # noqa: E731
+    again = semantic_dedup(
+        emb, k_clusters=_SEMDEDUP_K, tau=_SEMDEDUP_TAU
+    )
+    assert sorted(map(key, sd.collect())) == sorted(map(key, again.collect()))
