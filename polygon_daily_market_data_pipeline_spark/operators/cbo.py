@@ -70,25 +70,34 @@ def table_size_estimate(
         raise FileNotFoundError(f"no versions in {table_dir}")
     v = versions[-1] if version is None else version
     m = _load_manifest(table_dir, v)
+    # ONE directory walk yields both bytes and rows (fast_count's exact
+    # semantics inlined — a second walk per planning call would double
+    # the driver-side listing cost at millions of files): rows go None
+    # on a pending equality-delete list or any file without recorded
+    # footer rows; dv cardinalities subtract.
+    stats = m.get("files") or {}
     n_bytes, n_files = 0, 0
+    rows: "int | None" = None if m.get("eqdel") else 0
     for d in m["dirs"]:
         dir_path = d if os.path.isabs(d) else os.path.join(table_dir, d)
         for f in list_parquet_files(dir_path):
             n_bytes += os.path.getsize(f)
             n_files += 1
-    return {
-        "rows": fast_count(table_dir, version=v),
-        "bytes": n_bytes,
-        "files": n_files,
-    }
+            if rows is not None:
+                ent = stats.get(os.path.relpath(f, table_dir))
+                rows = None if ent is None else rows + ent["rows"]
+    if rows is not None:
+        for ent in (m.get("dv") or {}).values():
+            rows -= ent["n"]
+    return {"rows": rows, "bytes": n_bytes, "files": n_files}
 
 
-def sidecar_ndv(
-    table_dir: str, col: str, version: "int | None" = None
-) -> "int | None":
-    """The column's NDV estimate from the newest ANALYZE sidecar at or
-    before ``version`` (the KMV estimator — exact below k), or None
-    when the column was never analyzed. Pure metadata read."""
+def _sidecar_ndv_at(
+    table_dir: str, col: str, version: "int | None"
+) -> "tuple[int, int] | None":
+    """(ndv_estimate, analyzed_version) from the newest ANALYZE sidecar
+    at or before ``version``, or None when the column was never
+    analyzed. Pure metadata read."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
@@ -98,14 +107,28 @@ def sidecar_ndv(
     ]
     if not analyzed:
         return None
-    with open(_stats_path(table_dir, analyzed[-1])) as f:
+    av = analyzed[-1]
+    with open(_stats_path(table_dir, av)) as f:
         stats = json.load(f)
     st = stats["columns"].get(col)
     if st is None:
         return None
     kmv_set = st["kmv_set"]
     ndv_k = len(kmv_set)
-    return kmv_estimate(ndv_k, kmv_set[-1] if kmv_set else None, stats["k"])
+    return (
+        kmv_estimate(ndv_k, kmv_set[-1] if kmv_set else None, stats["k"]),
+        av,
+    )
+
+
+def sidecar_ndv(
+    table_dir: str, col: str, version: "int | None" = None
+) -> "int | None":
+    """The column's NDV estimate from the newest ANALYZE sidecar at or
+    before ``version`` (the KMV estimator — exact below k), or None
+    when the column was never analyzed. Pure metadata read."""
+    res = _sidecar_ndv_at(table_dir, col, version)
+    return None if res is None else res[0]
 
 
 def key_skew_ratio(
@@ -113,9 +136,19 @@ def key_skew_ratio(
 ) -> "float | None":
     """rows-per-distinct-key of ``col`` from metadata alone — the
     pre-shuffle skew signal (a join/groupBy key with ratio ≫ 1 means
-    few reducers own most rows). None when rows or NDV are unprovable."""
-    rows = fast_count(table_dir, version=version)
-    ndv = sidecar_ndv(table_dir, col, version=version)
+    few reducers own most rows). None when rows or NDV are unprovable.
+
+    Rows and NDV are taken at the SAME version — the newest ANALYZEd
+    one at or before ``version`` — so the ratio is a real statistic of
+    one table state: dividing today's row count by last month's NDV
+    would flag a uniform key as skewed after a large append (and
+    keeping statistics fresh is ``analyze_incremental``'s cheap job,
+    not this function's guess)."""
+    res = _sidecar_ndv_at(table_dir, col, version)
+    if res is None:
+        return None
+    ndv, analyzed_version = res
+    rows = fast_count(table_dir, version=analyzed_version)
     if rows is None or not ndv:
         return None
     return rows / ndv

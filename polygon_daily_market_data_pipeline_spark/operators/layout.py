@@ -179,11 +179,20 @@ def list_parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
-def file_envelope(fpath: str, cols: list[str]) -> tuple[int, dict] | None:
+def file_envelope(
+    fpath: str, cols: list[str], with_nulls: bool = False
+) -> "tuple | None":
     """(num_rows, {col: (min, max) | None}) for one parquet file from
     footer statistics — None per column when any row group lacks stats
     (cannot prune), None overall for an empty file (nothing to scan).
-    Footer-only; no data pages are read. Safe to call executor-side."""
+    Footer-only; no data pages are read. Safe to call executor-side.
+
+    ``with_nulls=True`` returns a third element
+    ``{col: null_count | None}`` (None when any row group's footer
+    lacks the count) — what proves a predicate column NULL-free for
+    the manifest-aggregate path (``fast_aggregate``: a file counts as
+    wholly inside a range only if no row is NULL on the predicate
+    column)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(fpath).metadata
@@ -191,9 +200,11 @@ def file_envelope(fpath: str, cols: list[str]) -> tuple[int, dict] | None:
         return None
     arrow_schema = md.schema.to_arrow_schema()
     env: dict = {}
+    nulls: dict = {}
     for col in cols:
         idx = arrow_schema.get_field_index(col)
         fmin = fmax = None
+        n_null: "int | None" = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
@@ -203,6 +214,16 @@ def file_envelope(fpath: str, cols: list[str]) -> tuple[int, dict] | None:
             fmin = smin if fmin is None else min(fmin, smin)
             fmax = smax if fmax is None else max(fmax, smax)
         env[col] = None if fmin is None else (fmin, fmax)
+        if with_nulls:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_null_count:
+                    n_null = None
+                    break
+                n_null += st.null_count
+            nulls[col] = n_null
+    if with_nulls:
+        return md.num_rows, env, nulls
     return md.num_rows, env
 
 

@@ -117,16 +117,29 @@ def mix_rates_for_token_budget(
     caller can see the shortfall: rate == 1.0). Deterministic given the
     corpus; the sampling itself stays the md5 per-row decision, so the
     plan is computed once on aggregates and never touches row order."""
-    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
-        raise ValueError(
-            f"target shares sum to {sum(target_shares.values())}, not 1"
-        )
     avail = {
         r[0]: float(r[1])
         for r in df.groupBy(strata_col)
         .agg(F.sum(weight_col))
         .collect()
     }
+    return _solve_mix_rates(avail, target_shares, total_budget)
+
+
+def _solve_mix_rates(
+    avail: "dict[str, float]",
+    target_shares: "dict[str, float]",
+    total_budget: float,
+) -> "dict[str, float]":
+    """The mixing-plan solver shared by the scan-priced and the
+    stats-priced planners (they must never diverge): validate the
+    shares, then per stratum keep-rate = min(1, want/have) with the
+    under-supply cap at 1.0 (the caller reads rate == 1.0 as the
+    shortfall signal)."""
+    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"target shares sum to {sum(target_shares.values())}, not 1"
+        )
     rates = {}
     for stratum, share in target_shares.items():
         have = avail.get(stratum, 0.0)
@@ -153,10 +166,6 @@ def mix_rates_from_stats(
     provability gate: a stratum whose sidecar lacks the sum (never
     analyzed, non-integer weight column, or a legacy sidecar) raises
     rather than pricing the mix wrong."""
-    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
-        raise ValueError(
-            f"target shares sum to {sum(target_shares.values())}, not 1"
-        )
     import json
     import os
 
@@ -183,9 +192,4 @@ def mix_rates_from_stats(
                 f"{weight_col!r} (not analyzed, or not an integer column)"
             )
         avail[stratum] = float(st["sum"])
-    rates = {}
-    for stratum, share in target_shares.items():
-        have = avail.get(stratum, 0.0)
-        want = share * total_budget
-        rates[stratum] = 1.0 if have <= want else want / have
-    return rates
+    return _solve_mix_rates(avail, target_shares, total_budget)

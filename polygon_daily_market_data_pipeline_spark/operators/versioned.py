@@ -200,10 +200,13 @@ def _truncate_str_env(lo: str, hi: str, maxlen: int = _STR_STAT_MAXLEN):
 def _collect_file_stats(
     spark: SparkSession, table_dir: str, data_dir: str, cols: list[str]
 ) -> dict:
-    """{file relpath: {"rows": n, "stats": {col: [minJ, maxJ] | None}}}
-    for every parquet file under ``data_dir`` — footer reads fanned out
-    over executors via mapInPandas; the collected result is
-    file-count-sized, never data-sized."""
+    """{file relpath: {"rows": n, "stats": {col: [minJ, maxJ(, trunc)]
+    | None}, "nulls": {col: n_null}}} for every parquet file under
+    ``data_dir`` — footer reads fanned out over executors via
+    mapInPandas; the collected result is file-count-sized, never
+    data-sized. ``nulls`` records only columns whose footer null count
+    is known (absent entries are unprovable, and fast_aggregate treats
+    them conservatively)."""
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
         file_envelope,
         list_parquet_files,
@@ -219,11 +222,11 @@ def _collect_file_stats(
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                res = file_envelope(p, cols)
+                res = file_envelope(p, cols, with_nulls=True)
                 if res is None:  # empty file: never matches anything
-                    rows.append((p, 0, json.dumps(None)))
+                    rows.append((p, 0, json.dumps(None), json.dumps(None)))
                 else:
-                    nrows, env = res
+                    nrows, env, nulls = res
 
                     def enc_col(c):
                         if env[c] is None:
@@ -255,23 +258,35 @@ def _collect_file_stats(
                         return enc
 
                     enc = {c: enc_col(c) for c in cols}
-                    rows.append((p, nrows, json.dumps(enc)))
-            yield pd.DataFrame(rows, columns=["path", "rows", "stats"])
+                    rows.append((p, nrows, json.dumps(enc), json.dumps(nulls)))
+            yield pd.DataFrame(
+                rows, columns=["path", "rows", "stats", "nulls"]
+            )
 
     paths = spark.createDataFrame([(p,) for p in files], "path string")
     n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     collected = (
         paths.repartition(n_tasks)
-        .mapInPandas(read_footers, "path string, rows long, stats string")
+        .mapInPandas(
+            read_footers,
+            "path string, rows long, stats string, nulls string",
+        )
         .collect()
     )
-    return {
-        os.path.relpath(r["path"], table_dir): {
-            "rows": r["rows"],
-            "stats": json.loads(r["stats"]),
-        }
-        for r in collected
-    }
+    out = {}
+    for r in collected:
+        ent = {"rows": r["rows"], "stats": json.loads(r["stats"])}
+        # per-file NULL counts (round 12): what lets fast_aggregate
+        # prove a predicate column NULL-free inside a range-classified
+        # file — NULL rows never satisfy a range predicate, so a file
+        # with nulls on the predicate column is never wholly "inside"
+        nulls = json.loads(r["nulls"])
+        if nulls:
+            ent["nulls"] = {
+                c: n for c, n in nulls.items() if n is not None
+            }
+        out[os.path.relpath(r["path"], table_dir)] = ent
+    return out
 
 
 def _schema_sig(schema_json: dict) -> list:
@@ -4563,13 +4578,18 @@ def fast_aggregate(
 
     Provability requirements, checked per file: footer row counts and
     an EXACT (non-truncated — ``_env_is_exact``) envelope for ``col``
-    and for ``pred_col`` on every file inside the range; no pending
-    row-level deletes (a dv could hide the extremum or change a
-    per-file count) and no equality-delete erasure list. MIN/MAX follow
-    SQL semantics (NULLs ignored — parquet footer envelopes already
+    and for ``pred_col`` on every file inside the range; a recorded
+    ZERO null count for ``pred_col`` on inside files (a NULL never
+    satisfies a range predicate, so a file with nulls on the predicate
+    column is never wholly inside — the envelope alone cannot see
+    them; counts come from the parquet footers at commit time); no
+    pending row-level deletes (a dv could hide the extremum or change
+    a per-file count) and no equality-delete erasure list. MIN/MAX
+    follow SQL semantics (NULLs ignored — footer envelopes already
     exclude them); an all-NULL file records no envelope and therefore
-    proves nothing. An empty inside set returns
-    ``{"count": 0, "min": None, "max": None}``."""
+    proves nothing. A file classified OUTSIDE needs no null proof —
+    neither its values nor its NULLs can qualify. An empty inside set
+    returns ``{"count": 0, "min": None, "max": None}``."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
@@ -4588,6 +4608,13 @@ def fast_aggregate(
             rng = (ent.get("stats") or {}).get(nm)
             if rng is not None:
                 return rng
+        return None
+
+    def nulls_for(ent: dict, c: str) -> "int | None":
+        for nm in _stat_names(m, c):
+            n = (ent.get("nulls") or {}).get(nm)
+            if n is not None:
+                return n
         return None
 
     count, lo_acc, hi_acc = 0, None, None
@@ -4613,6 +4640,13 @@ def fast_aggregate(
                     continue
                 if not inside:
                     return None  # straddling file: a scan would be needed
+                # the envelope covers only NON-NULL values: an "inside"
+                # file with NULLs on the predicate column holds rows
+                # the predicate rejects — only a recorded zero count
+                # proves total containment (legacy manifests without
+                # null counts are unprovable, never wrong)
+                if nulls_for(ent, p_col) != 0:
+                    return None
             ce = env_for(ent, col)
             if not _env_is_exact(ce):
                 return None
@@ -5184,14 +5218,16 @@ def _merge_col_stats(a: dict, b: dict, k: int) -> dict:
         "max": _ext(a["max"], b["max"], max),
         "kmv_set": sorted(set(a["kmv_set"]) | set(b["kmv_set"]))[:k],
     }
-    # integer sums merge additively (exact); a side without a recorded
-    # sum (legacy sidecar, non-integer column) poisons to absent
+    # integer sums merge additively (exact); a side with an ABSENT key
+    # (legacy sidecar, non-integer column) poisons to absent, but a
+    # recorded None (an empty or all-NULL side — SQL SUM returns NULL)
+    # is the merge identity: SUM over the union is the other side's
+    # sum, exactly what a full rescan returns (SUM ignores NULLs).
     if "sum" in a and "sum" in b:
-        out["sum"] = (
-            None
-            if a["sum"] is None or b["sum"] is None
-            else a["sum"] + b["sum"]
-        )
+        if a["sum"] is None and b["sum"] is None:
+            out["sum"] = None  # all-NULL union: SQL SUM is NULL
+        else:
+            out["sum"] = (a["sum"] or 0) + (b["sum"] or 0)
     return out
 
 

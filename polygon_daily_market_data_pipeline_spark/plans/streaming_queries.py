@@ -174,22 +174,48 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join_stream,
     )
 
+    # The two drains are independent streaming jobs with driver-side
+    # gaps (micro-batch planning, state-store commits) — overlap them
+    # in threads, the warehouse-branch co-scheduling pattern. The
+    # state-store width (shuffle partitions = 8) is pinned ONCE around
+    # the whole block and run_available_now is told not to touch the
+    # session conf (state_partitions=None): its per-call save/restore
+    # is not reentrant, and two overlapping restores could leave the
+    # session at the pinned width. Values cannot move with scheduling —
+    # each query latches its width from its own checkpoint at start,
+    # and append-mode emission on bounded data is deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
     ev = events_stream_source(spark, sf_dir)
-    out = run_available_now(
-        hourly_event_counts(ev, watermark="0 seconds"), "hourly_stream"
-    )
     clicks = events_stream_source(spark, sf_dir).where(
         "event_type = 'click'"
     )
     views = events_stream_source(spark, sf_dir).where(
         "event_type = 'view'"
     )
-    pairs = run_available_now(
-        interval_join_stream(
-            clicks, views, lookback="10 minutes", watermark="0 seconds"
-        ),
-        "ssjoin_stream",
-    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_hourly = ex.submit(
+                run_available_now,
+                hourly_event_counts(ev, watermark="0 seconds"),
+                "hourly_stream",
+                None,
+            )
+            f_pairs = ex.submit(
+                run_available_now,
+                interval_join_stream(
+                    clicks, views, lookback="10 minutes",
+                    watermark="0 seconds",
+                ),
+                "ssjoin_stream",
+                None,
+            )
+            out = f_hourly.result()
+            pairs = f_pairs.result()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     jrows = (
         pairs.groupBy(
             F.date_trunc("hour", "click_ts").alias("hour_start")

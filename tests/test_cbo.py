@@ -289,3 +289,52 @@ def test_fast_count_by_partition(spark, tmp_path):
         stats_cols=["o_orderkey"],
     )
     assert fast_count_by_partition(tdir, "day") is None
+
+
+def test_fast_aggregate_null_predicate_rows_unprovable(spark, tmp_path):
+    """A file wholly inside the range by ENVELOPE can still hold NULL
+    predicate rows the predicate rejects — the envelope covers only
+    non-NULL values. Only a recorded zero null count proves total
+    containment; otherwise the aggregate must refuse, not over-count
+    (round-12 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, 7), (None, 100)], "p long, v long"
+    )
+    tdir = str(tmp_path / "vt")
+    commit_version(df.coalesce(1), tdir, stats_cols=["p", "v"])
+    # envelope of p is [1, 2] — "inside" (0, 10) by envelope alone, but
+    # the NULL row must not be counted and 100 must not become the max
+    assert fast_aggregate(tdir, "v", predicate=("p", 0, 10)) is None
+    # a genuinely NULL-free table under the same predicate is provable
+    clean = spark.createDataFrame([(1, 5), (2, 7)], "p long, v long")
+    tdir2 = str(tmp_path / "vt2")
+    commit_version(clean.coalesce(1), tdir2, stats_cols=["p", "v"])
+    agg = fast_aggregate(tdir2, "v", predicate=("p", 0, 10))
+    assert (agg["count"], agg["min"], agg["max"]) == (2, 5, 7)
+
+
+def test_key_skew_ratio_uses_consistent_snapshot(spark, fact_dim):
+    """rows and NDV come from the SAME (analyzed) version: a large
+    append without a re-analyze must not inflate the ratio and flag a
+    uniform key as skewed (round-12 review finding)."""
+    slim, fdir, ddir = fact_dim
+    r_before = key_skew_ratio(fdir, "o_orderkey")
+    assert r_before is not None and r_before < 2  # ~unique key
+    big = slim.select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_custkey", "o_orderpriority", "o_totalprice",
+    )
+    for _ in range(3):
+        commit_version(
+            big.coalesce(2), fdir, mode="append",
+            stats_cols=["o_orderkey"],  # keeps fast_count provable
+        )
+        big = big.select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_custkey", "o_orderpriority", "o_totalprice",
+        )
+    assert key_skew_ratio(fdir, "o_orderkey") == r_before  # snapshot-consistent
+    # refreshing the statistics moves the snapshot forward
+    analyze_incremental(spark, fdir)
+    r_after = key_skew_ratio(fdir, "o_orderkey")
+    assert r_after is not None and r_after < 2  # still ~unique, at 4x rows

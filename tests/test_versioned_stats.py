@@ -509,3 +509,32 @@ def test_sidecar_integer_sums_and_stats_fed_mix_plan(spark, tmp_path):
         mix_rates_from_stats(
             {langs[0]: tables[langs[0]]}, "absent", {langs[0]: 1.0}, 1.0
         )
+
+
+def test_sidecar_sum_survives_all_null_and_empty_appends(spark, tmp_path):
+    """SQL SUM ignores NULLs: an append whose rows are all-NULL on the
+    summed column (or adds no rows at all) must merge as the identity,
+    not poison the exact sum to None (round-12 review finding)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+    )
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, w long")
+    tdir = str(tmp_path / "vt")
+    commit_version(df.coalesce(1), tdir)
+    analyze_version(spark, tdir, ["w"], k=8)
+    truth = sum(i * 10 for i in range(20))
+    assert describe_statistics(spark, tdir).collect()[0].sum_val == truth
+    # all-NULL append on w
+    nulls = spark.createDataFrame(
+        [(100 + i, None) for i in range(5)], "id long, w long"
+    )
+    commit_version(nulls.coalesce(1), tdir, mode="append")
+    res = analyze_incremental(spark, tdir)
+    assert res["mode"] == "incremental"
+    row = describe_statistics(spark, tdir).collect()[0]
+    assert row.sum_val == truth  # identity merge, not None
+    assert row.n_nulls == 5
+    # and the sidecar equals a full rescan (the standing law)
+    full = analyze_version(spark, tdir, ["w"], k=8)
+    assert full["columns"]["w"]["sum"] == truth
