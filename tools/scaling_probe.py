@@ -1417,6 +1417,100 @@ def probe_cbo(spark, sf_dir: str) -> None:
     print(f"cbo_fastagg: {pts} (values pinned equal at every size)")
 
 
+def probe_ssjoin_state(spark, sf_dir: str) -> None:
+    """Stream-stream join state-boundedness claim (round 12): the
+    interval join's docstring says state is O(users × lookback), not
+    O(stream) — the watermark plus the time-range condition evict a
+    buffered row once it can no longer match. Feed a LONG stream (one
+    micro-batch per 30-minute slice of synthetic clicks/views, time-
+    ordered — the production arrival order) and read the state-store
+    row counts from the query progress after every micro-batch: total
+    state must PLATEAU at a few slices' worth of rows while the total
+    rows fed grow linearly. Without eviction state would end at
+    ~rows_fed; the plateau is the 100 TB viability proof."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        interval_join_stream,
+    )
+
+    n_slices, per_slice = 24, 400  # 12 hours of 30-min slices
+    base = dt.datetime(2024, 1, 1)
+    src = tempfile.mkdtemp(prefix="ssjoin_state_probe_")
+    for s in range(n_slices):
+        rows = []
+        for i in range(per_slice):
+            t = base + dt.timedelta(minutes=30 * s, seconds=i * 4)
+            # (i // 2) % 50: click i and its neighboring views share a
+            # user (plain i % 50 would give the two types disjoint
+            # user sets — odd vs even residues — and zero pairs)
+            rows.append((s * per_slice + i, t, (i // 2) % 50,
+                         "click" if i % 2 else "view", float(i), "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{s:03d}"))
+
+    def source():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+
+    joined = interval_join_stream(
+        source().where("event_type = 'click'"),
+        source().where("event_type = 'view'"),
+        lookback="10 minutes",
+        watermark="0 seconds",
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssjoin_state_probe")
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt_ssjoin_probe_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    fed = n_slices * per_slice
+    n_pairs = spark.table("ssjoin_state_probe").count()
+    shutil.rmtree(src, ignore_errors=True)
+    peak, final = max(state_rows), state_rows[-1]
+    print(
+        f"ssjoin_state: fed={fed} rows over {n_slices} micro-batches, "
+        f"pairs={n_pairs}, state per batch={state_rows}, "
+        f"peak={peak}, final={final}"
+    )
+    assert n_pairs > 0, "degenerate probe: the join produced no pairs"
+    assert peak < fed / 3, (
+        f"state peak {peak} not bounded vs {fed} rows fed — eviction broken?"
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1437,6 +1531,7 @@ def main() -> None:
         ("branch", probe_branch),
         ("analyze", probe_analyze),
         ("cbo", probe_cbo),
+        ("ssjoin_state", probe_ssjoin_state),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
