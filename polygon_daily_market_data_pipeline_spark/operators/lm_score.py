@@ -1,0 +1,79 @@
+"""Model-based quality filtering (round 12): the CCNet/KenLM pattern —
+score each document by its surprisal under a language model trained on
+the corpus itself — re-expressed with an INTEGER-QUANTIZED add-one-
+smoothed bigram model so the score is exact on any engine and any
+partitioning.
+
+CCNet filters by KenLM perplexity; the float log-sum underneath is the
+part a cross-engine, order-insensitive value check cannot pin (libm
+``log`` differs in the last ulp between runtimes, and float summation
+order moves with partitioning). The quantization keeps the *decision
+structure* — rare word sequences score high, boilerplate scores low —
+while making every step integer arithmetic:
+
+    s(b)   = floor(log2((N + V) // (c(b) + 1)))   per doc bigram b
+    score  = Σ s(b)                               over the doc, exact
+
+where ``c(b)`` is the corpus count of bigram ``b``, ``N`` the total
+bigram tokens and ``V`` the distinct-bigram count (add-one smoothing's
+normalizer). ``floor(log2 x)`` is ``length(bin(x)) - 1`` — one integer
+expression both Spark and DuckDB evaluate identically, so the oracle
+re-derives the whole model AND every document's score value-exactly.
+Filtering semantics match CCNet's: threshold ``score / n_bigrams``
+(mean surprisal ≈ quantized cross-entropy in bits) per language slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.functions.text import (
+    word_ngrams_all,
+)
+
+
+def bigram_surprisal_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per input document: ``(id, n_bigrams, surprisal)`` —
+    both exact BIGINTs (see module docstring; docs with < 2 tokens get
+    (0, 0), the SQL-friendly identity).
+
+    Scale shape: one linear explode of the corpus's bigrams (the same
+    volume class as the decontamination gram pass), a count aggregate
+    on uniform text keys, one broadcast of the 1-row (N, V) totals, a
+    re-join of counts to the exploded grams (hash join on the same
+    keys the count shuffle already clustered), and a per-doc sum. No
+    UDF, no driver-side state beyond the 1-row totals. The trained
+    "model" IS the counts frame — persist it to score future batches
+    without retraining (the CCNet deployment shape)."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_all(text_col, 2)).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    per_doc = (
+        grams.join(counts, "g")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            F.expr("length(bin((N + V) div (c + 1))) - 1").alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("surprisal"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
+        )
+    )

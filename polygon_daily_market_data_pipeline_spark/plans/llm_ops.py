@@ -296,8 +296,21 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + len(regexp_extract_all(nrm, '\.\.\.'))) * 1.0
                    / greatest(len(toks), 1) AS syms
         FROM t
+    ),
+    -- the corpus bigram LM (round 12): counts over the SAME 2-gram
+    -- construction as dup_2gram_frac, integer-quantized add-one
+    -- surprisal s = floor(log2((N + V) // (c + 1))) per doc bigram
+    g AS (SELECT doc_id, unnest(grams) AS gm FROM f),
+    cnt AS (SELECT gm, COUNT(*) AS c FROM g GROUP BY gm),
+    tot AS (SELECT SUM(c) AS N, COUNT(*) AS V FROM cnt),
+    sur AS (
+        SELECT doc_id,
+               CAST(SUM(length(bin((N + V) // (c + 1))) - 1) AS BIGINT)
+                   AS surprisal
+        FROM g JOIN cnt USING (gm) CROSS JOIN tot
+        GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT f.doc_id,
            ROUND(sw, 6) AS stopword_ratio,
            ROUND(((CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
                   + least(sw * 4, 1.0) + ttr) / 3, 6) AS quality,
@@ -308,8 +321,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(alpha, 6) AS alpha_word_frac,
            ROUND(syms, 6) AS symbol_word_ratio,
            (n BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
-                AND alpha > 0.8 AND syms < 0.1) AS gopher_pass
-    FROM f
+                AND alpha > 0.8 AND syms < 0.1) AS gopher_pass,
+           COALESCE(sur.surprisal, 0) AS lm_surprisal
+    FROM f LEFT JOIN sur USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -321,19 +335,38 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage only. The oracle rebuilds the 2-gram multiset from the
     shared token expression, so the repetition filter is value-checked,
     not shape-checked. (The PII scrubber stays pytest-only by design:
-    its phone pattern needs lookbehind, which DuckDB's RE2 lacks.)"""
+    its phone pattern needs lookbehind, which DuckDB's RE2 lacks.)
+
+    Round 12 adds MODEL-BASED filtering (``operators/lm_score.py`` —
+    the CCNet/KenLM perplexity pattern with an integer-quantized
+    bigram model, exact on both engines): ``lm_surprisal`` is the
+    document's total quantized surprisal under the corpus-trained
+    add-one bigram LM; the oracle re-derives the model (counts, N, V)
+    AND every score. Threshold ``lm_surprisal / n_tokens`` for the
+    CCNet-style keep/drop decision."""
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        bigram_surprisal_scores,
+    )
+
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     rep = repetition_stats("text")
-    return docs.select(
-        "doc_id",
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
-        F.round(rep["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
-        F.round(mean_word_len("text"), 6).alias("mean_word_len"),
-        F.round(alpha_word_ratio("text"), 6).alias("alpha_word_frac"),
-        F.round(symbol_word_ratio("text"), 6).alias("symbol_word_ratio"),
-        gopher_pass("text").alias("gopher_pass"),
-    ).orderBy("doc_id")
+    lm = bigram_surprisal_scores(docs).select(
+        "doc_id", F.col("surprisal").alias("lm_surprisal")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+            quality_score("text").alias("quality"),
+            F.round(rep["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+            F.round(mean_word_len("text"), 6).alias("mean_word_len"),
+            F.round(alpha_word_ratio("text"), 6).alias("alpha_word_frac"),
+            F.round(symbol_word_ratio("text"), 6).alias("symbol_word_ratio"),
+            gopher_pass("text").alias("gopher_pass"),
+        )
+        .join(lm, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _lang_oracle() -> str:

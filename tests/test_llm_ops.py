@@ -1316,3 +1316,36 @@ def test_repeated_span_stats_cuts_shared_paragraphs_only(spark):
     )
     solo_out = {r.doc_id: r for r in repeated_span_stats(solo, window=25).collect()}
     assert solo_out[1].n_kept == solo_out[1].n_tokens == 60
+
+
+def test_bigram_surprisal_exact_and_ordering(spark):
+    """The integer-quantized bigram LM: hand-computed scores on a tiny
+    corpus, boilerplate (repeated bigrams) scores LOWER than unique
+    prose of the same length, and <2-token docs get the (0, 0)
+    identity."""
+    import math
+
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        bigram_surprisal_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab x3, ba x2
+            (2, "c d e f"),            # cd, de, ef -- all unique
+            (3, "a b"),                # one common bigram
+            (4, "solo"),               # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal_scores(docs).collect()}
+    # corpus: counts {ab:4, ba:2, cd:1, de:1, ef:1}; N=9, V=5
+    def s(c):
+        return int(math.log2((9 + 5) // (c + 1)))
+
+    assert (out[1].n_bigrams, out[1].surprisal) == (5, 3 * s(4) + 2 * s(2))
+    assert (out[2].n_bigrams, out[2].surprisal) == (3, 3 * s(1))
+    assert (out[3].n_bigrams, out[3].surprisal) == (1, s(4))
+    assert (out[4].n_bigrams, out[4].surprisal) == (0, 0)
+    # mean surprisal orders quality the CCNet way: unique prose > boilerplate
+    assert out[2].surprisal / out[2].n_bigrams > out[1].surprisal / out[1].n_bigrams
