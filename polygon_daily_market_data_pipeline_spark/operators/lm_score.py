@@ -41,16 +41,24 @@ def bigram_surprisal_scores(
     (0, 0), the SQL-friendly identity).
 
     Scale shape: one linear explode of the corpus's bigrams (the same
-    volume class as the decontamination gram pass), a count aggregate
-    on uniform text keys, one broadcast of the 1-row (N, V) totals, a
-    re-join of counts to the exploded grams (hash join on the same
-    keys the count shuffle already clustered), and a per-doc sum. No
-    UDF, no driver-side state beyond the 1-row totals. The trained
-    "model" IS the counts frame — persist it to score future batches
-    without retraining (the CCNet deployment shape)."""
+    volume class as the decontamination gram pass) — PERSISTED, since
+    both the count aggregate and the scoring re-join consume it, and
+    released before return (the jaccard_pairs convention); a count
+    aggregate on uniform text keys; one broadcast of the 1-row (N, V)
+    totals; a hash re-join of counts to the grams on the keys the
+    count shuffle already clustered; and a per-doc sum. No UDF, no
+    driver-side state beyond the 1-row totals. The trained "model" IS
+    the counts frame — persist it to score future batches without
+    retraining (the CCNet deployment shape)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        unpersist_after_action,
+    )
+
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams_all(text_col, 2)).alias("g")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
@@ -68,7 +76,7 @@ def bigram_surprisal_scores(
             F.sum("s").cast("long").alias("surprisal"),
         )
     )
-    return (
+    out = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -77,3 +85,4 @@ def bigram_surprisal_scores(
             F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
         )
     )
+    return unpersist_after_action(out, (grams,))

@@ -525,14 +525,23 @@ def repeated_span_stats(
     token sequence (order-preserving), so a value-level oracle checks
     WHICH tokens survive, not just how many.
 
-    Scale shape: the window explode is one linear pass emitting
-    ~n_tokens rows of (md5, doc, start) — the same volume class as the
-    8-gram decontamination stage; duplicate detection is a groupBy on
-    uniform md5 keys (skew-free); only HIT spans (boilerplate-sized,
-    corpus-small) flow into the per-doc start lists via a semi-join;
-    the cut itself is a codegen'd array filter, no UDF. At 100 TB the
-    window hashes can be Bloom-pre-filtered exactly like decontam's
-    gram set; nothing corpus-sized reaches the driver."""
+    Scale shape: the window-hash explode is ONE corpus-linear pass
+    (persisted for its two consumers — the duplicate aggregate and the
+    hit probe — and released before return, the jaccard_pairs
+    convention); duplicate detection is a groupBy on uniform md5 keys
+    (skew-free); only HIT spans (boilerplate-sized) survive the
+    semi-join. The cut itself is the UNION-MERGE plan (the as-of-join
+    pattern): token rows and hit-start rows interleave under one
+    window sort per document, a running MAX carries the latest span
+    start past each token, and a token survives iff no start lies
+    within ``window`` positions before it — O(n log n) per document
+    regardless of how much of the document is boilerplate (a per-token
+    scan of the start list would be O(n x hits) and straggle on a
+    fully-syndicated document). No UDF; nothing corpus-sized reaches
+    the driver. At 100 TB the window hashes can be Bloom-pre-filtered
+    exactly like decontam's gram set."""
+    from pyspark.sql import Window
+
     from polygon_daily_market_data_pipeline_spark.functions.text import tokens
 
     t = df.select(F.col(id_col), tokens(text_col).alias("toks"))
@@ -547,6 +556,7 @@ def repeated_span_stats(
                 )
             ).alias("start", "h"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
         wins.groupBy("h")
@@ -554,22 +564,61 @@ def repeated_span_stats(
         .where(F.col("nd") >= min_docs)
         .select("h")
     )
-    hits = (
-        wins.join(dup, "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("start").alias("starts"))
+    starts = wins.join(dup, "h", "left_semi").select(id_col, "start")
+    tok_rows = t.select(
+        id_col, F.posexplode("toks").alias("pos", "tok")
     )
-    out = t.join(hits, id_col, "left").withColumn(
-        "kept",
-        F.expr(
-            "filter(toks, (x, i) -> NOT exists("
-            "coalesce(starts, cast(array() as array<int>)), "
-            f"s -> s <= i AND i <= s + {window - 1}))"
-        ),
+    # union-merge: start rows sort BEFORE the token at the same
+    # position (is_tok 0 < 1) so a span starting AT a token covers it;
+    # running MAX(s) is the latest start seen (starts ascend with pos)
+    merged = tok_rows.select(
+        id_col,
+        "pos",
+        "tok",
+        F.lit(None).cast("int").alias("s"),
+        F.lit(1).alias("is_tok"),
+    ).unionByName(
+        starts.select(
+            id_col,
+            F.col("start").alias("pos"),
+            F.lit(None).cast("string").alias("tok"),
+            F.col("start").alias("s"),
+            F.lit(0).alias("is_tok"),
+        )
     )
-    return out.select(
-        F.col(id_col),
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size("kept").cast("long").alias("n_kept"),
-        F.md5(F.concat_ws(" ", F.col("kept"))).alias("kept_md5"),
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos", "is_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    kept_rows = (
+        merged.withColumn("last_s", F.max("s").over(w_run))
+        .where(F.col("is_tok") == 1)
+        .where(
+            F.col("last_s").isNull()
+            | (F.col("last_s") < F.col("pos") - window + 1)
+        )
+    )
+    kept_agg = kept_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    out = (
+        t.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+    return unpersist_after_action(out, (wins,))

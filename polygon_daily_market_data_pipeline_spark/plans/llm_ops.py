@@ -35,11 +35,15 @@ from polygon_daily_market_data_pipeline_spark.operators.similarity import (
     cosine_topk_lsh,
     cosine_topk_pandas,
 )
+from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+    bigram_surprisal_scores,
+)
 from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    repeated_span_stats,
     simhash_fingerprints,
 )
 from polygon_daily_market_data_pipeline_spark.partitioning import spread_for_compute
@@ -247,10 +251,6 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut (window hashes, duplicate spans, coverage filter) value-exactly
     for every document."""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
-    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
-        repeated_span_stats,
-    )
-
     spans = repeated_span_stats(
         docs, window=_SPAN_WINDOW, min_docs=_SPAN_MIN_DOCS
     ).select(
@@ -344,10 +344,6 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one bigram LM; the oracle re-derives the model (counts, N, V)
     AND every score. Threshold ``lm_surprisal / n_tokens`` for the
     CCNet-style keep/drop decision."""
-    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
-        bigram_surprisal_scores,
-    )
-
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     rep = repetition_stats("text")
     lm = bigram_surprisal_scores(docs).select(

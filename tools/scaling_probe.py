@@ -1475,30 +1475,30 @@ def probe_ssjoin_state(spark, sf_dir: str) -> None:
     )
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssjoin_probe_")
     try:
         q = (
             joined.writeStream.format("memory")
             .queryName("ssjoin_state_probe")
             .outputMode("append")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ckpt_ssjoin_probe_"),
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         progress = q.recentProgress
+        n_pairs = spark.table("ssjoin_state_probe").count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     state_rows = [
         p["stateOperators"][0]["numRowsTotal"]
         for p in progress
         if p.get("stateOperators")
     ]
     fed = n_slices * per_slice
-    n_pairs = spark.table("ssjoin_state_probe").count()
-    shutil.rmtree(src, ignore_errors=True)
+    assert state_rows, "no state-operator progress recorded — probe shape broken"
     peak, final = max(state_rows), state_rows[-1]
     print(
         f"ssjoin_state: fed={fed} rows over {n_slices} micro-batches, "
