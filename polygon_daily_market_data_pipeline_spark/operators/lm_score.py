@@ -44,12 +44,14 @@ def bigram_surprisal_scores(
     volume class as the decontamination gram pass) — PERSISTED, since
     both the count aggregate and the scoring re-join consume it, and
     released before return (the jaccard_pairs convention); a count
-    aggregate on uniform text keys; one broadcast of the 1-row (N, V)
-    totals; a hash re-join of counts to the grams on the keys the
-    count shuffle already clustered; and a per-doc sum. No UDF, no
-    driver-side state beyond the 1-row totals. The trained "model" IS
-    the counts frame — persist it to score future batches without
-    retraining (the CCNet deployment shape)."""
+    aggregate on uniform text keys; the (N, V) totals collected as TWO
+    LONGS and folded into the scoring expression as literals (no 1-row
+    cross join — the plan stays nested-loop-free suite-wide); a hash
+    re-join of counts to the grams on the keys the count shuffle
+    already clustered; and a per-doc sum. No UDF, no driver-side state
+    beyond two longs. The trained "model" IS the counts frame —
+    persist it to score future batches without retraining (the CCNet
+    deployment shape)."""
     from pyspark.storagelevel import StorageLevel
 
     from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
@@ -59,16 +61,23 @@ def bigram_surprisal_scores(
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams_all(text_col, 2)).alias("g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.agg(
-        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    # (N, V) are TWO LONGS — collected driver-side (aggregate-sized,
+    # the corpus_split_counts convention) and folded into the scoring
+    # expression as literals, keeping the suite's no-nested-loop-join
+    # invariant (a 1-row cross join would plan as
+    # BroadcastNestedLoopJoin for no benefit)
+    tot = counts.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    ).first()
+    nv = int(tot["N"] or 0) + int(tot["V"] or 0)
     per_doc = (
         grams.join(counts, "g")
-        .join(F.broadcast(totals))
         .select(
             id_col,
-            F.expr("length(bin((N + V) div (c + 1))) - 1").alias("s"),
+            F.expr(f"length(bin(({nv} div (c + 1)))) - 1").alias("s"),
         )
         .groupBy(id_col)
         .agg(
@@ -85,4 +94,4 @@ def bigram_surprisal_scores(
             F.coalesce("surprisal", F.lit(0)).cast("long").alias("surprisal"),
         )
     )
-    return unpersist_after_action(out, (grams,))
+    return unpersist_after_action(out, (grams, counts))
