@@ -190,7 +190,17 @@ def plan_join_with_stats(
     is advisory: the join is still planned (AQE skew-join splits
     oversized partitions at runtime); callers owning the shuffle can
     pre-salt via ``operators.salting``. The stats are METADATA-ONLY
-    reads — planning schedules zero Spark jobs beyond the join itself."""
+    reads — planning schedules zero Spark jobs beyond the join itself.
+
+    The dim VERSION is resolved ONCE up front: the decision and the
+    read must see the same table state, or a concurrent append landing
+    between them could get a stats-proven-small broadcast enforced on
+    an arbitrarily larger new version."""
+    if dim_version is None:
+        versions = _manifests(dim_dir)
+        if not versions:
+            raise FileNotFoundError(f"no versions in {dim_dir}")
+        dim_version = versions[-1]
     est = table_size_estimate(dim_dir, version=dim_version)
     if broadcast_threshold_rows is not None:
         small = (

@@ -204,23 +204,30 @@ def file_envelope(
     for col in cols:
         idx = arrow_schema.get_field_index(col)
         fmin = fmax = None
+        env_ok = True
         n_null: "int | None" = 0
+        # ONE pass over the row-group statistics accumulates both the
+        # envelope and the null count — each tracked independently (a
+        # group may carry one without the other)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                fmin = fmax = None
-                break
-            smin, smax = _cmp_stat(st.min), _cmp_stat(st.max)
-            fmin = smin if fmin is None else min(fmin, smin)
-            fmax = smax if fmax is None else max(fmax, smax)
-        env[col] = None if fmin is None else (fmin, fmax)
-        if with_nulls:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
+            if env_ok:
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    env_ok = False
+                else:
+                    smin, smax = _cmp_stat(st.min), _cmp_stat(st.max)
+                    fmin = smin if fmin is None else min(fmin, smin)
+                    fmax = smax if fmax is None else max(fmax, smax)
+            if with_nulls and n_null is not None:
                 if st is None or not st.has_null_count:
                     n_null = None
-                    break
-                n_null += st.null_count
+                else:
+                    n_null += st.null_count
+            if not env_ok and (not with_nulls or n_null is None):
+                break
+        env[col] = None if fmin is None else (fmin, fmax)
+        if with_nulls:
             nulls[col] = n_null
     if with_nulls:
         return md.num_rows, env, nulls

@@ -116,14 +116,28 @@ def mix_rates_for_token_budget(
     an under-supplied stratum contributes everything it has (the
     caller can see the shortfall: rate == 1.0). Deterministic given the
     corpus; the sampling itself stays the md5 per-row decision, so the
-    plan is computed once on aggregates and never touches row order."""
+    plan is computed once on aggregates and never touches row order.
+
+    A stratum whose SUM is NULL (all-NULL weights) prices as 0
+    available — SQL's "no weight" reading, same as an absent stratum
+    (rate 1.0 with shortfall visible); the stats-priced twin reads a
+    recorded-None sidecar sum the same way, so the two planners never
+    diverge."""
+    _check_shares(target_shares)  # fail BEFORE the corpus scan
     avail = {
-        r[0]: float(r[1])
+        r[0]: float(r[1]) if r[1] is not None else 0.0
         for r in df.groupBy(strata_col)
         .agg(F.sum(weight_col))
         .collect()
     }
     return _solve_mix_rates(avail, target_shares, total_budget)
+
+
+def _check_shares(target_shares: "dict[str, float]") -> None:
+    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"target shares sum to {sum(target_shares.values())}, not 1"
+        )
 
 
 def _solve_mix_rates(
@@ -136,10 +150,7 @@ def _solve_mix_rates(
     shares, then per stratum keep-rate = min(1, want/have) with the
     under-supply cap at 1.0 (the caller reads rate == 1.0 as the
     shortfall signal)."""
-    if abs(sum(target_shares.values()) - 1.0) > 1e-9:
-        raise ValueError(
-            f"target shares sum to {sum(target_shares.values())}, not 1"
-        )
+    _check_shares(target_shares)
     rates = {}
     for stratum, share in target_shares.items():
         have = avail.get(stratum, 0.0)
@@ -186,10 +197,13 @@ def mix_rates_from_stats(
             )
         with open(spath) as f:
             st = json.load(f)["columns"].get(weight_col)
-        if st is None or st.get("sum") is None:
+        if st is None or "sum" not in st:
             raise ValueError(
                 f"stratum {stratum!r}: sidecar records no exact sum for "
                 f"{weight_col!r} (not analyzed, or not an integer column)"
             )
-        avail[stratum] = float(st["sum"])
+        # a RECORDED None is SQL's SUM-over-no-values (empty or
+        # all-NULL stratum): provably 0 available weight — the scan
+        # twin prices it identically (rate 1.0, shortfall visible)
+        avail[stratum] = float(st["sum"]) if st["sum"] is not None else 0.0
     return _solve_mix_rates(avail, target_shares, total_budget)

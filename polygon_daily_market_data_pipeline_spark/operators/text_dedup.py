@@ -544,7 +544,12 @@ def repeated_span_stats(
 
     from polygon_daily_market_data_pipeline_spark.functions.text import tokens
 
-    t = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    # tokenization feeds THREE consumers (the window-hash explode, the
+    # token-position explode, the n_tokens join): persist it, release
+    # on return
+    t = df.select(F.col(id_col), tokens(text_col).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     wins = (
         t.where(F.size("toks") >= window)
         .select(
@@ -621,4 +626,4 @@ def repeated_span_stats(
             F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
         )
     )
-    return unpersist_after_action(out, (wins,))
+    return unpersist_after_action(out, (wins, t))

@@ -4449,7 +4449,13 @@ def _env_is_exact(e) -> bool:
     max-length string that _truncate_str_env could have produced. Only
     exact envelopes may be surfaced as extrema (DESCRIBE STATISTICS,
     fast_aggregate); truncated bounds remain valid for PRUNING, where a
-    wider envelope is sound."""
+    wider envelope is sound.
+
+    Known residual for LEGACY manifests only: _truncate_str_env's
+    backoff branch can emit a truncated hi SHORTER than the max length
+    (every trailing kept char at U+10FFFF), which the length heuristic
+    cannot see — new manifests carry the explicit flag for exactly
+    this reason; re-commit (or re-collect stats) to close it."""
     if e is None:
         return False
     if len(e) > 2 and e[2]:
@@ -4625,6 +4631,11 @@ def fast_aggregate(
             ent = stats.get(os.path.relpath(f, table_dir))
             if ent is None:
                 return None  # no recorded rows: unprovable
+            if ent["rows"] == 0:
+                # an empty file (streaming sinks produce them) records
+                # no envelope but is trivially provable: it affects no
+                # COUNT/MIN/MAX
+                continue
             if p_col is not None:
                 pe = env_for(ent, p_col)
                 if not _env_is_exact(pe):
@@ -5157,7 +5168,11 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
     # and merge ADDITIVELY in analyze_incremental, so the sidecar stays
     # value-identical to a full rescan; float sums are order-dependent
     # and are deliberately not recorded (None) — never an approximate
-    # statistic on the exact surface.
+    # statistic on the exact surface. The sum is computed in
+    # DECIMAL(38,0), NOT long: Spark's non-ANSI long sum WRAPS silently
+    # past 2^63, which would record a wrong value on a never-wrong
+    # surface — the decimal sum is exact to 10^38 and returns NULL
+    # (recorded None: unprovable, not wrong) beyond it.
     summable = {
         c
         for c in cols
@@ -5175,7 +5190,7 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
         ]
         if c in summable:
             aggs.append(
-                F.sum(F.col(c).cast("long")).alias(f"{c}__sum")
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"{c}__sum")
             )
     one = df.agg(*aggs).first()
     with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:

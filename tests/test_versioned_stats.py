@@ -538,3 +538,50 @@ def test_sidecar_sum_survives_all_null_and_empty_appends(spark, tmp_path):
     # and the sidecar equals a full rescan (the standing law)
     full = analyze_version(spark, tdir, ["w"], k=8)
     assert full["columns"]["w"]["sum"] == truth
+
+
+def test_mix_planners_agree_on_empty_and_all_null_strata(spark, tmp_path):
+    """The never-diverge law at its edges (round-12 review): an
+    ANALYZEd stratum with zero rows or all-NULL weights prices as 0
+    available (rate 1.0, shortfall visible) in BOTH planners — the
+    stats side must not raise, the scan side must not crash on
+    SUM = NULL."""
+    from polygon_daily_market_data_pipeline_spark.operators.sampling import (
+        mix_rates_for_token_budget,
+        mix_rates_from_stats,
+    )
+
+    full = spark.createDataFrame(
+        [(i, "en", 10) for i in range(20)]
+        + [(100 + i, "zz", None) for i in range(5)],
+        "doc_id long, lang string, w long",
+    )
+    shares = {"en": 0.5, "zz": 0.25, "missing": 0.25}
+    exact = mix_rates_for_token_budget(full, "lang", "w", shares, 100.0)
+    assert exact == {"en": 0.5 * 100 / 200, "zz": 1.0, "missing": 1.0}
+    tables = {}
+    for lang in ("en", "zz", "missing"):
+        tdir = str(tmp_path / f"s_{lang}")
+        part = full.where(F.col("lang") == lang).select("doc_id", "w")
+        commit_version(part.coalesce(1), tdir)  # 'missing' commits 0 rows
+        analyze_version(spark, tdir, ["w"], k=8)
+        tables[lang] = tdir
+    assert mix_rates_from_stats(tables, "w", shares, 100.0) == exact
+
+
+def test_fast_aggregate_tolerates_empty_files(spark, tmp_path):
+    """A 0-row file (streaming sinks produce them) is trivially
+    provable — it must not poison the whole table to None."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        fast_aggregate,
+    )
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)], "a long, b long")
+    tdir = str(tmp_path / "vt")
+    commit_version(df.coalesce(1), tdir, stats_cols=["a", "b"])
+    commit_version(
+        df.where("a < 0").coalesce(1), tdir, mode="append",
+        stats_cols=["a", "b"],
+    )  # an EMPTY append: one 0-row parquet file
+    agg = fast_aggregate(tdir, "b", predicate=("a", None, 9))
+    assert (agg["count"], agg["min"], agg["max"]) == (10, 0, 18)
