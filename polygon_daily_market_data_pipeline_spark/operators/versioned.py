@@ -1706,6 +1706,7 @@ def prune_files(
     manifest: dict,
     predicates: dict,
     bounds_tz: dt.tzinfo | None = None,
+    null_preds: "dict | None" = None,
 ) -> tuple[list[str], int]:
     """(surviving file paths, total files) for a conjunctive range
     predicate ``{col: (lo, hi)}`` (either bound may be None for
@@ -1715,6 +1716,15 @@ def prune_files(
     dropped. Same envelope-intersection decision as
     ``layout.pruning_stats_multi``, but against the manifest instead of
     re-reading footers.
+
+    ``null_preds`` (``{col: 'null' | 'not_null'}``, round 12) prunes on
+    the manifest's per-file NULL COUNTS — the skip [min, max] envelopes
+    cannot express (footer envelopes cover only non-NULL values):
+    ``'not_null'`` drops files whose every stored row is NULL on the
+    column, ``'null'`` drops files with zero NULLs. Both are sound
+    under pending deletion vectors (hiding rows can never create a
+    NULL, and an all-NULL file stays all-NULL); files without recorded
+    counts (legacy manifests) are kept.
 
     NAIVE datetime bounds are normalized to UTC instants before
     comparing against the manifest's naive-UTC timestamp envelopes
@@ -1732,6 +1742,12 @@ def prune_files(
     )
 
     stats = manifest.get("files", {})
+    for c, kind in (null_preds or {}).items():
+        if kind not in ("null", "not_null"):
+            raise ValueError(
+                f"null_preds[{c!r}] must be 'null' or 'not_null', "
+                f"got {kind!r}"
+            )
     norm = {
         c: (
             None if lo is None else _norm_bound(lo, "lo", bounds_tz),
@@ -1775,6 +1791,21 @@ def prune_files(
                 # number vs string, ...): cannot prune on this column
                 # for this file — the residual filter decides
                 continue
+        if keep and null_preds:
+            for col, kind in null_preds.items():
+                n_null = None
+                for nm in _stat_names(manifest, col):
+                    n = (ent.get("nulls") or {}).get(nm)
+                    if n is not None:
+                        n_null = n
+                        break
+                if n_null is None:
+                    continue  # no recorded count: cannot prune
+                if (kind == "not_null" and n_null == ent["rows"]) or (
+                    kind == "null" and n_null == 0
+                ):
+                    keep = False
+                    break
         if keep:
             kept.append(fpath)
     return kept, len(all_files)
@@ -1879,6 +1910,7 @@ def scan_version_with_stats(
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
     eq: dict | None = None,
+    null_filter: "dict | None" = None,
 ) -> tuple[DataFrame, ScanStats]:
     """``scan_version`` plus the prune decision it made, returned as a
     proper ``(DataFrame, ScanStats)`` pair — callers that report
@@ -1893,7 +1925,14 @@ def scan_version_with_stats(
     whose bloom proves the value absent — the prune that works when the
     layout does not cluster the column and every [min, max] envelope
     spans the whole domain. NULL is not a valid eq value (SQL equality
-    never matches NULL; filter IS NULL explicitly)."""
+    never matches NULL; filter IS NULL explicitly).
+
+    ``null_filter`` (``{col: 'null' | 'not_null'}``, round 12) adds
+    IS NULL / IS NOT NULL predicates, pruned from the manifest's
+    per-file NULL COUNTS (the skip envelopes cannot make — they cover
+    only non-NULL values) and enforced by the residual filter: a
+    sparse optional column's ``'not_null'`` scan schedules only the
+    files that recorded any value at all."""
     m = _resolve_manifest(table_dir, version, as_of)
     preds = dict(predicates)
     if eq:
@@ -1921,7 +1960,7 @@ def scan_version_with_stats(
             else:
                 preds[c] = (v, v)
     # default bounds_tz (process zone) matches the residual F.lit below
-    kept, total = prune_files(table_dir, m, preds)
+    kept, total = prune_files(table_dir, m, preds, null_preds=null_filter)
     if eq and kept:
         kept = _bloom_prune(table_dir, m, kept, eq)
     if kept:
@@ -1954,6 +1993,11 @@ def scan_version_with_stats(
     if eq:
         for c, v in eq.items():
             df = df.where(F.col(c) == F.lit(v))
+    if null_filter:
+        for c, kind in null_filter.items():
+            df = df.where(
+                F.col(c).isNull() if kind == "null" else F.col(c).isNotNull()
+            )
     if not kept:
         df = df.where(F.lit(False))
     return df, ScanStats(len(kept), total)
@@ -1966,6 +2010,7 @@ def scan_version(
     version: int | None = None,
     as_of: dt.datetime | str | None = None,
     eq: dict | None = None,
+    null_filter: "dict | None" = None,
 ) -> DataFrame:
     """Data-skipping read: ``read_version`` restricted by a conjunctive
     range predicate ``{col: (lo, hi)}``, with the file list pruned
@@ -1978,11 +2023,13 @@ def scan_version(
     driver PROCESS time zone — matching how the residual filter's
     ``F.lit`` interprets them — before pruning against the naive-UTC
     file envelopes (see ``prune_files``/``_norm_bound``). ``eq`` adds
-    point lookups with sidecar-bloom pruning (see
-    ``scan_version_with_stats``). Use ``scan_version_with_stats`` to
-    also get the prune decision."""
+    point lookups with sidecar-bloom pruning, ``null_filter`` adds
+    IS NULL / IS NOT NULL predicates pruned from per-file null counts
+    (see ``scan_version_with_stats``). Use ``scan_version_with_stats``
+    to also get the prune decision."""
     df, _stats = scan_version_with_stats(
-        spark, table_dir, predicates, version=version, as_of=as_of, eq=eq
+        spark, table_dir, predicates, version=version, as_of=as_of,
+        eq=eq, null_filter=null_filter,
     )
     return df
 

@@ -299,3 +299,81 @@ def test_binary_column_stats_are_not_indexed(spark, tmp_path):
     assert _rows(got) == _rows(want)
     kept2, _ = prune_files(t, m, {"k": (0, 49)})
     assert len(kept2) < total
+
+
+def test_null_count_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL pruning from per-file null counts (round
+    12 — the skip [min,max] envelopes cannot express it): a sparse
+    optional column's 'not_null' scan schedules only the files that
+    recorded any value, 'null' only the files with NULLs, a mixed file
+    survives both, and every result is value-identical to the
+    unpruned read + residual filter."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_version,
+        scan_version_with_stats,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select("o_orderkey", "o_totalprice")
+    )
+    tdir = str(tmp_path / "vt")
+    # file era 1: o_note entirely NULL; era 2: entirely non-NULL;
+    # era 3: mixed (every 3rd row NULL)
+    all_null = base.withColumn("o_note", F.lit(None).cast("string"))
+    non_null = base.withColumn(
+        "o_note", F.concat(F.lit("n"), F.col("o_orderkey").cast("string"))
+    )
+    mixed = base.withColumn(
+        "o_note",
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.lit("m")),
+    )
+    # o_note must be in stats_cols: null counts ride the same manifest
+    # entries as the envelopes (an all-NULL file records counts but no
+    # envelope — has_min_max is false, has_null_count is true)
+    cols = ["o_orderkey", "o_note"]
+    commit_version(all_null.repartition(2), tdir, stats_cols=cols)
+    commit_version(
+        non_null.repartition(2), tdir, mode="append", stats_cols=cols
+    )
+    commit_version(
+        mixed.repartition(2), tdir, mode="append", stats_cols=cols
+    )
+    full = read_version(spark, tdir)
+
+    got_nn, st_nn = scan_version_with_stats(
+        spark, tdir, {}, null_filter={"o_note": "not_null"}
+    )
+    assert st_nn.files_total == 6
+    assert st_nn.files_scheduled == 4  # era-1's two all-NULL files pruned
+    assert got_nn.count() == full.where(F.col("o_note").isNotNull()).count()
+
+    got_n, st_n = scan_version_with_stats(
+        spark, tdir, {}, null_filter={"o_note": "null"}
+    )
+    assert st_n.files_scheduled == 4  # era-2's two zero-NULL files pruned
+    assert got_n.count() == full.where(F.col("o_note").isNull()).count()
+
+    # composes with range pruning: not_null + a key range touching only
+    # era boundaries still returns the exact residual-filtered rows
+    hi = base.agg(F.max("o_orderkey")).first()[0] // 2
+    got_c, _st = scan_version_with_stats(
+        spark, tdir, {"o_orderkey": (None, hi)},
+        null_filter={"o_note": "not_null"},
+    )
+    want = full.where(
+        (F.col("o_orderkey") <= hi) & F.col("o_note").isNotNull()
+    )
+    assert sorted(map(tuple, got_c.collect())) == sorted(map(tuple, want.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="null_preds"):
+        scan_version_with_stats(
+            spark, tdir, {}, null_filter={"o_note": "bogus"}
+        )
