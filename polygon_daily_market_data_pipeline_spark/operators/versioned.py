@@ -247,14 +247,22 @@ def _collect_file_stats(
                             # unencodable stats type (e.g. BINARY):
                             # record none — the column stays unprunable
                             return None
-                        if truncated:
+                        if isinstance(lo, str) or truncated:
                             # third element flags a BOUND-not-VALUE
                             # envelope (ADVICE r11): still sound for
                             # pruning (lo ≤ true min, hi ≥ true max)
                             # but describe_statistics must not surface
                             # it as an exact extremum — positional
-                            # readers (rng[0]/rng[1]) are unaffected
-                            enc.append(1)
+                            # readers (rng[0]/rng[1]) are unaffected.
+                            # Since ADVICE r12 the flag is written for
+                            # EVERY string envelope (0 = exact): an
+                            # explicit 0 is the only proof of string
+                            # exactness _env_is_exact accepts, because
+                            # a pre-flag truncated hi can be SHORTER
+                            # than _STR_STAT_MAXLEN (the backoff
+                            # branch) and is then indistinguishable
+                            # from an exact value by any heuristic.
+                            enc.append(1 if truncated else 0)
                         return enc
 
                     enc = {c: enc_col(c) for c in cols}
@@ -4491,25 +4499,27 @@ def drop_partitions(
 
 def _env_is_exact(e) -> bool:
     """True when a manifest ``[minJ, maxJ(, truncated)]`` envelope
-    records exact VALUES: present, not flagged as a truncated string
-    bound, and (legacy entries written before the flag) not a
-    max-length string that _truncate_str_env could have produced. Only
-    exact envelopes may be surfaced as extrema (DESCRIBE STATISTICS,
-    fast_aggregate); truncated bounds remain valid for PRUNING, where a
-    wider envelope is sound.
+    records exact VALUES. Only exact envelopes may be surfaced as
+    extrema (DESCRIBE STATISTICS, fast_aggregate); truncated bounds
+    remain valid for PRUNING, where a wider envelope is sound.
 
-    Known residual for LEGACY manifests only: _truncate_str_env's
-    backoff branch can emit a truncated hi SHORTER than the max length
-    (every trailing kept char at U+10FFFF), which the length heuristic
-    cannot see — new manifests carry the explicit flag for exactly
-    this reason; re-commit (or re-collect stats) to close it."""
+    String envelopes are exact ONLY when they carry an explicit
+    write-time flag of 0 (written for every string envelope since
+    ADVICE r12). The previous length heuristic — "shorter than
+    _STR_STAT_MAXLEN means untruncated" — was unsound for pre-flag
+    manifests: _truncate_str_env's backoff branch emits a truncated hi
+    SHORTER than the max length (trailing U+10FFFF chars dropped, the
+    last kept char incremented) that no read-time heuristic can
+    distinguish from an exact value. Pre-flag string envelopes are
+    therefore conservatively INEXACT (the ADVICE r12 version-gate):
+    cannot-prove falls back to the ANALYZE sidecar or a scan, never
+    surfaces a bound as a value. Non-string envelopes are never
+    truncated and stay exact."""
     if e is None:
         return False
-    if len(e) > 2 and e[2]:
-        return False
-    return not any(
-        j["t"] == "str" and len(j["v"]) >= _STR_STAT_MAXLEN for j in e[:2]
-    )
+    if len(e) > 2:
+        return not e[2]  # authoritative write-time flag
+    return not any(j["t"] == "str" for j in e[:2])
 
 
 def fast_count(table_dir: str, version: int | None = None) -> "int | None":
@@ -5255,7 +5265,19 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
         }
         if c in summable:
             s = one[f"{c}__sum"]
-            out[c]["sum"] = None if s is None else int(s)
+            # A recorded None must mean exactly one thing: SQL SUM is
+            # NULL (zero non-NULL addends) — that is the merge identity
+            # in _merge_col_stats. A None with non-NULL rows present
+            # (min is not None) is the OTHER None: the decimal(38,0)
+            # sum overflowed past 10^38. Recording it as None would let
+            # a later merge surface the other side's sum as the exact
+            # union sum (ADVICE r12) — drop the key instead
+            # (poison-to-absent, the same convention as non-integer
+            # columns: unprovable, never wrong).
+            if s is None and mn is not None:
+                pass
+            else:
+                out[c]["sum"] = None if s is None else int(s)
     return out
 
 
@@ -5281,11 +5303,24 @@ def _merge_col_stats(a: dict, b: dict, k: int) -> dict:
         "kmv_set": sorted(set(a["kmv_set"]) | set(b["kmv_set"]))[:k],
     }
     # integer sums merge additively (exact); a side with an ABSENT key
-    # (legacy sidecar, non-integer column) poisons to absent, but a
+    # (legacy sidecar, non-integer column, or a recorded overflow —
+    # _column_stats drops the key past 10^38) poisons to absent, but a
     # recorded None (an empty or all-NULL side — SQL SUM returns NULL)
     # is the merge identity: SUM over the union is the other side's
     # sum, exactly what a full rescan returns (SUM ignores NULLs).
-    if "sum" in a and "sum" in b:
+    # LEGACY sidecars (pre-ADVICE-r12) could still record an overflow
+    # as None; a None sum alongside a non-None min proves non-NULL
+    # addends existed, so treat it as overflow and poison to absent
+    # rather than silently surface the other side's sum as exact.
+    def _overflowed(side: dict) -> bool:
+        return side.get("sum", 0) is None and side["min"] is not None
+
+    if (
+        "sum" in a
+        and "sum" in b
+        and not _overflowed(a)
+        and not _overflowed(b)
+    ):
         if a["sum"] is None and b["sum"] is None:
             out["sum"] = None  # all-NULL union: SQL SUM is NULL
         else:
@@ -5528,6 +5563,15 @@ def describe_statistics(
         kmv_set = st["kmv_set"]
         ndv_k = len(kmv_set)  # capped at k by construction
         kmv = kmv_set[-1] if kmv_set else None
+        # exact integer sum (round 12) — NULL for non-integer columns
+        # and legacy sidecars. Surfaced as DECIMAL(38,0), not long:
+        # sidecar sums are exact to 10^38 and a sum in (2^63, 10^38]
+        # must not overflow at surface time (ADVICE r12). A merged sum
+        # that outgrew even decimal(38,0) clamps to NULL — unprovable,
+        # never wrong, same asymmetry as the sidecar itself.
+        s = st.get("sum")
+        if s is not None and abs(s) >= 10**38:
+            s = None
         rows.append(
             (
                 c,
@@ -5538,14 +5582,12 @@ def describe_statistics(
                 kmv_estimate(ndv_k, kmv, k),
                 lo,
                 hi,
-                # exact integer sum (round 12) — NULL for non-integer
-                # columns and legacy sidecars
-                st.get("sum"),
+                None if s is None else decimal.Decimal(s),
             )
         )
     return spark.createDataFrame(
         rows,
         "column string, n_rows long, n_nulls long, ndv_k long, "
         "kmv string, ndv_est long, min_val string, max_val string, "
-        "sum_val long",
+        "sum_val decimal(38,0)",
     )

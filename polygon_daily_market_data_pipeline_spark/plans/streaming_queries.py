@@ -143,7 +143,14 @@ def run_available_now(
     SELECT date_trunc('hour', c.ts) AS hour_start,
            'join:click_view' AS event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(v.value), 4) AS sum_value
+           -- exact DECIMAL(18,2) per-element cast before the SUM
+           -- (ADVICE r12): the interval join multiplies per-hour
+           -- addends vs the hourly rows, so an order-dependent double
+           -- sum could drift a ULP across the 4dp rounding boundary;
+           -- integral-cent values cast unambiguously on both engines
+           -- and the decimal sum is order-independent
+           ROUND(CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS sum_value
     FROM (SELECT user_id, ts, value FROM events
           WHERE event_type = 'click') c
     JOIN (SELECT user_id, ts, value FROM events
@@ -222,7 +229,13 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("view_value"), 4).alias("sum_value"),
+            # order-independent exact decimal sum (ADVICE r12) — the
+            # oracle fragment carries the identical per-element cast
+            F.round(
+                F.sum(F.col("view_value").cast("decimal(18,2)"))
+                .cast("double"),
+                4,
+            ).alias("sum_value"),
         )
         .select(
             "hour_start",

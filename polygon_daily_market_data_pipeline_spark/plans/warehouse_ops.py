@@ -2686,8 +2686,30 @@ def _fastagg_rows(
     agg = fast_aggregate(
         tdir, "o_custkey", predicate=("o_orderkey", None, half)
     )
+    # The straddling predicate's cut is derived from an ACTUAL file
+    # envelope — the min of a file whose recorded [min, max] spans more
+    # than one key — so the file classifies STRADDLE by construction.
+    # The previous ``mx - 1`` guess was data-dependent (ADVICE r12): if
+    # the file holding MAX(o_orderkey) contained only that key, it
+    # classified OUTSIDE and fast_aggregate returned a real result,
+    # redding the pinned n_aux=3 without any operator bug.
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest,
+        _manifests,
+        _stat_from_json,
+    )
+
+    man = _load_manifest(tdir, _manifests(tdir)[-1])
+    cut = mx - 1  # fallback: every file single-key (not at any test SF)
+    for ent in man.get("files", {}).values():
+        rng = ((ent or {}).get("stats") or {}).get("o_orderkey")
+        if rng is not None:
+            lo_v, hi_v = _stat_from_json(rng[0]), _stat_from_json(rng[1])
+            if lo_v < hi_v:
+                cut = lo_v
+                break
     straddle = fast_aggregate(
-        tdir, "o_custkey", predicate=("o_orderkey", None, mx - 1)
+        tdir, "o_custkey", predicate=("o_orderkey", None, cut)
     )
     ok = agg is not None
     digest = (

@@ -5,8 +5,13 @@ query, the failing evaluation has already appended its rows to
 ``WAREHOUSE_EVAL_LOG.jsonl`` (every ``_run_union`` evaluation does).
 This tool names the divergent row(s) without any reproduction attempt:
 
-    python tools/eval_log_diff.py <query> [--log PATH] [--sf SUBSTR]
+    python tools/eval_log_diff.py [query] [--log PATH] [--sf SUBSTR]
                                     [--sha SHA]
+
+With no query argument it prints the fingerprint census for EVERY
+query in the log (still honoring --sf/--sha) and diffs any divergent
+one — so the case file's one-liner ``--sha <HEAD>`` works verbatim
+(ADVICE r12 / VERDICT r12 "What's wrong #3").
 
 Both rotation windows are read (``<log>`` and ``<log>.prev``) — after a
 rotation the majority fingerprints or the divergent record itself may
@@ -36,8 +41,10 @@ _DEFAULT_LOG = Path(__file__).resolve().parent.parent / "WAREHOUSE_EVAL_LOG.json
 
 
 def load(
-    log_path: Path, query: str, sf_substr: str, sha: str = ""
+    log_path: Path, query: "str | None", sf_substr: str, sha: str = ""
 ) -> list[dict]:
+    """Records for ``query`` (None = all queries), filtered by sf_dir
+    substring and (optionally) the git HEAD they were produced at."""
     recs = []
     # .prev first so records stay in chronological order across the
     # rotation boundary (the rotation contract retains both windows
@@ -53,7 +60,7 @@ def load(
                     continue
                 r = json.loads(line)
                 if (
-                    r.get("query") == query
+                    (query is None or r.get("query") == query)
                     and sf_substr in r.get("sf_dir", "")
                     and (not sha or r.get("sha", "") == sha)
                 ):
@@ -66,26 +73,12 @@ def rows_by_check(rec: dict) -> dict[str, dict]:
     return {r["norm"][0]: r for r in rec["rows"]}
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("query")
-    ap.add_argument("--log", default=str(_DEFAULT_LOG))
-    ap.add_argument(
-        "--sf", default="", help="substring filter on sf_dir (e.g. sf0.01)"
-    )
-    ap.add_argument(
-        "--sha", default="",
-        help="restrict to records produced at one git HEAD",
-    )
-    args = ap.parse_args()
-
-    recs = load(Path(args.log), args.query, args.sf, args.sha)
-    if not recs:
-        print(f"no eval-log records for query={args.query!r} sf~{args.sf!r}")
-        return 1
-
+def census_and_diff(recs: list[dict], query: str, sf: str) -> int:
+    """Print the fingerprint census for one query's records and diff
+    any minority fingerprint against the majority. Returns 0 when all
+    evaluations agree, 2 when divergence was found."""
     census = Counter(r["fingerprint"] for r in recs)
-    print(f"{len(recs)} evaluations of {args.query} (sf~{args.sf!r}):")
+    print(f"{len(recs)} evaluations of {query} (sf~{sf!r}):")
     for fp, n in census.most_common():
         mine = [r for r in recs if r["fingerprint"] == fp]
         sfs = sorted({r["sf_dir"] for r in mine})
@@ -95,13 +88,13 @@ def main() -> int:
         )
         extra = f" oracle_match={','.join(omatch)}" if omatch else ""
         print(f"  {fp}  x{n}  {sfs} sha={','.join(shas)}{extra}")
-    if len({r.get("sha", "?") for r in recs}) > 1 and not args.sha:
+    if len({r.get("sha", "?") for r in recs}) > 1:
         print(
             "  note: multiple code versions present — fingerprints are "
             "only comparable within one; re-run with --sha"
         )
     if len(census) == 1:
-        print("all evaluations agree — nothing to diff")
+        print("  all evaluations agree — nothing to diff")
         return 0
 
     by_fp: dict[str, dict] = defaultdict(dict)
@@ -131,6 +124,40 @@ def main() -> int:
                         f"(norm {a['norm'][i]} vs {b['norm'][i]})"
                     )
     return 2
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "query", nargs="?", default=None,
+        help="warehouse query name; omit for the full per-query census",
+    )
+    ap.add_argument("--log", default=str(_DEFAULT_LOG))
+    ap.add_argument(
+        "--sf", default="", help="substring filter on sf_dir (e.g. sf0.01)"
+    )
+    ap.add_argument(
+        "--sha", default="",
+        help="restrict to records produced at one git HEAD",
+    )
+    args = ap.parse_args()
+
+    recs = load(Path(args.log), args.query, args.sf, args.sha)
+    if not recs:
+        print(
+            f"no eval-log records for query={args.query!r} "
+            f"sf~{args.sf!r} sha~{args.sha!r}"
+        )
+        return 1
+    by_query: dict[str, list[dict]] = defaultdict(list)
+    for r in recs:
+        by_query[r.get("query", "?")].append(r)
+    rc = 0
+    for q in sorted(by_query):
+        rc = max(rc, census_and_diff(by_query[q], q, args.sf))
+    if rc == 0:
+        print("all evaluations agree — nothing to diff")
+    return rc
 
 
 if __name__ == "__main__":
