@@ -48,6 +48,7 @@ track the operators, not fixture constants.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -2042,6 +2043,24 @@ for _name in ("cbo_broadcast", "cbo_merge"):
                (SELECT {_msum('o_totalprice')} FROM ord)
 """
 
+# Multi-way star ordering + auto-salt (round 13): the priced frame is
+# the stage-3 star join (fact x priority-dim x grown-status-dim), so
+# n_rows = Σ_p count(p)² + Σ_s count(s)² — a value that exists only if
+# BOTH dim attributes survived the stats-reordered chain; val = exact
+# money cents over the join (FK joins move no rows, reordering must
+# not either); n_aux pins the five claim bits at 31 (see _cbo_rows).
+_CHECK_SQL["cbo_star"] = f"""
+        SELECT 'cbo_star',
+               (SELECT CAST(SUM(c * c) AS BIGINT) FROM
+                    (SELECT COUNT(*) AS c FROM ord
+                     GROUP BY o_orderpriority) t)
+               + (SELECT CAST(SUM(c * c) AS BIGINT) FROM
+                    (SELECT COUNT(*) AS c FROM ord
+                     GROUP BY o_orderstatus) t),
+               31,
+               (SELECT {_msum('o_totalprice')} FROM ord)
+"""
+
 # Manifest-aggregate pruning (round 12): COUNT under the file-aligned
 # predicate plus the md5-packed o_custkey envelope, recomputed by
 # DuckDB from the rows directly; n_aux pins provable(1) +
@@ -2539,31 +2558,51 @@ def _cbo_rows(
     SortMergeJoin in the plan and no broadcast — the decision moved
     because the stats moved, nothing else did.
 
-    Row shapes (both rows): n_rows = Σ dval over the joined frame =
-    Σ_p count(p)² — a value that exists only if the join really carried
-    the dim attribute; val = exact money cents of o_totalprice over the
-    join (= over ord: every fact row matches exactly one dim row in
-    both plans — plan choice must not move values); n_aux = the claim
-    bits, oracle-pinned at 7:
+    Row shapes (broadcast/merge rows): n_rows = Σ dval over the joined
+    frame = Σ_p count(p)² — a value that exists only if the join really
+    carried the dim attribute; val = exact money cents of o_totalprice
+    over the join (= over ord: every fact row matches exactly one dim
+    row in both plans — plan choice must not move values); n_aux = the
+    claim bits, oracle-pinned at 7:
     ``cbo_broadcast``: broadcast decision (1) + BroadcastHashJoin in
     the pre-execution plan with no SortMergeJoin (2) + sidecar skew
     flag fired (4). ``cbo_merge``: merge decision (1) + SortMergeJoin
     in the plan with no broadcast (2) + the growth stats came from the
-    INCREMENTAL path, not a full rescan (4)."""
+    INCREMENTAL path, not a full rescan (4).
+
+    ``cbo_star`` (round 13, VERDICT r12 #1/#2): ``plan_star_join``
+    ordering a two-dim star from the sidecar, graded on the order
+    MOVING with the statistics, plus the ``auto_salt`` skew escape.
+    n_rows = Σ(dval + dval_s) over the stage-3 star join = Σ_p c(p)² +
+    Σ_s c(s)² (both dim attributes must survive the reordered chain);
+    val = exact money cents over the star join; n_aux oracle-pinned at
+    31: smaller-dim-first order with both broadcast (1) + two
+    BroadcastHashJoins / zero SortMergeJoin in the stage-1 plan (2) +
+    order FLIPPED after the status dim grew, via the incremental stats
+    path, both still broadcast (4) + past the threshold the grown dim
+    became the TRAILING merge join, mixed BHJ+SMJ plan (8) + auto_salt
+    fired from the sidecar skew flag on the shuffle plan AND the
+    salted join's count/money aggregates equal the plain hinted
+    join's (16)."""
     from polygon_daily_market_data_pipeline_spark.operators.cbo import (
         physical_plan,
         plan_join_with_stats,
+        plan_star_join,
     )
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
         analyze_incremental,
         analyze_version,
     )
 
-    slim = ord_df.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    slim = ord_df.select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
     fdir = os.path.join(base, "cbo_fact")
     commit_version(slim.coalesce(4), fdir, stats_cols=["o_orderkey"])
     analyze_version(
-        spark, fdir, ["o_orderkey", "o_orderpriority"], k=_STATS_K
+        spark, fdir,
+        ["o_orderkey", "o_orderpriority", "o_orderstatus"],
+        k=_STATS_K,
     )
     ddir = os.path.join(base, "cbo_dim")
     dim = slim.groupBy("o_orderpriority").agg(
@@ -2571,6 +2610,12 @@ def _cbo_rows(
     )
     commit_version(dim.coalesce(1), ddir, stats_cols=["o_orderpriority"])
     analyze_version(spark, ddir, ["o_orderpriority"], k=_STATS_K)
+    sdir = os.path.join(base, "cbo_dim_sta")
+    dim_s = slim.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("dval_s")
+    )
+    commit_version(dim_s.coalesce(1), sdir, stats_cols=["o_orderstatus"])
+    analyze_version(spark, sdir, ["o_orderstatus"], k=_STATS_K)
 
     fact = read_version(spark, fdir)
 
@@ -2603,6 +2648,101 @@ def _cbo_rows(
         + (4 if d1["skewed"] else 0)
     )
     row1 = _join_row(j1, claims1, "cbo_broadcast")
+
+    # ---- cbo_star (round 13, VERDICT r12 #1 + #2): multi-way join
+    # ordering from the sidecar, plus the auto-salted skew escape.
+    # Three plannings of the SAME two-dim star, with only the status
+    # dim's statistics moving between them:
+    #   stage 1: pri(5) + sta(3)  -> order [sta, pri], both broadcast
+    #   stage 2: sta grows to 23  -> order FLIPS, both still broadcast
+    #   stage 3: sta grows past 64 -> sta becomes the trailing MERGE
+    # then auto_salt on the now-shuffling status join must fire from
+    # the sidecar skew flag and stay value-identical to the plain
+    # hinted join. The priced frame is the stage-3 star join itself.
+    dims = [(ddir, "o_orderpriority"), (sdir, "o_orderstatus")]
+    js1, ds1 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64, fact_dir=fdir
+    )
+    ps1 = physical_plan(js1)
+    # formatted plans list each operator in the tree AND the details
+    # section — count only the "(id) Op" detail entries, one per
+    # physical operator instance
+    n_bhj1 = len(re.findall(r"\(\d+\) BroadcastHashJoin", ps1))
+    star_claims = (
+        1
+        if ds1["order"] == [1, 0]
+        and [x["strategy"] for x in ds1["dims"]] == ["broadcast", "broadcast"]
+        else 0
+    ) + (2 if n_bhj1 == 2 and "SortMergeJoin" not in ps1 else 0)
+
+    def _zz_status(n: int, tag: str) -> DataFrame:
+        # never-matching dim members (the fact has no zz_ status); the
+        # tag keeps the two appends' key sets disjoint for determinism
+        return spark.createDataFrame(
+            [(f"zz_{tag}_{i:06d}", 0) for i in range(n)],
+            "o_orderstatus string, dval_s long",
+        )
+
+    commit_version(
+        _zz_status(20, "a"), sdir, mode="append",
+        stats_cols=["o_orderstatus"],
+    )
+    inc_s1 = analyze_incremental(spark, sdir)
+    js2, ds2 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64, fact_dir=fdir
+    )
+    star_claims += (
+        4
+        if ds2["order"] == [0, 1]
+        and inc_s1.get("mode") == "incremental"
+        and [x["strategy"] for x in ds2["dims"]] == ["broadcast", "broadcast"]
+        else 0
+    )
+    commit_version(
+        _zz_status(100, "b"), sdir, mode="append",
+        stats_cols=["o_orderstatus"],
+    )
+    analyze_incremental(spark, sdir)
+    js3, ds3 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64, fact_dir=fdir
+    )
+    ps3 = physical_plan(js3)
+    star_claims += (
+        8
+        if ds3["order"] == [0, 1]
+        and [x["strategy"] for x in ds3["dims"]] == ["broadcast", "merge"]
+        and "BroadcastHashJoin" in ps3
+        and "SortMergeJoin" in ps3
+        else 0
+    )
+    # auto-salt: the sidecar's skew flag (3 real statuses over the
+    # whole fact) must trigger the salted rewrite on the shuffle plan,
+    # and the rewrite must not move a single aggregate value
+    j_plain, _d_plain = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir,
+    )
+    j_salt, d_salt = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir, auto_salt=True,
+    )
+    eq = (
+        j_salt.agg(
+            F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("m")
+        ).first()
+        == j_plain.agg(
+            F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("m")
+        ).first()
+    )
+    star_claims += 16 if (d_salt["salted"] and d_salt["skewed"] and eq) else 0
+    row_star = _row(
+        js3.agg(
+            F.sum(F.col("dval") + F.col("dval_s")).cast("long").alias("n_rows"),
+            F.lit(star_claims).cast("long").alias("n_aux"),
+            _money_sum("o_totalprice").alias("val"),
+        ),
+        "cbo_star",
+    )
 
     # grow the dim past the threshold with never-matching keys (a dim
     # gaining members the fact does not reference), extend stats
@@ -2637,7 +2777,7 @@ def _cbo_rows(
         + (4 if inc.get("mode") == "incremental" else 0)
     )
     row2 = _join_row(j2, claims2, "cbo_merge")
-    return [row1, row2]
+    return [row1, row2, row_star]
 
 
 def _fastagg_rows(
@@ -2794,7 +2934,7 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("stats", lambda s, sf, o, b: _stats_rows(s, o, b),
      [f"stats_{c}" for c in _STATS_COLS]),
     ("cbo", lambda s, sf, o, b: _cbo_rows(s, o, b),
-     ["cbo_broadcast", "cbo_merge"]),
+     ["cbo_broadcast", "cbo_merge", "cbo_star"]),
     ("fastagg", lambda s, sf, o, b: _fastagg_rows(s, o, b),
      ["manifest_agg"]),
 ]
@@ -2804,8 +2944,8 @@ _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 
 # The three-query split: row-level mutation core + the stats-consuming
 # planners / table lifecycle + composed audits / the streaming-and-
-# pipeline scripts. Each stays ≤18 audit rows, so one regressing branch
-# reds at most a third of the layer. The round-12 cbo/fastagg branches
+# pipeline scripts. Each stays ≤20 audit rows, so one regressing branch
+# reds at most a bounded slice of the layer. The round-12 cbo/fastagg branches
 # ride maintenance (the only green-at-driver query — see the BASELINE.md
 # case file) so NEW operators collect strong driver evidence.
 _CORE_BRANCHES = [

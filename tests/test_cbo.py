@@ -313,6 +313,218 @@ def test_fast_aggregate_null_predicate_rows_unprovable(spark, tmp_path):
     assert (agg["count"], agg["min"], agg["max"]) == (2, 5, 7)
 
 
+@pytest.fixture()
+def star_tables(spark, tmp_path):
+    """Fact with TWO dim keys + a 5-row priority dim and a 3-row status
+    dim, all committed/ANALYZEd — the multi-way ordering fixture."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        plan_star_join,
+    )
+
+    slim = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_custkey") % 4 == 1)
+        .select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+        )
+    )
+    fdir = str(tmp_path / "fact")
+    commit_version(slim.coalesce(4), fdir, stats_cols=["o_orderkey"])
+    analyze_version(
+        spark, fdir, ["o_orderkey", "o_orderpriority", "o_orderstatus"], k=64
+    )
+    pdir = str(tmp_path / "dim_pri")
+    commit_version(
+        slim.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("dval_p"))
+        .coalesce(1),
+        pdir,
+        stats_cols=["o_orderpriority"],
+    )
+    analyze_version(spark, pdir, ["o_orderpriority"], k=64)
+    sdir = str(tmp_path / "dim_sta")
+    commit_version(
+        slim.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("dval_s"))
+        .coalesce(1),
+        sdir,
+        stats_cols=["o_orderstatus"],
+    )
+    analyze_version(spark, sdir, ["o_orderstatus"], k=64)
+    return plan_star_join, slim, fdir, pdir, sdir
+
+
+def _zz_rows(spark, n: int, key_col: str, val_col: str):
+    return spark.createDataFrame(
+        [(f"zz_{i:06d}", 0) for i in range(n)],
+        f"{key_col} string, {val_col} long",
+    )
+
+
+def test_star_join_orders_by_stats_and_flips(spark, star_tables):
+    """The join ORDER is a statistic's consequence: smaller dim first
+    while both broadcast; growing the small dim FLIPS the order; past
+    the threshold it becomes the trailing merge join."""
+    plan_star_join, slim, fdir, pdir, sdir = star_tables
+    fact = read_version(spark, fdir)
+    dims = [(pdir, "o_orderpriority"), (sdir, "o_orderstatus")]
+    n_fact = slim.count()
+
+    j1, d1 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64, fact_dir=fdir
+    )
+    assert d1["provable"] and d1["order"] == [1, 0]  # status(3) < pri(5)
+    assert [x["strategy"] for x in d1["dims"]] == ["broadcast", "broadcast"]
+    import re
+
+    p1 = physical_plan(j1)
+    # formatted plans list ops in tree + details; count detail entries
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p1)) == 2
+    assert "SortMergeJoin" not in p1
+    assert j1.count() == n_fact  # FK joins: no row moves
+
+    # grow STATUS past priority's 5 rows but under the threshold:
+    # the order must flip, both joins stay broadcast
+    commit_version(
+        _zz_rows(spark, 20, "o_orderstatus", "dval_s"),
+        sdir, mode="append", stats_cols=["o_orderstatus"],
+    )
+    assert analyze_incremental(spark, sdir)["mode"] == "incremental"
+    j2, d2 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64, fact_dir=fdir
+    )
+    assert d2["order"] == [0, 1]  # flipped: pri(5) < status(23)
+    assert [x["strategy"] for x in d2["dims"]] == ["broadcast", "broadcast"]
+    assert j2.count() == n_fact  # zz_ keys never match: values pinned
+
+    # grow STATUS past the threshold: it becomes the trailing MERGE
+    commit_version(
+        _zz_rows(spark, 100, "o_orderstatus", "dval_s"),
+        sdir, mode="append", stats_cols=["o_orderstatus"],
+    )
+    analyze_incremental(spark, sdir)
+    j3, d3 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64, fact_dir=fdir
+    )
+    assert d3["order"] == [0, 1]
+    assert [x["strategy"] for x in d3["dims"]] == ["broadcast", "merge"]
+    p3 = physical_plan(j3)
+    assert "BroadcastHashJoin" in p3 and "SortMergeJoin" in p3
+    assert j3.count() == n_fact
+    # both dim attributes really carried through the reordered chain
+    got = j3.agg(
+        F.sum("dval_p").cast("long"), F.sum("dval_s").cast("long")
+    ).first()
+    want_p = (
+        slim.groupBy("o_orderpriority").count()
+        .agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    )
+    want_s = (
+        slim.groupBy("o_orderstatus").count()
+        .agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    )
+    assert (got[0], got[1]) == (want_p, want_s)
+
+
+def test_star_join_unprovable_falls_back_to_authoring(spark, star_tables):
+    """Pending equality deletes on ANY dim make the ordering
+    unprovable in rows mode — the chain must keep authoring order
+    (never reorder on a guess), while per-dim strategies stay
+    stats-chosen (the eqdel dim can't prove itself small → merge)."""
+    plan_star_join, slim, fdir, pdir, sdir = star_tables
+    delete_version_keys(
+        spark, sdir, spark.createDataFrame([("zz_x",)], "o_orderstatus string")
+    )
+    fact = read_version(spark, fdir)
+    # author the UNPROVABLE dim first: a stats order would demote it
+    j, d = plan_star_join(
+        spark, fact,
+        [(sdir, "o_orderstatus"), (pdir, "o_orderpriority")],
+        broadcast_threshold_rows=64, fact_dir=fdir,
+    )
+    assert not d["provable"] and d["order"] == [0, 1]
+    assert [x["strategy"] for x in d["dims"]] == ["merge", "broadcast"]
+    assert j.count() == slim.count()
+
+
+def test_auto_salt_fires_on_flag_and_preserves_values(spark, star_tables):
+    """auto_salt closes the skew loop: sidecar-flagged key + shuffle
+    plan → salted_join, value-identical to the plain hinted join; a
+    broadcast plan or an unskewed key never salts."""
+    plan_star_join, slim, fdir, pdir, sdir = star_tables
+    fact = read_version(spark, fdir)
+    # push status past the broadcast threshold so the plan shuffles
+    commit_version(
+        _zz_rows(spark, 120, "o_orderstatus", "dval_s"),
+        sdir, mode="append", stats_cols=["o_orderstatus"],
+    )
+    analyze_incremental(spark, sdir)
+    j_plain, d_plain = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir,
+    )
+    assert d_plain["strategy"] == "merge" and not d_plain["salted"]
+    j_salt, d_salt = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir, auto_salt=True,
+        n_salts=4,
+    )
+    assert d_salt["salted"] and d_salt["n_salts"] == 4 and d_salt["skewed"]
+    assert "SortMergeJoin" in physical_plan(j_salt)
+    assert "_salt" not in j_salt.columns
+    key = lambda r: (r["o_orderkey"], r["o_orderstatus"])  # noqa: E731
+    assert sorted(j_salt.collect(), key=key) == sorted(
+        j_plain.collect(), key=key
+    )
+    # broadcast plan: flag may fire but salting must not
+    _, d_b = plan_join_with_stats(
+        spark, fact, pdir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir, auto_salt=True,
+    )
+    assert d_b["strategy"] == "broadcast" and not d_b["salted"]
+    # unskewed key (threshold above the ratio): no salt
+    _, d_u = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir, auto_salt=True,
+        skew_ratio_threshold=float(slim.count() + 1),
+    )
+    assert not d_u["skewed"] and not d_u["salted"]
+
+
+def test_auto_salt_spreads_hot_key_partitions(spark, tmp_path):
+    """The point of the salt, asserted structurally (VM-noise-proof):
+    on a one-hot-key fact, the max per-(key,salt) group size drops by
+    ~n_salts vs the unsalted key group — the reducer-side row mass the
+    straggler would have owned is provably spread."""
+    hot = spark.range(0, 4000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(0, 40).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    fact = hot.unionByName(cold)
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"c{i}", 1) for i in range(40)], "k string, w long"
+    )
+    out = salted_join(fact, dim, ["k"], n_salts=8)
+    assert out.count() == fact.count()
+    # structural spread: reconstruct the salted key distribution
+    salted_sizes = (
+        fact.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)),
+        )
+        .groupBy("k", "_salt").count().agg(F.max("count")).first()[0]
+    )
+    plain_max = fact.groupBy("k").count().agg(F.max("count")).first()[0]
+    assert plain_max == 4000
+    assert salted_sizes < plain_max / 4  # ~4000/8 with hash spread
+
+
 def test_key_skew_ratio_uses_consistent_snapshot(spark, fact_dim):
     """rows and NDV come from the SAME (analyzed) version: a large
     append without a re-analyze must not inflate the ratio and flag a

@@ -99,9 +99,12 @@ def test_check_partition_is_total_and_disjoint():
     is derived from _CHECK_SQL itself (a hardcoded 35 went stale the
     moment round 9's final commit added the 3-row WAP branch — VERDICT
     r9 "What's wrong #2"); the load-bearing hardcoded assertions are
-    disjointness and the ≤18-rows-per-query blast-radius cap (15 → 18
+    disjointness and the ≤20-rows-per-query blast-radius cap (15 → 18
     in round 12 when the cbo/fastagg stats-consumer branches joined
-    maintenance, the driver-green query)."""
+    maintenance, the driver-green query; 18 → 20 in round 13 for the
+    cbo_star multi-way-ordering/auto-salt row and the transform-
+    partitioning row — new operators that need driver pricing ride
+    the green host per the established cap discipline)."""
     from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
         _CHECK_SQL,
         WAREHOUSE_QUERIES,
@@ -111,7 +114,7 @@ def test_check_partition_is_total_and_disjoint():
     all_checks: list[str] = []
     for name, branches in WAREHOUSE_QUERIES.items():
         cs = checks_for(branches)
-        assert len(cs) <= 18, f"{name} covers {len(cs)} rows (>18)"
+        assert len(cs) <= 20, f"{name} covers {len(cs)} rows (>20)"
         all_checks.extend(cs)
     assert len(all_checks) == len(set(all_checks)) == len(_CHECK_SQL)
     assert set(all_checks) == set(_CHECK_SQL)

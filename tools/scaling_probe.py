@@ -1511,6 +1511,146 @@ def probe_ssjoin_state(spark, sf_dir: str) -> None:
     )
 
 
+def probe_star_salt(spark, sf_dir: str) -> None:
+    """Round-13 probe: (a) plan_star_join's ordering decision is a
+    METADATA read — flat driver ms as the dims grow 1x/4x/16x — and
+    the order provably follows the stats (flips when the small dim
+    outgrows the other); (b) the auto-salted join removes the
+    straggling reducer STRUCTURALLY: on a one-hot-key fact the max
+    per-output-partition row count drops ~n_salts-fold vs the plain
+    hinted merge join, with row-identical output. Partition row counts
+    — not wall-clock — are the metric, so the A/B is VM-noise-proof.
+    AQE is disabled inside the A/B to isolate OUR mechanism (in
+    production the two compose: the salt bounds the reducer key mass
+    before AQE ever sees a partition)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        plan_join_with_stats,
+        plan_star_join,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+        analyze_version,
+        commit_version,
+        read_version,
+    )
+
+    # --- (a) star ordering: metadata-flat, stats-following ---------
+    pdir = tempfile.mkdtemp(prefix="star_dim_p_")
+    sdir = tempfile.mkdtemp(prefix="star_dim_s_")
+    fdir = tempfile.mkdtemp(prefix="star_fact_")
+    fact_df = spark.range(0, 200_000).select(
+        (F.col("id") % 7).cast("string").alias("pk"),
+        (F.col("id") % 3).cast("string").alias("sk"),
+        F.col("id").alias("v"),
+    )
+    commit_version(fact_df.coalesce(4), fdir, stats_cols=["v"])
+    analyze_version(spark, fdir, ["pk", "sk"], k=64)
+    commit_version(
+        spark.createDataFrame(
+            [(str(i), i) for i in range(7)], "pk string, pw long"
+        ),
+        pdir, stats_cols=["pk"],
+    )
+    analyze_version(spark, pdir, ["pk"], k=64)
+    commit_version(
+        spark.createDataFrame(
+            [(str(i), i) for i in range(3)], "sk string, sw long"
+        ),
+        sdir, stats_cols=["sk"],
+    )
+    analyze_version(spark, sdir, ["sk"], k=64)
+    fact = read_version(spark, fdir)
+    dims = [(pdir, "pk"), (sdir, "sk")]
+    lat = []
+    orders = []
+    for k in (1, 4, 16):
+        if k > 1:  # grow the S dim (never-matching keys)
+            commit_version(
+                spark.createDataFrame(
+                    [(f"zz{k}_{i}", 0) for i in range(3 * k)],
+                    "sk string, sw long",
+                ),
+                sdir, mode="append", stats_cols=["sk"],
+            )
+            analyze_incremental(spark, sdir)
+        t0 = time.monotonic()
+        _j, d = plan_star_join(
+            spark, fact, dims, broadcast_threshold_rows=10**6,
+            fact_dir=fdir,
+        )
+        lat.append((k, (time.monotonic() - t0) * 1000))
+        orders.append(d["order"])
+    assert orders[0] == [1, 0] and orders[-1] == [0, 1], orders
+    print(
+        "star_order: "
+        + ", ".join(f"{k}x plan={ms:.0f}ms" for k, ms in lat)
+        + f" (order {orders[0]} -> {orders[-1]}: flipped with the stats;"
+        " planning is a metadata walk, flat at any table size)"
+    )
+
+    # --- (b) auto-salt straggler A/B ---------------------------------
+    hot = spark.range(0, 240_000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    tail = spark.range(0, 60_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 3000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    hfdir = tempfile.mkdtemp(prefix="salt_fact_")
+    hddir = tempfile.mkdtemp(prefix="salt_dim_")
+    commit_version(hot.unionByName(tail).coalesce(8), hfdir, stats_cols=["v"])
+    analyze_version(spark, hfdir, ["k"], k=64)
+    commit_version(
+        spark.createDataFrame(
+            [("hot", 1)] + [(f"c{i}", 1) for i in range(3000)],
+            "k string, w long",
+        ).coalesce(1),
+        hddir, stats_cols=["k"],
+    )
+    analyze_version(spark, hddir, ["k"], k=64)
+    hfact = read_version(spark, hfdir)
+    # AQE off for the measurement: its skew splitting would mask our
+    # mechanism, and its partition COALESCING merges the small probe
+    # output into one partition, destroying the per-reducer metric (at
+    # probe scale everything fits one 64MB advisory partition). In
+    # production the mechanisms compose; here we isolate the salt.
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        stats = {}
+        for mode, auto in (("plain", False), ("salted", True)):
+            j, d = plan_join_with_stats(
+                spark, hfact, hddir, "k",
+                broadcast_threshold_rows=16,  # dim(3001) must shuffle
+                fact_dir=hfdir, auto_salt=auto, n_salts=8,
+            )
+            assert d["strategy"] == "merge" and d["salted"] == auto
+            t0 = time.monotonic()
+            sizes = [
+                r["count"]
+                for r in j.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect()
+            ]
+            stats[mode] = (max(sizes), sum(sizes), time.monotonic() - t0)
+        assert stats["plain"][1] == stats["salted"][1]  # row-identical
+        assert stats["salted"][0] < stats["plain"][0] / 3, stats
+        print(
+            f"auto_salt: plain max-reducer-rows={stats['plain'][0]} "
+            f"({stats['plain'][2]:.2f}s) vs salted={stats['salted'][0]} "
+            f"({stats['salted'][2]:.2f}s), total rows "
+            f"{stats['plain'][1]} both — hot key fanned over 8 reducers"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
+    for t in (pdir, sdir, fdir, hfdir, hddir):
+        shutil.rmtree(t, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1531,6 +1671,7 @@ def main() -> None:
         ("branch", probe_branch),
         ("analyze", probe_analyze),
         ("cbo", probe_cbo),
+        ("star_salt", probe_star_salt),
         ("ssjoin_state", probe_ssjoin_state),
     ):
         if extra in names:
