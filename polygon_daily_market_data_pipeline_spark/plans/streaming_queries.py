@@ -158,6 +158,30 @@ def run_available_now(
       ON c.user_id = v.user_id
      AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
     GROUP BY 1
+    UNION ALL
+    -- the LEFT-OUTER join's other half (round 13): clicks the
+    -- watermark PROVED unmatched, rolled up by click hour. The
+    -- streaming operator emits a null-view row at state eviction,
+    -- which is strictly-below-watermark; the terminal watermark of a
+    -- bounded drain is the MIN over both input streams' max event
+    -- time (0-second delay), so the batch-equivalence predicate is
+    -- c.ts < LEAST(max click ts, max view ts) — pinned empirically in
+    -- tests/test_streaming.py
+    SELECT date_trunc('hour', c.ts) AS hour_start,
+           'join_outer:unmatched_click' AS event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS sum_value
+    FROM (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click') c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id
+          AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts)
+      AND c.ts < (SELECT LEAST(
+            (SELECT max(ts) FROM events WHERE event_type = 'click'),
+            (SELECT max(ts) FROM events WHERE event_type = 'view')))
+    GROUP BY 1
     ORDER BY hour_start, event_type
     """,
     retime=False,  # re-running a checkpoint-fresh stream measures
@@ -165,18 +189,24 @@ def run_available_now(
 )
 def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate PLUS the watermarked
-    STREAM-STREAM interval join (round 12, VERDICT r11 #4) — both run
-    as real streaming jobs (incremental state, append emission, state
-    eviction by watermark + range condition), drained with
-    AvailableNow. The join pairs every click with the same user's
-    views from the preceding 10 minutes (two independent streaming
-    scans meeting in symmetric-hash-join state), then the drained
-    pairs roll up per click-hour into the hourly schema as
-    ``event_type = 'join:click_view'`` rows. Oracle: the batch hourly
-    rollup minus the final in-progress window, UNION the batch
-    interval join's identical rollup — the streaming join's output is
-    proven value-equal to its batch twin (pair-level equality and both
-    state-store backends are pinned in tests/test_streaming.py)."""
+    STREAM-STREAM interval join (round 12, VERDICT r11 #4), inner AND
+    left-outer (round 13, VERDICT r12 #3) — three real streaming jobs
+    (incremental state, append emission, state eviction by watermark +
+    range condition), drained with AvailableNow. The inner join pairs
+    every click with the same user's views from the preceding 10
+    minutes (two independent streaming scans meeting in
+    symmetric-hash-join state); the drained pairs roll up per
+    click-hour as ``event_type = 'join:click_view'`` rows. The
+    LEFT-OUTER run re-joins the same streams and keeps only the
+    NULL-view rows the watermark evicted — clicks PROVEN unmatched —
+    rolled up as ``join_outer:unmatched_click`` rows (n = clicks, sum
+    = click value: the view side is NULL by construction). Oracle: the
+    batch hourly rollup minus the final in-progress window, UNION the
+    batch interval join's identical rollup, UNION the batch anti-join
+    under the strictly-below-terminal-watermark predicate (min over
+    both streams' max ts — the global-watermark rule; pinned
+    empirically with boundary cases in tests/test_streaming.py, along
+    with pair-level equality and both state-store backends)."""
     from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
         interval_join_stream,
     )
@@ -200,10 +230,16 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = events_stream_source(spark, sf_dir).where(
         "event_type = 'view'"
     )
+    clicks2 = events_stream_source(spark, sf_dir).where(
+        "event_type = 'click'"
+    )
+    views2 = events_stream_source(spark, sf_dir).where(
+        "event_type = 'view'"
+    )
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             f_hourly = ex.submit(
                 run_available_now,
                 hourly_event_counts(ev, watermark="0 seconds"),
@@ -219,8 +255,18 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ssjoin_stream",
                 None,
             )
+            f_outer = ex.submit(
+                run_available_now,
+                interval_join_stream(
+                    clicks2, views2, lookback="10 minutes",
+                    watermark="0 seconds", how="left_outer",
+                ),
+                "ssjoin_outer_stream",
+                None,
+            )
             out = f_hourly.result()
             pairs = f_pairs.result()
+            outer = f_outer.result()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     jrows = (
@@ -244,7 +290,29 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return out.unionByName(jrows).orderBy("hour_start", "event_type")
+    orows = (
+        outer.where(F.col("view_ts").isNull())
+        .groupBy(F.date_trunc("hour", "click_ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("click_value").cast("decimal(18,2)"))
+                .cast("double"),
+                4,
+            ).alias("sum_value"),
+        )
+        .select(
+            "hour_start",
+            F.lit("join_outer:unmatched_click").alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        out.unionByName(jrows)
+        .unionByName(orows)
+        .orderBy("hour_start", "event_type")
+    )
 
 
 @register(
