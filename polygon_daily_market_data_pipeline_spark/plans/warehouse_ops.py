@@ -2061,6 +2061,20 @@ _CHECK_SQL["cbo_star"] = f"""
                (SELECT {_msum('o_totalprice')} FROM ord)
 """
 
+# Hidden (transform) partitioning (round 13): COUNT + exact money
+# cents over the pre-1998 window — the pruned-read-plus-residual frame
+# on the Spark side, the plain window over ord here; n_aux pins
+# pruned-fewer-files(1) + partial-bound-drop-noop(2) +
+# covering-drop-exact(4) = 7.
+_CHECK_SQL["versioned_transform"] = f"""
+        SELECT 'versioned_transform',
+               (SELECT COUNT(*) FROM ord
+                WHERE o_orderdate < DATE '1998-01-01'),
+               7,
+               (SELECT {_msum('o_totalprice')} FROM ord
+                WHERE o_orderdate < DATE '1998-01-01')
+"""
+
 # Manifest-aggregate pruning (round 12): COUNT under the file-aligned
 # predicate plus the md5-packed o_custkey envelope, recomputed by
 # DuckDB from the rows directly; n_aux pins provable(1) +
@@ -2876,6 +2890,85 @@ def _fastagg_rows(
     return [row]
 
 
+def _transform_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Hidden (transform) partitioning (round 13, VERDICT r12 #4):
+    ``commit_version(partition_transform={"ots": "month"})`` tags each
+    commit with the month-range of its timestamps from the footer
+    envelopes; a RAW predicate then prunes whole directories and
+    retention drops only what it can prove covered.
+
+    Script: the ord slice's orderdate cast to timestamp, committed as
+    two month-disjoint halves (before/since 1998) — the daily-append
+    shape at month grain. One audit row: n_rows/val = COUNT and exact
+    money cents over the pruned-read-plus-residual frame (the oracle
+    prices the same window over ord directly — a pruning bug that
+    drops or duplicates a directory moves the value); n_aux pinned at
+    7: the pruned read scheduled STRICTLY fewer files than the full
+    read (1) + a mid-month tz-aware drop bound provably drops NOTHING
+    (2 — cannot-prove is never dropped) + the unit-string drop retires
+    the pre-1995 half exactly, metadata-only (4)."""
+    import datetime as dtm
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        drop_partitions,
+    )
+
+    slim = ord_df.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_totalprice",
+    )
+    cut = F.to_timestamp(F.lit("1998-01-01"))
+    tdir = os.path.join(base, "transform_vt")
+    commit_version(
+        slim.where(F.col("ots") < cut).coalesce(2),
+        tdir,
+        partition_transform={"ots": "month"},
+    )
+    commit_version(
+        slim.where(F.col("ots") >= cut).coalesce(2),
+        tdir,
+        mode="append",
+        partition_transform={"ots": "month"},
+    )
+    full = read_version(spark, tdir)
+    pruned = read_version(spark, tdir, partitions={"ots": (None, "1997-12")})
+    fewer = len(pruned.inputFiles()) < len(full.inputFiles())
+    v_committed = 1  # two commits: v0 overwrite + v1 append
+    # a mid-month tz-aware bound cuts through the pre-1998 half's last
+    # month: provably-covered is false, so the drop must be a no-op
+    noop = (
+        drop_partitions(
+            tdir,
+            {"ots": (None, dtm.datetime(1997, 12, 15, tzinfo=dtm.timezone.utc))},
+        )
+        == v_committed
+    )
+    # the unit-string bound covers the half exactly: metadata-only drop
+    drop_partitions(tdir, {"ots": (None, "1997-12")})
+    dropped_exact = (
+        read_version(spark, tdir).count()
+        == slim.where(F.col("ots") >= cut).count()
+    )
+    claims = (
+        (1 if fewer else 0) + (2 if noop else 0) + (4 if dropped_exact else 0)
+    )
+    # the pruned frame pinned its manifest pre-drop, and the drop is
+    # metadata-only, so pricing it AFTER the drop still reads the
+    # retired dir's files (vacuum never runs inside a branch)
+    row = _row(
+        pruned.where(F.col("ots") < cut).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(claims).cast("long").alias("n_aux"),
+            _money_sum("o_totalprice").alias("val"),
+        ),
+        "versioned_transform",
+    )
+    return [row]
+
+
 _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("scd2", lambda s, sf, o, b: _scd2_rows(s, sf),
      ["scd2_history", "scd2_asof"]),
@@ -2937,6 +3030,8 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["cbo_broadcast", "cbo_merge", "cbo_star"]),
     ("fastagg", lambda s, sf, o, b: _fastagg_rows(s, o, b),
      ["manifest_agg"]),
+    ("transform", lambda s, sf, o, b: _transform_rows(s, o, b),
+     ["versioned_transform"]),
 ]
 
 _BRANCH_NAMES = [n for n, _f, _c in _BRANCH_DEFS]
@@ -2950,7 +3045,7 @@ _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 # case file) so NEW operators collect strong driver evidence.
 _CORE_BRANCHES = [
     "versioned", "skipping", "dv", "eqdel", "merge", "evolution",
-    "generated", "cbo", "fastagg",
+    "generated", "cbo", "fastagg", "transform",
 ]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",

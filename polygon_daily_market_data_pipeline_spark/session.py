@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for the pandas-UDF paths (multimodal, embedding ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not Spark's legacy
+        # INT96 default: INT96 records NO footer min/max statistics,
+        # which blinds every envelope consumer (data skipping,
+        # fast_aggregate, transform partition tags) on ts columns.
+        # commit_version carries a timezone-free aggregate fallback
+        # for vanilla sessions, but MICROS makes the metadata path
+        # free here.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Dynamic partition overwrite = the reference's FORCE=TRUE +
         # idempotent per-date re-load (copy_to_raw.sql:38).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
