@@ -1651,6 +1651,57 @@ def probe_star_salt(spark, sf_dir: str) -> None:
         shutil.rmtree(t, ignore_errors=True)
 
 
+def probe_lm_update(spark, sf_dir: str) -> None:
+    """Round-13 probe (VERDICT r12 #5): extending the persisted bigram
+    model with a FIXED batch costs O(batch) — flat as the stored model
+    grows 1x/4x/16x — while a full retrain grows with the corpus. The
+    update path appends only the batch's counts (log-structured; the
+    scorer folds at read time), so the stored model is never read,
+    rewritten, or shuffled. Exactness is separately a pytest law
+    (integer counts: incremental == retrain bit-for-bit); this probe
+    prices the deployment loop."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        train_bigram_model,
+    )
+
+    batch, _n = scaled_docs(spark, sf_dir, 1)
+    batch = batch.limit(200).localCheckpoint(eager=True)
+    # untimed warm-up (JVM codegen + parquet writer init): the 1x
+    # point must not be startup cost
+    wdir = tempfile.mkdtemp(prefix="lm_model_warm_")
+    train_bigram_model(batch, wdir)
+    shutil.rmtree(wdir, ignore_errors=True)
+    pts = []
+    for k in (1, 8, 64):
+        corpus, rows = scaled_docs(spark, sf_dir, k)
+        corpus.count()
+        mdir = tempfile.mkdtemp(prefix=f"lm_model_{k}x_")
+        t0 = time.monotonic()
+        train_bigram_model(corpus, mdir)
+        dt_train = time.monotonic() - t0
+        t0 = time.monotonic()
+        train_bigram_model(batch, mdir, mode="update")
+        dt_update = time.monotonic() - t0
+        pts.append((k, rows, dt_train, dt_update))
+        corpus.unpersist()
+        shutil.rmtree(mdir, ignore_errors=True)
+        spark.catalog.clearCache()
+    print(
+        "lm_update: "
+        + ", ".join(
+            f"{k}x ({rows} docs) retrain={tr:.2f}s update={up:.2f}s"
+            for k, rows, tr, up in pts
+        )
+        + " — update flat (O(batch) append), retrain grows with corpus"
+    )
+    assert pts[-1][3] < pts[-1][2], pts  # update beats retrain at 16x
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1672,6 +1723,7 @@ def main() -> None:
         ("analyze", probe_analyze),
         ("cbo", probe_cbo),
         ("star_salt", probe_star_salt),
+        ("lm_update", probe_lm_update),
         ("ssjoin_state", probe_ssjoin_state),
     ):
         if extra in names:
