@@ -1318,6 +1318,54 @@ def test_repeated_span_stats_cuts_shared_paragraphs_only(spark):
     assert solo_out[1].n_kept == solo_out[1].n_tokens == 60
 
 
+def test_repeated_span_bloom_prefilter_value_identical(spark):
+    """The round-13 Bloom prefilter (VERDICT r12 #7) is a pure shuffle
+    optimization: outputs bit-identical with it on and off — on the
+    real documents corpus, on the hand-built boilerplate fixture
+    (including the self-repeat subtlety: a same-doc repeat passes the
+    bloom but the exact aggregate still rejects it), and under a
+    deliberately UNDERSIZED bloom, where heavy false positives must
+    cost shuffle rows, never correctness."""
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        repeated_span_stats,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    plain = sorted(key(r) for r in repeated_span_stats(docs).collect())
+    bloomed = sorted(
+        key(r)
+        for r in repeated_span_stats(docs, bloom_prefilter=True).collect()
+    )
+    assert plain == bloomed and len(plain) == docs.count()
+    shared = " ".join(f"boiler{i}" for i in range(30))
+    fix = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha one two three four five six"),
+            (2, f"{shared} beta"),
+            (3, f"{shared.replace('boiler', 'own')} "
+                f"{shared.replace('boiler', 'own')}"),
+        ],
+        "doc_id long, text string",
+    )
+    for bits in (1 << 20, 1 << 8):  # sized and pathologically small
+        a = sorted(key(r) for r in repeated_span_stats(fix, window=25).collect())
+        b = sorted(
+            key(r)
+            for r in repeated_span_stats(
+                fix, window=25, bloom_prefilter=True, bloom_bits=bits
+            ).collect()
+        )
+        assert a == b
+
+
 def test_bigram_surprisal_exact_and_ordering(spark):
     """The integer-quantized bigram LM: hand-computed scores on a tiny
     corpus, boilerplate (repeated bigrams) scores LOWER than unique
@@ -1349,6 +1397,58 @@ def test_bigram_surprisal_exact_and_ordering(spark):
     assert (out[4].n_bigrams, out[4].surprisal) == (0, 0)
     # mean surprisal orders quality the CCNet way: unique prose > boilerplate
     assert out[2].surprisal / out[2].n_bigrams > out[1].surprisal / out[1].n_bigrams
+
+
+def test_semdedup_residual_catches_planted_boundary_pair(spark):
+    """semantic_dedup inherits the SemDeDup paper's blind spot: a
+    near-duplicate pair STRADDLING a cell boundary survives the
+    within-cell greedy pass. The round-13 residual probe must (a) find
+    a deliberately planted boundary pair — two ~identical vectors each
+    nearer a different frozen centroid — with its exact cosine and
+    both cells named, and (b) stay EMPTY when no cross-cell tau-pair
+    exists, while running over kept rows only."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_residual,
+    )
+
+    dim = 8
+    c0 = [1.0, 0.0] + [0.0] * (dim - 2)
+    c1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    cents = np.array([c0, c1])
+    # the planted pair: cos(a, b) ~ 0.9998, a -> cell 0, b -> cell 1
+    a = [0.72, 0.70] + [0.0] * (dim - 2)
+    b = [0.70, 0.72] + [0.0] * (dim - 2)
+    # same-cell near-dups (one gets dropped in-cell) + isolated fillers
+    rows = [
+        (1, a), (2, b),
+        (3, [0.99, 0.01] + [0.0] * (dim - 2)),
+        (4, [0.98, 0.02] + [0.0] * (dim - 2)),  # in-cell dup of 3
+        (5, [0.01, 0.03] + [0.9] + [0.0] * (dim - 3)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sd = semantic_dedup(
+        df, k_clusters=2, tau=0.9, centroids=cents
+    ).localCheckpoint()
+    by_id = {r.vec_id: r for r in sd.collect()}
+    assert by_id[1].cell != by_id[2].cell  # genuinely straddling
+    assert by_id[1].keep and by_id[2].keep  # both survive: blind spot
+    assert not by_id[4].keep  # in-cell dedup still fired
+    res = semantic_dedup_residual(df, sd, tau=0.9).collect()
+    assert len(res) == 1
+    (pair,) = res
+    assert {pair.id_a, pair.id_b} == {1, 2}
+    assert {pair.cell_a, pair.cell_b} == {by_id[1].cell, by_id[2].cell}
+    assert pair.cos >= 0.999
+    # no boundary pair planted -> empty residual (dropped rows never
+    # re-enter: 4 is tau-close to kept 3 but EXCLUDED from the pass)
+    clean = df.where("vec_id <> 2")
+    sd2 = semantic_dedup(
+        clean, k_clusters=2, tau=0.9, centroids=cents
+    ).localCheckpoint()
+    assert semantic_dedup_residual(clean, sd2, tau=0.9).count() == 0
 
 
 def _lm_corpus(spark, sf="/root/testdata/sf0.001"):

@@ -1651,6 +1651,76 @@ def probe_star_salt(spark, sf_dir: str) -> None:
         shutil.rmtree(t, ignore_errors=True)
 
 
+def probe_span_bloom(spark, sf_dir: str) -> None:
+    """Round-13 probe (VERDICT r12 #7): the span-dedup Bloom prefilter
+    cuts the duplicate-detection shuffle's INPUT — the structural
+    metric is rows entering the exact count_distinct groupBy (each row
+    a 32-char md5 + doc id + position, so bytes scale with rows),
+    plain vs bloomed, plus value equality of the final stats on the
+    same corpus. One extra linear map pass buys the reduction; on a
+    mostly-unique corpus (the common case) the duplicate shuffle
+    drops to the boilerplate fraction plus bloom fpp."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        tokens,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        _span_bloom_filter,
+        _span_dup_bloom,
+        repeated_span_stats,
+    )
+
+    docs, rows = scaled_docs(spark, sf_dir, 1)
+    docs = docs.select("doc_id", "text")
+    window = 25
+    wins = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).where(F.size("toks") >= window).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {window}), "
+                f"s -> md5(concat_ws(' ', slice(toks, s + 1, {window}))))"
+            )
+        ).alias("start", "h"),
+    ).persist()
+    n_all = wins.count()
+    m_bits = 1 << 24
+    t0 = time.monotonic()
+    bloom = _span_dup_bloom(wins, m_bits)
+    n_cand = _span_bloom_filter(wins, bloom, m_bits).count()
+    dt_bloom = time.monotonic() - t0
+    true_dup = (
+        wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+        .where("nd >= 2").count()
+    )
+    wins.unpersist()
+    t0 = time.monotonic()
+    a = sorted(
+        tuple(r) for r in repeated_span_stats(docs, window=window).collect()
+    )
+    dt_plain = time.monotonic() - t0
+    t0 = time.monotonic()
+    b = sorted(
+        tuple(r)
+        for r in repeated_span_stats(
+            docs, window=window, bloom_prefilter=True, bloom_bits=m_bits
+        ).collect()
+    )
+    dt_bloomed = time.monotonic() - t0
+    assert a == b, "bloom prefilter moved values"
+    assert n_cand < n_all / 2, (n_cand, n_all)
+    print(
+        f"span_bloom: {rows} docs, window hashes {n_all} -> "
+        f"{n_cand} into the exact dup groupBy "
+        f"({100 * n_cand / max(n_all, 1):.1f}%; true dup hashes "
+        f"{true_dup}); build+filter {dt_bloom:.2f}s; end-to-end "
+        f"plain {dt_plain:.2f}s vs bloomed {dt_bloomed:.2f}s "
+        f"(values equal)"
+    )
+
+
 def probe_lm_update(spark, sf_dir: str) -> None:
     """Round-13 probe (VERDICT r12 #5): extending the persisted bigram
     model with a FIXED batch costs O(batch) — flat as the stored model
@@ -1723,6 +1793,7 @@ def main() -> None:
         ("analyze", probe_analyze),
         ("cbo", probe_cbo),
         ("star_salt", probe_star_salt),
+        ("span_bloom", probe_span_bloom),
         ("lm_update", probe_lm_update),
         ("ssjoin_state", probe_ssjoin_state),
     ):
