@@ -613,7 +613,7 @@ def repeated_span_stats(
     window: int = 25,
     min_docs: int = 2,
     bloom_prefilter: bool = False,
-    bloom_bits: int = 1 << 27,
+    bloom_bits: int = 1 << 24,
 ) -> DataFrame:
     """EXACT-SUBSTRING deduplication at token-window granularity — the
     published "deduplicating training data" family (Lee et al. 2022,
