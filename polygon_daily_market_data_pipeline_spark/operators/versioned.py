@@ -702,11 +702,6 @@ def commit_version(
                     f"unknown partition transform {fn!r} for {k!r} — "
                     f"supported: {_TIME_TRANSFORMS}"
                 )
-            if k not in df.columns:
-                raise ValueError(
-                    f"partition transform column {k!r} not in frame "
-                    f"columns {df.columns}"
-                )
     existing, prev = load_latest()
     gen_map = (
         generated_cols
@@ -721,6 +716,16 @@ def commit_version(
             if gname not in df.columns:
                 df = df.withColumn(gname, F.expr(gsql))
         schema = df.schema.jsonValue()
+    if partition_transform is not None:
+        # column-existence check AFTER generated columns are computed:
+        # a transform on an omitted GENERATED column (the date_sk-style
+        # derived-timestamp pattern) is legitimate
+        for k in partition_transform:
+            if k not in df.columns:
+                raise ValueError(
+                    f"partition transform column {k!r} not in frame "
+                    f"columns {df.columns}"
+                )
     check_schema(prev)
     # append-retry safety: everything committed after this point is an
     # "intervening" commit the retry loop must vet — not just the latest

@@ -110,7 +110,14 @@ def interval_join_stream(
     click_ts``, so a click is closed once the watermark passes
     ``click_ts``). This is eviction-driven emission, state semantics
     the inner join never exercises: the null row comes out of the
-    state store at timeout, not from any input row. Two consequences
+    state store at timeout, not from any input row.
+    ``how="right_outer"`` is the view-side mirror (a view is closed
+    once the watermark passes ``view_ts + lookback`` — the latest
+    click that could still claim it), and ``how="full_outer"`` emits
+    both sides' timeouts; on a bounded drain the view-side
+    batch-equivalence predicate is ``view_ts + lookback < min(max
+    click_ts, max view_ts)``, strict like the click side (pinned
+    empirically in tests/test_streaming.py). Two consequences
     callers must know at any scale:
 
     - emission waits for the GLOBAL watermark — the MIN over both
@@ -145,9 +152,9 @@ def interval_join_stream(
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
     )
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported join type {how!r}")
-    return c.join(
+    joined = c.join(
         v,
         F.expr(
             "user_id = view_user_id "
@@ -155,6 +162,12 @@ def interval_join_stream(
             "AND view_ts <= click_ts"
         ),
         how,
+    )
+    # view-side timeout rows carry a NULL click: their user arrives on
+    # the view's key column — coalesce so every output row names its
+    # user (a no-op for inner/left, where the click side is present)
+    return joined.withColumn(
+        "user_id", F.coalesce("user_id", "view_user_id")
     ).drop("view_user_id")
 
 

@@ -1140,6 +1140,65 @@ def test_interval_join_left_outer_withholds_at_watermark(spark, tmp_path):
     assert rdb == rows
 
 
+def test_interval_join_full_outer_times_out_both_sides(spark, tmp_path):
+    """full_outer emits BOTH sides' timeouts: an unmatched click once
+    the watermark strictly passes click_ts, an unmatched view once it
+    strictly passes view_ts + lookback (the latest click that could
+    still claim it) — each withheld at its own boundary. right_outer
+    is the view-side half exactly."""
+    from polygon_daily_market_data_pipeline_spark.plans.streaming_queries import (
+        run_available_now,
+    )
+    from polygon_daily_market_data_pipeline_spark.streaming.events_stream import (
+        interval_join_stream,
+    )
+
+    # max click = 60, max view = 50 -> terminal watermark W = 50.
+    # clicks: u1@20 matched; u2@20 unmatched (< W: emitted);
+    #         u3@50 unmatched (== W: withheld); u9@60 bumps max click.
+    # views:  u1@15 matched; u4@30 unmatched (30+10=40 < 50: emitted);
+    #         u5@40 unmatched (40+10 == W: withheld, strict boundary);
+    #         u9@50 matched by u9@60's click? 60-10=50 <= 50 <= 60: yes.
+    clicks = [(20, 1, 1.0), (20, 2, 2.0), (50, 3, 3.0), (60, 9, 9.0)]
+    views = [(15, 1, 10.0), (30, 4, 11.0), (40, 5, 12.0), (50, 9, 13.0)]
+    df = _click_view_df(spark, clicks, views)
+
+    def run(how, tag):
+        c = _stream_events(spark, df, tmp_path / f"{tag}_c").where(
+            "event_type = 'click'"
+        )
+        v = _stream_events(spark, df, tmp_path / f"{tag}_v").where(
+            "event_type = 'view'"
+        )
+        # None click_ts/view_ts rows don't order against datetimes:
+        # sort by repr (comparison is set-like equality anyway)
+        return sorted(
+            (
+                _pair_key(r)
+                for r in run_available_now(
+                    interval_join_stream(
+                        c, v, watermark="0 seconds", how=how
+                    ),
+                    f"t_fssj_{tag}",
+                ).collect()
+            ),
+            key=repr,
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    pairs = [
+        (1, t0 + 20 * m, t0 + 15 * m, 1.0, 10.0),
+        (9, t0 + 60 * m, t0 + 50 * m, 9.0, 13.0),
+    ]
+    click_nulls = [(2, t0 + 20 * m, None, 2.0, None)]
+    view_nulls = [(4, None, t0 + 30 * m, None, 11.0)]
+    assert run("full_outer", "fo") == sorted(
+        pairs + click_nulls + view_nulls, key=repr
+    )
+    assert run("right_outer", "ro") == sorted(pairs + view_nulls, key=repr)
+
+
 def test_interval_join_left_outer_late_view_then_timeout(spark, tmp_path):
     """Cross-micro-batch (maxFilesPerTrigger=1): a click buffered in
     batch 0 is matched by a LATE view arriving in batch 1 (pair, never

@@ -232,6 +232,36 @@ def test_transform_unknowable_envelope_never_tags(spark, tmp_path):
         )
 
 
+def test_transform_on_omitted_generated_column(spark, tmp_path):
+    """A transform may target a GENERATED column the writer omits (the
+    derived-timestamp pattern): generation computes it first, the
+    transform tags from it, and a raw predicate on the generated
+    column prunes — the writer never materializes or even names it."""
+    t = str(tmp_path / "vt")
+    base = _batch(spark, 0, 0, 100).select(
+        "k", F.col("ts").cast("string").alias("ts_raw"), "v"
+    )
+    commit_version(
+        base,
+        t,
+        generated_cols={"ts": "cast(ts_raw as timestamp)"},
+        partition_transform={"ts": "day"},
+    )
+    commit_version(
+        _batch(spark, 1, 100, 200).select(
+            "k", F.col("ts").cast("string").alias("ts_raw"), "v"
+        ),
+        t,
+        mode="append",
+        partition_transform={"ts": "day"},
+    )
+    m = json.load(open(os.path.join(t, "_versions", "1.json")))
+    los = sorted(tag["__t_ts"]["lo"] for tag in m["partitions"].values())
+    assert los == ["2024-01-01", "2024-01-02"]
+    one = read_version(spark, t, partitions={"ts": "2024-01-02"})
+    assert sorted(r.k for r in one.collect()) == list(range(100, 200))
+
+
 def test_transform_and_scalar_tags_compose(spark, tmp_path):
     """One commit carrying BOTH a scalar tag and a transform tag: a
     conjunctive predicate over both prunes on each independently."""
