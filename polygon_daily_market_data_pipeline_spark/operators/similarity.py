@@ -749,6 +749,82 @@ def semantic_dedup(
     )
 
 
+def save_quantizers(
+    spark,
+    model_dir: str,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray | None" = None,
+    mode: str = "overwrite",
+) -> int:
+    """Persist trained ANN quantizers — IVF centroids (k, dim) and
+    optionally PQ codebooks (m, ksub, dsub) — as a VERSIONED table
+    (round 13, the registry rung under the LM-model pattern): serving
+    pins a version (``load_quantizers(version=...)``) so assignments
+    stay reproducible while a drift-triggered retrain publishes the
+    next version, and the whole versioned-table surface (time travel,
+    tags, rollback, vacuum retention, clone) applies to the model
+    artifact for free. float64 vectors round-trip BIT-EXACTLY through
+    the array<double> parquet column (asserted in tests), so a loaded
+    quantizer reproduces the in-memory one's assignments row for row.
+    Rows: (kind, i, j, vec) — ('centroid', cell, 0, ·) and
+    ('codebook', subspace, code, ·). Returns the committed version."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+    )
+
+    rows = [
+        ("centroid", int(i), 0, [float(x) for x in c])
+        for i, c in enumerate(np.asarray(centroids, dtype=np.float64))
+    ]
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.float64)
+        rows += [
+            ("codebook", int(s), int(c), [float(x) for x in cb[s, c]])
+            for s in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ]
+    df = spark.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>"
+    )
+    return commit_version(
+        df.coalesce(1), model_dir, mode=mode, stats_cols=["kind"]
+    )
+
+
+def load_quantizers(
+    spark,
+    model_dir: str,
+    version: "int | None" = None,
+    tag: "str | None" = None,
+) -> "tuple[np.ndarray, np.ndarray | None]":
+    """(centroids, codebooks-or-None) from the registry at a pinned
+    version/tag (default latest). Model-sized collect — k·dim +
+    m·ksub·dsub doubles, never corpus-sized."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_version,
+    )
+
+    rows = read_version(
+        spark, model_dir, version=version, tag=tag
+    ).collect()
+    cents = sorted(
+        ((r.i, r.vec) for r in rows if r.kind == "centroid"),
+    )
+    centroids = np.array([v for _i, v in cents], dtype=np.float64)
+    cb_rows = sorted(
+        ((r.i, r.j, r.vec) for r in rows if r.kind == "codebook"),
+    )
+    if not cb_rows:
+        return centroids, None
+    m = 1 + max(i for i, _j, _v in cb_rows)
+    ksub = 1 + max(j for _i, j, _v in cb_rows)
+    dsub = len(cb_rows[0][2])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for i, j, v in cb_rows:
+        books[i, j] = v
+    return centroids, books
+
+
 def semantic_dedup_residual(
     df: DataFrame,
     dedup: DataFrame,

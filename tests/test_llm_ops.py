@@ -1451,6 +1451,55 @@ def test_semdedup_residual_catches_planted_boundary_pair(spark):
     assert semantic_dedup_residual(clean, sd2, tau=0.9).count() == 0
 
 
+def test_quantizer_registry_roundtrip_and_pinned_serving(spark, tmp_path):
+    """The ANN model registry: save/load round-trips centroids and PQ
+    codebooks BIT-EXACTLY, a pinned version keeps serving the
+    pre-retrain quantizer (assignments row-identical to the in-memory
+    original) after a retrain publishes the next version, and a
+    centroids-only model loads with codebooks=None."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        load_quantizers,
+        save_quantizers,
+        train_quantizers,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.where("vec_id % 2 = 0")
+    b = emb.where("vec_id % 2 = 1")
+    cents, books = train_quantizers(a, k=8, m=8, ksub=8, iters=2)
+    mdir = str(tmp_path / "quant")
+    v0 = save_quantizers(spark, mdir, cents, books)
+    lc, lb = load_quantizers(spark, mdir)
+    assert np.array_equal(lc, cents) and np.array_equal(lb, books)
+    # retrain on different data, publish v1 — the registry moves on
+    cents2, books2 = train_quantizers(b, k=8, m=8, ksub=8, iters=2)
+    save_quantizers(spark, mdir, cents2, books2)
+    lc2, _ = load_quantizers(spark, mdir)
+    assert not np.array_equal(lc2, cents)
+    # pinned serving: v0 reproduces the original assignments exactly
+    pc, pb = load_quantizers(spark, mdir, version=v0)
+    assert np.array_equal(pc, cents) and np.array_equal(pb, books)
+    key = lambda r: (r.vec_id, r.cell)  # noqa: E731
+    probe = emb.limit(60)
+    assert sorted(
+        key(r) for r in ivf_assign(probe, pc).select("vec_id", "cell").collect()
+    ) == sorted(
+        key(r)
+        for r in ivf_assign(probe, cents).select("vec_id", "cell").collect()
+    )
+    # centroids-only registry
+    mdir2 = str(tmp_path / "quant2")
+    save_quantizers(spark, mdir2, cents)
+    oc, ob = load_quantizers(spark, mdir2)
+    assert np.array_equal(oc, cents) and ob is None
+
+
 def _lm_corpus(spark, sf="/root/testdata/sf0.001"):
     from polygon_daily_market_data_pipeline_spark.sources.tables import (
         load_table,
