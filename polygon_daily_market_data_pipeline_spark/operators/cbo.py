@@ -247,7 +247,15 @@ def plan_join_with_stats(
     else:
         strategy = "merge"
         str_keys = [k for k in keys if isinstance(k, str)]
-        if auto_salt and skewed and len(str_keys) == len(keys):
+        # salting replicates the DIM side, which is only sound for
+        # join types whose dim-row multiplicity flows through matches
+        # (inner/left/semi/anti) — a right/full outer would emit each
+        # unmatched dim row n_salts times (salted_join refuses too)
+        saltable_how = how.lower().replace("_", "") in (
+            "inner", "left", "leftouter", "leftsemi", "leftanti",
+            "semi", "anti",
+        )
+        if auto_salt and skewed and saltable_how and len(str_keys) == len(keys):
             from polygon_daily_market_data_pipeline_spark.operators.skew import (
                 salted_join,
             )

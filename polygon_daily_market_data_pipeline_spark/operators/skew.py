@@ -36,7 +36,20 @@ def salted_join(
     ``small`` is replicated n_salts× (explode) — use only when
     |small|·n_salts is shuffle-affordable; ``big`` gets a deterministic
     row salt from hashing its full row, so duplicates of a hot key
-    spread evenly."""
+    spread evenly.
+
+    Join types preserving the replicated side's multiplicity only
+    through MATCHES are supported: inner, left outer, left semi, left
+    anti (each big row carries exactly one salt, so its match set and
+    outer/semi/anti fate are unchanged). right/full outer are REFUSED:
+    an unmatched small row exists n_salts times and would emit
+    n_salts null-padded rows instead of one."""
+    h = how.lower().replace("_", "")
+    if h not in ("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "side's unmatched rows would multiply"
+        )
     salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
     small_rep = small.withColumn("_salt", F.explode(salt_values))
     big_salted = big.withColumn(

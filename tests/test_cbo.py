@@ -491,6 +491,44 @@ def test_auto_salt_fires_on_flag_and_preserves_values(spark, star_tables):
     assert not d_u["skewed"] and not d_u["salted"]
 
 
+def test_auto_salt_refuses_dim_multiplying_join_types(spark, star_tables):
+    """Salting replicates the DIM side, so right/full outer joins —
+    whose unmatched dim rows would emit n_salts times — must fall back
+    to the plain hinted shuffle join at the planner and be refused
+    outright by salted_join itself."""
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    plan_star_join, slim, fdir, pdir, sdir = star_tables
+    fact = read_version(spark, fdir)
+    commit_version(
+        _zz_rows(spark, 120, "o_orderstatus", "dval_s"),
+        sdir, mode="append", stats_cols=["o_orderstatus"],
+    )
+    analyze_incremental(spark, sdir)
+    j, d = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir, auto_salt=True,
+        how="full_outer",
+    )
+    assert d["skewed"] and d["strategy"] == "merge" and not d["salted"]
+    # value check: every zz_ dim row appears exactly ONCE (null fact)
+    n_zz = j.where(F.col("o_orderkey").isNull()).count()
+    assert n_zz == 120
+    with pytest.raises(ValueError, match="unmatched rows would multiply"):
+        salted_join(fact, read_version(spark, sdir), ["o_orderstatus"],
+                    how="full_outer")
+    # left outer stays saltable: unmatched FACT rows emit once
+    j2, d2 = plan_join_with_stats(
+        spark, fact, sdir, "o_orderstatus",
+        broadcast_threshold_rows=64, fact_dir=fdir, auto_salt=True,
+        how="left_outer",
+    )
+    assert d2["salted"]
+    assert j2.count() == fact.count()  # FK join: all matched, no dups
+
+
 def test_auto_salt_spreads_hot_key_partitions(spark, tmp_path):
     """The point of the salt, asserted structurally (VM-noise-proof):
     on a one-hot-key fact, the max per-(key,salt) group size drops by
