@@ -112,9 +112,7 @@ def bigram_surprisal_scores(
 # zero passes over the historical corpus.
 
 
-def _batch_bigram_counts(
-    docs: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
+def _batch_bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
     return (
         docs.select(F.explode(word_ngrams_all(text_col, 2)).alias("g"))
         .groupBy("g")
@@ -126,7 +124,6 @@ def train_bigram_model(
     docs: DataFrame,
     model_dir: str,
     *,
-    id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "overwrite",
 ) -> int:
@@ -146,7 +143,7 @@ def train_bigram_model(
     if mode not in ("overwrite", "update"):
         raise ValueError(f"unknown mode {mode!r}")
     return commit_version(
-        _batch_bigram_counts(docs, id_col, text_col),
+        _batch_bigram_counts(docs, text_col),
         model_dir,
         mode="append" if mode == "update" else "overwrite",
         stats_cols=["g", "c"],

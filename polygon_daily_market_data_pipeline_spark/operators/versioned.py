@@ -4845,7 +4845,16 @@ def fast_count_by_partition(
     its tag (its rows belong to no provable group), any file without
     recorded rows (commit with ``stats_cols`` — any column — to record
     footer row counts, same requirement as ``fast_count``), or a dv
-    sidecar whose directory cannot be resolved."""
+    sidecar whose directory cannot be resolved.
+
+    ``col`` may also name a TRANSFORM-partitioned column (round 13,
+    ``commit_version(partition_transform=...)``): a dir whose
+    transform tag covers exactly ONE unit (lo == hi — the daily-append
+    shape at the transform's grain) groups under that unit string
+    (e.g. ``{"2024-01-02": rows}``); a dir SPANNING units cannot
+    attribute its rows without a scan, so the whole group-by is
+    unprovable — same asymmetry as everywhere else on this surface. A
+    scalar tag for ``col`` wins when both exist on a dir."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
@@ -4863,9 +4872,17 @@ def fast_count_by_partition(
     out: "dict" = {}
     for d in m["dirs"]:
         tag = parts.get(d)
-        if tag is None or col not in tag:
+        if tag is None:
             return None  # rows of an untagged dir belong to no group
-        val = tag[col]
+        if col in tag:
+            val = tag[col]
+        elif _T_PREFIX + col in tag:
+            tent = tag[_T_PREFIX + col]
+            if tent["lo"] != tent["hi"]:
+                return None  # dir spans units: unattributable rows
+            val = tent["lo"]
+        else:
+            return None
         dir_of_value[os.path.normpath(d)] = val
         dir_path = d if os.path.isabs(d) else os.path.join(table_dir, d)
         for f in list_parquet_files(dir_path):
