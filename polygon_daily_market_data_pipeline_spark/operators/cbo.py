@@ -44,7 +44,10 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     _stats_path,
     fast_count,
     kmv_estimate,
+    prune_files,
     read_version,
+    scan_version,
+    scan_version_with_stats,
 )
 
 # Defaults mirror spark.sql.autoBroadcastJoinThreshold's 10 MB.
@@ -90,6 +93,51 @@ def table_size_estimate(
         for ent in (m.get("dv") or {}).values():
             rows -= ent["n"]
     return {"rows": rows, "bytes": n_bytes, "files": n_files}
+
+
+def filtered_size_bound(
+    table_dir: str,
+    predicates: dict,
+    version: "int | None" = None,
+) -> dict:
+    """PROVABLE upper bound on a versioned table's size under a
+    conjunctive range predicate ``{col: (lo, hi)}``, from the
+    manifest's per-file envelopes alone: ``{"rows_ub", "bytes_ub",
+    "files", "files_total"}``. The bound is the file-granular one the
+    envelopes can prove — pruned files provably contain NO matching
+    row, every kept file is counted WHOLE (rows from footer counts,
+    bytes from the filesystem). Selectivity inside a kept file is
+    never guessed: an interpolated estimate could justify broadcasting
+    a side that turns out 100× larger, and this planner's contract is
+    that a broadcast decision is backed by proof, not a histogram bet.
+
+    Pending deletion vectors / equality deletes do NOT void the bound
+    (they only hide rows — the true filtered count can only be lower),
+    so unlike ``fast_count`` this stays provable mid-MERGE; ``rows_ub``
+    is None only when a kept file has no recorded footer row count
+    (legacy commit without stats). Zero Spark jobs at any table size:
+    one manifest read + one directory walk, same cost shape as
+    ``table_size_estimate``."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    m = _load_manifest(table_dir, v)
+    kept, total = prune_files(table_dir, m, predicates)
+    stats = m.get("files") or {}
+    rows: "int | None" = 0
+    n_bytes = 0
+    for f in kept:
+        n_bytes += os.path.getsize(f)
+        if rows is not None:
+            ent = stats.get(os.path.relpath(f, table_dir))
+            rows = None if ent is None else rows + ent["rows"]
+    return {
+        "rows_ub": rows,
+        "bytes_ub": n_bytes,
+        "files": len(kept),
+        "files_total": total,
+    }
 
 
 def _sidecar_ndv_at(
@@ -168,6 +216,7 @@ def plan_join_with_stats(
     dim_version: "int | None" = None,
     auto_salt: bool = False,
     n_salts: int = 8,
+    dim_predicates: "dict | None" = None,
 ) -> "tuple[DataFrame, dict]":
     """Join ``fact`` with the versioned table at ``dim_dir``, choosing
     broadcast-vs-shuffle from the dim's MANIFEST/SIDECAR statistics and
@@ -211,6 +260,17 @@ def plan_join_with_stats(
     threshold, i.e. exactly the moderate-dim / hot-fact-key shape
     where one straggling reducer otherwise dominates the stage.
 
+    ``dim_predicates`` (``{col: (lo, hi)}``, round 13) makes the plan
+    FILTER-AWARE: the join is priced on the dim AS FILTERED — sized by
+    ``filtered_size_bound``'s provable envelope upper bound and read
+    through ``scan_version`` (pruned files + residual filter, so the
+    joined rows are exactly ``fact ⋈ (dim WHERE pred)``). A selective
+    predicate on a big dim is the canonical case Catalyst's static
+    sizing misses here: the unfiltered table says shuffle, while the
+    bound proves the filtered side fits under the broadcast threshold.
+    Because the bound counts kept files WHOLE, a broadcast it fires is
+    still proof-backed — never an interpolation bet.
+
     The dim VERSION is resolved ONCE up front: the decision and the
     read must see the same table state, or a concurrent append landing
     between them could get a stats-proven-small broadcast enforced on
@@ -220,7 +280,17 @@ def plan_join_with_stats(
         if not versions:
             raise FileNotFoundError(f"no versions in {dim_dir}")
         dim_version = versions[-1]
-    est = table_size_estimate(dim_dir, version=dim_version)
+    if dim_predicates is not None:
+        bound = filtered_size_bound(
+            dim_dir, dim_predicates, version=dim_version
+        )
+        est = {
+            "rows": bound["rows_ub"],
+            "bytes": bound["bytes_ub"],
+            "files": bound["files"],
+        }
+    else:
+        est = table_size_estimate(dim_dir, version=dim_version)
     if broadcast_threshold_rows is not None:
         small = (
             est["rows"] is not None
@@ -238,7 +308,10 @@ def plan_join_with_stats(
         if (fact_dir is not None and skew_key is not None)
         else None
     )
-    dim = read_version(spark, dim_dir, version=dim_version)
+    if dim_predicates is not None:
+        dim = scan_version(spark, dim_dir, dim_predicates, version=dim_version)
+    else:
+        dim = read_version(spark, dim_dir, version=dim_version)
     skewed = bool(ratio is not None and ratio >= skew_ratio_threshold)
     salted = False
     if small:
@@ -280,6 +353,7 @@ def plan_join_with_stats(
         "skewed": skewed,
         "salted": salted,
         "n_salts": n_salts if salted else None,
+        "filtered": dim_predicates is not None,
     }
     return joined, decision
 
@@ -382,6 +456,107 @@ def plan_star_join(
         "provable": provable,
         "dims": dim_decisions,
     }
+
+
+def dynamic_file_prune_join(
+    spark: SparkSession,
+    fact_dir: str,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: "str | None" = None,
+    *,
+    how: str = "inner",
+    max_keys: int = 10_000,
+    fact_version: "int | None" = None,
+    predicates: "dict | None" = None,
+) -> "tuple[DataFrame, dict]":
+    """Join-time dynamic file pruning — the runtime-filter / DPP analog
+    done at the MANIFEST level (round 13): collect the small side's
+    distinct join keys, prune the versioned FACT's file list with an
+    IN-list envelope+bloom prune (``scan_version(in_filter=...)``),
+    broadcast the dim, and join. Files whose key envelope cannot
+    contain any dim key are never scheduled at all — at 100 TB a
+    date-clustered fact joined to a dim holding three dates reads
+    three commits' files, not the table. Spark's own DPP only prunes
+    HIVE-partition directories of a catalog table and its runtime
+    bloom filters still schedule every file; this prune happens before
+    task scheduling, against the same per-file stats the commit
+    already recorded.
+
+    The key collect is ONE dim-sized Spark job bounded by
+    ``max_keys`` (+1 probe row): if the dim has more distinct keys,
+    pruning is SKIPPED — a fallback plain broadcast join over the full
+    fact (decision records it) — because shipping an unbounded key
+    list to the driver is exactly the collect this engine bans. NULL
+    dim keys are dropped from the prune list (an equi-join never
+    matches NULL), and since the prune only drops fact files, only
+    join types where an unmatched FACT row is droppable are accepted:
+    ``inner`` / ``semi`` / ``right`` (unmatched dim rows survive a
+    right join from the dim side, which is read whole). ``left``/
+    ``full`` outer would need the pruned-away fact rows back — refused.
+
+    ``predicates`` forwards an ordinary range predicate to the same
+    scan, so static envelope pruning and the dynamic key prune compose
+    in one file walk. Returns ``(joined, decision)`` with ``decision =
+    {"pruned": bool, "n_keys": int | None, "files_scheduled": int,
+    "files_total": int}``."""
+    dim_key = dim_key or fact_key
+    how_norm = how.lower().replace("_", "")
+    if how_norm not in ("inner", "semi", "leftsemi", "right", "rightouter"):
+        raise ValueError(
+            f"how={how!r}: dynamic file pruning drops fact files, which "
+            "is only sound for inner/semi/right joins — a left/full "
+            "outer needs the unmatched fact rows the prune removed"
+        )
+    key_rows = (
+        dim.select(dim_key).where(F.col(dim_key).isNotNull())
+        .distinct().limit(max_keys + 1).collect()
+    )
+    keys = [r[0] for r in key_rows]
+    if len(keys) > max_keys:
+        fact = (
+            scan_version(
+                spark, fact_dir, predicates or {}, version=fact_version
+            )
+            if predicates
+            else read_version(spark, fact_dir, version=fact_version)
+        )
+        n_files = len(fact.inputFiles())
+        decision = {
+            "pruned": False,
+            "n_keys": None,
+            "files_scheduled": n_files,
+            "files_total": n_files,
+        }
+    else:
+        fact, stats = scan_version_with_stats(
+            spark,
+            fact_dir,
+            predicates or {},
+            version=fact_version,
+            in_filter={fact_key: keys},
+        )
+        decision = {
+            "pruned": True,
+            "n_keys": len(keys),
+            "files_scheduled": stats.files_scheduled,
+            "files_total": stats.files_total,
+        }
+    if how_norm in ("semi", "leftsemi"):
+        dsel = dim.select(dim_key).distinct()
+        joined = fact.join(
+            F.broadcast(dsel),
+            fact_key if dim_key == fact_key
+            else fact[fact_key] == dsel[dim_key],
+            "left_semi",
+        )
+    elif dim_key == fact_key:
+        joined = fact.join(F.broadcast(dim), fact_key, how)
+    else:
+        joined = fact.join(
+            F.broadcast(dim), fact[fact_key] == dim[dim_key], how
+        )
+    return joined, decision
 
 
 def physical_plan(df: DataFrame) -> str:

@@ -48,6 +48,7 @@ Semantics:
 
 from __future__ import annotations
 
+import bisect
 import datetime as dt
 import decimal
 import json
@@ -1974,6 +1975,7 @@ def prune_files(
     predicates: dict,
     bounds_tz: dt.tzinfo | None = None,
     null_preds: "dict | None" = None,
+    in_preds: "dict | None" = None,
 ) -> tuple[list[str], int]:
     """(surviving file paths, total files) for a conjunctive range
     predicate ``{col: (lo, hi)}`` (either bound may be None for
@@ -1992,6 +1994,15 @@ def prune_files(
     under pending deletion vectors (hiding rows can never create a
     NULL, and an all-NULL file stays all-NULL); files without recorded
     counts (legacy manifests) are kept.
+
+    ``in_preds`` (``{col: [v1, v2, ...]}``, round 13) prunes on an
+    IN-list: a file survives the column iff AT LEAST ONE listed value
+    lies inside its [min, max] envelope (sorted values + one bisect per
+    file, so a million-key runtime filter costs O(log n) per file, not
+    O(n)). An EMPTY list matches nothing and prunes every file —
+    ``isin([])`` is identically false. NULL is not a valid member (SQL
+    IN never matches NULL). This is the manifest half of join-time
+    dynamic file pruning (``operators.cbo.dynamic_file_prune_join``).
 
     NAIVE datetime bounds are normalized to UTC instants before
     comparing against the manifest's naive-UTC timestamp envelopes
@@ -2022,6 +2033,19 @@ def prune_files(
         )
         for c, (lo, hi) in predicates.items()
     }
+    in_norm: dict = {}
+    for c, vals in (in_preds or {}).items():
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"in_preds[{c!r}] contains None — IN never matches NULL; "
+                "use an explicit IS NULL filter on the read"
+            )
+        nvals = [_norm_bound(v, "lo", bounds_tz) for v in vals]
+        try:
+            nvals.sort()
+        except TypeError:
+            pass  # mixed incomparable members: linear check per file
+        in_norm[c] = nvals
     all_files = [
         f
         for d in manifest["dirs"]
@@ -2058,6 +2082,40 @@ def prune_files(
                 # number vs string, ...): cannot prune on this column
                 # for this file — the residual filter decides
                 continue
+        if keep and in_norm:
+            for col, vals in in_norm.items():
+                if not vals:
+                    keep = False  # IN () matches nothing
+                    break
+                rng = None
+                for nm in _stat_names(manifest, col):
+                    rng = (ent["stats"] or {}).get(nm)
+                    if rng is not None:
+                        break
+                if rng is None:
+                    continue  # no stats on this column: cannot prune
+                fmin, fmax = _stat_from_json(rng[0]), _stat_from_json(rng[1])
+                try:
+                    i = bisect.bisect_left(vals, fmin)
+                    if i >= len(vals) or vals[i] > fmax:
+                        keep = False
+                        break
+                except TypeError:
+                    # unsortable members or value/stat type mismatch:
+                    # fall back to a linear check; any incomparable
+                    # pair means cannot-prove-absent — keep the file
+                    hit = False
+                    for v in vals:
+                        try:
+                            if fmin <= v <= fmax:
+                                hit = True
+                                break
+                        except TypeError:
+                            hit = True
+                            break
+                    if not hit:
+                        keep = False
+                        break
         if keep and null_preds:
             for col, kind in null_preds.items():
                 n_null = None
@@ -2162,6 +2220,57 @@ def _bloom_prune(
     return out
 
 
+def _bloom_prune_in(
+    table_dir: str, manifest: dict, files: list[str], in_preds: dict
+) -> list[str]:
+    """Drop files whose sidecar bloom proves EVERY listed IN-value
+    absent on some filter column — the point-lookup prune generalized
+    to a value set (one membership probe per value; the caller bounds
+    the list size). A column where ANY value's type disagrees with the
+    manifest schema type cannot prune (that value is
+    cannot-prove-absent, so the disjunction never resolves to false —
+    mirrors ``_bloom_type_ok``'s posture for eq scans)."""
+    preds = {
+        c: vals
+        for c, vals in in_preds.items()
+        if vals and all(_bloom_type_ok(manifest, c, v) for v in vals)
+    }
+    if not preds:
+        return files
+    sidecars = []
+    for d in manifest["dirs"]:
+        p = os.path.join(table_dir, d, _BLOOM_SIDECAR)
+        if os.path.exists(p):
+            with open(p) as f:
+                sidecars.append((os.path.join(table_dir, d), json.load(f)))
+    if not sidecars:
+        return files
+    out = []
+    for fpath in files:
+        keep = True
+        for droot, sc in sidecars:
+            rel = os.path.relpath(fpath, droot)
+            if rel.startswith(".."):
+                continue  # file belongs to another directory
+            ent = sc.get(rel)
+            if ent is not None:
+                for c, vals in preds.items():
+                    ce = None
+                    for nm in _stat_names(manifest, c):
+                        ce = ent.get(nm)
+                        if ce is not None:
+                            break
+                    if ce is not None and not any(
+                        _bloom_maybe_contains(ce, v) for v in vals
+                    ):
+                        keep = False
+                        break
+            break
+        if keep:
+            out.append(fpath)
+    return out
+
+
 class ScanStats(NamedTuple):
     """The prune decision a ``scan_version_with_stats`` call made:
     files actually scheduled vs files in the version."""
@@ -2178,6 +2287,7 @@ def scan_version_with_stats(
     as_of: dt.datetime | str | None = None,
     eq: dict | None = None,
     null_filter: "dict | None" = None,
+    in_filter: "dict | None" = None,
 ) -> tuple[DataFrame, ScanStats]:
     """``scan_version`` plus the prune decision it made, returned as a
     proper ``(DataFrame, ScanStats)`` pair — callers that report
@@ -2199,7 +2309,17 @@ def scan_version_with_stats(
     per-file NULL COUNTS (the skip envelopes cannot make — they cover
     only non-NULL values) and enforced by the residual filter: a
     sparse optional column's ``'not_null'`` scan schedules only the
-    files that recorded any value at all."""
+    files that recorded any value at all.
+
+    ``in_filter`` (``{col: [v1, v2, ...]}``, round 13) adds IN-list
+    predicates: files are pruned when no listed value lies inside the
+    file's [min, max] envelope (sorted list + bisect — cheap for large
+    key sets), then sidecar blooms (``bloom_cols``) drop files where
+    every value is proven absent; the residual ``isin`` enforces
+    exactness. An empty list is a valid scan of nothing. This is the
+    substrate of join-time dynamic file pruning
+    (``operators.cbo.dynamic_file_prune_join``): the small side's keys
+    become the big side's file prune before any task is scheduled."""
     m = _resolve_manifest(table_dir, version, as_of)
     preds = dict(predicates)
     if eq:
@@ -2227,9 +2347,13 @@ def scan_version_with_stats(
             else:
                 preds[c] = (v, v)
     # default bounds_tz (process zone) matches the residual F.lit below
-    kept, total = prune_files(table_dir, m, preds, null_preds=null_filter)
+    kept, total = prune_files(
+        table_dir, m, preds, null_preds=null_filter, in_preds=in_filter
+    )
     if eq and kept:
         kept = _bloom_prune(table_dir, m, kept, eq)
+    if in_filter and kept:
+        kept = _bloom_prune_in(table_dir, m, kept, in_filter)
     if kept:
         df = _read_manifest_paths(spark, m, kept, table_dir)
     else:
@@ -2265,6 +2389,9 @@ def scan_version_with_stats(
             df = df.where(
                 F.col(c).isNull() if kind == "null" else F.col(c).isNotNull()
             )
+    if in_filter:
+        for c, vals in in_filter.items():
+            df = df.where(F.col(c).isin(vals) if vals else F.lit(False))
     if not kept:
         df = df.where(F.lit(False))
     return df, ScanStats(len(kept), total)
@@ -2278,6 +2405,7 @@ def scan_version(
     as_of: dt.datetime | str | None = None,
     eq: dict | None = None,
     null_filter: "dict | None" = None,
+    in_filter: "dict | None" = None,
 ) -> DataFrame:
     """Data-skipping read: ``read_version`` restricted by a conjunctive
     range predicate ``{col: (lo, hi)}``, with the file list pruned
@@ -2291,12 +2419,13 @@ def scan_version(
     ``F.lit`` interprets them — before pruning against the naive-UTC
     file envelopes (see ``prune_files``/``_norm_bound``). ``eq`` adds
     point lookups with sidecar-bloom pruning, ``null_filter`` adds
-    IS NULL / IS NOT NULL predicates pruned from per-file null counts
-    (see ``scan_version_with_stats``). Use ``scan_version_with_stats``
-    to also get the prune decision."""
+    IS NULL / IS NOT NULL predicates pruned from per-file null counts,
+    ``in_filter`` adds IN-list predicates pruned from envelopes and
+    blooms (see ``scan_version_with_stats``). Use
+    ``scan_version_with_stats`` to also get the prune decision."""
     df, _stats = scan_version_with_stats(
         spark, table_dir, predicates, version=version, as_of=as_of,
-        eq=eq, null_filter=null_filter,
+        eq=eq, null_filter=null_filter, in_filter=in_filter,
     )
     return df
 

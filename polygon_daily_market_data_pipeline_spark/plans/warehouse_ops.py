@@ -363,12 +363,23 @@ def _skipping_rows(
     o_orderkey with manifest file stats, then scan the bottom ~5% of
     the key range through ``scan_version``. n_rows/val are the
     SQL-exact count/sum under the predicate (the skip must lose no
-    rows); n_aux encodes the PRUNING claim as a constant the oracle
-    pins — 1 iff the manifest prune scheduled ≤⅓ of the files — the
-    same constant-claim pattern as the ANN recall-floor oracles. The
-    claim cross-checks the reported decision against the PLAN's file
-    list (``df.inputFiles()``), so a scan that schedules extra files
-    while misreporting its stats cannot satisfy it."""
+    rows); n_aux encodes the PRUNING claims as a bitmask the oracle
+    pins at 7 — the same constant-claim pattern as the ANN recall-floor
+    oracles:
+
+    - 1: the RANGE prune scheduled ≤⅓ of the files, cross-checked
+      against the PLAN's file list (``df.inputFiles()``) so a scan that
+      schedules extra files while misreporting its stats cannot
+      satisfy it;
+    - 2 (round 13): the IN-LIST prune (``scan_version(in_filter=...)``)
+      scheduled at most one file per listed key, strictly fewer than
+      the version's total, AND the pruned scan's count/money equal the
+      unpruned ``isin`` read's exactly;
+    - 4 (round 13): join-time DYNAMIC file pruning
+      (``cbo.dynamic_file_prune_join`` — the runtime-filter/DPP analog
+      at the manifest level): a 3-key dim joined against the fact
+      schedules at most 3 of the 16 files, and the joined count/money
+      equal the plain unpruned join's exactly."""
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
         scan_version_with_stats,
     )
@@ -413,6 +424,43 @@ def _skipping_rows(
         if 3 * kept_n <= total and len(scan.inputFiles()) == kept_n
         else 0
     )
+    # bit 2 — IN-list pruning: three concrete keys (both envelope
+    # halves + the range minimum) schedule at most one file each and
+    # lose no rows vs the residual isin read
+    in_keys = [1, half, mx]
+    in_scan, in_stats = scan_version_with_stats(
+        spark, tdir, {}, in_filter={"o_orderkey": in_keys}
+    )
+    full = read_version(spark, tdir)
+    _agg = lambda df: df.agg(  # noqa: E731 — local comparator
+        F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("m")
+    ).first()
+    in_ok = (
+        in_stats.files_scheduled <= len(in_keys) < in_stats.files_total
+        and _agg(in_scan)
+        == _agg(full.where(F.col("o_orderkey").isin(in_keys)))
+    )
+    pruned_claim += 2 if in_ok else 0
+    # bit 4 — dynamic file pruning: the dim's keys prune the fact's
+    # file list before any task is scheduled, values identical to the
+    # plain join
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        dynamic_file_prune_join,
+    )
+
+    dpp_dim = spark.createDataFrame(
+        [(int(k), i) for i, k in enumerate(in_keys)],
+        "o_orderkey long, dpp_attr int",
+    )
+    dpp_join, dpp_d = dynamic_file_prune_join(
+        spark, tdir, dpp_dim, "o_orderkey"
+    )
+    dpp_ok = (
+        dpp_d["pruned"]
+        and dpp_d["files_scheduled"] <= 3 < dpp_d["files_total"]
+        and _agg(dpp_join) == _agg(full.join(dpp_dim, "o_orderkey"))
+    )
+    pruned_claim += 4 if dpp_ok else 0
     skip_row = scan.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(pruned_claim).alias("n_aux"),
@@ -1897,7 +1945,7 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                  AS BIGINT) FROM ord)),
-               1,
+               7,
                (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT), 0) FROM ord
                 WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                  AS BIGINT) FROM ord))
@@ -2033,13 +2081,17 @@ for _c in _STATS_COLS:
 # arithmetic — Σ_p count(p)² via the carried dim attribute, exact money
 # cents of the fact side — under the two plans the sidecar stats chose;
 # n_aux pins the claim bits at 7 (see _cbo_rows docstring).
-for _name in ("cbo_broadcast", "cbo_merge"):
+# cbo_merge carries one extra round-13 claim bit (8): the filter-aware
+# re-plan — the grown dim plans merge, but the SAME join under a
+# selective predicate whose envelope bound proves the filtered side
+# small must flip back to broadcast, value-identically.
+for _name, _aux in (("cbo_broadcast", 7), ("cbo_merge", 15)):
     _CHECK_SQL[_name] = f"""
         SELECT '{_name}',
                (SELECT CAST(SUM(c * c) AS BIGINT) FROM
                     (SELECT COUNT(*) AS c FROM ord
                      GROUP BY o_orderpriority) t),
-               7,
+               {_aux},
                (SELECT {_msum('o_totalprice')} FROM ord)
 """
 
@@ -2580,9 +2632,14 @@ def _cbo_rows(
     claim bits, oracle-pinned at 7:
     ``cbo_broadcast``: broadcast decision (1) + BroadcastHashJoin in
     the pre-execution plan with no SortMergeJoin (2) + sidecar skew
-    flag fired (4). ``cbo_merge``: merge decision (1) + SortMergeJoin
-    in the plan with no broadcast (2) + the growth stats came from the
-    INCREMENTAL path, not a full rescan (4).
+    flag fired (4); oracle-pinned at 7. ``cbo_merge``: merge decision
+    (1) + SortMergeJoin in the plan with no broadcast (2) + the growth
+    stats came from the INCREMENTAL path, not a full rescan (4) +
+    FILTER-AWARE re-plan (round 13): the same join under a predicate
+    excluding the growth flips back to broadcast because
+    ``filtered_size_bound``'s envelope upper bound proves the filtered
+    dim small, with rows exactly the residual-filtered join's (8);
+    oracle-pinned at 15.
 
     ``cbo_star`` (round 13, VERDICT r12 #1/#2): ``plan_star_join``
     ordering a two-dim star from the sidecar, graded on the order
@@ -2789,6 +2846,33 @@ def _cbo_rows(
             else 0
         )
         + (4 if inc.get("mode") == "incremental" else 0)
+    )
+    # bit 8 (round 13): filter-aware re-plan — the same join under a
+    # predicate excluding the zz_ growth must flip back to BROADCAST
+    # (the envelope bound proves the filtered dim small) and carry
+    # exactly the rows of the residual-filtered join
+    pred = {"o_orderpriority": (None, "9")}
+    jf, dfd = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir, dim_predicates=pred,
+    )
+    pf = physical_plan(jf)
+    _cm = lambda d: d.agg(  # noqa: E731 — local comparator
+        F.count(F.lit(1)).alias("n"), _money_sum("o_totalprice").alias("m")
+    ).first()
+    dim_filtered = read_version(spark, ddir).where(
+        F.col("o_orderpriority") <= "9"
+    )
+    claims2 += (
+        8
+        if (
+            dfd["strategy"] == "broadcast"
+            and dfd["filtered"]
+            and "BroadcastHashJoin" in pf
+            and "SortMergeJoin" not in pf
+            and _cm(jf) == _cm(fact.join(dim_filtered, "o_orderpriority"))
+        )
+        else 0
     )
     row2 = _join_row(j2, claims2, "cbo_merge")
     return [row1, row2, row_star]

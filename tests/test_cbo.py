@@ -27,6 +27,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     delete_version_keys,
     delete_version_vectors,
     fast_aggregate,
+    fast_count,
     read_version,
 )
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
@@ -588,3 +589,174 @@ def test_key_skew_ratio_uses_consistent_snapshot(spark, fact_dim):
     analyze_incremental(spark, fdir)
     r_after = key_skew_ratio(fdir, "o_orderkey")
     assert r_after is not None and r_after < 2  # still ~unique, at 4x rows
+
+
+# ---- filter-aware planning + dynamic file pruning (round 13) ----
+
+
+def test_filter_aware_plan_flips_to_broadcast(spark, fact_dim):
+    """The unfiltered dim is past the threshold (merge); the provable
+    envelope bound under the predicate fits (broadcast) — and the
+    joined rows are exactly fact ⋈ (dim WHERE pred)."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        filtered_size_bound,
+    )
+
+    slim, fdir, ddir = fact_dim
+    # grow the dim with envelope-separable junk: zz_* sorts after the
+    # digit-prefixed real priorities and lands in its own append dirs
+    junk = spark.createDataFrame(
+        [(f"zz_{i:05d}", 0) for i in range(300)],
+        "o_orderpriority string, dval long",
+    )
+    commit_version(junk, ddir, mode="append", stats_cols=["o_orderpriority"])
+    fact = read_version(spark, fdir)
+
+    j_plain, d_plain = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority", broadcast_threshold_rows=64
+    )
+    assert d_plain["strategy"] == "merge"
+
+    pred = {"o_orderpriority": (None, "9")}
+    bound = filtered_size_bound(ddir, pred)
+    assert bound["rows_ub"] is not None and bound["rows_ub"] <= 64
+    assert bound["files"] < bound["files_total"]
+
+    j_filt, d_filt = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, dim_predicates=pred,
+    )
+    assert d_filt["strategy"] == "broadcast" and d_filt["filtered"]
+    plan = physical_plan(j_filt)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    dim_f = read_version(spark, ddir).where(F.col("o_orderpriority") <= "9")
+    expect = fact.join(dim_f, "o_orderpriority")
+    assert sorted(map(tuple, j_filt.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_filtered_bound_is_an_upper_bound_counting_files_whole(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        filtered_size_bound,
+    )
+
+    t = str(tmp_path / "fsb")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    commit_version(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+    # a predicate straddling one file: bound counts that file WHOLE
+    bound = filtered_size_bound(t, {"k": (0, 100)})
+    true_n = read_version(spark, t).where(F.col("k") <= 100).count()
+    assert bound["rows_ub"] >= true_n
+    assert bound["files"] == 1
+    # and the bound equals the kept file's full footer count, not an
+    # interpolated guess
+    assert bound["rows_ub"] == 250
+
+
+def test_filtered_bound_stays_provable_under_eqdel(spark, tmp_path):
+    """fast_count goes None under pending equality deletes; the UPPER
+    bound must not — hidden rows only shrink the true count."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        filtered_size_bound,
+    )
+
+    t = str(tmp_path / "fsb_eqdel")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    commit_version(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+    delete_version_keys(
+        spark, t, spark.createDataFrame([(2,)], "g bigint")
+    )
+    assert fast_count(t) is None
+    bound = filtered_size_bound(t, {"k": (None, 99)})
+    assert bound["rows_ub"] == 100  # footer rows of the kept file
+    est = table_size_estimate(t)
+    assert est["rows"] is None
+
+
+def test_dynamic_file_prune_join_schedules_matching_files_only(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        dynamic_file_prune_join,
+    )
+
+    slim = _slim(spark)
+    fdir = str(tmp_path / "dpp_fact")
+    commit_version(
+        slim.repartitionByRange(8, "o_orderkey"), fdir,
+        stats_cols=["o_orderkey"],
+    )
+    keys = [r[0] for r in slim.select("o_orderkey").limit(3).collect()]
+    dim = spark.createDataFrame(
+        [(int(k), f"attr_{i}") for i, k in enumerate(keys)],
+        "o_orderkey long, attr string",
+    )
+    joined, d = dynamic_file_prune_join(
+        spark, fdir, dim, "o_orderkey"
+    )
+    assert d["pruned"] and d["n_keys"] == 3
+    assert d["files_scheduled"] <= 3 < d["files_total"] == 8
+    expect = read_version(spark, fdir).join(dim, "o_orderkey")
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_dynamic_file_prune_join_fallback_and_refusals(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        dynamic_file_prune_join,
+    )
+
+    slim = _slim(spark)
+    fdir = str(tmp_path / "dpp_fb")
+    commit_version(
+        slim.repartitionByRange(4, "o_orderkey"), fdir,
+        stats_cols=["o_orderkey"],
+    )
+    keys = [r[0] for r in slim.select("o_orderkey").limit(3).collect()]
+    dim = spark.createDataFrame(
+        [(int(k), "x") for k in keys], "o_orderkey long, attr string"
+    )
+    # over the key budget: falls back, still exact
+    joined, d = dynamic_file_prune_join(
+        spark, fdir, dim, "o_orderkey", max_keys=2
+    )
+    assert not d["pruned"] and d["n_keys"] is None
+    assert d["files_scheduled"] == d["files_total"]
+    expect = read_version(spark, fdir).join(dim, "o_orderkey")
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # join types that need pruned-away fact rows are refused
+    with pytest.raises(ValueError, match="left/full"):
+        dynamic_file_prune_join(spark, fdir, dim, "o_orderkey", how="left")
+
+
+def test_dynamic_file_prune_join_right_keeps_unmatched_dim(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        dynamic_file_prune_join,
+    )
+
+    slim = _slim(spark)
+    fdir = str(tmp_path / "dpp_right")
+    commit_version(
+        slim.repartitionByRange(4, "o_orderkey"), fdir,
+        stats_cols=["o_orderkey"],
+    )
+    k0 = slim.select("o_orderkey").first()[0]
+    dim = spark.createDataFrame(
+        [(int(k0), "hit"), (10**15, "miss"), (None, "nullkey")],
+        "o_orderkey long, attr string",
+    )
+    joined, d = dynamic_file_prune_join(
+        spark, fdir, dim, "o_orderkey", how="right"
+    )
+    assert d["pruned"] and d["n_keys"] == 2  # NULL key dropped from prune
+    rows = joined.select("attr", "o_totalprice").collect()
+    by_attr = {r[0]: r[1] for r in rows}
+    assert by_attr["hit"] is not None
+    assert by_attr["miss"] is None and by_attr["nullkey"] is None

@@ -377,3 +377,106 @@ def test_null_count_skipping(spark, tmp_path):
         scan_version_with_stats(
             spark, tdir, {}, null_filter={"o_note": "bogus"}
         )
+
+
+# ---- IN-list pruning (round 13: scan_version(in_filter=...)) ----
+
+
+def test_in_filter_prunes_and_is_exact(spark, tmp_path):
+    t = str(tmp_path / "vt_in")
+    commit_version(_events(spark), t, stats_cols=["k"])
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    keys = [5, 1003, 3999]
+    scan, stats = scan_version_with_stats(spark, t, {}, in_filter={"k": keys})
+    assert _rows(scan) == _rows(read_version(spark, t).where(F.col("k").isin(keys)))
+    # three keys land in at most three of the 16 range-partitioned files
+    assert stats.files_scheduled <= 3 < stats.files_total == N_FILES
+    assert len(scan.inputFiles()) == stats.files_scheduled
+
+
+def test_in_filter_empty_list_matches_nothing(spark, tmp_path):
+    t = str(tmp_path / "vt_in_empty")
+    commit_version(_events(spark, n=400), t, stats_cols=["k"])
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    scan, stats = scan_version_with_stats(spark, t, {}, in_filter={"k": []})
+    assert scan.count() == 0
+    assert stats.files_scheduled == 0
+    # schema survives the nothing-matches path
+    assert "grp" in scan.columns
+
+
+def test_in_filter_null_member_raises(spark, tmp_path):
+    t = str(tmp_path / "vt_in_null")
+    commit_version(_events(spark, n=100), t, stats_cols=["k"])
+    import pytest
+
+    with pytest.raises(ValueError, match="IS NULL"):
+        scan_version(spark, t, {}, in_filter={"k": [1, None]})
+
+
+def test_in_filter_bloom_prunes_unclustered_column(spark, tmp_path):
+    """Envelopes cannot prune a hash-valued column (every file's
+    [min, max] spans the domain); the sidecar bloom must."""
+    t = str(tmp_path / "vt_in_bloom")
+    df = _events(spark, n=4000).withColumn(
+        "s", F.md5(F.col("k").cast("string"))
+    )
+    commit_version(df, t, stats_cols=["k", "s"], bloom_cols=["s"])
+    target = (
+        read_version(spark, t).where(F.col("k") == 123).select("s").first()[0]
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    vals = [target, "0" * 32]  # one present, one absent
+    scan, stats = scan_version_with_stats(spark, t, {}, in_filter={"s": vals})
+    assert _rows(scan) == _rows(
+        read_version(spark, t).where(F.col("s").isin(vals))
+    )
+    assert scan.count() == 1
+    # the absent value prunes everywhere it is provably absent; the
+    # present value keeps exactly its file (modulo bloom fpp)
+    assert stats.files_scheduled < stats.files_total
+
+
+def test_in_filter_composes_with_range_predicate(spark, tmp_path):
+    t = str(tmp_path / "vt_in_range")
+    commit_version(_events(spark), t, stats_cols=["k"])
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    keys = [5, 1003, 3999]
+    scan, stats = scan_version_with_stats(
+        spark, t, {"k": (None, 2000)}, in_filter={"k": keys}
+    )
+    expect = read_version(spark, t).where(
+        (F.col("k") <= 2000) & F.col("k").isin(keys)
+    )
+    assert _rows(scan) == _rows(expect)
+    # both prunes apply: 3999's file is cut by the range, 1003/5 remain
+    assert stats.files_scheduled <= 2
+
+
+def test_in_filter_type_mismatch_cannot_prune_but_stays_exact(spark, tmp_path):
+    t = str(tmp_path / "vt_in_mismatch")
+    df = _events(spark, n=800).withColumn(
+        "s", F.md5(F.col("k").cast("string"))
+    )
+    commit_version(df, t, stats_cols=["s"], bloom_cols=["s"])
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    # integer members against string stats: envelopes and blooms both
+    # refuse to prune (cannot-prove), the residual filter decides
+    scan, stats = scan_version_with_stats(spark, t, {}, in_filter={"s": [5]})
+    assert stats.files_scheduled == stats.files_total
+    assert scan.count() == 0
