@@ -1,0 +1,235 @@
+"""Incremental materialized views (operators/matview.py, round 13):
+the exactness laws. The governing contract — stated on integer and
+decimal measures, where retraction arithmetic is exact — is that after
+ANY commit sequence the incrementally-refreshed MV's STORED partials
+are row-identical to a from-scratch ``create_matview`` at the same
+source version; plus the liveness/NULL edges (dead groups leave, a sum
+with zero non-null support surfaces NULL, not 0), the min/max
+dirty-group rescan, the no-op fast path, and the crash-tolerant
+sidecar fallback."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polygon_daily_market_data_pipeline_spark.operators.matview import (
+    create_matview,
+    matview_source_version,
+    read_matview,
+    refresh_matview,
+)
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _manifests,
+    commit_version,
+    delete_version_where,
+    merge_version,
+    read_version,
+)
+
+MEASURES = {
+    "n": ("count",),
+    "n_val": ("count", "val"),
+    "total": ("sum", "val"),
+    "money": ("sum", "price"),
+    "avg_val": ("avg", "val"),
+    "lo": ("min", "val"),
+    "hi": ("max", "val"),
+}
+
+
+def _src(spark, n=400, tag=0):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            F.when(F.col("id") % 11 == 3, F.lit(None).cast("long"))
+            .otherwise(F.col("id") * 3 + tag).alias("val"),
+            (F.col("id").cast("decimal(12,2)") * F.lit("0.25"))
+            .cast("decimal(12,2)").alias("price"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _assert_equals_full(spark, mv_dir, src_dir, tmp_path, name):
+    """THE law: stored partials after incremental refreshes ==
+    create_matview from scratch at the same source version."""
+    ref_dir = str(tmp_path / f"ref_{name}")
+    create_matview(spark, ref_dir, src_dir, ["g"], MEASURES)
+    got = read_version(spark, mv_dir)
+    want = read_version(spark, ref_dir)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
+    # and the SURFACED view agrees too (avg division included)
+    assert _rows(read_matview(spark, mv_dir)) == _rows(
+        read_matview(spark, ref_dir)
+    )
+
+
+def test_append_refresh_equals_full_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 300), src)
+    create_matview(spark, mv, src, ["g"], MEASURES)
+    commit_version(
+        _src(spark, 150, tag=10_000).withColumn("k", F.col("k") + 1000),
+        src, mode="append",
+    )
+    d = refresh_matview(spark, mv)
+    assert d["mode"] == "append" and not d["rescanned"]
+    assert matview_source_version(mv) == _manifests(src)[-1]
+    _assert_equals_full(spark, mv, src, tmp_path, "append")
+
+
+def test_merge_and_delete_refresh_exact_with_rescan(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 400), src, stats_cols=["k"])
+    create_matview(spark, mv, src, ["g"], MEASURES)
+    # UPDATE: move some rows' values (changes sums, may move extremes)
+    upd = _src(spark, 400).where(F.col("k") % 5 == 0).withColumn(
+        "val", F.col("val") * 7
+    )
+    merge_version(spark, src, upd, ["k"], stats_cols=["k"])
+    d1 = refresh_matview(spark, mv)
+    assert d1["mode"] == "diff" and d1["rescanned"]
+    _assert_equals_full(spark, mv, src, tmp_path, "merge")
+    # DELETE the global max rows of each group: retraction alone cannot
+    # find the runner-up — the rescan must
+    delete_version_where(
+        spark, src, F.col("k") >= 380, prune={"k": (380, None)},
+        stats_cols=["k"],
+    )
+    d2 = refresh_matview(spark, mv)
+    assert d2["mode"] == "diff" and d2["rescanned"]
+    _assert_equals_full(spark, mv, src, tmp_path, "delete")
+
+
+def test_sum_null_support_and_group_death(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", 5), (4, "c", 1)],
+        "k long, g string, val long",
+    )
+    commit_version(df, src)
+    create_matview(
+        spark, mv, src, ["g"],
+        {"n": ("count",), "total": ("sum", "val")},
+    )
+    # delete group a's only non-null value AND all of group c
+    delete_version_where(spark, src, (F.col("k") == 1) | (F.col("g") == "c"))
+    refresh_matview(spark, mv)
+    got = {r["g"]: (r["n"], r["total"]) for r in read_matview(spark, mv).collect()}
+    assert got == {"a": (1, None), "b": (1, 5)}  # c died; a's sum is NULL
+    _mv2 = str(tmp_path / "ref")
+    create_matview(
+        spark, _mv2, src, ["g"], {"n": ("count",), "total": ("sum", "val")}
+    )
+    assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, _mv2))
+
+
+def test_noop_refresh_is_metadata_only_and_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 100), src)
+    create_matview(spark, mv, src, ["g"], {"n": ("count",)})
+    before = _manifests(mv)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    d = refresh_matview(spark, mv)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert d["mode"] == "noop"
+    assert _manifests(mv) == before
+    assert jobs_after == jobs_before  # zero Spark jobs
+    # and refreshing after one change then again is a noop the 2nd time
+    commit_version(_src(spark, 10, tag=5), src, mode="append")
+    assert refresh_matview(spark, mv)["mode"] == "append"
+    assert refresh_matview(spark, mv)["mode"] == "noop"
+
+
+def test_additive_view_never_rescans(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 200), src, stats_cols=["k"])
+    create_matview(
+        spark, mv, src, ["g"],
+        {"n": ("count",), "total": ("sum", "val"), "avg_val": ("avg", "val")},
+    )
+    delete_version_where(spark, src, F.col("k") < 50)
+    d = refresh_matview(spark, mv)
+    assert d["mode"] == "diff" and not d["rescanned"]
+    ref = str(tmp_path / "ref")
+    create_matview(
+        spark, ref, src, ["g"],
+        {"n": ("count",), "total": ("sum", "val"), "avg_val": ("avg", "val")},
+    )
+    assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
+
+
+def test_null_group_keys_survive_dirty_marking(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "b", 5)],
+        "k long, g string, val long",
+    )
+    commit_version(df, src)
+    create_matview(
+        spark, mv, src, ["g"], {"n": ("count",), "hi": ("max", "val")}
+    )
+    delete_version_where(spark, src, F.col("k") == 2)  # NULL group loses max
+    d = refresh_matview(spark, mv)
+    assert d["rescanned"]
+    got = {r["g"]: (r["n"], r["hi"]) for r in read_matview(spark, mv).collect()}
+    assert got == {None: (1, 10), "b": (1, 5)}
+
+
+def test_sidecar_fallback_after_lost_latest(spark, tmp_path):
+    """Crash between MV commit and sidecar publish: refresh falls back
+    to the previous sidecar's recorded source version — more delta
+    re-read, never a wrong result (the refresh overwrites)."""
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 100), src)
+    create_matview(spark, mv, src, ["g"], {"n": ("count",), "total": ("sum", "val")})
+    commit_version(_src(spark, 40, tag=7).withColumn("k", F.col("k") + 500),
+                   src, mode="append")
+    refresh_matview(spark, mv)
+    # simulate the crash: latest sidecar lost
+    latest = _manifests(mv)[-1]
+    os.remove(os.path.join(mv, "_mv", f"v{latest}.json"))
+    commit_version(_src(spark, 30, tag=9).withColumn("k", F.col("k") + 900),
+                   src, mode="append")
+    d = refresh_matview(spark, mv)
+    # fell back to the older recorded version: re-reads both appends
+    assert d["from_version"] == 0
+    ref = str(tmp_path / "ref")
+    create_matview(spark, ref, src, ["g"], {"n": ("count",), "total": ("sum", "val")})
+    assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
+
+
+def test_spec_validation(spark, tmp_path):
+    src = str(tmp_path / "src")
+    commit_version(_src(spark, 10), src)
+    with pytest.raises(ValueError, match="unknown kind"):
+        create_matview(spark, str(tmp_path / "m1"), src, ["g"],
+                       {"x": ("median", "val")})
+    with pytest.raises(ValueError, match="needs a column"):
+        create_matview(spark, str(tmp_path / "m2"), src, ["g"],
+                       {"x": ("sum",)})
+    with pytest.raises(ValueError, match="reserved"):
+        create_matview(spark, str(tmp_path / "m3"), src, ["g"],
+                       {"__mv_x": ("count",)})
+    with pytest.raises(ValueError, match="non-empty"):
+        create_matview(spark, str(tmp_path / "m4"), src, [],
+                       {"x": ("count",)})

@@ -1772,6 +1772,77 @@ def probe_lm_update(spark, sf_dir: str) -> None:
     assert pts[-1][3] < pts[-1][2], pts  # update beats retrain at 16x
 
 
+def probe_matview(spark, sf_dir: str) -> None:
+    """Round-13 probe: an incremental MV refresh prices O(delta), not
+    O(source) — refreshing after a FIXED-size append stays flat while
+    the source grows 1x/4x/16x, and the from-scratch create (the cost
+    the view exists to avoid) grows with the source. Exactness is
+    separately a pytest law (tests/test_matview.py: incremental ==
+    scratch, stored-partial row equality); this probe prices the
+    daily-load loop."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.matview import (
+        create_matview,
+        refresh_matview,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    n = ords.count()
+    batch = ords.limit(500).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**12)
+    ).localCheckpoint(eager=True)
+    measures = {"n": ("count",), "money": ("sum", "o_totalprice")}
+    pts = []
+    warmed = False
+    for k in (4, 16, 64):
+        scaled = ords
+        for i in range(1, k):
+            scaled = scaled.unionByName(
+                ords.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n))
+            )
+        base = tempfile.mkdtemp(prefix=f"mv_probe_{k}x_")
+        src = f"{base}/src"
+        mv = f"{base}/mv"
+        commit_version(scaled.repartition(16), src)
+        if not warmed:  # untimed warm-up of BOTH paths (codegen +
+            # writer init must not land in any timed point)
+            create_matview(spark, f"{base}/warm", src, ["o_orderstatus"], measures)
+            commit_version(batch, src, mode="append")
+            refresh_matview(spark, f"{base}/warm")
+            warmed = True
+        t0 = time.monotonic()
+        create_matview(spark, mv, src, ["o_orderstatus"], measures)
+        dt_create = time.monotonic() - t0
+        commit_version(batch, src, mode="append")
+        t0 = time.monotonic()
+        d = refresh_matview(spark, mv)
+        dt_refresh = time.monotonic() - t0
+        assert d["mode"] == "append" and not d["rescanned"]
+        pts.append((k, n * k, dt_create, dt_refresh))
+        shutil.rmtree(base, ignore_errors=True)
+    print(
+        "matview: "
+        + ", ".join(
+            f"{k}x ({rows} rows) create={cr:.2f}s refresh={rf:.2f}s"
+            for k, rows, cr, rf in pts
+        )
+        + " — refresh flat (O(appended batch)), create grows with source"
+    )
+    assert pts[-1][3] < pts[-1][2], pts  # refresh beats create at 16x
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1795,6 +1866,7 @@ def main() -> None:
         ("star_salt", probe_star_salt),
         ("span_bloom", probe_span_bloom),
         ("lm_update", probe_lm_update),
+        ("matview", probe_matview),
         ("ssjoin_state", probe_ssjoin_state),
     ):
         if extra in names:
