@@ -237,3 +237,126 @@ def score_with_bigram_model(
         )
     )
     return unpersist_after_action(out, (grams, counts))
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    raw_docs: "DataFrame | None" = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") in the quantized-bits
+    domain: one row per doc, ``(id, n_bigrams, log_w)`` with
+
+        log_w = surprisal_raw(doc) − surprisal_target(doc)
+
+    both integer-exact add-one bigram LMs (module-docstring
+    arithmetic), so the weight is an exact BIGINT both engines compute
+    identically. Positive = the doc looks more like the TARGET
+    distribution than the raw background — DSIR's w(x) =
+    p_target(x)/p_raw(x) decision statistic with floor-log2
+    quantization in place of the paper's hashed-ngram float LMs.
+    ``raw_docs`` defaults to ``docs`` (the corpus is its own
+    background, the paper's deployment). Docs with < 2 tokens get
+    (0, 0) — no evidence either way.
+
+    Scale shape: ONE gram explode of the scored corpus (persisted,
+    both the raw count pass and the scoring join consume it when
+    raw_docs is docs); each model is one count aggregate; (N+V) totals
+    collect as two longs folded into the scoring expression as
+    literals; scoring is two hash joins on the gram key the count
+    shuffles already clustered. No UDF, no driver state beyond two
+    longs. For persisted/incrementally-maintained models score twice
+    with ``score_with_bigram_model`` and difference — this in-flight
+    form exists so a selection pass needs no model table writes."""
+    from pyspark.storagelevel import StorageLevel
+
+    from polygon_daily_market_data_pipeline_spark.operators.text_dedup import (
+        unpersist_after_action,
+    )
+
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams_all(text_col, 2)).alias("g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw_grams = (
+        grams
+        if raw_docs is None
+        else raw_docs.select(
+            F.explode(word_ngrams_all(text_col, 2)).alias("g")
+        )
+    )
+    ct = (
+        target_docs.select(
+            F.explode(word_ngrams_all(text_col, 2)).alias("g")
+        )
+        .groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cr = (
+        raw_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tt = ct.agg(F.sum("ct").alias("N"), F.count(F.lit(1)).alias("V")).first()
+    tr = cr.agg(F.sum("cr").alias("N"), F.count(F.lit(1)).alias("V")).first()
+    nvt = int(tt["N"] or 0) + int(tt["V"] or 0)
+    nvr = int(tr["N"] or 0) + int(tr["V"] or 0)
+    per_doc = (
+        grams.join(ct, "g", "left")
+        .join(cr, "g", "left")
+        .select(
+            id_col,
+            F.expr(
+                f"(length(bin(({nvr} div (coalesce(cr, 0) + 1)))) - 1)"
+                f" - (length(bin(({nvt} div (coalesce(ct, 0) + 1)))) - 1)"
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("log_w"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("log_w", F.lit(0)).cast("long").alias("log_w"),
+        )
+    )
+    return unpersist_after_action(out, (grams, ct, cr))
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    gumbel: bool = False,
+) -> DataFrame:
+    """Select the k most target-like docs from a ``dsir_log_weights``
+    frame. Default path: rank by ``(log_w DESC, md5(id|seed))`` — a
+    deterministic total order both engines reproduce bit-for-bit (the
+    selection the driver oracle prices). ``gumbel=True`` is the
+    paper's importance RESAMPLING: Gumbel-top-k over
+    ``log_w·ln2 + G_i`` with ``G_i = −ln(−ln(U_i))`` and ``U_i`` the
+    portable md5-hash uniform — deterministic per seed, but float
+    (libm log), so it is pytest-covered and never oracle-compared.
+    Both paths plan as distributed TakeOrdered — no single-reducer
+    global window."""
+    import math
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+    if gumbel:
+        u = (
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("double") + 0.5
+        ) / F.lit(float(16**15))
+        noisy = F.col("log_w") * F.lit(math.log(2.0)) - F.log(-F.log(u))
+        return weights.orderBy(noisy.desc(), key.asc()).limit(k)
+    return weights.orderBy(F.col("log_w").desc(), key.asc()).limit(k)

@@ -1302,7 +1302,52 @@ def _split_oracle() -> str:
     share_values = ", ".join(
         f"('{k}', {v})" for k, v in sorted(PLAN_SHARES.items())
     )
-    return f"""
+    # DSIR (round 13): both bigram LMs re-derived from scratch — the
+    # target model over the en %7==2 slice, the raw background over
+    # the whole corpus — every doc's quantized log importance ratio
+    # summed gram-by-gram, and the SAME (log_w DESC, md5 tie-break)
+    # top-n//5 selection
+    dsir_ctes = f"""
+    WITH dsir_t AS (SELECT doc_id, lang, n_chars, {TOKS} AS toks
+                    FROM documents),
+    dsir_g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS gm
+        FROM dsir_t
+    ),
+    dsir_ct AS (
+        SELECT g.gm, COUNT(*) AS c
+        FROM dsir_g g JOIN dsir_t t USING (doc_id)
+        WHERE t.lang = 'en' AND t.doc_id % 7 = 2
+        GROUP BY g.gm
+    ),
+    dsir_cr AS (SELECT gm, COUNT(*) AS c FROM dsir_g GROUP BY gm),
+    dsir_nvt AS (SELECT COALESCE(SUM(c), 0) + COUNT(*) AS nv FROM dsir_ct),
+    dsir_nvr AS (SELECT COALESCE(SUM(c), 0) + COUNT(*) AS nv FROM dsir_cr),
+    dsir_w0 AS (
+        SELECT g.doc_id,
+               CAST(SUM(
+                   (length(bin(r.nv // (COALESCE(cr.c, 0) + 1))) - 1)
+                 - (length(bin(t.nv // (COALESCE(ct.c, 0) + 1))) - 1)
+               ) AS BIGINT) AS log_w
+        FROM dsir_g g
+        LEFT JOIN dsir_ct ct USING (gm)
+        LEFT JOIN dsir_cr cr USING (gm)
+        CROSS JOIN dsir_nvt t CROSS JOIN dsir_nvr r
+        GROUP BY g.doc_id
+    ),
+    dsir_w AS (
+        SELECT d.doc_id, d.lang, d.n_chars, COALESCE(w.log_w, 0) AS log_w
+        FROM dsir_t d LEFT JOIN dsir_w0 w USING (doc_id)
+    ),
+    dsir_sel AS (
+        SELECT * FROM dsir_w
+        ORDER BY log_w DESC, md5(CAST(doc_id AS VARCHAR) || '|0')
+        LIMIT (SELECT COUNT(*) // 5 FROM documents)
+    )
+    """
+    return f"""{dsir_ctes}
     SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t1}' THEN 'train'
                 WHEN md5(CAST(doc_id AS VARCHAR)) < '{t2}' THEN 'val'
                 ELSE 'test' END AS split,
@@ -1329,6 +1374,17 @@ def _split_oracle() -> str:
     JOIN (SELECT lang, SUM(n_chars) AS have FROM documents GROUP BY 1) a
       ON a.lang = s.lang
     CROSS JOIN (SELECT SUM(n_chars) AS total FROM documents) b
+    UNION ALL
+    SELECT 'dsir' AS split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM dsir_sel
+    GROUP BY 1, 2
+    UNION ALL
+    -- the weight VALUES priced directly: n_chars carries the selected
+    -- set's summed quantized log importance ratio
+    SELECT 'dsir_w' AS split, 'all' AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(log_w) AS BIGINT) AS n_chars
+    FROM dsir_sel
     ORDER BY split, lang
     """
 
@@ -1354,9 +1410,23 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(min(want, available)), both recomputed by DuckDB from
     SUM(n_chars) directly. The arithmetic is exact on both engines:
     quarter/half shares of an integer budget are exact binary
-    fractions, so no float boundary exists to flake across."""
+    fractions, so no float boundary exists to flake across.
+
+    Round 13 adds DSIR data selection (``operators/lm_score.py:
+    dsir_log_weights`` / ``dsir_select`` — Xie et al. 2023): a target
+    bigram LM over the en %7==2 slice, the raw background over the
+    whole corpus, every doc weighted by its exact quantized log
+    importance ratio, and the top n//5 selected under the
+    (log_w DESC, md5 tie-break) total order. The 'dsir' rows count the
+    selection per language; the 'dsir_w' row sums the selected set's
+    weights — DuckDB re-derives BOTH models, every weight, and the
+    selection itself."""
     import math
 
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        dsir_log_weights,
+        dsir_select,
+    )
     from polygon_daily_market_data_pipeline_spark.operators.sampling import (
         mix_rates_for_token_budget,
         stratified_sample,
@@ -1404,7 +1474,32 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = spark.createDataFrame(
         plan_rows, "split string, lang string, n_docs long, n_chars long"
     )
-    return splits.unionByName(mix).unionByName(plan).orderBy("split", "lang")
+    # DSIR selection (round 13): weights from the in-flight model pair,
+    # top n//5 by the (log_w DESC, md5) deterministic order
+    target = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 7 == 2)
+    )
+    k = docs.count() // 5
+    sel = dsir_select(dsir_log_weights(docs, target), k)
+    dsir = (
+        sel.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy(F.lit("dsir").alias("split"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    dsir_w = sel.agg(
+        F.lit("dsir_w").alias("split"),
+        F.lit("all").alias("lang"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("log_w").cast("long").alias("n_chars"),
+    )
+    return (
+        splits.unionByName(mix).unionByName(plan)
+        .unionByName(dsir).unionByName(dsir_w)
+        .orderBy("split", "lang")
+    )
 
 
 KEEP_BEST_ORACLE = f"""

@@ -1637,3 +1637,77 @@ def test_lm_model_compaction_score_invariant(spark, tmp_path):
         for r in score_with_bigram_model(spark, a_dir, probe).collect()
     )
     assert pinned != after
+
+
+def test_dsir_weights_hand_computed_and_ordering(spark):
+    """DSIR importance weights (round 13): hand-checked arithmetic on a
+    tiny corpus — log_w = Σ per-gram (s_raw − s_target) — and the
+    decision structure: docs matching the target distribution weigh
+    MORE than background-only docs; a doc with < 2 tokens weighs 0."""
+    import math
+
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        dsir_log_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y"),     # target-like: grams xy x2, yx x1
+            (2, "p q p q"),     # background-only: pq x2, qp x1
+            (3, "solo"),        # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id = 1")
+    out = {r.doc_id: r for r in dsir_log_weights(docs, target).collect()}
+
+    def s(nv, c):
+        return math.floor(math.log2(nv // (c + 1)))
+
+    # raw model: counts xy=2, yx=1, pq=2, qp=1 -> N=6, V=4, NV=10
+    # target model: xy=2, yx=1 -> N=3, V=2, NV=5
+    w1 = (2 * s(10, 2) + s(10, 1)) - (2 * s(5, 2) + s(5, 1))
+    w2 = (2 * s(10, 2) + s(10, 1)) - (2 * s(5, 0) + s(5, 0))
+    assert out[1].log_w == w1 and out[1].n_bigrams == 3
+    assert out[2].log_w == w2 and out[2].n_bigrams == 3
+    assert out[3].log_w == 0 and out[3].n_bigrams == 0
+    assert out[1].log_w > out[2].log_w  # target-like ranks higher
+
+
+def test_dsir_self_target_is_zero(spark):
+    """target == raw background ⇒ every weight is exactly 0 (the
+    importance ratio of a distribution against itself)."""
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        dsir_log_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common w{i} tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = dsir_log_weights(docs, docs).collect()
+    assert out and all(r.log_w == 0 for r in out)
+
+
+def test_dsir_select_deterministic_and_gumbel(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("good text " * 3) if i % 3 == 0 else f"junk{i} blob{i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id % 3 = 0 and doc_id < 15")
+    w = dsir_log_weights(docs, target)
+    s1 = sorted(r.doc_id for r in dsir_select(w, 5).collect())
+    s2 = sorted(r.doc_id for r in dsir_select(w, 5).collect())
+    assert s1 == s2 and len(s1) == 5
+    # the rank selection picks target-like docs
+    assert all(d % 3 == 0 for d in s1)
+    # gumbel resampling: deterministic per seed, k respected
+    g1 = sorted(r.doc_id for r in dsir_select(w, 5, seed=7, gumbel=True).collect())
+    g2 = sorted(r.doc_id for r in dsir_select(w, 5, seed=7, gumbel=True).collect())
+    assert g1 == g2 and len(g1) == 5
