@@ -370,6 +370,7 @@ def plan_star_join(
     skew_ratio_threshold: float = SKEW_RATIO_DEFAULT,
     auto_salt: bool = False,
     n_salts: int = 8,
+    dim_predicates: "list[dict | None] | None" = None,
 ) -> "tuple[DataFrame, dict]":
     """Multi-way star join ordered by the tables' OWN statistics
     (round 13, VERDICT r12 #1): join ``fact`` against every versioned
@@ -403,18 +404,34 @@ def plan_star_join(
 
     Each per-dim join is planned by ``plan_join_with_stats`` — same
     thresholds, same version pinning, same ``auto_salt`` escape for
-    sidecar-flagged skew. Returns ``(joined, decision)`` with
+    sidecar-flagged skew. ``dim_predicates`` (round 13, parallel to
+    ``dims``) makes individual dims FILTER-AWARE: a dim with a
+    predicate is sized by ``filtered_size_bound``'s provable envelope
+    upper bound and read pre-filtered through ``scan_version`` — so a
+    big-but-selectively-filtered dim can order (and broadcast) as the
+    small side it provably is. Returns ``(joined, decision)`` with
     ``decision = {"order": [input indices in join order], "provable":
     bool, "dims": [per-dim plan_join_with_stats decisions, in JOIN
     order]}``."""
+    if dim_predicates is None:
+        dim_predicates = [None] * len(dims)
+    if len(dim_predicates) != len(dims):
+        raise ValueError(
+            f"dim_predicates has {len(dim_predicates)} entries for "
+            f"{len(dims)} dims"
+        )
     sizes: "list[int | None]" = []
     versions: "list[int]" = []
-    for dim_dir, _on in dims:
+    for (dim_dir, _on), pred in zip(dims, dim_predicates):
         vs = _manifests(dim_dir)
         if not vs:
             raise FileNotFoundError(f"no versions in {dim_dir}")
         versions.append(vs[-1])
-        est = table_size_estimate(dim_dir, version=vs[-1])
+        if pred is not None:
+            bound = filtered_size_bound(dim_dir, pred, version=vs[-1])
+            est = {"rows": bound["rows_ub"], "bytes": bound["bytes_ub"]}
+        else:
+            est = table_size_estimate(dim_dir, version=vs[-1])
         sizes.append(
             est["rows"] if broadcast_threshold_rows is not None
             else est["bytes"]
@@ -449,6 +466,7 @@ def plan_star_join(
             dim_version=versions[i],
             auto_salt=auto_salt,
             n_salts=n_salts,
+            dim_predicates=dim_predicates[i],
         )
         dim_decisions.append(d)
     return joined, {

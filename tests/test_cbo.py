@@ -760,3 +760,41 @@ def test_dynamic_file_prune_join_right_keeps_unmatched_dim(spark, tmp_path):
     by_attr = {r[0]: r[1] for r in rows}
     assert by_attr["hit"] is not None
     assert by_attr["miss"] is None and by_attr["nullkey"] is None
+
+
+def test_star_join_filter_aware_ordering(spark, star_tables):
+    """A predicate that provably shrinks a big dim must move it to the
+    FRONT of the star order as a broadcast — the same envelope bound
+    the two-way planner uses, applied per dim."""
+    plan_star_join, slim, fdir, ddir, sdir = star_tables
+    fact = read_version(spark, fdir)
+    # grow the status dim past the threshold with envelope-separable
+    # zz_ members (separate append dirs)
+    junk = spark.createDataFrame(
+        [(f"zz_{i:05d}", 0) for i in range(200)],
+        "o_orderstatus string, dval_s long",
+    )
+    commit_version(junk, sdir, mode="append", stats_cols=["o_orderstatus"])
+    dims = [(ddir, "o_orderpriority"), (sdir, "o_orderstatus")]
+    # unfiltered: the grown status dim orders LAST as a merge join
+    j0, d0 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64
+    )
+    assert [x["strategy"] for x in d0["dims"]][-1] == "merge"
+    # filtered: the bound proves the real statuses small again — the
+    # status dim returns to the broadcast tier, and values equal the
+    # residual-filtered plain join
+    preds = [None, {"o_orderstatus": (None, "9")}]
+    j1, d1 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=64,
+        dim_predicates=preds,
+    )
+    assert all(x["strategy"] == "broadcast" for x in d1["dims"])
+    assert d1["dims"][d1["order"].index(1)]["filtered"]
+    dim_p = read_version(spark, ddir)
+    dim_s = read_version(spark, sdir).where(F.col("o_orderstatus") <= "9")
+    expect = fact.join(dim_p, "o_orderpriority").join(dim_s, "o_orderstatus")
+    assert sorted(map(tuple, j1.select(*sorted(j1.columns)).collect())) == \
+        sorted(map(tuple, expect.select(*sorted(expect.columns)).collect()))
+    with pytest.raises(ValueError, match="entries for"):
+        plan_star_join(spark, fact, dims, dim_predicates=[None])
