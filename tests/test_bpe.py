@@ -144,3 +144,22 @@ def test_encode_counts_consistent_with_segments(spark):
         .agg(F.sum("k")).first()[0]
     )
     assert words == rows[kid]["n_bpe_tokens"]
+
+
+def test_arrow_encoder_equals_expression_path(spark):
+    """The production (Arrow-batched) encoder performs the same
+    sequential merge replay as the JVM expression path — identical
+    counts on real corpus text, whatever the batch boundaries."""
+    from polygon_daily_market_data_pipeline_spark.operators.bpe import (
+        bpe_encode_text_arrow,
+    )
+
+    docs = load_table(spark, SF, "documents").where(
+        F.col("doc_id") % 9 == 4
+    ).select("doc_id", "text")
+    merges = train_bpe(docs, 10)
+    want = sorted(map(tuple, bpe_encode_text(docs, merges).collect()))
+    got = sorted(
+        map(tuple, bpe_encode_text_arrow(docs.repartition(7), merges).collect())
+    )
+    assert got == want
