@@ -473,3 +473,39 @@ def matview_source_version(mv_dir: str) -> int:
     freshness contract, metadata-only."""
     _v, meta = _load_mv_sidecar(mv_dir)
     return meta["source_version"]
+
+
+def matview_stream_sink(
+    source_dir: str,
+    mv_dir: str,
+    *,
+    stats_cols: "list[str] | None" = None,
+    **sink_kwargs,
+):
+    """Streaming MV maintenance: a ``foreachBatch`` sink composing
+    exactly-once versioned ingest (``versioned_stream_sink`` — replays
+    dedup on the batch watermark) with an incremental refresh that
+    brings the view to the source's new head. Every micro-batch is an
+    APPEND, so the refresh always takes the O(new-rows) change-feed
+    path — the streaming loop never rescans, and the MV's commit
+    history IS the stream's aggregate history (time travel over the
+    view's past states).
+
+    Crash anywhere and the replay completes only the missing half:
+    a replayed batch id skips the ingest (watermark) and the refresh
+    no-ops if the MV already represents the source's latest version —
+    double idempotence, pinned by test. The MV must exist
+    (``create_matview`` over the source before starting the query)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        versioned_stream_sink,
+    )
+
+    ingest = versioned_stream_sink(
+        source_dir, stats_cols=stats_cols, **sink_kwargs
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest(batch_df, batch_id)
+        refresh_matview(batch_df.sparkSession, mv_dir)
+
+    return sink

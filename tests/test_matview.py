@@ -233,3 +233,51 @@ def test_spec_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="non-empty"):
         create_matview(spark, str(tmp_path / "m4"), src, [],
                        {"x": ("count",)})
+
+
+def test_streaming_maintenance_exactly_once(spark, tmp_path):
+    """matview_stream_sink: per-micro-batch append + incremental
+    refresh; the final MV equals a from-scratch create, every refresh
+    took the append fast path, and a REPLAYED batch (crash between
+    checkpoint and commit) changes nothing — double idempotence."""
+    from polygon_daily_market_data_pipeline_spark.operators.matview import (
+        matview_stream_sink,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_version,
+    )
+
+    df = _src(spark, 240)
+    src_files = str(tmp_path / "in")
+    df.repartition(3).write.parquet(src_files)
+    source = str(tmp_path / "source")
+    mv = str(tmp_path / "mv")
+    measures = {"n": ("count",), "total": ("sum", "val"),
+                "hi": ("max", "val")}
+    # the MV exists before the stream: seeded from an empty slice
+    commit_version(df.limit(0), source)
+    create_matview(spark, mv, source, ["g"], measures)
+
+    sink = matview_stream_sink(source, mv)
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_files)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ref = str(tmp_path / "ref")
+    create_matview(spark, ref, source, ["g"], measures)
+    assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
+    # replay a batch by hand (the crash-between-commit-and-checkpoint
+    # case): nothing may move
+    mv_versions_before = _manifests(mv)
+    src_versions_before = _manifests(source)
+    sink(df.limit(50), 0)  # batch id 0 is behind the watermark
+    assert _manifests(mv) == mv_versions_before
+    assert _manifests(source) == src_versions_before
+    assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
