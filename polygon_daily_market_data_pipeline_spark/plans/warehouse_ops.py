@@ -494,22 +494,25 @@ def _matview_rows(
 ) -> list[DataFrame]:
     """Incremental materialized view (``operators/matview.py``, round
     13): a COUNT/SUM/MAX view grouped by o_orderstatus maintained
-    through an APPEND, a MERGE update (every 10th key's price doubled)
-    and a copy-on-write DELETE (the top key band) by retraction
-    algebra — COUNT/SUM never rescan; the MAX rescans exactly the
-    delete-touched groups. n_rows = Σ live counts over the final MV
-    (= surviving source rows); val = exact money cents summed from the
-    MV's STORED decimal SUM partials — the oracle prices both from the
-    base table's final state directly. n_aux bits, oracle-pinned 15:
+    through an APPEND and a copy-on-write DELETE (the top key band) by
+    retraction algebra — COUNT/SUM never rescan; the MAX rescans
+    exactly the delete-touched groups. (MERGE-update retraction is the
+    same diff path — pytest-covered in test_matview.py; the driver
+    script prices the append fast path and the delete's rescan, the
+    two shapes with distinct machinery.) n_rows = Σ live counts over
+    the final MV (= surviving source rows); val = exact money cents
+    summed from the MV's STORED decimal SUM partials — the oracle
+    prices both from the base table's final state directly. n_aux
+    bits, oracle-pinned 15:
 
-    - 1: stored partials after the three incremental refreshes are
+    - 1: stored partials after the incremental refreshes are
       row-identical to a from-scratch ``create_matview`` at the same
       source version (THE law);
     - 2: the append refresh took the O(new-rows) change-feed path and
       an immediate repeat refresh was a metadata-only noop;
-    - 4: the mutation refreshes ran the dirty-group min/max rescan
-      while an additive twin (count/sum only) of the same commit
-      sequence never rescanned;
+    - 4: the delete refresh ran the dirty-group min/max rescan while
+      an additive twin (count/sum only) over the same delete never
+      rescanned;
     - 8: the MV's recorded freshness contract equals the source's
       latest version."""
     from polygon_daily_market_data_pipeline_spark.operators.matview import (
@@ -542,24 +545,19 @@ def _matview_rows(
     }
     mv = os.path.join(base, "mv")
     create_matview(spark, mv, src, ["o_orderstatus"], measures)
-    mv_add = os.path.join(base, "mv_add")
-    create_matview(
-        spark, mv_add, src, ["o_orderstatus"],
-        {"n": ("count",), "money": ("sum", "o_totalprice")},
-    )
     commit_version(
         slim.where(F.col("o_orderkey") > half).coalesce(2),
         src, mode="append", stats_cols=["o_orderkey"],
     )
     d_app = refresh_matview(spark, mv)
     d_noop = refresh_matview(spark, mv)
-    refresh_matview(spark, mv_add)
-    upd = slim.where(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", (F.col("o_totalprice") * 2).cast(_MONEY_DEC)
+    # the additive twin exists only to price "count/sum never rescan":
+    # created at the pre-delete head, it sees exactly one diff refresh
+    mv_add = os.path.join(base, "mv_add")
+    create_matview(
+        spark, mv_add, src, ["o_orderstatus"],
+        {"n": ("count",), "money": ("sum", "o_totalprice")},
     )
-    merge_version(spark, src, upd, ["o_orderkey"], stats_cols=["o_orderkey"])
-    d_mrg = refresh_matview(spark, mv)
-    refresh_matview(spark, mv_add)
     delete_version_where(
         spark, src, F.col("o_orderkey") > cut,
         prune={"o_orderkey": (cut, None)}, stats_cols=["o_orderkey"],
@@ -580,7 +578,8 @@ def _matview_rows(
         (1 if eq_scratch else 0)
         + (2 if d_app["mode"] == "append" and not d_app["rescanned"]
            and d_noop["mode"] == "noop" else 0)
-        + (4 if d_mrg["rescanned"] and d_del["rescanned"]
+        + (4 if d_del["mode"] == "diff" and d_del["rescanned"]
+           and d_del_add["mode"] == "diff"
            and not d_del_add["rescanned"] else 0)
         + (8 if matview_source_version(mv) == _manifests(src)[-1] else 0)
     )
@@ -2226,10 +2225,10 @@ _CHECK_SQL["cbo_star"] = f"""
 # pruned-fewer-files(1) + partial-bound-drop-noop(2) +
 # covering-drop-exact(4) = 7.
 # Incremental materialized view (round 13): final MV state priced from
-# the base table's final state — survivors of the top-band delete, the
-# merged keys' prices doubled; n_aux pins the four claim bits at 15
-# (incremental == scratch, append path + noop, dirty-only rescan,
-# freshness contract — see _matview_rows).
+# the base table's final state — the survivors of the top-band delete;
+# n_aux pins the four claim bits at 15 (incremental == scratch, append
+# path + noop, dirty-only rescan vs additive twin, freshness contract
+# — see _matview_rows).
 _CHECK_SQL["versioned_matview"] = """
         SELECT 'versioned_matview',
                (SELECT COUNT(*) FROM ord
@@ -2237,9 +2236,7 @@ _CHECK_SQL["versioned_matview"] = """
                         - CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT)
                     FROM ord)),
                15,
-               (SELECT CAST(SUM(CASE WHEN o_orderkey % 10 = 0
-                        THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
-                        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     * 100 AS BIGINT)
                 FROM ord
                 WHERE o_orderkey <= (SELECT MAX(o_orderkey)
