@@ -163,3 +163,23 @@ def catalog_rollback(catalog_dir: str, to_version: int) -> int:
         catalog_dir,
         {n: (p["dir"], p["version"]) for n, p in snap.items()},
     )
+
+
+def catalog_sql(
+    spark: SparkSession,
+    catalog_dir: str,
+    sql: str,
+    catalog_version: "int | None" = None,
+) -> DataFrame:
+    """Run SQL over the catalog's pinned tables: every table in the
+    snapshot is registered as a temp view at its pinned version, then
+    the statement runs — so a multi-table query is consistent by
+    construction, and re-running the same statement at the same catalog
+    version is deterministic no matter what writers did since. View
+    registration is session-scoped and idempotent (replace)."""
+    snap = catalog_snapshot(catalog_dir, catalog_version)
+    for name, pin in snap.items():
+        read_version(
+            spark, pin["dir"], version=pin["version"]
+        ).createOrReplaceTempView(name)
+    return spark.sql(sql)

@@ -109,3 +109,30 @@ def test_occ_publish_and_rollback(spark, tmp_path):
     assert v3 == v2 + 1 and catalog_versions(cat) == [0, 1, 2, 3]
     assert read_catalog(spark, cat, "fact", v3).count() == 3
     assert catalog_snapshot(cat, v3) == catalog_snapshot(cat, v0)
+
+
+def test_catalog_sql_runs_over_pinned_views(spark, tmp_path):
+    fact, dim = _tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    from polygon_daily_market_data_pipeline_spark.operators.catalog import (
+        catalog_sql,
+    )
+
+    v0 = catalog_commit(cat, {"fact": fact, "dim": dim})
+    commit_version(
+        spark.createDataFrame([(4, "b", 40)], "k long, g string, v long"),
+        fact, mode="append",
+    )
+    total = catalog_sql(
+        spark, cat,
+        "SELECT SUM(f.v) AS t FROM fact f JOIN dim d ON f.g = d.g",
+        catalog_version=v0,
+    ).first()["t"]
+    assert total == 60  # pinned pre-append
+    v1 = catalog_commit(cat, {"fact": fact, "dim": dim})
+    total2 = catalog_sql(
+        spark, cat,
+        "SELECT SUM(f.v) AS t FROM fact f JOIN dim d ON f.g = d.g",
+        catalog_version=v1,
+    ).first()["t"]
+    assert total2 == 100

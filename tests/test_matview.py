@@ -281,3 +281,31 @@ def test_streaming_maintenance_exactly_once(spark, tmp_path):
     assert _manifests(mv) == mv_versions_before
     assert _manifests(source) == src_versions_before
     assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
+
+
+def test_refresh_exact_under_eqdel_and_dv(spark, tmp_path):
+    """The diff path covers row-level deletes that change NO
+    directories: equality deletes (erasure list) and deletion vectors
+    (positional) — the MV must track visible rows, not files."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        delete_version_keys,
+        delete_version_vectors,
+    )
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 200), src)
+    create_matview(spark, mv, src, ["g"], MEASURES)
+    # equality delete: one whole group's keys
+    delete_version_keys(
+        spark, src, spark.createDataFrame([(3,)], "g bigint")
+    )
+    d1 = refresh_matview(spark, mv)
+    assert d1["mode"] == "diff"
+    _assert_equals_full(spark, mv, src, tmp_path, "eqdel")
+    assert read_matview(spark, mv).where(F.col("g") == 3).count() == 0
+    # deletion vectors: positional delete of a value band
+    delete_version_vectors(spark, src, F.col("k") < 20)
+    d2 = refresh_matview(spark, mv)
+    assert d2["mode"] == "diff"
+    _assert_equals_full(spark, mv, src, tmp_path, "dv")
