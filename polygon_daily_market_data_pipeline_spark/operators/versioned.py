@@ -925,6 +925,8 @@ def versioned_stream_sink(
     partition_values_fn=None,
     expectations: dict | None = None,
     quarantine_dir: str | None = None,
+    auto_analyze_every: int | None = None,
+    analyze_cols: list[str] | None = None,
 ):
     """foreachBatch sink committing each micro-batch as a new APPEND
     version of a versioned table — streaming ingest with time travel,
@@ -969,6 +971,13 @@ def versioned_stream_sink(
     pass). Exactly-once holds for BOTH tables: each side dedups
     replays on its own ``max_batch`` watermark, so a crash between the
     two commits re-publishes only the missing side on replay.
+
+    ``auto_analyze_every=N`` (round 13) keeps the ANALYZE sidecar fresh
+    for the CBO: after every Nth committed batch the sidecar is
+    extended by ``analyze_incremental`` (exact additive merge over the
+    append-only window; the first boundary seeds a full analyze) over
+    ``analyze_cols`` (default ``stats_cols``). Statistics are advisory
+    — an analyze failure never fails ingest.
 
     ``auto_compact_every=N`` runs ``optimize_compact`` after every Nth
     committed batch (Delta's autoCompact posture): without it a
@@ -1040,6 +1049,25 @@ def versioned_stream_sink(
                 )
             except FileExistsError:
                 pass  # lost the version race; next boundary retries
+        if auto_analyze_every and (batch_id + 1) % auto_analyze_every == 0:
+            # stats freshness for the CBO (round 13): a streamed table
+            # whose sidecar lags plans joins on stale sizes/NDV. Each
+            # boundary extends the sidecar by the window since the last
+            # ANALYZE — append-only here, so the incremental path's
+            # exact merge applies; the first boundary seeds it with a
+            # full analyze of what exists so far. Statistics are
+            # advisory: a failure must never fail ingest.
+            cols = analyze_cols or stats_cols
+            if cols:
+                try:
+                    if analyze_sidecar_version(table_dir) is None:
+                        analyze_version(
+                            batch_df.sparkSession, table_dir, cols
+                        )
+                    else:
+                        analyze_incremental(batch_df.sparkSession, table_dir)
+                except Exception:  # noqa: BLE001 — advisory surface
+                    pass
 
     return sink
 
@@ -5750,6 +5778,17 @@ def _write_stats(table_dir: str, v: int, stats: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(stats, f)
     os.replace(tmp, _stats_path(table_dir, v))
+
+
+def analyze_sidecar_version(table_dir: str) -> "int | None":
+    """Newest version with an ANALYZE sidecar, or None if the table was
+    never analyzed — the freshness probe auto-analyze and planners key
+    on. Metadata-only."""
+    analyzed = [
+        v for v in _manifests(table_dir)
+        if os.path.exists(_stats_path(table_dir, v))
+    ]
+    return analyzed[-1] if analyzed else None
 
 
 def analyze_version(

@@ -1251,3 +1251,63 @@ def test_interval_join_left_outer_late_view_then_timeout(spark, tmp_path):
         (9, t0 + dt.timedelta(minutes=35), t0 + dt.timedelta(minutes=30),
          3.0, 12.0),
     ]
+
+
+def test_versioned_stream_sink_auto_analyze(spark, tmp_path):
+    """auto_analyze_every keeps the sidecar fresh: after the stream the
+    table is ANALYZEd, the sidecar matches a full re-analysis exactly
+    (the incremental merge is lossless), and the CBO can plan off it."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        key_skew_ratio,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_sidecar_version,
+        analyze_version,
+        versioned_stream_sink,
+    )
+
+    rows = [(m, u, float(u)) for m in range(8) for u in range(1, 5)]
+    df = _events_df(spark, rows)
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    table = str(tmp_path / "table")
+    sink = versioned_stream_sink(
+        table, stats_cols=["user_id"], auto_analyze_every=2
+    )
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    av = analyze_sidecar_version(table)
+    assert av is not None and av == 3  # 4 batches, every 2nd analyzed
+    ratio = key_skew_ratio(table, "user_id")
+    assert ratio == len(rows) / 4  # 4 distinct users, exact below k
+    # lossless: the incremental chain equals a from-scratch analyze
+    import json as _json
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _stats_path,
+    )
+
+    with open(_stats_path(table, av)) as f:
+        inc = _json.load(f)
+    ref = str(tmp_path / "ref")
+    import shutil
+
+    shutil.copytree(table, ref)
+    import os as _os
+
+    for v in range(av + 1):
+        p = _stats_path(ref, v)
+        if _os.path.exists(p):
+            _os.remove(p)
+    analyze_version(spark, ref, ["user_id"])
+    with open(_stats_path(ref, av)) as f:
+        full = _json.load(f)
+    assert inc["columns"] == full["columns"]
