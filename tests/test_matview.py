@@ -309,3 +309,67 @@ def test_refresh_exact_under_eqdel_and_dv(spark, tmp_path):
     d2 = refresh_matview(spark, mv)
     assert d2["mode"] == "diff"
     _assert_equals_full(spark, mv, src, tmp_path, "dv")
+
+
+def test_matview_cascade_over_matview(spark, tmp_path):
+    """An MV is itself a versioned table, so an MV OVER an MV composes:
+    the downstream refresh sees the upstream's overwrite commits via
+    the bag-diff path and stays exact through the whole cascade."""
+    src = str(tmp_path / "src")
+    mv1 = str(tmp_path / "mv1")
+    mv2 = str(tmp_path / "mv2")
+    commit_version(_src(spark, 210), src)
+    create_matview(
+        spark, mv1, src, ["g"],
+        {"n": ("count",), "total": ("sum", "val")},
+    )
+    # downstream re-aggregates the upstream VIEW's stored measures
+    create_matview(
+        spark, mv2, mv1, ["g"],
+        {"rows_sum": ("sum", "n"), "grand": ("sum", "total")},
+    )
+    # source moves; refresh the cascade in order
+    commit_version(
+        _src(spark, 90, tag=777).withColumn("k", F.col("k") + 5000),
+        src, mode="append",
+    )
+    delete_version_where(spark, src, F.col("k") < 30)
+    assert refresh_matview(spark, mv1)["mode"] == "diff"
+    d2 = refresh_matview(spark, mv2)
+    assert d2["mode"] == "diff"  # upstream refreshes are overwrites
+    ref = str(tmp_path / "ref")
+    create_matview(
+        spark, ref, mv1, ["g"],
+        {"rows_sum": ("sum", "n"), "grand": ("sum", "total")},
+    )
+    assert _rows(read_matview(spark, mv2)) == _rows(read_matview(spark, ref))
+    # and the cascade's grand totals equal direct source aggregation
+    direct = (
+        read_version(spark, src).groupBy("g")
+        .agg(F.count(F.lit(1)).alias("rows_sum"), F.sum("val").alias("grand"))
+    )
+    assert _rows(read_matview(spark, mv2)) == _rows(direct)
+
+
+def test_refresh_exact_after_source_schema_evolution(spark, tmp_path):
+    """A source gaining a column must not disturb a view over the old
+    columns: the delta surfaces the new column as NULL (read_changes /
+    diff contract) and the measures never touch it."""
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 120), src)
+    create_matview(
+        spark, mv, src, ["g"],
+        {"n": ("count",), "total": ("sum", "val")},
+    )
+    evolved = _src(spark, 60, tag=50).withColumn(
+        "k", F.col("k") + 9000
+    ).withColumn("extra", F.lit("new"))
+    commit_version(evolved, src, mode="append", schema_evolution=True)
+    assert refresh_matview(spark, mv)["mode"] == "append"
+    ref = str(tmp_path / "ref")
+    create_matview(
+        spark, ref, src, ["g"],
+        {"n": ("count",), "total": ("sum", "val")},
+    )
+    assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
