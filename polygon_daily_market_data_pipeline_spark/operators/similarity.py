@@ -1407,3 +1407,134 @@ def cosine_topk_ivfpq(
     return _exact_rerank(
         corpus, queries, cand, k, k * rerank_factor, id_col, vec_col
     )
+
+
+def sq_train_bounds(
+    df: DataFrame, vec_col: str = "embedding"
+) -> "np.ndarray":
+    """Scalar-quantization bounds, shape (2, dim): per-dimension
+    [min, max] over the corpus — the FAISS ``SQ8`` posture (each float
+    stored as one uint8 step inside its dimension's range; 4x smaller
+    than float32, far simpler than PQ, no codebook training). One
+    exact SQL pass: posexplode + per-position MIN/MAX (a dim-keyed
+    shuffle of two doubles per position), dim-sized driver result."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    dim = max(r["pos"] for r in rows) + 1
+    out = np.zeros((2, dim), dtype=np.float64)
+    for r in rows:
+        out[0, r["pos"]], out[1, r["pos"]] = r["lo"], r["hi"]
+    return out
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<int>) — each dimension rounded to its 0..255
+    step. Arrow pass, no shuffle, O(batch) anywhere. A degenerate
+    dimension (hi == lo) codes to 0 and decodes to exactly lo."""
+    lo, hi = bounds[0], bounds[1]
+    span = hi - lo
+    # np.where evaluates both branches — divide only where span > 0
+    scale = np.divide(
+        255.0, span, out=np.zeros_like(span), where=span > 0
+    )
+    b_lo = df.sparkSession.sparkContext.broadcast(lo)
+    b_sc = df.sparkSession.sparkContext.broadcast(scale)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.rint(
+                np.clip((mat - b_lo.value) * b_sc.value, 0.0, 255.0)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "code": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, code array<long>"
+    )
+
+
+def sq_decode_mat(
+    codes: "np.ndarray", bounds: "np.ndarray"
+) -> "np.ndarray":
+    """Reconstruct (n, dim) floats from SQ codes — midpointless linear
+    de-quantization, the exact inverse of ``sq_encode``'s grid."""
+    lo, hi = bounds[0], bounds[1]
+    step = np.where(hi > lo, (hi - lo) / 255.0, 0.0)
+    return lo + codes * step
+
+
+def cosine_topk_sq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_factor: int = 8,
+    bounds: "np.ndarray | None" = None,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 ANN: scan the corpus as uint8 codes (4x smaller than
+    float32), score approximate cosine against the RECONSTRUCTED
+    vectors (exact for the grid point, so ranking error is pure
+    quantization distortion — much smaller than PQ's at the same
+    corpus), keep per-batch local top ``k·rerank_factor`` candidates,
+    and exact-rerank the hit-sized shortlist against raw vectors —
+    the same audited tail as the LSH/IVF/PQ twins, so returned
+    (rank, cos) are true cosines and recall is the only approximation.
+    Pass ``coded=`` (from ``sq_encode``) to reuse a stored code table —
+    the production path."""
+    if bounds is None:
+        bounds = sq_train_bounds(corpus, vec_col)
+    bounds = np.asarray(bounds, dtype=np.float64)
+    if coded is None:
+        coded = sq_encode(corpus, bounds, id_col, vec_col)
+    spark = corpus.sparkSession
+    qp = queries.select(id_col, vec_col).toPandas()
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    b_q = spark.sparkContext.broadcast(q_mat)
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_qn = spark.sparkContext.broadcast(q_norm)
+    b_bounds = spark.sparkContext.broadcast(bounds)
+    n_cand = k * rerank_factor
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            recon = sq_decode_mat(codes, b_bounds.value)
+            n_ids = pdf[id_col].to_numpy()
+            rnorm = np.sqrt((recon**2).sum(axis=1))
+            denom = np.maximum(rnorm[:, None] * b_qn.value[None, :], 1e-12)
+            approx = (recon @ b_q.value.T) / denom
+            top = min(n_cand, len(n_ids))
+            idx = np.argpartition(-approx, top - 1, axis=0)[:top]
+            qcol = np.repeat(b_ids.value[None, :], top, axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol.ravel(),
+                    "neighbor_id": n_ids[idx].ravel(),
+                    "approx": np.take_along_axis(approx, idx, axis=0).ravel(),
+                }
+            )
+
+    cand = (
+        coded.mapInPandas(scan, "query_id long, neighbor_id long, approx double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return _exact_rerank(corpus, queries, cand, k, n_cand, id_col, vec_col)

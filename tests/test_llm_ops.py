@@ -1711,3 +1711,59 @@ def test_dsir_select_deterministic_and_gumbel(spark):
     g1 = sorted(r.doc_id for r in dsir_select(w, 5, seed=7, gumbel=True).collect())
     g2 = sorted(r.doc_id for r in dsir_select(w, 5, seed=7, gumbel=True).collect())
     assert g1 == g2 and len(g1) == 5
+
+
+def test_sq8_encode_decode_bound_and_recall(spark):
+    """SQ8 scalar quantization (round 13): codes live in [0, 255],
+    reconstruction error per dimension is at most half a step,
+    degenerate dimensions decode exactly, and the ANN twin clears the
+    recall floor with TRUE cosines on the rerank tail — the 4x
+    compression rung below PQ's 16-32x."""
+    import numpy as np
+
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_sq,
+        sq_decode_mat,
+        sq_encode,
+        sq_train_bounds,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bounds = sq_train_bounds(emb)
+    coded = sq_encode(emb, bounds)
+    rows = coded.limit(100).collect()
+    codes = np.array([r["code"] for r in rows], dtype=np.int64)
+    assert codes.min() >= 0 and codes.max() <= 255
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.where(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        ).collect()
+    }
+    step = np.where(bounds[1] > bounds[0], (bounds[1] - bounds[0]) / 255.0, 0)
+    recon = sq_decode_mat(codes, bounds)
+    for i, r in enumerate(rows):
+        err = np.abs(recon[i] - raw[r["vec_id"]])
+        assert (err <= step / 2 + 1e-12).all()
+    # degenerate dimension decodes exactly
+    const = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [2.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    b2 = sq_train_bounds(const)
+    r2 = sq_decode_mat(
+        np.array([r["code"] for r in sq_encode(const, b2).collect()]), b2
+    )
+    assert (r2[:, 1] == 5.0).all()
+
+    q = emb.where("vec_id < 30")
+    exact = cosine_topk_bruteforce(emb, q, k=3)
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    approx = cosine_topk_sq(
+        emb, q, k=3, bounds=bounds, coded=coded, rerank_factor=16
+    ).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id): r.cos for r in approx}
+    recall = len(set(approx_pairs) & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.9, f"SQ8 recall {recall:.2f} below floor"
+    for pair in set(approx_pairs) & set(exact_pairs):
+        assert abs(approx_pairs[pair] - exact_pairs[pair]) < 1e-9
