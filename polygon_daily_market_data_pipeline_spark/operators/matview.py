@@ -175,13 +175,24 @@ def create_matview(
     group_cols: "list[str]",
     measures: dict,
     source_version: "int | None" = None,
+    where_sql: "str | None" = None,
 ) -> int:
-    """Materialize ``SELECT group_cols, <measures> FROM source GROUP BY
-    group_cols`` at a pinned source version. ``measures`` maps output
-    column name → ``(kind, col)`` with kind in count/sum/avg/min/max
-    (``("count",)`` or ``"count"`` for COUNT(*)). Returns the MV's
-    version. One aggregation pass over the source — the only full pass
-    the view's lifetime needs unless a delete dirties a min/max."""
+    """Materialize ``SELECT group_cols, <measures> FROM source [WHERE
+    where_sql] GROUP BY group_cols`` at a pinned source version.
+    ``measures`` maps output column name → ``(kind, col)`` with kind in
+    count/sum/avg/min/max (``("count",)`` or ``"count"`` for
+    COUNT(*)). Returns the MV's version. One aggregation pass over the
+    source — the only full pass the view's lifetime needs unless a
+    delete dirties a min/max.
+
+    ``where_sql`` (round 13) makes the view FILTERED — the Snowflake-MV
+    shape ``...WHERE pred GROUP BY...``: the predicate (a SQL boolean
+    over source columns, stored in the sidecar) restricts every path
+    the refresh takes — full aggregate, append delta, bag-diff delta,
+    and the min/max rescan — so rows outside it can never perturb the
+    view. Retraction stays exact because a row's pred-membership is a
+    pure function of its values: an insert and its retraction land on
+    the same side of the filter by construction."""
     group_cols = list(group_cols)
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
@@ -192,6 +203,8 @@ def create_matview(
             raise FileNotFoundError(f"no versions in {source_dir}")
         source_version = versions[-1]
     src = read_version(spark, source_dir, version=source_version)
+    if where_sql:
+        src = src.where(where_sql)
     partial = _full_aggregate(src, group_cols, norm).select(
         *group_cols, *_storage_cols(norm)
     )
@@ -204,6 +217,7 @@ def create_matview(
             "source_version": source_version,
             "group_cols": group_cols,
             "measures": {k: list(t) for k, t in norm.items()},
+            **({"where_sql": where_sql} if where_sql else {}),
         },
     )
     return v
@@ -249,6 +263,8 @@ def refresh_matview(
 
     try:
         delta = read_changes(spark, src_dir, s0, to_version=s1)
+        if meta.get("where_sql"):
+            delta = delta.where(meta["where_sql"])
         mode = "append"
     except ValueError:
         delta = None
@@ -265,6 +281,10 @@ def refresh_matview(
         )
     else:
         d = diff_versions(spark, src_dir, s0, to_version=s1)
+        if meta.get("where_sql"):
+            # pred-membership is a value function: filtering the bag
+            # diff is exactly filtering both versions before diffing
+            d = d.where(meta["where_sql"])
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
@@ -351,6 +371,8 @@ def refresh_matview(
             # semi join broadcasts the (delta-sized) dirty set, so the
             # pass shuffles dirty-group rows, not the table
             src_now = read_version(spark, src_dir, version=s1)
+            if meta.get("where_sql"):
+                src_now = src_now.where(meta["where_sql"])
             bdirty2 = F.broadcast(dirty)
             dirty_rows = src_now.join(
                 bdirty2, _nullsafe_cond(src_now, bdirty2, group_cols),

@@ -373,3 +373,46 @@ def test_refresh_exact_after_source_schema_evolution(spark, tmp_path):
         {"n": ("count",), "total": ("sum", "val")},
     )
     assert _rows(read_matview(spark, mv)) == _rows(read_matview(spark, ref))
+
+
+def test_filtered_matview_exact_and_blind_to_outside_rows(spark, tmp_path):
+    """A WHERE'd view: every refresh path applies the stored predicate,
+    so the view equals a from-scratch filtered create after appends and
+    deletes — and rows OUTSIDE the predicate never perturb it."""
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(_src(spark, 200), src)
+    pred = "k % 2 = 0"
+    measures = {"n": ("count",), "total": ("sum", "val"),
+                "hi": ("max", "val")}
+    create_matview(spark, mv, src, ["g"], measures, where_sql=pred)
+    before = _rows(read_matview(spark, mv))
+    # an append entirely OUTSIDE the predicate: refresh must not move
+    commit_version(
+        _src(spark, 40, tag=1).withColumn(
+            "k", F.col("k") * 2 + 4001  # odd keys only
+        ),
+        src, mode="append",
+    )
+    assert refresh_matview(spark, mv)["mode"] == "append"
+    assert _rows(read_matview(spark, mv)) == before
+    # a mixed append + a delete crossing the predicate boundary
+    commit_version(
+        _src(spark, 60, tag=2).withColumn("k", F.col("k") + 9000),
+        src, mode="append",
+    )
+    refresh_matview(spark, mv)
+    delete_version_where(spark, src, F.col("k").between(100, 160))
+    d = refresh_matview(spark, mv)
+    assert d["mode"] == "diff" and d["rescanned"]
+    ref = str(tmp_path / "ref")
+    create_matview(spark, ref, src, ["g"], measures, where_sql=pred)
+    assert _rows(read_version(spark, mv).select("g", "n", "total", "hi")) \
+        == _rows(read_version(spark, ref).select("g", "n", "total", "hi"))
+    # and the view is exactly the filtered direct aggregate
+    direct = (
+        read_version(spark, src).where(pred).groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("total"),
+             F.max("val").alias("hi"))
+    )
+    assert _rows(read_matview(spark, mv)) == _rows(direct)
