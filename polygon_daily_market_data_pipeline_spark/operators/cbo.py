@@ -202,6 +202,46 @@ def key_skew_ratio(
     return rows / ndv
 
 
+def key_uniqueness(
+    table_dir: str, col: str, version: "int | None" = None
+) -> "bool | None":
+    """Metadata PROOF of column uniqueness at the newest analyzed
+    version: True when the sidecar's NDV is EXACT (distinct count below
+    the KMV sketch size) and equals the exact visible row count — the
+    FK→PK certificate that makes an N:1 join provably row-preserving
+    on the fact side; False when exact NDV < exact rows (duplicates
+    proven); None when either side is unprovable (estimate-only NDV,
+    rows unknowable under pending equality deletes, never analyzed).
+    Cannot-prove never asserts — same posture as every stats surface
+    here. Pure metadata read."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    analyzed = [
+        pv for pv in versions
+        if pv <= v and os.path.exists(_stats_path(table_dir, pv))
+    ]
+    if not analyzed:
+        return None
+    av = analyzed[-1]
+    with open(_stats_path(table_dir, av)) as f:
+        stats = json.load(f)
+    st = stats["columns"].get(col)
+    if st is None:
+        return None
+    ndv_k = len(st["kmv_set"])
+    if ndv_k >= stats["k"]:
+        return None  # NDV is an estimate past the sketch — no proof
+    rows = fast_count(table_dir, version=av)
+    if rows is None:
+        return None
+    # NULL keys never match an equi-join, so N:1 safety needs only the
+    # NON-NULL values to be unique: exact distinct == non-null rows
+    non_null = rows - int(st.get("nulls") or 0)
+    return ndv_k == non_null
+
+
 def plan_join_with_stats(
     spark: SparkSession,
     fact: DataFrame,
@@ -354,6 +394,15 @@ def plan_join_with_stats(
         "salted": salted,
         "n_salts": n_salts if salted else None,
         "filtered": dim_predicates is not None,
+        # FK→PK certificate: True = the dim key is PROVABLY unique at
+        # this version (an inner/left join moves no fact rows), False =
+        # duplicates proven (the join MULTIPLIES — audit before
+        # shipping), None = no proof either way
+        "dim_key_unique": (
+            key_uniqueness(dim_dir, skew_key, version=dim_version)
+            if skew_key is not None
+            else None
+        ),
     }
     return joined, decision
 

@@ -531,3 +531,76 @@ def matview_stream_sink(
         refresh_matview(batch_df.sparkSession, mv_dir)
 
     return sink
+
+
+def rollup_matview(
+    spark: SparkSession,
+    mv_dir: str,
+    to_group_cols: "list[str]",
+    version: "int | None" = None,
+) -> DataFrame:
+    """Answer a COARSER aggregate from the view's stored partials — the
+    aggregate-navigator rewrite (Snowflake's MV query rewrite, BI
+    cubes' rollup): an MV grouped by (a, b) answers any GROUP BY over a
+    subset of its keys without touching the source, because every
+    measure kind re-aggregates losslessly from partials — counts and
+    sums ADD (their non-null supports add with them, so 0-vs-NULL
+    stays exact), AVG re-divides the added sum/count pair, MIN/MAX
+    take MIN/MAX. ``to_group_cols ⊆ group_cols`` is validated; an
+    empty list is the grand total (constant-keyed single group).
+    Cost: one group-count-sized aggregation — source size never
+    appears."""
+    _v, meta = _load_mv_sidecar(mv_dir)
+    group_cols = meta["group_cols"]
+    bad = [c for c in to_group_cols if c not in group_cols]
+    if bad:
+        raise ValueError(
+            f"cannot roll up to {bad} — not in the view's group keys "
+            f"{group_cols}"
+        )
+    norm = {k: tuple(v) for k, v in meta["measures"].items()}
+    df = read_version(spark, mv_dir, version=version)
+    aggs = [F.sum(_N).cast("long").alias(_N)]
+    for name, (kind, _col) in norm.items():
+        if kind == "count":
+            aggs.append(F.sum(name).cast("long").alias(name))
+        elif kind == "sum":
+            aggs += [
+                F.sum(name).alias(name),
+                F.sum(f"__mv_nn_{name}").cast("long")
+                .alias(f"__mv_nn_{name}"),
+            ]
+        elif kind == "avg":
+            aggs += [
+                F.sum(f"__mv_sum_{name}").alias(f"__mv_sum_{name}"),
+                F.sum(f"__mv_cnt_{name}").cast("long")
+                .alias(f"__mv_cnt_{name}"),
+            ]
+        elif kind == "min":
+            aggs.append(F.min(name).alias(name))
+        else:
+            aggs.append(F.max(name).alias(name))
+    if to_group_cols:
+        rolled = df.groupBy(*to_group_cols).agg(*aggs)
+    else:
+        rolled = df.agg(*aggs)
+    cols = []
+    for c in to_group_cols:
+        cols.append(F.col(c))
+    for name, (kind, _col) in norm.items():
+        if kind == "avg":
+            cols.append(
+                F.when(
+                    F.col(f"__mv_cnt_{name}") > 0,
+                    F.col(f"__mv_sum_{name}") / F.col(f"__mv_cnt_{name}"),
+                ).alias(name)
+            )
+        elif kind == "sum":
+            cols.append(
+                F.when(
+                    F.col(f"__mv_nn_{name}") > 0, F.col(name)
+                ).otherwise(F.lit(None)).alias(name)
+            )
+        else:
+            cols.append(F.col(name))
+    return rolled.select(*cols)

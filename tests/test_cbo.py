@@ -798,3 +798,50 @@ def test_star_join_filter_aware_ordering(spark, star_tables):
         sorted(map(tuple, expect.select(*sorted(expect.columns)).collect()))
     with pytest.raises(ValueError, match="entries for"):
         plan_star_join(spark, fact, dims, dim_predicates=[None])
+
+
+def test_key_uniqueness_certificate(spark, tmp_path):
+    """The FK→PK proof: True only when exact NDV == exact non-null
+    rows; duplicates prove False; estimates and unprovable rows stay
+    None — cannot-prove never asserts."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        key_uniqueness,
+    )
+
+    uniq = str(tmp_path / "uniq")
+    commit_version(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)] + [(None, "nullkey")],
+            "k long, attr string",
+        ),
+        uniq, stats_cols=["k"],
+    )
+    analyze_version(spark, uniq, ["k"], k=64)
+    assert key_uniqueness(uniq, "k") is True  # nulls don't break the proof
+
+    dup = str(tmp_path / "dup")
+    commit_version(
+        spark.createDataFrame(
+            [(i % 5, i) for i in range(20)], "k long, v long"
+        ),
+        dup, stats_cols=["k"],
+    )
+    analyze_version(spark, dup, ["k"], k=64)
+    assert key_uniqueness(dup, "k") is False
+
+    # past the sketch: NDV is an estimate — no proof either way
+    big = str(tmp_path / "big")
+    commit_version(
+        spark.range(500).select(F.col("id").alias("k")), big,
+        stats_cols=["k"],
+    )
+    analyze_version(spark, big, ["k"], k=64)
+    assert key_uniqueness(big, "k") is None
+    # never analyzed
+    assert key_uniqueness(uniq, "attr") is None
+    # and the planner surfaces the certificate
+    fact = spark.createDataFrame([(3, 1)], "k long, x long")
+    _, d = plan_join_with_stats(
+        spark, fact, uniq, "k", broadcast_threshold_rows=64
+    )
+    assert d["dim_key_unique"] is True

@@ -416,3 +416,43 @@ def test_filtered_matview_exact_and_blind_to_outside_rows(spark, tmp_path):
              F.max("val").alias("hi"))
     )
     assert _rows(read_matview(spark, mv)) == _rows(direct)
+
+
+def test_rollup_matview_answers_coarser_queries(spark, tmp_path):
+    """The aggregate-navigator rewrite: an MV grouped by (g, parity)
+    answers GROUP BY g, GROUP BY parity, and the grand total from its
+    partials alone — each exactly equal to direct source aggregation,
+    0-vs-NULL included."""
+    from polygon_daily_market_data_pipeline_spark.operators.matview import (
+        rollup_matview,
+    )
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    commit_version(
+        _src(spark, 300).withColumn("parity", F.col("k") % 2), src
+    )
+    create_matview(
+        spark, mv, src, ["g", "parity"],
+        {"n": ("count",), "total": ("sum", "val"),
+         "avg_val": ("avg", "val"), "hi": ("max", "val")},
+    )
+    srcdf = read_version(spark, src)
+
+    def direct(*cols):
+        base = srcdf.groupBy(*cols) if cols else srcdf
+        return base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val").alias("total"),
+            F.avg("val").alias("avg_val"),
+            F.max("val").alias("hi"),
+        )
+
+    for keys in (["g"], ["parity"], []):
+        got = _rows(rollup_matview(spark, mv, keys))
+        want = _rows(direct(*keys))
+        assert got == want, keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the view's group keys"):
+        rollup_matview(spark, mv, ["k"])
