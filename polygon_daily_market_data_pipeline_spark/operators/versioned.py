@@ -1072,6 +1072,54 @@ def versioned_stream_sink(
     return sink
 
 
+def versioned_enrich_sink(
+    out_dir: str,
+    dim_dir: str,
+    on,
+    how: str = "left",
+    stats_cols: "list[str] | None" = None,
+):
+    """Stream-static enrichment against a VERSIONED dim that refreshes
+    per micro-batch (round 13): each batch joins the dim at the latest
+    version RESOLVED AT BATCH TIME — explicit where Spark's
+    stream-static join leaves the static side's refresh semantics to
+    the source — and the enriched batch commits exactly-once (batch
+    watermark) with the dim version it used recorded as the commit's
+    ``_dim_version`` partition tag. That tag is the audit AND the
+    reprocessing lever: "which batches were enriched against dim v3"
+    is a partition-pruned metadata read, and re-enriching them is a
+    ``drop_partitions`` + replay, never a table rewrite.
+
+    Replay determinism falls out of exactly-once: a replayed batch id
+    is SKIPPED, so the output permanently reflects the dim version
+    each batch FIRST used — a crash can never silently re-enrich old
+    rows against a newer dim. The dim is broadcast (enrichment dims
+    are planner-small; for a big dim, pre-join with
+    ``plan_join_with_stats`` semantics instead)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        wm = last_committed_batch(out_dir)
+        if wm is not None and batch_id <= wm:
+            return  # replay: the original enrichment stands
+        versions = _manifests(dim_dir)
+        if not versions:
+            raise FileNotFoundError(f"no versions in {dim_dir}")
+        dv = versions[-1]
+        dim = read_version(batch_df.sparkSession, dim_dir, version=dv)
+        out = batch_df.join(F.broadcast(dim), on, how)
+        commit_version(
+            out,
+            out_dir,
+            mode="append",
+            stats_cols=stats_cols,
+            batch_id=batch_id,
+            partition_values={"_dim_version": str(dv)},
+            retries=2,
+        )
+
+    return sink
+
+
 _BLOOM_SIDECAR = "_bloom.json"
 _BLOOM_MAX_BITS = 1 << 23  # 1 MiB bitmap cap per (file, column)
 

@@ -1311,3 +1311,61 @@ def test_versioned_stream_sink_auto_analyze(spark, tmp_path):
     with open(_stats_path(ref, av)) as f:
         full = _json.load(f)
     assert inc["columns"] == full["columns"]
+
+
+def test_versioned_enrich_sink_pins_dim_per_batch(spark, tmp_path):
+    """Stream-static enrichment with a versioned dim: each micro-batch
+    joins the dim version current AT BATCH TIME (recorded as the
+    commit's _dim_version tag), a dim update between batches affects
+    only later batches, and a replayed batch keeps its original
+    enrichment — replay-deterministic by exactly-once."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest,
+        _manifests,
+        read_version,
+        versioned_enrich_sink,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version as _commit,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    _commit(
+        spark.createDataFrame([(1, "old"), (2, "old")],
+                              "user_id int, label string"),
+        dim_dir,
+    )
+    out_dir = str(tmp_path / "out")
+    sink = versioned_enrich_sink(out_dir, dim_dir, "user_id")
+
+    b0 = _events_df(spark, [(0, 1, 1.0), (1, 2, 2.0)])
+    sink(b0, 0)
+    # dim moves between batches
+    _commit(
+        spark.createDataFrame([(1, "new"), (2, "new")],
+                              "user_id int, label string"),
+        dim_dir,
+    )
+    b1 = _events_df(spark, [(2, 1, 3.0)]).withColumn(
+        "event_id", F.col("event_id") + 2
+    )
+    sink(b1, 1)
+
+    rows = {
+        (r.event_id): (r.label)
+        for r in read_version(spark, out_dir).collect()
+    }
+    assert rows == {0: "old", 1: "old", 2: "new"}
+    # the dim version each batch used is a partition tag per commit
+    tags = [
+        m.get("partitions", {}).get(d, {}).get("_dim_version")
+        for v in _manifests(out_dir)
+        for m in [_load_manifest(out_dir, v)]
+        for d in m["dirs"]
+    ]
+    assert sorted(set(t for t in tags if t is not None)) == ["0", "1"]
+    # replaying batch 0 after the dim moved changes NOTHING
+    before = _manifests(out_dir)
+    sink(b0, 0)
+    assert _manifests(out_dir) == before
+    assert read_version(spark, out_dir).where("label = 'new'").count() == 1
