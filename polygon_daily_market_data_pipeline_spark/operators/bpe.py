@@ -147,8 +147,14 @@ def train_bpe(
             ).persist(StorageLevel.MEMORY_AND_DISK)
             if (i + 1) % checkpoint_every == 0:
                 # cut the iterative lineage: n_merges chained folds
-                # otherwise build an unboundedly deep plan
-                new_vocab = new_vocab.localCheckpoint(eager=True)
+                # otherwise build an unboundedly deep plan. The eager
+                # checkpoint materializes THROUGH the persisted frame,
+                # which must then be unpersisted itself — rebinding
+                # without it would leak one cached vocab copy per
+                # checkpoint boundary
+                cp = new_vocab.localCheckpoint(eager=True)
+                new_vocab.unpersist()
+                new_vocab = cp
             else:
                 new_vocab.count()
             vocab.unpersist()

@@ -213,7 +213,12 @@ def key_uniqueness(
     proven); None when either side is unprovable (estimate-only NDV,
     rows unknowable under pending equality deletes, never analyzed).
     Cannot-prove never asserts — same posture as every stats surface
-    here. Pure metadata read."""
+    here. Pure metadata read.
+
+    The proof holds only AT the analyzed version: any commit after it
+    could have introduced duplicates, so a request for a LATER version
+    returns None — a certificate must never outlive the state it was
+    proven on (re-ANALYZE at the version being joined to renew it)."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
@@ -225,6 +230,8 @@ def key_uniqueness(
     if not analyzed:
         return None
     av = analyzed[-1]
+    if av != v:
+        return None  # stale proof: commits landed after the ANALYZE
     with open(_stats_path(table_dir, av)) as f:
         stats = json.load(f)
     st = stats["columns"].get(col)
@@ -561,6 +568,10 @@ def dynamic_file_prune_join(
     ``inner`` / ``semi`` / ``right`` (unmatched dim rows survive a
     right join from the dim side, which is read whole). ``left``/
     ``full`` outer would need the pruned-away fact rows back — refused.
+    Inner/semi joins broadcast the dim; a right-outer CANNOT build on
+    its right side (Spark would silently drop the hint), so that plan
+    is left to Catalyst/AQE — the file prune, this operator's point,
+    already happened on the fact scan either way.
 
     ``predicates`` forwards an ordinary range predicate to the same
     scan, so static envelope pruning and the dynamic key prune compose
@@ -616,6 +627,16 @@ def dynamic_file_prune_join(
             fact_key if dim_key == fact_key
             else fact[fact_key] == dsel[dim_key],
             "left_semi",
+        )
+    elif how_norm in ("right", "rightouter"):
+        # a right-outer join cannot build on its right side, so a
+        # broadcast hint on the dim would be silently dropped; leave
+        # the plan to Catalyst/AQE — the file prune (the point of this
+        # operator) already happened on the fact scan
+        joined = (
+            fact.join(dim, fact_key, how)
+            if dim_key == fact_key
+            else fact.join(dim, fact[fact_key] == dim[dim_key], how)
         )
     elif dim_key == fact_key:
         joined = fact.join(F.broadcast(dim), fact_key, how)

@@ -65,6 +65,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     diff_versions,
     read_changes,
     read_version,
+    write_json_sidecar,
 )
 
 _MV_SUBDIR = "_mv"
@@ -78,12 +79,7 @@ def _mv_path(mv_dir: str, v: int) -> str:
 
 
 def _write_mv_sidecar(mv_dir: str, v: int, meta: dict) -> None:
-    d = os.path.join(mv_dir, _MV_SUBDIR)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".v{v}.json.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _mv_path(mv_dir, v))
+    write_json_sidecar(_mv_path(mv_dir, v), meta)
 
 
 def _load_mv_sidecar(mv_dir: str) -> "tuple[int, dict]":

@@ -29,6 +29,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     _manifests,
     commit_version,
     read_version,
+    write_json_sidecar,
 )
 
 _RC_SUBDIR = "_rc"
@@ -68,7 +69,10 @@ def cached_result(
             raise FileNotFoundError(f"{name}: no versions in {tdir}")
         pins[name] = {"dir": os.path.abspath(tdir), "version": versions[-1]}
     kdir = _key_dir(cache_dir, key)
-    want = {n: p["version"] for n, p in pins.items()}
+    # identity is (dir, version) per source — version numbers alone
+    # collide constantly (every table starts at 0)
+    want = {n: (p["dir"], p["version"]) for n, p in pins.items()}
+    versions_out = {n: p["version"] for n, p in pins.items()}
     for v in reversed(_manifests(kdir) if os.path.isdir(kdir) else []):
         p = _rc_path(kdir, v)
         if not os.path.exists(p):
@@ -76,10 +80,10 @@ def cached_result(
         with open(p) as f:
             meta = json.load(f)
         if meta["key"] == key and {
-            n: e["version"] for n, e in meta["pins"].items()
+            n: (e["dir"], e["version"]) for n, e in meta["pins"].items()
         } == want:
             return read_version(spark, kdir, version=v), {
-                "hit": True, "pins": want, "result_version": v,
+                "hit": True, "pins": versions_out, "result_version": v,
             }
     frames = {
         n: read_version(spark, p["dir"], version=p["version"])
@@ -89,12 +93,7 @@ def cached_result(
     # overwrite: each version IS one result snapshot (older results
     # stay readable via time travel until vacuum)
     v = commit_version(result, kdir, mode="overwrite")
-    d = os.path.join(kdir, _RC_SUBDIR)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".v{v}.json.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump({"key": key, "pins": pins}, f)
-    os.replace(tmp, _rc_path(kdir, v))
+    write_json_sidecar(_rc_path(kdir, v), {"key": key, "pins": pins})
     return read_version(spark, kdir, version=v), {
-        "hit": False, "pins": want, "result_version": v,
+        "hit": False, "pins": versions_out, "result_version": v,
     }

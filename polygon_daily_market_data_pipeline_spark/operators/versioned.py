@@ -1072,6 +1072,19 @@ def versioned_stream_sink(
     return sink
 
 
+def write_json_sidecar(path: str, payload: dict) -> None:
+    """Atomic JSON sidecar publish — tmp write + ``os.replace`` — the
+    one pattern the MV and result-cache metadata share (a sidecar may
+    be REPLACED, unlike version manifests, whose fail-if-exists
+    ``_publish_manifest`` is the commit)."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{os.path.basename(path)}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def versioned_enrich_sink(
     out_dir: str,
     dim_dir: str,
@@ -2119,9 +2132,13 @@ def prune_files(
         nvals = [_norm_bound(v, "lo", bounds_tz) for v in vals]
         try:
             nvals.sort()
+            is_sorted = True
         except TypeError:
-            pass  # mixed incomparable members: linear check per file
-        in_norm[c] = nvals
+            # mixed incomparable members: bisect over an UNSORTED list
+            # can false-prune (probe order may dodge the incomparable
+            # element) — flag it so the per-file check goes linear
+            is_sorted = False
+        in_norm[c] = (nvals, is_sorted)
     all_files = [
         f
         for d in manifest["dirs"]
@@ -2159,7 +2176,7 @@ def prune_files(
                 # for this file — the residual filter decides
                 continue
         if keep and in_norm:
-            for col, vals in in_norm.items():
+            for col, (vals, is_sorted) in in_norm.items():
                 if not vals:
                     keep = False  # IN () matches nothing
                     break
@@ -2171,15 +2188,17 @@ def prune_files(
                 if rng is None:
                     continue  # no stats on this column: cannot prune
                 fmin, fmax = _stat_from_json(rng[0]), _stat_from_json(rng[1])
-                try:
-                    i = bisect.bisect_left(vals, fmin)
-                    if i >= len(vals) or vals[i] > fmax:
-                        keep = False
-                        break
-                except TypeError:
-                    # unsortable members or value/stat type mismatch:
-                    # fall back to a linear check; any incomparable
-                    # pair means cannot-prove-absent — keep the file
+                hit = None
+                if is_sorted:
+                    try:
+                        i = bisect.bisect_left(vals, fmin)
+                        hit = i < len(vals) and vals[i] <= fmax
+                    except TypeError:
+                        hit = None  # value/stat type mismatch: go linear
+                if hit is None:
+                    # unsorted members or incomparable types: linear
+                    # check; any incomparable pair means cannot-prove-
+                    # absent — keep the file
                     hit = False
                     for v in vals:
                         try:
@@ -2189,9 +2208,9 @@ def prune_files(
                         except TypeError:
                             hit = True
                             break
-                    if not hit:
-                        keep = False
-                        break
+                if not hit:
+                    keep = False
+                    break
         if keep and null_preds:
             for col, kind in null_preds.items():
                 n_null = None
@@ -2258,54 +2277,23 @@ def _bloom_prune(
     whose type disagrees with the column's manifest schema type
     (``_bloom_type_ok`` — the bloom hashed the OTHER type's keys).
     Sidecar loads are file-count-sized driver IO, paid only on eq
-    scans."""
-    eq = {c: v for c, v in eq.items() if _bloom_type_ok(manifest, c, v)}
-    if not eq:
-        return files
-    sidecars = []
-    for d in manifest["dirs"]:
-        p = os.path.join(table_dir, d, _BLOOM_SIDECAR)
-        if os.path.exists(p):
-            with open(p) as f:
-                sidecars.append((os.path.join(table_dir, d), json.load(f)))
-    if not sidecars:
-        return files
-    out = []
-    for fpath in files:
-        keep = True
-        for droot, sc in sidecars:
-            rel = os.path.relpath(fpath, droot)
-            if rel.startswith(".."):
-                continue  # file belongs to another directory
-            ent = sc.get(rel)
-            if ent is not None:
-                for c, v in eq.items():
-                    ce = None
-                    for nm in _stat_names(manifest, c):
-                        # sidecar keys use the column's name at write
-                        # time — fall back through prior names
-                        ce = ent.get(nm)
-                        if ce is not None:
-                            break
-                    if ce is not None and not _bloom_maybe_contains(ce, v):
-                        keep = False
-                        break
-            break
-        if keep:
-            out.append(fpath)
-    return out
+    scans. A point lookup is the 1-element case of the values-list
+    core (``_bloom_prune_values``) — one membership proof per value."""
+    return _bloom_prune_values(
+        table_dir, manifest, files, {c: [v] for c, v in eq.items()}
+    )
 
 
-def _bloom_prune_in(
+def _bloom_prune_values(
     table_dir: str, manifest: dict, files: list[str], in_preds: dict
 ) -> list[str]:
-    """Drop files whose sidecar bloom proves EVERY listed IN-value
-    absent on some filter column — the point-lookup prune generalized
-    to a value set (one membership probe per value; the caller bounds
-    the list size). A column where ANY value's type disagrees with the
-    manifest schema type cannot prune (that value is
-    cannot-prove-absent, so the disjunction never resolves to false —
-    mirrors ``_bloom_type_ok``'s posture for eq scans)."""
+    """The bloom-prune core shared by eq (1-element lists) and IN-list
+    scans: drop files whose sidecar bloom proves EVERY listed value
+    absent on some filter column (one membership probe per value; the
+    caller bounds the list size). A column where ANY value's type
+    disagrees with the manifest schema type cannot prune (that value
+    is cannot-prove-absent, so the disjunction never resolves to
+    false — ``_bloom_type_ok``'s posture)."""
     preds = {
         c: vals
         for c, vals in in_preds.items()
@@ -2429,7 +2417,7 @@ def scan_version_with_stats(
     if eq and kept:
         kept = _bloom_prune(table_dir, m, kept, eq)
     if in_filter and kept:
-        kept = _bloom_prune_in(table_dir, m, kept, in_filter)
+        kept = _bloom_prune_values(table_dir, m, kept, in_filter)
     if kept:
         df = _read_manifest_paths(spark, m, kept, table_dir)
     else:

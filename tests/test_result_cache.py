@@ -99,3 +99,26 @@ def test_compute_sees_pinned_readers(spark, tmp_path):
         lambda sp, f: f["a"].agg(F.sum("v").cast("long").alias("x")),
     )
     assert not i2["hit"] and r2.first()["x"] == 1020
+
+
+def test_same_key_different_source_dirs_never_collide(spark, tmp_path):
+    """Version numbers start at 0 for every table, so matching on
+    versions alone would serve table A's result for table B — identity
+    must be (dir, version)."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    commit_version(spark.createDataFrame([(1, 10)], "k long, v long"), a)
+    commit_version(spark.createDataFrame([(1, 999)], "k long, v long"), b)
+    cache = str(tmp_path / "cache")
+
+    def total(sp, frames):
+        return frames["t"].agg(F.sum("v").cast("long").alias("x"))
+
+    r1, i1 = cached_result(spark, cache, "q", {"t": a}, total)
+    assert not i1["hit"] and r1.first()["x"] == 10
+    # same key, same version number (0), DIFFERENT table: must miss
+    r2, i2 = cached_result(spark, cache, "q", {"t": b}, total)
+    assert not i2["hit"] and r2.first()["x"] == 999
+    # and each now hits independently
+    assert cached_result(spark, cache, "q", {"t": a}, total)[1]["hit"]
+    assert cached_result(spark, cache, "q", {"t": b}, total)[1]["hit"]
