@@ -845,3 +845,92 @@ def test_key_uniqueness_certificate(spark, tmp_path):
         spark, fact, uniq, "k", broadcast_threshold_rows=64
     )
     assert d["dim_key_unique"] is True
+
+
+def test_heavy_hitters_exact_with_guarantee(spark):
+    """Two-pass Misra-Gries: every value above the n/(k+1) threshold is
+    returned with its EXACT count; a uniform column returns nothing."""
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        heavy_hitters,
+    )
+
+    # 10k rows: 'hot' 4000x, 'warm' 2000x, tail 4000 distinct-ish
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 4000, F.lit("hot"))
+        .when(F.col("id") < 6000, F.lit("warm"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 800).cast("string")))
+        .alias("k")
+    ).repartition(16)
+    hh = heavy_hitters(df, "k", k=16)
+    got = dict(hh)
+    assert got["hot"] == 4000 and got["warm"] == 2000
+    # tail values (5 copies each) are far below n/(k+1) ≈ 588
+    assert all(v in ("hot", "warm") for v, _ in hh)
+    assert hh[0] == ("hot", 4000)  # sorted by count desc
+    # uniform: nothing clears the threshold
+    uni = spark.range(2000).select(
+        (F.col("id") % 700).cast("string").alias("k")
+    ).repartition(8)
+    assert heavy_hitters(uni, "k", k=16) == []
+    # NULLs are ignored, not counted or returned
+    withnull = df.union(
+        spark.range(50).select(F.lit(None).cast("string").alias("k"))
+    )
+    assert dict(heavy_hitters(withnull, "k", k=16))["hot"] == 4000
+
+
+def test_hot_key_salted_join_targeted_replication(spark):
+    """Only the hot keys' small-side rows replicate; values equal the
+    plain join for every supported join type; right outer refused."""
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    big = spark.range(5000).select(
+        F.when(F.col("id") < 4000, F.lit("hot"))
+        .otherwise((F.col("id") % 37).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1)] + [(str(i), i + 10) for i in range(37)]
+        + [("unmatched", 99)],
+        "k string, attr int",
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = big.join(
+            small if how not in ("left_semi", "left_anti") else small,
+            "k", how,
+        )
+        salted = hot_key_salted_join(big, small, ["k"], ["hot"], how=how)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiply"):
+        hot_key_salted_join(big, small, ["k"], ["hot"], how="right")
+    with _pytest.raises(ValueError, match="empty"):
+        hot_key_salted_join(big, small, ["k"], [])
+    # the hot key's rows spread over multiple reducers while the cold
+    # keys keep a single salt — probe the salted big side's spread
+    from pyspark.sql import functions as _F
+
+    salted_inner = hot_key_salted_join(
+        big, small, ["k"], ["hot"], n_salts=8
+    )
+    # structural: per-(k) max single-partition share of the hot key
+    # after an explicit repartition on the join keys
+    spread = (
+        big.withColumn(
+            "_salt",
+            _F.when(
+                _F.col("k") == "hot",
+                _F.pmod(_F.xxhash64("k", "v"), _F.lit(8)).cast("int"),
+            ).otherwise(_F.lit(0)),
+        )
+        .groupBy("k", "_salt").count()
+        .where(_F.col("k") == "hot")
+        .agg(_F.max("count"), _F.count(_F.lit(1)))
+        .first()
+    )
+    assert spread[1] == 8 and spread[0] < 4000  # hot key fanned over 8
