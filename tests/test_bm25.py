@@ -94,3 +94,35 @@ def test_bm25_prebuilt_index_and_shapes(spark):
     assert [r["rank"] for r in served] == [1, 2, 3]
     postings.unpersist()
     doc_lens.unpersist()
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """RRF: a doc ranked well by BOTH retrievers beats a doc ranked
+    first by only one — hand-checked 1/(c+rank) arithmetic."""
+    from polygon_daily_market_data_pipeline_spark.operators.bm25 import (
+        rrf_fuse,
+    )
+
+    r1 = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 200), (0, 3, 300)],
+        "query_id long, rank int, doc_id long",
+    )
+    r2 = spark.createDataFrame(
+        [(0, 1, 400), (0, 2, 100), (0, 3, 200)],
+        "query_id long, rank int, doc_id long",
+    )
+    out = rrf_fuse([r1, r2], k=4, c=60).collect()
+    got = [(r["rank"], r["doc_id"]) for r in out]
+    import math
+
+    s = {
+        100: 1 / 61 + 1 / 62,
+        200: 1 / 62 + 1 / 63,
+        300: 1 / 63,
+        400: 1 / 61,
+    }
+    want_order = sorted(s, key=lambda d: (-s[d], d))
+    assert [d for _r, d in got] == want_order
+    assert got[0] == (1, 100)  # consistently-good beats single-first
+    for r in out:
+        assert abs(r["rrf_score"] - s[r["doc_id"]]) < 1e-12
