@@ -480,3 +480,60 @@ def test_in_filter_type_mismatch_cannot_prune_but_stays_exact(spark, tmp_path):
     scan, stats = scan_version_with_stats(spark, t, {}, in_filter={"s": [5]})
     assert stats.files_scheduled == stats.files_total
     assert scan.count() == 0
+
+
+# ---- property law: IN-list pruning never changes results ----
+
+import pytest as _pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as _st
+
+_IN_TABLE = {}
+
+
+@_pytest.fixture()
+def in_prop_table(spark, tmp_path_factory):
+    # ONE committed layout shared by every hypothesis example (the
+    # commit is the expensive part; the law varies only the key list)
+    if "t" not in _IN_TABLE:
+        t = str(tmp_path_factory.mktemp("inprop") / "vt")
+        commit_version(
+            _events(spark, n=4000).withColumn(
+                "s", F.md5(F.col("k").cast("string"))
+            ),
+            t,
+            stats_cols=["k", "s"],
+            bloom_cols=["s"],
+        )
+        _IN_TABLE["t"] = t
+    return _IN_TABLE["t"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    # the fixture is a deliberately SHARED immutable committed layout
+    # (committing per example would dominate runtime); examples only
+    # read it
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=_st.lists(_st.integers(-100, 4200), max_size=7))
+def test_in_filter_prune_value_identity_property(spark, in_prop_table, keys):
+    """For ANY key list (hits, misses, out-of-range, empty, dupes) the
+    pruned scan is value-identical to the unpruned residual read and
+    never schedules more files than the table has."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        scan_version_with_stats,
+    )
+
+    scan, stats = scan_version_with_stats(
+        spark, in_prop_table, {}, in_filter={"k": keys}
+    )
+    expect = read_version(spark, in_prop_table).where(
+        F.col("k").isin(keys) if keys else F.lit(False)
+    )
+    assert _rows(scan) == _rows(expect)
+    assert 0 <= stats.files_scheduled <= stats.files_total
+    in_range = {v for v in keys if 0 <= v < 4000}
+    # every in-range key lands in at most one range-partitioned file
+    assert stats.files_scheduled <= max(len(in_range), 0) or not keys
