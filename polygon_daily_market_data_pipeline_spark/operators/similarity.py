@@ -1538,3 +1538,103 @@ def cosine_topk_sq(
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
     return _exact_rerank(corpus, queries, cand, k, n_cand, id_col, vec_col)
+
+
+def cosine_topk_ivfsq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    rerank_factor: int = 8,
+    centroids: "np.ndarray | None" = None,
+    bounds: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF+SQ composite ANN — FAISS ``IVF{n},SQ8``, the composite
+    picked when PQ's distortion is too coarse but raw vectors are too
+    big: the coarse quantizer bounds WHICH candidates ride the cell
+    join (n_probe/n_clusters fraction), SQ8 bounds WHAT rides it (one
+    uint8 per dimension — 4x smaller than float32, far lower
+    distortion than PQ's m-byte codes), candidates score against the
+    reconstructed vectors, and the shared exact rerank fixes the
+    shortlist so returned cosines are true. Same shuffle shape as
+    ``cosine_topk_ivfpq``: one Arrow indexing pass (cell + code, both
+    models broadcast), a broadcast join of the exploded query probes
+    on cell id, vectorized scoring per candidate row, hit-sized
+    rerank."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters)
+    if bounds is None:
+        bounds = sq_train_bounds(corpus, vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    bnds = np.asarray(bounds, dtype=np.float64)
+    lo, hi = bnds[0], bnds[1]
+    span = hi - lo
+    scale = np.divide(255.0, span, out=np.zeros_like(span), where=span > 0)
+    spark = corpus.sparkSession
+    b_c = spark.sparkContext.broadcast(cents)
+    b_lo = spark.sparkContext.broadcast(lo)
+    b_sc = spark.sparkContext.broadcast(scale)
+    b_bnds = spark.sparkContext.broadcast(bnds)
+
+    def index_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dc = ((mat[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            cells = dc.argmin(axis=1).astype("int32")
+            codes = np.rint(
+                np.clip((mat - b_lo.value) * b_sc.value, 0.0, 255.0)
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "cell": cells,
+                    "code": list(codes),
+                }
+            )
+
+    cb = corpus.select(id_col, vec_col).mapInPandas(
+        index_rows, "neighbor_id long, cell int, code array<int>"
+    )
+    qp = queries.select(id_col, vec_col).toPandas()
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    dq = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1)[:, :n_probe]
+    b_q = spark.sparkContext.broadcast(q_mat)
+    b_qn = spark.sparkContext.broadcast(q_norm)
+    qb = spark.createDataFrame(
+        [
+            (int(q_ids[i]), int(i), int(c))
+            for i in range(len(q_ids))
+            for c in probes[i]
+        ],
+        "query_id long, q_idx int, cell int",
+    )
+
+    @pandas_udf(DoubleType())
+    def sq_score(code: pd.Series, qi: pd.Series) -> pd.Series:
+        codes = np.array(code.tolist(), dtype=np.int64)
+        recon = sq_decode_mat(codes, b_bnds.value)
+        qiv = qi.to_numpy()
+        dots = (recon * b_q.value[qiv]).sum(axis=1)
+        rn = np.sqrt((recon**2).sum(axis=1))
+        return pd.Series(dots / np.maximum(rn * b_qn.value[qiv], 1e-12))
+
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            sq_score(F.col("code"), F.col("q_idx")).alias("approx"),
+        )
+    )
+    return _exact_rerank(
+        corpus, queries, cand, k, k * rerank_factor, id_col, vec_col
+    )

