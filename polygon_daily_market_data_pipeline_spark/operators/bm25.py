@@ -190,3 +190,90 @@ def rrf_fuse(
         .select("query_id", "rank", id_col, "rrf_score")
         .orderBy("query_id", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    *,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998): greedily pick k results per query maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_picked`` — the
+    standard cure for a top-k full of near-duplicates. ``candidates``
+    is any retriever output (query_id, id, score — BM25, cosine, or
+    RRF-fused); ``vectors`` supplies the diversity geometry (id,
+    embedding). Relevance scores are min-max normalized per query so
+    ``lam`` means the same thing whatever the retriever's scale.
+
+    Scale shape: one broadcast join attaches vectors to the
+    CANDIDATE-sized frame, then one ``applyInPandas`` group per query
+    runs the greedy loop over its own ≤ |candidates| rows — the
+    quadratic lives inside a per-query candidate set (k·rerank_factor
+    sized), never the corpus. ``lam=1`` degenerates to pure relevance
+    order (pinned by test)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    joined = candidates.select("query_id", id_col, score_col).join(
+        F.broadcast(vectors.select(id_col, vec_col)), id_col
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        lo, hi = rel.min(), rel.max()
+        rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.maximum(np.sqrt((mat**2).sum(axis=1)), 1e-12)
+        unit = mat / norms[:, None]
+        picked: "list[int]" = []
+        scores: "list[float]" = []
+        avail = np.ones(len(ids), dtype=bool)
+        while avail.any() and len(picked) < k:
+            if picked:
+                sim = unit @ unit[picked].T  # (n, |picked|)
+                penalty = sim.max(axis=1)
+            else:
+                penalty = np.zeros(len(ids))
+            mmr = lam * rel - (1 - lam) * penalty
+            mmr = np.where(avail, mmr, -np.inf)
+            # deterministic argmax tie-break: lowest id wins
+            best = min(
+                np.flatnonzero(mmr == mmr.max()), key=lambda i: ids[i]
+            )
+            picked.append(int(best))
+            scores.append(float(mmr[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picked),
+                "rank": list(range(1, len(picked) + 1)),
+                id_col: [int(ids[i]) for i in picked],
+                "mmr_score": scores,
+            }
+        )
+
+    return (
+        joined.groupBy("query_id")
+        .applyInPandas(pick, out_schema)
+        .orderBy("query_id", "rank")
+    )

@@ -126,3 +126,33 @@ def test_rrf_fusion_hand_computed(spark):
     assert got[0] == (1, 100)  # consistently-good beats single-first
     for r in out:
         assert abs(r["rrf_score"] - s[r["doc_id"]]) < 1e-12
+
+
+def test_mmr_demotes_near_duplicates_and_lambda1_is_relevance(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.bm25 import (
+        mmr_rerank,
+    )
+
+    # candidates: docs 1 and 2 are near-identical vectors with the top
+    # two relevance scores; doc 3 is orthogonal with a lower score
+    cand = spark.createDataFrame(
+        [(0, 1, 1.00), (0, 2, 0.98), (0, 3, 0.50), (0, 4, 0.40)],
+        "query_id long, doc_id long, score double",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.01]),
+            (2, [1.0, 0.0, 0.00]),
+            (3, [0.0, 1.0, 0.00]),
+            (4, [0.0, 0.9, 0.30]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = mmr_rerank(cand, vecs, k=3, lam=0.5).collect()
+    order = [r["doc_id"] for r in out]
+    # 1 first (top relevance), then the ORTHOGONAL 3 beats duplicate 2
+    assert order[0] == 1 and order[1] == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # lam=1: pure relevance order, duplicates untouched
+    pure = [r["doc_id"] for r in mmr_rerank(cand, vecs, k=4, lam=1.0).collect()]
+    assert pure == [1, 2, 3, 4]
