@@ -160,10 +160,6 @@ def _full_aggregate(df: DataFrame, group_cols, measures) -> DataFrame:
     return df.groupBy(*group_cols).agg(*aggs)
 
 
-def _has_minmax(measures: dict) -> bool:
-    return any(kind in ("min", "max") for kind, _ in measures.values())
-
-
 def create_matview(
     spark: SparkSession,
     mv_dir: str,

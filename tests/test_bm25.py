@@ -113,8 +113,6 @@ def test_rrf_fusion_hand_computed(spark):
     )
     out = rrf_fuse([r1, r2], k=4, c=60).collect()
     got = [(r["rank"], r["doc_id"]) for r in out]
-    import math
-
     s = {
         100: 1 / 61 + 1 / 62,
         200: 1 / 62 + 1 / 63,
