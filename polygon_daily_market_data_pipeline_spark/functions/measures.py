@@ -75,3 +75,61 @@ def top_n_by_total_value(fact: DataFrame, n: int = 10) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("symbol"))
         .limit(n)
     )
+
+
+def ohlc_aggs(
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> "list[Column]":
+    """OHLC bar aggregates (round 13) — the canonical market-data
+    resample the reference's domain lives on: within any grouping
+    (symbol × window), ``open`` is the value at the EARLIEST tick,
+    ``close`` at the latest, ``high``/``low`` the extrema. First/last
+    are struct-ordered min/max over (ts, tiebreak, value), so
+    same-timestamp ticks resolve under a DETERMINISTIC total order
+    (the tiebreak column must be unique — an event id) on every
+    engine and partitioning; no window function, no sort — four
+    codegen'd aggregates that ride any existing groupBy."""
+    first = F.min(
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("i"),
+            F.col(value_col).alias("v"),
+        )
+    )
+    last = F.max(
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("i"),
+            F.col(value_col).alias("v"),
+        )
+    )
+    return [
+        first.getField("v").alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        last.getField("v").alias("close"),
+    ]
+
+
+def ohlc_bars(
+    df: DataFrame,
+    every: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Candlestick bars: tumbling ``every`` windows (per optional
+    ``group_cols``, e.g. symbol) with OHLC + tick count. One groupBy —
+    shuffles once on (groups, window), the same plan a plain windowed
+    count costs."""
+    keys = [
+        F.window(ts_col, every).start.alias("bar_start"),
+        *[F.col(c) for c in (group_cols or [])],
+    ]
+    return df.groupBy(*keys).agg(
+        *ohlc_aggs(ts_col, value_col, tiebreak_col),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from polygon_daily_market_data_pipeline_spark.functions.calendar import calendar_attributes
 from polygon_daily_market_data_pipeline_spark.functions.casts import norm_key, safe_divide
+from polygon_daily_market_data_pipeline_spark.functions.measures import ohlc_aggs
 from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
 from polygon_daily_market_data_pipeline_spark.operators.merge import merge_upsert
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
@@ -731,7 +732,11 @@ def label_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*)               AS event_cnt,
-           ROUND(SUM(value), 2)   AS total_value
+           ROUND(SUM(value), 2)   AS total_value,
+           (MIN(struct_pack(t := ts, i := event_id, v := value))).v AS open,
+           MAX(value)             AS high,
+           MIN(value)             AS low,
+           (MAX(struct_pack(t := ts, i := event_id, v := value))).v AS close
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -739,8 +744,14 @@ def label_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over the event stream — the
-    batch twin of the Structured Streaming windowed agg in
-    streaming/ (same logical plan; readStream swaps in for read)."""
+    batch twin of the Structured Streaming windowed agg in streaming/
+    (same logical plan; readStream swaps in for read). Round 13 adds
+    the OHLC bar columns (``functions.measures.ohlc_aggs`` — the
+    market-data resample the reference's domain lives on): open/close
+    are struct-ordered first/last under the deterministic
+    (ts, event_id) total order, which the oracle reproduces with the
+    same struct-min/max — value-exact on both engines, no summation
+    so no float-order hazard."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -749,6 +760,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("event_cnt"),
             F.round(F.sum("value"), 2).alias("total_value"),
+            *ohlc_aggs("ts", "value", "event_id"),
         )
         .orderBy("window_start", "event_type")
     )

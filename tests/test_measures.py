@@ -110,3 +110,46 @@ def test_approx_percentile_bound(spark):
         lo = vals[max(0, int(q * n) - n // accuracy - 1)]
         hi = vals[min(n - 1, int(q * n) + n // accuracy + 1)]
         assert lo <= approx <= hi, (q, approx, lo, hi)
+
+
+def test_ohlc_bars_hand_computed_with_timestamp_ties(spark):
+    """OHLC resample: open/close from the deterministic (ts, id) total
+    order — same-timestamp ticks resolve by id, not partitioning —
+    high/low the extrema, one bar per (window, group)."""
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.functions.measures import (
+        ohlc_bars,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # hour 9, symbol A: a tie at the open (ids 1 < 2), tail close
+        (1, ts(0), "A", 10.0),
+        (2, ts(0), "A", 99.0),
+        (3, ts(30), "A", 5.0),
+        (4, ts(59), "A", 20.0),
+        # hour 9, symbol B: single tick
+        (5, ts(10), "B", 7.0),
+        # hour 10, symbol A
+        (6, ts(61), "A", 3.0),
+        (7, ts(70), "A", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, symbol string, value double"
+    ).repartition(5)
+    bars = {
+        (r["bar_start"].hour, r["symbol"]): r
+        for r in ohlc_bars(df, "1 hour", group_cols=["symbol"]).collect()
+    }
+    a9 = bars[(9, "A")]
+    assert (a9["open"], a9["high"], a9["low"], a9["close"], a9["n_ticks"]) \
+        == (10.0, 99.0, 5.0, 20.0, 4)  # open = id-1 of the tie
+    b9 = bars[(9, "B")]
+    assert (b9["open"], b9["close"], b9["n_ticks"]) == (7.0, 7.0, 1)
+    a10 = bars[(10, "A")]
+    assert (a10["open"], a10["close"]) == (3.0, 8.0)
