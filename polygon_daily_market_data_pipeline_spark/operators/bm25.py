@@ -55,7 +55,7 @@ def bm25_postings(
 
 
 def bm25_topk(
-    docs: DataFrame,
+    docs: "DataFrame | None",
     queries: "dict[int, str] | list[str]",
     k: int = 5,
     *,
@@ -75,8 +75,10 @@ def bm25_topk(
     if isinstance(queries, list):
         queries = dict(enumerate(queries))
     if postings is None or doc_lens is None:
+        if docs is None:
+            raise ValueError("docs is required when no index is supplied")
         postings, doc_lens = bm25_postings(docs, id_col, text_col)
-    spark = docs.sparkSession
+    spark = (docs if docs is not None else postings).sparkSession
     stats = doc_lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
@@ -276,4 +278,66 @@ def mmr_rerank(
         joined.groupBy("query_id")
         .applyInPandas(pick, out_schema)
         .orderBy("query_id", "rank")
+    )
+
+
+def bm25_index_commit(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    mode: str = "overwrite",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Persist the BM25 index as a VERSIONED postings table — one row
+    per (term, doc, tf); doc lengths are derivable (dl = Σ tf per doc)
+    so one table carries the whole index, and the whole versioned
+    surface (time travel, tags, rollback, retention, clone) applies to
+    the search artifact. ``mode="update"`` appends only the NEW docs'
+    postings — O(batch), the log-structured maintenance the persisted
+    LM model uses — exact because new docs contribute DISJOINT
+    (term, doc) rows: a union is the index, nothing folds. Returns the
+    committed index version (pin it for replayable serving)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+    )
+
+    if mode not in ("overwrite", "update"):
+        raise ValueError(f"unknown mode {mode!r}")
+    postings, _dl = bm25_postings(docs, id_col, text_col)
+    return commit_version(
+        postings,
+        index_dir,
+        mode="append" if mode == "update" else "overwrite",
+        stats_cols=["term"],
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    index_dir: str,
+    queries: "dict[int, str] | list[str]",
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index_version: "int | None" = None,
+) -> DataFrame:
+    """Serve BM25 from the stored index — no corpus pass, no corpus
+    access at all: postings are read at a PINNED index version
+    (replayable under concurrent updates), doc lengths fold from the
+    postings with one aggregate, and scoring proceeds exactly as the
+    inline path (same formula, same deterministic order)."""
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_version,
+    )
+
+    postings = read_version(spark, index_dir, version=index_version)
+    doc_lens = postings.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    return bm25_topk(
+        None, queries, k, id_col=id_col, k1=k1, b=b,
+        postings=postings, doc_lens=doc_lens,
     )

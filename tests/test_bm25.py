@@ -154,3 +154,56 @@ def test_mmr_demotes_near_duplicates_and_lambda1_is_relevance(spark):
     # lam=1: pure relevance order, duplicates untouched
     pure = [r["doc_id"] for r in mmr_rerank(cand, vecs, k=4, lam=1.0).collect()]
     assert pure == [1, 2, 3, 4]
+
+
+def test_versioned_index_serving_and_incremental_update(spark, tmp_path):
+    """The BM25 index as a versioned table: served results equal the
+    inline path; an UPDATE commit appends only the new docs' postings
+    and equals a full rebuild exactly; a pinned version keeps serving
+    the old corpus under concurrent updates."""
+    from polygon_daily_market_data_pipeline_spark.operators.bm25 import (
+        bm25_index_commit,
+        bm25_topk_from_index,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        read_version,
+    )
+
+    docs1 = (
+        load_table(spark, SF, "documents")
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text")
+    )
+    docs2 = (
+        load_table(spark, SF, "documents")
+        .where(F.col("doc_id") % 7 == 4)
+        .select("doc_id", "text")
+    )
+    idx = str(tmp_path / "bm25_idx")
+    v0 = bm25_index_commit(docs1, idx)
+    q = ["the market price and the company"]
+    inline = bm25_topk(docs1, q, k=4).collect()
+    served = bm25_topk_from_index(spark, idx, q, k=4).collect()
+    assert [(r["rank"], r["doc_id"]) for r in served] == [
+        (r["rank"], r["doc_id"]) for r in inline
+    ]
+    # incremental update: append docs2's postings only
+    v1 = bm25_index_commit(docs2, idx, mode="update")
+    both = docs1.unionByName(docs2)
+    rebuilt = bm25_topk(both, q, k=4).collect()
+    updated = bm25_topk_from_index(spark, idx, q, k=4).collect()
+    assert [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in updated] \
+        == [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in rebuilt]
+    # the appended postings are exactly docs2's — disjoint, no folding
+    n0 = read_version(spark, idx, version=v0).count()
+    n1 = read_version(spark, idx, version=v1).count()
+    p2, _ = __import__(
+        "polygon_daily_market_data_pipeline_spark.operators.bm25",
+        fromlist=["bm25_postings"],
+    ).bm25_postings(docs2)
+    assert n1 - n0 == p2.count()
+    # pinned serving is stable under the update
+    pinned = bm25_topk_from_index(spark, idx, q, k=4, index_version=v0).collect()
+    assert [(r["rank"], r["doc_id"]) for r in pinned] == [
+        (r["rank"], r["doc_id"]) for r in inline
+    ]
