@@ -341,3 +341,32 @@ def bm25_topk_from_index(
         None, queries, k, id_col=id_col, k1=k1, b=b,
         postings=postings, doc_lens=doc_lens,
     )
+
+
+def prune_postings(
+    postings: DataFrame,
+    doc_count: int,
+    *,
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """The index-size/skew gate the serving layout wants: drop terms
+    with document frequency below ``min_df`` (hapax noise that bloats
+    the index without ever ranking anything) and above
+    ``max_df_ratio·doc_count`` (stopwords — the ONE skewed key this
+    layout has, whose postings lists are corpus-sized and whose BM25
+    idf is ≈0 anyway). One aggregate + a semi join on the term key;
+    scoring through a pruned index changes only the gated terms'
+    contributions — exactly the terms whose idf made them noise."""
+    if min_df <= 1 and max_df_ratio >= 1.0:
+        return postings
+    keep = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(
+            (F.col("_df") >= min_df)
+            & (F.col("_df") <= float(max_df_ratio) * doc_count)
+        )
+        .select("term")
+    )
+    return postings.join(keep, "term", "left_semi")

@@ -207,3 +207,27 @@ def test_versioned_index_serving_and_incremental_update(spark, tmp_path):
     assert [(r["rank"], r["doc_id"]) for r in pinned] == [
         (r["rank"], r["doc_id"]) for r in inline
     ]
+
+
+def test_prune_postings_gates_stopwords_and_hapax(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.bm25 import (
+        prune_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the cat slept"),
+            (4, "the bird zzrare"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, _dl = bm25_postings(docs)
+    pruned = prune_postings(postings, 4, min_df=2, max_df_ratio=0.9)
+    terms = {r["term"] for r in pruned.select("term").distinct().collect()}
+    assert "the" not in terms      # df=4 > 0.9*4 — stopword gated
+    assert "zzrare" not in terms   # df=1 < 2 — hapax gated
+    assert "cat" in terms          # df=2 survives
+    # default thresholds are the identity
+    assert prune_postings(postings, 4).count() == postings.count()
