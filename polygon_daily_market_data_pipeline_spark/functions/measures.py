@@ -113,6 +113,62 @@ def ohlc_aggs(
     ]
 
 
+def technical_indicator_cols(
+    value_c_col: str = "tv_c",
+    cnt_col: str = "n_orders",
+    order_col: str = "trade_date",
+    partition_cols: "list[str] | None" = None,
+    sma_n: int = 7,
+    rsi_n: int = 14,
+    vol_n: int = 20,
+) -> "dict[str, Column]":
+    """Integer-exact technical indicators over a daily bar series — the
+    analytics a market-data warehouse user computes downstream of the
+    reference's daily pipeline (dax_measures.md grows lag %-change and
+    a 7-day rolling mean; these are the next rungs on the same ladder).
+
+    Every output is a BIGINT derived from an integer-quantized value
+    column (``value_c_col``, e.g. cents), so Spark and any serial SQL
+    engine agree bit-for-bit — no float summation-order hazard:
+
+    - ``sma{n}_c_sum`` / ``sma{n}_n``: rolling-sum + row count for the
+      simple moving average (caller divides — the one float op — or
+      consumes the exact pair as-is).
+    - ``gain{n}_c`` / ``loss{n}_c``: RSI components — sums of positive /
+      negative day-over-day deltas over the trailing ``rsi_n`` rows
+      (first row's NULL delta is skipped by SUM on every engine).
+    - ``drawdown_c``: running-peak minus current — the level drawdown.
+    - ``volvol{n}_num``: scale-free volatility numerator over the tick
+      COUNT series: n·Σc² − (Σc)² (n·(n−1)·sample-variance as an exact
+      integer; counts stay small, so no BIGINT headroom risk at any SF,
+      unlike squaring a monetary series).
+
+    Scale: all window functions share one (partition, order) sort — a
+    single exchange per symbol partition. Post-aggregation daily grain
+    is tiny relative to the tick fact; an unpartitioned window is fine
+    there, and per-symbol partitioning keeps 100 TB parallel."""
+    parts = [F.col(c) for c in (partition_cols or [])]
+    base = Window.partitionBy(*parts).orderBy(order_col)
+    w_sma = base.rowsBetween(-(sma_n - 1), 0)
+    w_rsi = base.rowsBetween(-(rsi_n - 1), 0)
+    w_vol = base.rowsBetween(-(vol_n - 1), 0)
+    w_peak = base.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(value_c_col)
+    delta = v - F.lag(value_c_col).over(base)
+    cnt = F.col(cnt_col).cast("long")
+    n_vol = F.count(F.lit(1)).over(w_vol)
+    sum_c = F.sum(cnt).over(w_vol)
+    sum_c2 = F.sum(cnt * cnt).over(w_vol)
+    return {
+        f"sma{sma_n}_c_sum": F.sum(v).over(w_sma),
+        f"sma{sma_n}_n": F.count(v).over(w_sma),
+        f"gain{rsi_n}_c": F.sum(F.greatest(delta, F.lit(0))).over(w_rsi),
+        f"loss{rsi_n}_c": F.sum(F.greatest(-delta, F.lit(0))).over(w_rsi),
+        "drawdown_c": F.max(v).over(w_peak) - v,
+        f"volvol{vol_n}_num": n_vol * sum_c2 - sum_c * sum_c,
+    }
+
+
 def ohlc_bars(
     df: DataFrame,
     every: str = "1 hour",

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from polygon_daily_market_data_pipeline_spark.functions.calendar import calendar_attributes
 from polygon_daily_market_data_pipeline_spark.functions.casts import norm_key, safe_divide
-from polygon_daily_market_data_pipeline_spark.functions.measures import ohlc_aggs
+from polygon_daily_market_data_pipeline_spark.functions.measures import (
+    ohlc_aggs,
+    technical_indicator_cols,
+)
 from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
 from polygon_daily_market_data_pipeline_spark.operators.merge import merge_upsert
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
@@ -114,9 +117,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS trade_date,
-               SUM(o_totalprice)         AS total_value
+               SUM(o_totalprice)         AS total_value,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tv_c,
+               COUNT(*)                  AS n_orders
         FROM orders
         GROUP BY 1
+    ),
+    ind AS (
+        SELECT trade_date, total_value, tv_c, n_orders,
+               tv_c - lag(tv_c) OVER (ORDER BY trade_date) AS delta_c
+        FROM daily
     )
     SELECT trade_date,
            ROUND(total_value, 2) AS total_value,
@@ -125,24 +135,54 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 0
                       ELSE (total_value - lag(total_value) OVER (ORDER BY trade_date))
                            / lag(total_value) OVER (ORDER BY trade_date)
-                 END, 6) AS change_pct
-    FROM daily
+                 END, 6) AS change_pct,
+           tv_c,
+           n_orders,
+           SUM(tv_c)  OVER w7  AS sma7_c_sum,
+           COUNT(tv_c) OVER w7 AS sma7_n,
+           SUM(greatest(delta_c, 0))  OVER w14 AS gain14_c,
+           SUM(greatest(-delta_c, 0)) OVER w14 AS loss14_c,
+           MAX(tv_c) OVER (ORDER BY trade_date
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tv_c AS drawdown_c,
+           COUNT(*) OVER w20 * SUM(n_orders * n_orders) OVER w20
+               - SUM(n_orders) OVER w20 * SUM(n_orders) OVER w20
+               AS volvol20_num
+    FROM ind
+    WINDOW w7  AS (ORDER BY trade_date ROWS BETWEEN 6  PRECEDING AND CURRENT ROW),
+           w14 AS (ORDER BY trade_date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+           w20 AS (ORDER BY trade_date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     ORDER BY trade_date
     """,
 )
 def daily_change_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAX Daily Change %: (today − prev-day)/prev-day with DIVIDE(...,0)
-    zero-default (dax_measures.md:20) as a lag window.
+    zero-default (dax_measures.md:20) as a lag window — plus the
+    round-13 technical-indicator columns (``functions.measures.
+    technical_indicator_cols``): SMA-7 exact sum/count pair, RSI-14
+    gain/loss components, running-peak drawdown, and the 20-day
+    volume-volatility numerator, all integer-exact BIGINTs over the
+    cents-quantized daily series (no float summation-order hazard —
+    per-row cents rounding is a single deterministic double op, then
+    everything is integer arithmetic).
 
     Scale: daily grain after aggregation is small; the un-partitioned
     window is fine *post-agg*. At 100 TB the pre-agg does the heavy
-    lifting (partial aggs per date), never the window."""
+    lifting (partial aggs per date), never the window; per-symbol
+    series would pass partition_cols and stay parallel."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("trade_date")
-    ).agg(F.sum("o_totalprice").alias("total_value"))
+    ).agg(
+        F.sum("o_totalprice").alias("total_value"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("tv_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
     w = Window.orderBy("trade_date")
     prev = F.lag("total_value").over(w)
+    ind = technical_indicator_cols(
+        value_c_col="tv_c", cnt_col="n_orders", order_col="trade_date"
+    )
     return (
         daily.select(
             "trade_date",
@@ -150,6 +190,9 @@ def daily_change_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(safe_divide(F.col("total_value") - prev, prev), 6).alias(
                 "change_pct"
             ),
+            "tv_c",
+            "n_orders",
+            *[c.alias(name) for name, c in ind.items()],
         )
         .orderBy("trade_date")
     )

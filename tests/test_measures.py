@@ -153,3 +153,49 @@ def test_ohlc_bars_hand_computed_with_timestamp_ties(spark):
     assert (b9["open"], b9["close"], b9["n_ticks"]) == (7.0, 7.0, 1)
     a10 = bars[(10, "A")]
     assert (a10["open"], a10["close"]) == (3.0, 8.0)
+
+
+def test_technical_indicator_cols_hand_computed(spark):
+    # Per-symbol daily cents series; windows sized small so every edge
+    # (short head frames, NULL first delta, flat series) is exercised.
+    rows = [
+        ("A", dt.date(2024, 1, 1), 100, 2),
+        ("A", dt.date(2024, 1, 2), 130, 4),
+        ("A", dt.date(2024, 1, 3), 90, 1),
+        ("A", dt.date(2024, 1, 4), 120, 3),
+        ("B", dt.date(2024, 1, 1), 50, 7),
+        ("B", dt.date(2024, 1, 2), 50, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date date, tv_c long, n_orders long"
+    ).repartition(3)
+    ind = measures.technical_indicator_cols(
+        partition_cols=["symbol"], sma_n=2, rsi_n=3, vol_n=2
+    )
+    out = {
+        (r["symbol"], r["trade_date"].day): r
+        for r in df.select(
+            "symbol", "trade_date", *[c.alias(n) for n, c in ind.items()]
+        ).collect()
+    }
+    a1, a2, a3, a4 = (out[("A", d)] for d in (1, 2, 3, 4))
+    # SMA-2: trailing sum + actual row count (head frame is shorter)
+    assert (a1["sma2_c_sum"], a1["sma2_n"]) == (100, 1)
+    assert (a2["sma2_c_sum"], a2["sma2_n"]) == (230, 2)
+    assert (a4["sma2_c_sum"], a4["sma2_n"]) == (210, 2)
+    # RSI-3 components: deltas are (NULL, +30, -40, +30); greatest(NULL,0)=0
+    assert (a1["gain3_c"], a1["loss3_c"]) == (0, 0)
+    assert (a2["gain3_c"], a2["loss3_c"]) == (30, 0)
+    assert (a3["gain3_c"], a3["loss3_c"]) == (30, 40)
+    assert (a4["gain3_c"], a4["loss3_c"]) == (60, 40)  # NULL rolled out
+    # Drawdown: running peak minus current
+    assert [out[("A", d)]["drawdown_c"] for d in (1, 2, 3, 4)] == [0, 0, 40, 10]
+    # Volume-volatility numerator n·Σc²−(Σc)² over 2 rows
+    assert a1["volvol2_num"] == 1 * 4 - 4          # single row → 0
+    assert a2["volvol2_num"] == 2 * (4 + 16) - 36  # counts 2,4 → 4
+    assert a3["volvol2_num"] == 2 * (16 + 1) - 25  # counts 4,1 → 9
+    # Flat series on B: everything zero, partition isolated from A
+    b2 = out[("B", 2)]
+    assert (b2["gain3_c"], b2["loss3_c"], b2["drawdown_c"], b2["volvol2_num"]) == (
+        0, 0, 0, 0,
+    )
