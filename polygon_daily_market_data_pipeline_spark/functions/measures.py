@@ -169,6 +169,55 @@ def technical_indicator_cols(
     }
 
 
+def with_tick_durations(
+    df: DataFrame,
+    every_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    group_cols: "list[str] | None" = None,
+    out_col: str = "dur_us",
+) -> DataFrame:
+    """Per-tick holding duration inside an epoch-aligned tumbling bar —
+    the exact-integer substrate for TWAP: each tick's value holds from
+    its own timestamp until the next tick in the same (groups, bar)
+    partition, and the bar's last tick holds to the bar end. Durations
+    are BIGINT microseconds (``unix_micros``), so a downstream
+    SUM(value_c * dur_us) is order-independent and engine-exact; per
+    bar they sum to exactly (bar_end − first_tick).
+
+    Scale: one window sort per (groups, bar) partition — the same
+    shuffle the bar aggregation itself needs; no unpartitioned
+    window, no Python."""
+    us = F.unix_micros(F.col(ts_col))
+    bar_start_us = (us - (us % F.lit(every_us))).alias("_bar_start_us")
+    parts = [F.col(c) for c in (group_cols or [])]
+    w = Window.partitionBy(*parts, bar_start_us).orderBy(ts_col, tiebreak_col)
+    next_us = F.unix_micros(F.lead(ts_col).over(w))
+    bar_end_us = bar_start_us + F.lit(every_us)
+    return df.withColumn(out_col, F.coalesce(next_us, bar_end_us) - us)
+
+
+def vwap_twap_aggs(
+    value_c_col: str = "value_c",
+    size_col: str = "k",
+    dur_col: str = "dur_us",
+) -> "list[Column]":
+    """VWAP / TWAP bar aggregates as exact-integer numerator/denominator
+    pairs (the caller performs the single float division, or consumes
+    the pair): volume-weighted over the tick size column and
+    time-weighted over ``with_tick_durations``'s microsecond spans.
+    Four codegen'd SUMs that ride the existing bar groupBy."""
+    v = F.col(value_c_col).cast("long")
+    k = F.col(size_col).cast("long")
+    d = F.col(dur_col).cast("long")
+    return [
+        F.sum(v * k).alias("vwap_num_c"),
+        F.sum(k).alias("vol_k"),
+        F.sum(v * d).alias("twap_num_c_us"),
+        F.sum(d).alias("dur_us_sum"),
+    ]
+
+
 def ohlc_bars(
     df: DataFrame,
     every: str = "1 hour",

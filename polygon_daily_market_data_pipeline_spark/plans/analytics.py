@@ -33,6 +33,8 @@ from polygon_daily_market_data_pipeline_spark.functions.casts import norm_key, s
 from polygon_daily_market_data_pipeline_spark.functions.measures import (
     ohlc_aggs,
     technical_indicator_cols,
+    vwap_twap_aggs,
+    with_tick_durations,
 )
 from polygon_daily_market_data_pipeline_spark.operators.dedupe import latest_by_key
 from polygon_daily_market_data_pipeline_spark.operators.merge import merge_upsert
@@ -772,15 +774,31 @@ def label_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
+    WITH ticks AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type, ts, event_id, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               epoch_us(COALESCE(
+                   lead(ts) OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts, event_id),
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR)) - epoch_us(ts)
+                   AS dur_us
+        FROM events
+    )
+    SELECT window_start,
            event_type,
            COUNT(*)               AS event_cnt,
            ROUND(SUM(value), 2)   AS total_value,
            (MIN(struct_pack(t := ts, i := event_id, v := value))).v AS open,
            MAX(value)             AS high,
            MIN(value)             AS low,
-           (MAX(struct_pack(t := ts, i := event_id, v := value))).v AS close
-    FROM events
+           (MAX(struct_pack(t := ts, i := event_id, v := value))).v AS close,
+           SUM(value_c * k)      AS vwap_num_c,
+           SUM(k)                AS vol_k,
+           SUM(value_c * dur_us) AS twap_num_c_us,
+           SUM(dur_us)           AS dur_us_sum
+    FROM ticks
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -794,16 +812,35 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     are struct-ordered first/last under the deterministic
     (ts, event_id) total order, which the oracle reproduces with the
     same struct-min/max — value-exact on both engines, no summation
-    so no float-order hazard."""
+    so no float-order hazard. The continuation session adds the VWAP /
+    TWAP numerator-denominator pairs (``measures.vwap_twap_aggs`` over
+    ``with_tick_durations``): size-weighted (props JSON ``k`` as tick
+    size) and time-weighted (exact BIGINT microsecond holding spans,
+    last tick held to bar end) — all integer sums, order-independent
+    on every engine. The pre-agg lead() window sorts per (bar, type)
+    partition, the same key the bar groupBy shuffles on."""
     events = load_table(spark, sf_dir, "events")
+    ticks = with_tick_durations(
+        events.select(
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        ),
+        every_us=3_600_000_000,
+        group_cols=["event_type"],
+    )
     return (
-        events.groupBy(
+        ticks.groupBy(
             F.window("ts", "1 hour").start.alias("window_start"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).alias("event_cnt"),
             F.round(F.sum("value"), 2).alias("total_value"),
             *ohlc_aggs("ts", "value", "event_id"),
+            *vwap_twap_aggs(),
         )
         .orderBy("window_start", "event_type")
     )

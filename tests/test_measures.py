@@ -199,3 +199,46 @@ def test_technical_indicator_cols_hand_computed(spark):
     assert (b2["gain3_c"], b2["loss3_c"], b2["drawdown_c"], b2["volvol2_num"]) == (
         0, 0, 0, 0,
     )
+
+
+def test_tick_durations_and_vwap_twap(spark):
+    t0 = dt.datetime(2024, 1, 2, 9, 0, 0)
+
+    def ts(secs):
+        return t0 + dt.timedelta(seconds=secs)
+
+    rows = [
+        # symbol A, 09:00 bar: ticks at +0s, +10s, +3599s
+        (1, ts(0), "A", 100, 2),
+        (2, ts(10), "A", 200, 3),
+        (3, ts(3599), "A", 50, 1),
+        # symbol A, 10:00 bar: one tick at +30s → held to bar end
+        (4, ts(3630), "A", 400, 5),
+        # symbol B shares A's bar but partitions separately
+        (5, ts(5), "B", 10, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, sym string, value_c long, k long"
+    ).repartition(4)
+    ticks = measures.with_tick_durations(df, group_cols=["sym"])
+    durs = {r["event_id"]: r["dur_us"] for r in ticks.collect()}
+    assert durs[1] == 10_000_000            # to next tick
+    assert durs[2] == 3_589_000_000         # to last tick of the bar
+    assert durs[3] == 1_000_000             # last tick → bar end (1 s left)
+    assert durs[4] == 3_570_000_000         # lone tick → held 59 min 30 s
+    assert durs[5] == 3_595_000_000         # B isolated from A's ticks
+    bars = {
+        (r["sym"], r["h"].hour): r
+        for r in ticks.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "sym"
+        ).agg(*measures.vwap_twap_aggs(size_col="k")).collect()
+    }
+    a9 = bars[("A", 9)]
+    assert a9["vwap_num_c"] == 100 * 2 + 200 * 3 + 50 * 1
+    assert a9["vol_k"] == 6
+    assert a9["twap_num_c_us"] == (
+        100 * 10_000_000 + 200 * 3_589_000_000 + 50 * 1_000_000
+    )
+    # durations tile the bar exactly: bar_end − first_tick
+    assert a9["dur_us_sum"] == 3_600_000_000
+    assert bars[("A", 10)]["twap_num_c_us"] == 400 * 3_570_000_000
