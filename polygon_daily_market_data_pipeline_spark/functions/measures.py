@@ -218,6 +218,59 @@ def vwap_twap_aggs(
     ]
 
 
+def continuous_bars(
+    bars: DataFrame,
+    every: str = "1 hour",
+    time_col: str = "window_start",
+    group_cols: "list[str] | None" = None,
+    ffill_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Gap-fill a bar series to a CONTINUOUS per-group time grid with
+    last-observation-carried-forward — the canonical market-data
+    publish shape (a bar exists for every interval of the session even
+    when no tick printed; its close carries the prior close).
+
+    Per group the grid spans that group's own [min, max] observed bar
+    (no bars are asserted outside the observed range, so the first
+    grid row is always real and LOCF never emits NULL). Grid rows that
+    had no source bar keep NULL tick aggregates and gain
+    ``is_gap = true``; each ``ffill_cols`` entry gets a ``<col>_ffill``
+    companion via last(ignoreNulls) over the group's time order.
+
+    Scale: the spine is |groups| × |intervals| — metadata-sized next
+    to the tick fact (a year of hourly bars is 8.8k rows/symbol). One
+    aggregate for the per-group span, a sequence() explode (no Python,
+    no driver loop), an equi-join back on the bar key, and one window
+    sort per group partition."""
+    groups = list(group_cols or [])
+    ffill = list(ffill_cols or [])
+    span = bars.groupBy(*[F.col(c) for c in groups]).agg(
+        F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
+    )
+    spine = span.select(
+        *groups,
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {every}")
+            )
+        ).alias(time_col),
+    )
+    joined = spine.join(
+        bars.withColumn("_present", F.lit(True)),
+        on=[*groups, time_col],
+        how="left",
+    )
+    out = joined.withColumn("is_gap", F.col("_present").isNull()).drop("_present")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in groups])
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in ffill:
+        out = out.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
 def ohlc_bars(
     df: DataFrame,
     every: str = "1 hour",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from polygon_daily_market_data_pipeline_spark.functions.calendar import calendar_attributes
 from polygon_daily_market_data_pipeline_spark.functions.casts import norm_key, safe_divide
 from polygon_daily_market_data_pipeline_spark.functions.measures import (
+    continuous_bars,
     ohlc_aggs,
     technical_indicator_cols,
     vwap_twap_aggs,
@@ -785,22 +786,45 @@ def label_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR)) - epoch_us(ts)
                    AS dur_us
         FROM events
+    ),
+    bars AS (
+        SELECT window_start,
+               event_type,
+               COUNT(*)               AS event_cnt,
+               ROUND(SUM(value), 2)   AS total_value,
+               (MIN(struct_pack(t := ts, i := event_id, v := value))).v AS open,
+               MAX(value)             AS high,
+               MIN(value)             AS low,
+               (MAX(struct_pack(t := ts, i := event_id, v := value))).v AS close,
+               SUM(value_c * k)      AS vwap_num_c,
+               SUM(k)                AS vol_k,
+               SUM(value_c * dur_us) AS twap_num_c_us,
+               SUM(dur_us)           AS dur_us_sum
+        FROM ticks
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type, MIN(window_start) AS lo, MAX(window_start) AS hi
+        FROM bars GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start
+        FROM span
     )
-    SELECT window_start,
-           event_type,
-           COUNT(*)               AS event_cnt,
-           ROUND(SUM(value), 2)   AS total_value,
-           (MIN(struct_pack(t := ts, i := event_id, v := value))).v AS open,
-           MAX(value)             AS high,
-           MIN(value)             AS low,
-           (MAX(struct_pack(t := ts, i := event_id, v := value))).v AS close,
-           SUM(value_c * k)      AS vwap_num_c,
-           SUM(k)                AS vol_k,
-           SUM(value_c * dur_us) AS twap_num_c_us,
-           SUM(dur_us)           AS dur_us_sum
-    FROM ticks
-    GROUP BY 1, 2
-    ORDER BY window_start, event_type
+    SELECT s.window_start,
+           s.event_type,
+           COALESCE(b.event_cnt, 0) AS event_cnt,
+           b.total_value, b.open, b.high, b.low, b.close,
+           b.vwap_num_c, b.vol_k, b.twap_num_c_us, b.dur_us_sum,
+           b.event_cnt IS NULL AS is_gap,
+           last_value(b.close IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+    FROM spine s
+    LEFT JOIN bars b
+      ON s.event_type = b.event_type AND s.window_start = b.window_start
+    ORDER BY s.window_start, s.event_type
     """,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,7 +842,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) and time-weighted (exact BIGINT microsecond holding spans,
     last tick held to bar end) — all integer sums, order-independent
     on every engine. The pre-agg lead() window sorts per (bar, type)
-    partition, the same key the bar groupBy shuffles on."""
+    partition, the same key the bar groupBy shuffles on. Finally the
+    bars are published CONTINUOUS (``measures.continuous_bars``): a
+    per-type hourly grid over that type's own [min, max] bar with
+    last-close-carried-forward — the market-data convention for
+    sessions where no tick printed; gap rows carry event_cnt 0,
+    is_gap, and the LOCF ``close_ffill``."""
     events = load_table(spark, sf_dir, "events")
     ticks = with_tick_durations(
         events.select(
@@ -832,18 +861,37 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         every_us=3_600_000_000,
         group_cols=["event_type"],
     )
-    return (
-        ticks.groupBy(
-            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("event_cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            *ohlc_aggs("ts", "value", "event_id"),
-            *vwap_twap_aggs(),
-        )
-        .orderBy("window_start", "event_type")
+    bars = ticks.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        *ohlc_aggs("ts", "value", "event_id"),
+        *vwap_twap_aggs(),
     )
+    filled = continuous_bars(
+        bars,
+        every="1 hour",
+        time_col="window_start",
+        group_cols=["event_type"],
+        ffill_cols=["close"],
+    )
+    return filled.select(
+        "window_start",
+        "event_type",
+        F.coalesce("event_cnt", F.lit(0)).alias("event_cnt"),
+        "total_value",
+        "open",
+        "high",
+        "low",
+        "close",
+        "vwap_num_c",
+        "vol_k",
+        "twap_num_c_us",
+        "dur_us_sum",
+        "is_gap",
+        "close_ffill",
+    ).orderBy("window_start", "event_type")
 
 
 # ---------------------------------------------------------------------------

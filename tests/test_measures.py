@@ -242,3 +242,30 @@ def test_tick_durations_and_vwap_twap(spark):
     # durations tile the bar exactly: bar_end − first_tick
     assert a9["dur_us_sum"] == 3_600_000_000
     assert bars[("A", 10)]["twap_num_c_us"] == 400 * 3_570_000_000
+
+
+def test_continuous_bars_gap_fill_locf(spark):
+    t0 = dt.datetime(2024, 1, 2, 9, 0, 0)
+
+    def h(n):
+        return t0 + dt.timedelta(hours=n)
+
+    # A: bars at hours 0, 3 (gaps at 1, 2); B: single bar (no grid growth)
+    bars = spark.createDataFrame(
+        [("A", h(0), 4, 10.5), ("A", h(3), 2, 12.0), ("B", h(1), 1, 7.0)],
+        "sym string, window_start timestamp, event_cnt long, close double",
+    ).repartition(3)
+    out = {
+        (r["sym"], r["window_start"]): r
+        for r in measures.continuous_bars(
+            bars, group_cols=["sym"], ffill_cols=["close"]
+        ).collect()
+    }
+    assert len(out) == 5  # A spans 4 grid hours, B spans 1
+    gap = out[("A", h(1))]
+    assert gap["is_gap"] and gap["event_cnt"] is None and gap["close"] is None
+    assert gap["close_ffill"] == 10.5
+    assert out[("A", h(2))]["close_ffill"] == 10.5
+    real = out[("A", h(3))]
+    assert not real["is_gap"] and real["close_ffill"] == 12.0
+    assert not out[("B", h(1))]["is_gap"]  # isolated group, no fabricated rows
