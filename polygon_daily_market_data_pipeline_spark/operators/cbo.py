@@ -43,6 +43,7 @@ from polygon_daily_market_data_pipeline_spark.operators.versioned import (
     _manifests,
     _stats_path,
     fast_count,
+    histogram_bounds,
     kmv_estimate,
     prune_files,
     read_version,
@@ -110,6 +111,10 @@ def filtered_size_bound(
     never guessed: an interpolated estimate could justify broadcasting
     a side that turns out 100× larger, and this planner's contract is
     that a broadcast decision is backed by proof, not a histogram bet.
+    When an ANALYZE sidecar exists at exactly this version, the
+    predicate columns' exact-count histograms REFINE ``rows_ub`` to
+    row granularity (``histogram_bounds`` — straddling buckets counted
+    whole, so still proof); ``rows_ub_source`` records which bound won.
 
     Pending deletion vectors / equality deletes do NOT void the bound
     (they only hide rows — the true filtered count can only be lower),
@@ -132,11 +137,30 @@ def filtered_size_bound(
         if rows is not None:
             ent = stats.get(os.path.relpath(f, table_dir))
             rows = None if ent is None else rows + ent["rows"]
+    # Row-granular refinement (round 13): when an ANALYZE sidecar
+    # exists AT this exact version, each predicate column's histogram
+    # yields an exact upper bound on matching rows (histogram_bounds —
+    # still proof, not interpolation: straddling buckets are counted
+    # whole). The conjunction is bounded by its tightest single-column
+    # bound; it can only tighten the file-granular count, and it stays
+    # available even when a kept file lacks footer rows (rows None).
+    hist_ub: "int | None" = None
+    for col, rng in predicates.items():
+        lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
+        hb = histogram_bounds(table_dir, col, lo, hi, version=v)
+        if hb is not None:
+            hist_ub = hb[1] if hist_ub is None else min(hist_ub, hb[1])
+    rows_ub = rows
+    source = "files"
+    if hist_ub is not None and (rows is None or hist_ub < rows):
+        rows_ub = hist_ub
+        source = "histogram"
     return {
-        "rows_ub": rows,
+        "rows_ub": rows_ub,
         "bytes_ub": n_bytes,
         "files": len(kept),
         "files_total": total,
+        "rows_ub_source": source,
     }
 
 

@@ -5800,7 +5800,214 @@ def _merge_col_stats(a: dict, b: dict, k: int) -> dict:
             out["sum"] = None  # all-NULL union: SQL SUM is NULL
         else:
             out["sum"] = (a["sum"] or 0) + (b["sum"] or 0)
+    # histograms merge additively when (and only when) the edges are
+    # identical — incremental deltas are counted at the base's pinned
+    # edges so this holds by construction; otherwise absent, never
+    # approximate (_merge_hist)
+    merged_hist = _merge_hist(a.get("hist"), b.get("hist"))
+    if merged_hist is not None:
+        out["hist"] = merged_hist
     return out
+
+
+_HIST_BUCKETS_DEFAULT = 32
+# an integer past 2^53 can land in the wrong bucket after the double
+# cast the bucketing comparisons run under — cannot-prove skips the
+# histogram rather than record a possibly-misplaced count
+_HIST_INT_SAFE = 2**53
+
+
+def _hist_edges(mn: float, mx: float, buckets: int) -> "list[float]":
+    """Deterministic equi-width bucket edges over [mn, mx]: endpoints
+    pinned to the exact extrema, interior edges the fixed double
+    expression mn + span·i/buckets (same floats on every rebuild —
+    edge identity is what makes two histograms exactly mergeable).
+    Adjacent edges that collapse under double rounding (span tiny
+    relative to |mn|) are deduplicated; degenerate min==max yields the
+    single closed bucket [mn, mx]."""
+    if mn == mx:
+        return [mn, mx]
+    span = mx - mn
+    edges = [mn + (span * i) / buckets for i in range(buckets + 1)]
+    edges[0], edges[-1] = mn, mx
+    out = [edges[0]]
+    for e in edges[1:]:
+        if e > out[-1]:
+            out.append(e)
+    return out
+
+
+def _hist_edge_map(
+    df: DataFrame, col_stats: dict, buckets: int
+) -> "dict[str, list[float]]":
+    """Columns eligible for an exact-count histogram, with their edge
+    lists: numeric types only, finite non-NaN extrema recorded, and
+    integer extrema inside double-exact range. Ineligible columns
+    simply record no histogram — cannot-prove never misleads."""
+    import math
+
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    out: "dict[str, list[float]]" = {}
+    for c, st in col_stats.items():
+        if c not in df.columns:
+            continue
+        t = df.schema[c].dataType
+        is_int = isinstance(t, (LongType, IntegerType, ShortType, ByteType))
+        if not (is_int or isinstance(t, (DoubleType, FloatType))):
+            continue
+        if st.get("min") is None or st.get("max") is None:
+            continue
+        mn, mx = _stat_from_json(st["min"]), _stat_from_json(st["max"])
+        if not isinstance(mn, (int, float)) or not isinstance(mx, (int, float)):
+            continue
+        if isinstance(mn, bool) or isinstance(mx, bool):
+            continue
+        mnf, mxf = float(mn), float(mx)
+        if any(math.isnan(x) or math.isinf(x) for x in (mnf, mxf)):
+            continue  # a NaN/inf extremum proves such rows exist
+        if is_int and (abs(mn) > _HIST_INT_SAFE or abs(mx) > _HIST_INT_SAFE):
+            continue
+        out[c] = _hist_edges(mnf, mxf, buckets)
+    return out
+
+
+def _histograms(
+    spark, df: DataFrame, edge_map: "dict[str, list[float]]"
+) -> dict:
+    """ONE aggregate pass computing every column's exact per-bucket row
+    counts at the given (pinned) edges: bucket i is [e_i, e_{i+1})
+    with the last bucket closed, plus ``below``/``above`` tails for
+    values outside the edge span (how incremental appends outside the
+    base extrema stay exactly counted) and a ``nan`` count (NaN
+    compares true against nothing, so its rows would otherwise vanish
+    from every bucket — recording them lets the bounds reader refuse
+    rather than under-count). All counts are exact integers: the
+    histogram is a statistic on the never-wrong surface, additively
+    mergeable when edges are identical."""
+    aggs = []
+    for c, edges in edge_map.items():
+        v = F.col(c).cast("double")
+        b = len(edges) - 1
+        aggs.append(F.sum((v < edges[0]).cast("long")).alias(f"{c}__hb"))
+        # Spark comparison semantics order NaN greater than everything,
+        # so the above-tail must exclude it or NaN rows double-count
+        # into both `above` and `nan`
+        aggs.append(
+            F.sum(((v > edges[-1]) & ~F.isnan(v)).cast("long")).alias(
+                f"{c}__ha"
+            )
+        )
+        aggs.append(F.sum(F.isnan(v).cast("long")).alias(f"{c}__hn"))
+        for i in range(b):
+            lo, hi = edges[i], edges[i + 1]
+            cond = (v >= lo) & ((v <= hi) if i == b - 1 else (v < hi))
+            aggs.append(F.sum(cond.cast("long")).alias(f"{c}__h{i}"))
+    if not aggs:
+        return {}
+    one = df.agg(*aggs).first()
+    out = {}
+    for c, edges in edge_map.items():
+        b = len(edges) - 1
+        out[c] = {
+            "edges": [float(e) for e in edges],
+            "counts": [int(one[f"{c}__h{i}"] or 0) for i in range(b)],
+            "below": int(one[f"{c}__hb"] or 0),
+            "above": int(one[f"{c}__ha"] or 0),
+            "nan": int(one[f"{c}__hn"] or 0),
+        }
+    return out
+
+
+def _merge_hist(a: "dict | None", b: "dict | None") -> "dict | None":
+    """Exact additive merge of two disjoint row sets' histograms —
+    defined only when the edges are IDENTICAL floats (incremental
+    deltas are always counted at the base's pinned edges, so this
+    holds by construction there); anything else merges to absent,
+    never to an approximation."""
+    if not a or not b or a["edges"] != b["edges"]:
+        return None
+    return {
+        "edges": a["edges"],
+        "counts": [x + y for x, y in zip(a["counts"], b["counts"])],
+        "below": a["below"] + b["below"],
+        "above": a["above"] + b["above"],
+        "nan": a.get("nan", 0) + b.get("nan", 0),
+    }
+
+
+def histogram_bounds(
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: "int | None" = None,
+) -> "tuple[int, int] | None":
+    """EXACT bounds ``(lo_rows, hi_rows)`` on the number of visible
+    rows whose ``col`` value lies in the closed range [lo, hi] (either
+    side None = unbounded), from the ANALYZE sidecar's histogram alone
+    — zero Spark jobs. These are bounds, not estimates: a bucket
+    provably inside the predicate counts toward both, a straddling
+    bucket only toward the upper — so ``true_count ∈ [lo_rows,
+    hi_rows]`` always, the posture `filtered_size_bound` demands
+    (proof, never an interpolation bet).
+
+    The proof holds only AT the analyzed version (any later commit
+    could add matching rows), so this returns None unless the sidecar
+    for exactly ``version`` exists — the `key_uniqueness` freshness
+    discipline. Also None when the column has no histogram (never
+    analyzed / non-numeric / NaN-or-inf extrema) or recorded NaN rows
+    (NaN's comparison semantics differ across engines; refusing beats
+    under-counting an unbounded predicate)."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    if not os.path.exists(_stats_path(table_dir, v)):
+        return None
+    with open(_stats_path(table_dir, v)) as f:
+        stats = json.load(f)
+    st = stats["columns"].get(col)
+    h = (st or {}).get("hist")
+    if h is None or h.get("nan", 0):
+        return None
+    lof = float("-inf") if lo is None else float(lo)
+    hif = float("inf") if hi is None else float(hi)
+    edges, counts = h["edges"], h["counts"]
+    b = len(edges) - 1
+    # segments as (value-inf, inf_closed, value-sup, sup_closed, count);
+    # tails are open intervals, bucket i is [e_i, e_{i+1}) except the
+    # last bucket which is closed on both sides
+    segs = [(float("-inf"), False, edges[0], False, h["below"])]
+    for i in range(b):
+        segs.append((edges[i], True, edges[i + 1], i == b - 1, counts[i]))
+    segs.append((edges[-1], False, float("inf"), False, h["above"]))
+    lo_rows = hi_rows = 0
+    for slo, slo_closed, shi, shi_closed, n in segs:
+        if n == 0:
+            continue
+        disjoint = (
+            shi < lof
+            or (shi == lof and not shi_closed)
+            or slo > hif
+            or (slo == hif and not slo_closed)
+        )
+        if disjoint:
+            continue
+        # inside [lof, hif]: v >= slo (or > when open) >= lof covers the
+        # lower side for both closures; v <= shi (or < when open) <= hif
+        # covers the upper — so slo >= lof and shi <= hif suffice
+        if slo >= lof and shi <= hif:
+            lo_rows += n
+        hi_rows += n
+    return lo_rows, hi_rows
 
 
 def _stats_path(table_dir: str, v: int) -> str:
@@ -5833,21 +6040,61 @@ def analyze_version(
     cols: "list[str]",
     k: int = 64,
     version: "int | None" = None,
+    hist_buckets: int = _HIST_BUCKETS_DEFAULT,
+    reuse_hist_edges: bool = True,
 ) -> dict:
     """ANALYZE: one aggregate pass for null counts and typed value
     envelopes over every requested column, plus one KMV job per column
     (co-scheduled), persisted as ``_stats/v{N}.json`` beside the
     manifest log (metadata, not a table version — re-analyzing does
-    not move the table). Returns the stats dict."""
+    not move the table). Numeric columns additionally record an exact
+    equi-width HISTOGRAM (``hist_buckets`` buckets — one further
+    aggregate pass for all columns together; 0 disables): exact
+    integer per-bucket counts, additively mergeable by
+    ``analyze_incremental`` and the substrate for
+    ``histogram_bounds``' provable selectivity bounds.
+
+    Histogram edges are STICKY: when a prior sidecar (at or before
+    this version) already pinned edges for a column they are reused —
+    out-of-range values land exactly in the below/above tails — so a
+    full re-analysis stays bit-identical to the incremental merge
+    (the ``analyze_incremental`` exactness law extends to histograms
+    verbatim). Pass ``reuse_hist_edges=False`` after heavy value
+    drift to re-derive edges from the current extrema (the pinned
+    tails keep counting exactly either way; re-deriving just restores
+    bucket resolution). Returns the stats dict."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
     v = versions[-1] if version is None else version
     df = read_version(spark, table_dir, version=v)
+    col_stats = _column_stats(spark, df, cols, k)
+    if hist_buckets:
+        pinned: "dict[str, list[float]]" = {}
+        if reuse_hist_edges:
+            prior = [
+                pv for pv in versions
+                if pv <= v and os.path.exists(_stats_path(table_dir, pv))
+            ]
+            if prior:
+                with open(_stats_path(table_dir, prior[-1])) as f:
+                    pstats = json.load(f)
+                for c in cols:
+                    ph = (pstats["columns"].get(c) or {}).get("hist")
+                    if ph:
+                        pinned[c] = list(ph["edges"])
+        edge_map = _hist_edge_map(
+            df,
+            {c: s for c, s in col_stats.items() if c not in pinned},
+            hist_buckets,
+        )
+        edge_map.update(pinned)
+        for c, hist in _histograms(spark, df, edge_map).items():
+            col_stats[c]["hist"] = hist
     stats: dict = {
         "k": int(k),
         "version": int(v),
-        "columns": _column_stats(spark, df, cols, k),
+        "columns": col_stats,
     }
     _write_stats(table_dir, v, stats)
     return stats
@@ -5969,6 +6216,17 @@ def analyze_incremental(
     ddf = _read_manifest_paths(spark, mv, paths, table_dir=table_dir)
     k = int(base["k"])
     delta_stats = _column_stats(spark, ddf, list(base["columns"]), k)
+    # count the delta at the BASE's pinned histogram edges — appends
+    # outside the base extrema land exactly in the below/above tails,
+    # so the merged histogram is value-identical to recounting the
+    # whole table at those edges (the merge law the pytest pins)
+    base_edges = {
+        c: st["hist"]["edges"]
+        for c, st in base["columns"].items()
+        if "hist" in st and c in delta_stats
+    }
+    for c, hist in _histograms(spark, ddf, base_edges).items():
+        delta_stats[c]["hist"] = hist
     stats = {
         "k": k,
         "version": int(v),
