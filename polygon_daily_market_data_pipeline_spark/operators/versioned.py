@@ -6010,6 +6010,66 @@ def histogram_bounds(
     return lo_rows, hi_rows
 
 
+def quantile_bracket(
+    table_dir: str,
+    col: str,
+    q: float,
+    version: "int | None" = None,
+) -> "tuple[float, float] | None":
+    """PROVABLE bracket ``(lo, hi)`` containing the q-quantile of the
+    column's non-null values, from the ANALYZE sidecar alone — zero
+    Spark jobs, O(buckets) work. The quantile is the k-th smallest
+    value with k = max(1, ceil(q·n)); exact per-segment counts locate
+    the segment it falls in, and the recorded min/max envelopes close
+    the otherwise-open tails, so the bracket is always finite and the
+    true quantile PROVABLY lies inside it (an approximate percentile
+    whose error bar is a guarantee, not a confidence interval — the
+    posture every stats surface here keeps).
+
+    Same validity discipline as ``histogram_bounds``: None unless a
+    sidecar exists at exactly ``version``, the column has a histogram,
+    and no NaN rows were recorded."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    if not os.path.exists(_stats_path(table_dir, v)):
+        return None
+    with open(_stats_path(table_dir, v)) as f:
+        stats = json.load(f)
+    st = stats["columns"].get(col)
+    h = (st or {}).get("hist")
+    if h is None or h.get("nan", 0):
+        return None
+    if st.get("min") is None or st.get("max") is None:
+        return None
+    mn, mx = _stat_from_json(st["min"]), _stat_from_json(st["max"])
+    if not isinstance(mn, (int, float)) or not isinstance(mx, (int, float)):
+        return None
+    edges = h["edges"]
+    # segment value brackets, tails closed by the exact min/max
+    # envelope (values below edges[0] still satisfy v >= min; values
+    # above edges[-1] satisfy v <= max)
+    segs = [(float(mn), float(edges[0]), h["below"])]
+    for i in range(len(edges) - 1):
+        segs.append((float(edges[i]), float(edges[i + 1]), h["counts"][i]))
+    segs.append((float(edges[-1]), float(mx), h["above"]))
+    n = sum(s[2] for s in segs)
+    if n == 0:
+        return None
+    import math
+
+    k = max(1, math.ceil(q * n))
+    cum = 0
+    for lo, hi, cnt in segs:
+        cum += cnt
+        if cum >= k:
+            return (lo, hi)
+    return (segs[-1][0], segs[-1][1])  # unreachable: cum == n >= k
+
+
 def _stats_path(table_dir: str, v: int) -> str:
     return os.path.join(table_dir, _STATS_SUBDIR, f"v{v}.json")
 

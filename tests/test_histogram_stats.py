@@ -215,3 +215,33 @@ def test_histogram_refinement_flips_broadcast(spark, tmp_path):
         broadcast_threshold_rows=1_000,
     )
     assert decision2["strategy"] == "merge"
+
+
+def test_quantile_bracket_contains_true_quantile(spark, tmp_path):
+    import math
+
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        quantile_bracket,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = _orders(spark)
+    commit_version(df.repartition(2), tdir, stats_cols=["o_orderkey"])
+    analyze_version(spark, tdir, ["o_totalprice"], hist_buckets=16)
+    vals = sorted(
+        r[0] for r in df.select("o_totalprice").collect() if r[0] is not None
+    )
+    n = len(vals)
+    for q in (0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+        bracket = quantile_bracket(tdir, "o_totalprice", q)
+        assert bracket is not None
+        true_q = vals[max(1, math.ceil(q * n)) - 1]
+        assert bracket[0] <= true_q <= bracket[1], (q, bracket, true_q)
+    # extremes collapse onto the envelope endpoints
+    b0 = quantile_bracket(tdir, "o_totalprice", 0.0)
+    b1 = quantile_bracket(tdir, "o_totalprice", 1.0)
+    assert b0[0] == vals[0] and b1[1] == vals[-1]
+    # freshness discipline: a later commit voids the proof
+    commit_version(df.limit(3), tdir, mode="append", stats_cols=["o_orderkey"])
+    assert quantile_bracket(tdir, "o_totalprice", 0.5) is None
+    assert quantile_bracket(tdir, "o_totalprice", 0.5, version=0) is not None
