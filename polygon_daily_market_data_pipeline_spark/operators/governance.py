@@ -1,0 +1,280 @@
+"""Governance on versioned tables: column masking policies and
+row-access policies — the warehouse surface the reference delegates to
+Snowflake's policy layer (``CREATE MASKING POLICY`` / ``CREATE ROW
+ACCESS POLICY``), re-expressed as metadata-driven Catalyst projections
+and filters. No UDFs anywhere: every mask is a codegen'd Column
+expression, every row policy a pushdown-eligible predicate, so a
+governed read costs what the equivalent SELECT would.
+
+Policies live in a single per-table ``_governance.json`` sidecar —
+deliberately NOT in the version manifests: access rules govern every
+read of the table *including time travel* (reading last month's
+version must not resurrect last month's weaker masking), and
+attaching/detaching a policy must not move the table's data version.
+The sidecar is replaced atomically (``write_json_sidecar``) and
+carries a generation counter for compare-and-set.
+
+Fail-closed postures throughout:
+- an unknown ``principal`` (None) is never exempt from anything;
+- a row policy whose predicate evaluates NULL HIDES the row (the
+  opposite of CHECK's NULL-passes — access control errs dark);
+- a masking policy naming a column the current schema no longer has
+  makes ``read_governed`` REFUSE outright (loud beats silently
+  exposing a renamed column's raw values);
+- ``rename_column``/``drop_column`` refuse while a policy references
+  the column (same posture as CHECK constraints: drop the policy
+  first) — enforced via the ``governed_columns`` hook below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+    _load_manifest,
+    _manifests,
+    read_version,
+    write_json_sidecar,
+)
+
+_GOV_FILE = "_governance.json"
+
+MASK_KINDS = ("null", "hash", "partial", "const")
+
+
+def _gov_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _GOV_FILE)
+
+
+def governance(table_dir: str) -> dict:
+    """The table's current governance state:
+    ``{"gen": int, "masks": {col: {...}}, "row_policies": {name:
+    {...}}}`` — empty-state defaults when no policy was ever set.
+    Pure metadata read."""
+    p = _gov_path(table_dir)
+    if not os.path.exists(p):
+        return {"gen": 0, "masks": {}, "row_policies": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, gov: dict) -> int:
+    gov = {**gov, "gen": int(gov.get("gen", 0)) + 1}
+    write_json_sidecar(_gov_path(table_dir), gov)
+    return gov["gen"]
+
+
+def _current_schema_fields(table_dir: str) -> dict:
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    m = _load_manifest(table_dir, versions[-1])
+    schema = m.get("schema")
+    if schema is None:
+        raise ValueError(
+            f"governance on {table_dir} requires a schema-bearing "
+            "manifest — overwrite the table once to record one"
+        )
+    return {f["name"]: f for f in schema["fields"]}
+
+
+def set_masking_policy(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    kind: str,
+    arg=None,
+    exempt: "tuple[str, ...] | list[str]" = (),
+) -> int:
+    """Attach a masking policy to a column (replacing any prior one).
+    Kinds — all type-preserving, all NULL-preserving (a mask never
+    fabricates a value where none existed):
+
+    - ``null``: every value reads as NULL.
+    - ``hash``: deterministic tokenization — equal raw values mask to
+      equal tokens, so joins/GROUP BYs on the masked column still
+      work. Strings mask to sha2-256 hex; integral types to xxhash64
+      wrapped back into the column's type. Other types refuse (no
+      same-type token exists).
+    - ``partial``: strings only — last ``arg`` characters visible,
+      the rest starred (the credit-card tail convention).
+    - ``const``: every non-NULL value reads as ``arg`` cast to the
+      column's type.
+
+    ``exempt`` lists principals who read the raw column. Validation
+    is set-time and schema-only (zero Spark jobs). Returns the new
+    governance generation."""
+    fields = _current_schema_fields(table_dir)
+    if col not in fields:
+        raise ValueError(
+            f"no column {col!r} in {table_dir} ({sorted(fields)})"
+        )
+    if kind not in MASK_KINDS:
+        raise ValueError(f"unknown mask kind {kind!r} (use {MASK_KINDS})")
+    ftype = str(fields[col].get("type", ""))
+    is_string = ftype == "string"
+    is_integral = ftype in ("byte", "short", "integer", "long")
+    if kind == "partial":
+        if not is_string:
+            raise ValueError(
+                f"partial mask needs a string column; {col!r} is {ftype}"
+            )
+        if not isinstance(arg, int) or arg < 0:
+            raise ValueError("partial mask arg = number of visible chars")
+    if kind == "hash" and not (is_string or is_integral):
+        raise ValueError(
+            f"hash mask needs a string or integral column; {col!r} is "
+            f"{ftype} — no same-type token exists (use 'null' or 'const')"
+        )
+    gov = governance(table_dir)
+    gov["masks"] = {
+        **gov.get("masks", {}),
+        col: {
+            "kind": kind,
+            "arg": arg,
+            "exempt": sorted(set(exempt)),
+            "type": ftype,
+        },
+    }
+    return _publish(table_dir, gov)
+
+
+def drop_masking_policy(table_dir: str, col: str) -> int:
+    gov = governance(table_dir)
+    if col not in gov.get("masks", {}):
+        raise ValueError(f"no masking policy on {col!r} in {table_dir}")
+    gov["masks"] = {c: m for c, m in gov["masks"].items() if c != col}
+    return _publish(table_dir, gov)
+
+
+def set_row_access_policy(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    sql: str,
+    exempt: "tuple[str, ...] | list[str]" = (),
+) -> int:
+    """Attach a named row-access policy: non-exempt principals see only
+    rows where ``sql`` evaluates TRUE — NULL or FALSE hides the row
+    (access control errs dark, unlike CHECK's NULL-passes). Multiple
+    policies AND together. The predicate is validated against the
+    current schema at set time (analysis only — zero Spark jobs).
+    Returns the new governance generation."""
+    probe = read_version(spark, table_dir).limit(0)
+    try:
+        probe.where(F.expr(sql).cast("boolean")).schema  # analysis check
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"row policy {name!r} predicate does not analyze against "
+            f"{table_dir}'s schema: {e}"
+        ) from e
+    gov = governance(table_dir)
+    gov["row_policies"] = {
+        **gov.get("row_policies", {}),
+        name: {"sql": sql, "exempt": sorted(set(exempt))},
+    }
+    return _publish(table_dir, gov)
+
+
+def drop_row_access_policy(table_dir: str, name: str) -> int:
+    gov = governance(table_dir)
+    if name not in gov.get("row_policies", {}):
+        raise ValueError(f"no row policy {name!r} in {table_dir}")
+    gov["row_policies"] = {
+        n: p for n, p in gov["row_policies"].items() if n != name
+    }
+    return _publish(table_dir, gov)
+
+
+def governed_columns(table_dir: str) -> "set[str]":
+    """Columns any policy references — the rename/drop refusal set
+    (``versioned.rename_column``/``drop_column`` consult this so a
+    rename can never silently detach a mask and expose raw values).
+    Row-policy references are detected the way CHECK references are:
+    word-boundary match in the SQL string."""
+    gov = governance(table_dir)
+    cols = set(gov.get("masks", {}))
+    for pol in gov.get("row_policies", {}).values():
+        # every identifier in the predicate counts as referenced —
+        # over-broad (keywords included) but refusal-side conservative
+        cols |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", pol["sql"]))
+    return cols
+
+
+def _mask_expr(col: str, mask: dict, dtype) -> "F.Column":
+    kind = mask["kind"]
+    c = F.col(col)
+    if kind == "null":
+        return F.lit(None).cast(dtype)
+    if kind == "hash":
+        if isinstance(dtype, StringType):
+            return F.sha2(c, 256)  # sha2(NULL) is NULL — preserved
+        # integral: 64-bit token wrapped back into the column's type.
+        # xxhash64(NULL) returns the seed, not NULL — guard explicitly.
+        return F.when(c.isNull(), F.lit(None).cast(dtype)).otherwise(
+            F.xxhash64(c).cast(dtype)
+        )
+    if kind == "partial":
+        n = int(mask["arg"])
+        return F.concat(
+            F.expr(f"repeat('*', greatest(length({col}) - {n}, 0))"),
+            F.expr(f"right({col}, {n})"),
+        )
+    if kind == "const":
+        return F.when(c.isNull(), F.lit(None).cast(dtype)).otherwise(
+            F.lit(mask["arg"]).cast(dtype)
+        )
+    raise ValueError(f"unknown mask kind {kind!r}")
+
+
+def read_governed(
+    spark: SparkSession,
+    table_dir: str,
+    principal: "str | None" = None,
+    **read_kwargs,
+) -> DataFrame:
+    """The table as ``principal`` is allowed to see it: ``read_version``
+    (all its version/as_of/tag/partitions kwargs pass through — the
+    CURRENT policies govern even time-travel reads) with non-exempt
+    row policies applied as filters (NULL hides — fail closed) and
+    non-exempt masks applied as projections. Row policies evaluate on
+    RAW values, before masking (the Snowflake order). Refuses outright
+    when a mask names a column the read's schema lacks — a policy that
+    cannot be applied must never degrade to exposure."""
+    gov = governance(table_dir)
+    df = read_version(spark, table_dir, **read_kwargs)
+    for name, pol in sorted(gov.get("row_policies", {}).items()):
+        if principal is not None and principal in pol["exempt"]:
+            continue
+        df = df.where(
+            F.coalesce(F.expr(pol["sql"]).cast("boolean"), F.lit(False))
+        )
+    masks = {
+        c: m
+        for c, m in gov.get("masks", {}).items()
+        if principal is None or principal not in m["exempt"]
+    }
+    missing = set(masks) - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"masking policies on {sorted(missing)} reference columns "
+            f"absent from this read of {table_dir} — refusing rather "
+            "than exposing (drop or re-point the policies)"
+        )
+    if masks:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        df = df.select(
+            *[
+                _mask_expr(c, masks[c], dtypes[c]).alias(c)
+                if c in masks
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df

@@ -1617,6 +1617,23 @@ def _refuse_checked_column(manifest: dict, col: str, op: str) -> None:
             )
 
 
+def _refuse_governed_column(table_dir: str, col: str, op: str) -> None:
+    """Refuse a rename/drop of a column a governance policy references:
+    a rename would silently detach the mask and expose raw values on
+    the next governed read (read_governed also refuses dangling masks
+    — this is the earlier, friendlier failure). Same posture as CHECK
+    constraints: drop the policy first."""
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        governed_columns,
+    )
+
+    if col in governed_columns(table_dir):
+        raise ValueError(
+            f"{op} of {col!r} refused: a masking or row-access policy "
+            f"on {table_dir} references it — drop the policy first"
+        )
+
+
 def add_check(
     spark: SparkSession,
     table_dir: str,
@@ -1780,6 +1797,7 @@ def rename_column(
             "reusing it"
         )
     _refuse_checked_column(src, old, "rename")
+    _refuse_governed_column(table_dir, old, "rename")
     new_schema = {
         **schema,
         "fields": [
@@ -1853,6 +1871,7 @@ def drop_column(
     if len(names) == 1:
         raise ValueError(f"cannot drop the last column of {table_dir}")
     _refuse_checked_column(src, col, "drop")
+    _refuse_governed_column(table_dir, col, "drop")
     for entry in src.get("eqdel") or []:
         if any(_current_name(src, c) == col for c in entry["cols"]):
             raise ValueError(
