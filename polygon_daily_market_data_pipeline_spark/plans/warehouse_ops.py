@@ -595,6 +595,108 @@ def _matview_rows(
     ]
 
 
+def _governance_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> list[DataFrame]:
+    """Masking + row-access policies (``operators/governance.py``,
+    round 13 continuation — the Snowflake policy layer): a scratch
+    versioned table carries a row policy (``o_orderstatus = 'F'``,
+    auditor exempt) and a hash mask on o_orderpriority (sha2-256 —
+    deterministic tokenization both engines compute identically), plus
+    one appended NULL-status row to price the fail-closed verdict.
+
+    n_rows = rows a NON-exempt principal sees (= the F-status slice;
+    the NULL-status row hides — NULL verdicts err dark); val = the
+    md5-packed digest of the SORTED DISTINCT masked priority tokens
+    the non-exempt read returns, which DuckDB recomputes by applying
+    sha256 to the same visible slice directly — masking applied, and
+    applied identically. n_aux bits, oracle-pinned 15:
+
+    - 1: the exempt auditor's read is row-identical to the raw table
+        (policies cost exempt readers nothing);
+    - 2: the masked token set is DISJOINT from the raw value set
+        (nothing leaks through the mask);
+    - 4: the NULL-verdict row is hidden from the governed read while
+        the auditor still sees it (fail-closed, not dropped data);
+    - 8: rename of the masked column REFUSES while the policy stands
+        (a rename must never silently detach a mask)."""
+    import hashlib
+
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        read_governed,
+        set_masking_policy,
+        set_row_access_policy,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        rename_column,
+    )
+
+    slim = ord_df.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    tdir = os.path.join(base, "gov")
+    commit_version(slim.coalesce(2), tdir)
+    commit_version(
+        spark.createDataFrame(
+            [(-1, None, "1-URGENT")],
+            "o_orderkey long, o_orderstatus string, o_orderpriority string",
+        ),
+        tdir,
+        mode="append",
+    )
+    set_row_access_policy(
+        spark, tdir, "f_only", "o_orderstatus = 'F'", exempt=["auditor"]
+    )
+    set_masking_policy(
+        spark, tdir, "o_orderpriority", "hash", exempt=["auditor"]
+    )
+    governed = read_governed(spark, tdir)
+    # one aggregate pass: row count, the ≤|priorities| masked-token
+    # set, and the NULL-verdict row's absence — nothing row-sized
+    # reaches the driver
+    g = governed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("tokens"),
+        F.sum((F.col("o_orderkey") == -1).cast("long")).alias("null_row"),
+    ).first()
+    n_rows = int(g["n"])
+    masked_set = list(g["tokens"])
+    raw = read_version(spark, tdir)
+    auditor = read_governed(spark, tdir, principal="auditor")
+    # distributed bag equality (no driver-side row collect)
+    auditor_is_raw = (
+        raw.exceptAll(auditor).count() == 0
+        and auditor.exceptAll(raw).count() == 0
+    )
+    raw_prios = {
+        r[0]
+        for r in raw.select("o_orderpriority").distinct().collect()
+    }
+    auditor_has_null_row = (
+        auditor.where(F.col("o_orderkey") == -1).count() == 1
+    )
+    try:
+        rename_column(tdir, "o_orderpriority", "prio")
+        rename_refused = False
+    except ValueError as e:
+        rename_refused = "policy" in str(e)
+    claims = (
+        (1 if auditor_is_raw else 0)
+        + (2 if not (set(masked_set) & raw_prios) else 0)
+        + (4 if int(g["null_row"] or 0) == 0 and auditor_has_null_row else 0)
+        + (8 if rename_refused else 0)
+    )
+    digest = int(
+        hashlib.md5("|".join(masked_set).encode()).hexdigest()[:15], 16
+    )
+    return [
+        _row(
+            spark.createDataFrame(
+                [("versioned_governed", n_rows, claims, digest)], _SCHEMA
+            ).drop("check_name"),
+            "versioned_governed",
+        )
+    ]
+
+
 def _dv_rows(
     spark: SparkSession, ord_df: DataFrame, base: str
 ) -> list[DataFrame]:
@@ -2271,6 +2373,25 @@ _CHECK_SQL["manifest_agg"] = """
 """
 
 
+# Governance (round 13 continuation): the non-exempt read is the
+# F-status slice (the appended NULL-status row hides — fail closed),
+# and the masked-token digest is sha256 applied to the same visible
+# priorities, sorted/joined exactly as the Spark side sorts its
+# collected token set (lowercase hex sorts identically both sides).
+# n_aux pins raw-for-exempt(1) + token-disjointness(2) +
+# null-hides(4) + rename-refused(8) = 15.
+_CHECK_SQL["versioned_governed"] = """
+        SELECT 'versioned_governed',
+               (SELECT COUNT(*) FROM ord WHERE o_orderstatus = 'F'),
+               15,
+               (SELECT CAST(('0x' || substr(md5(
+                        string_agg(DISTINCT sha256(o_orderpriority), '|'
+                                   ORDER BY sha256(o_orderpriority))),
+                    1, 15)) AS BIGINT)
+                FROM ord WHERE o_orderstatus = 'F')
+"""
+
+
 def _oracle_for(checks: "list[str]") -> str:
     """Compose the DuckDB oracle for a subset of audit rows. A zero-row
     aliased header names the union's columns so every stored fragment
@@ -3219,6 +3340,8 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["versioned_skipping", "versioned_delete"]),
     ("matview", lambda s, sf, o, b: _matview_rows(s, o, b),
      ["versioned_matview"]),
+    ("governance", lambda s, sf, o, b: _governance_rows(s, o, b),
+     ["versioned_governed"]),
     ("streaming_mv", lambda s, sf, o, b: _streaming_mv_rows(s, sf, b),
      ["streaming_mv", "streaming_mv_equals_batch"]),
     ("corpus_stream", lambda s, sf, o, b: _corpus_stream_rows(s, sf, b),
@@ -3255,11 +3378,12 @@ _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 # reds at most a bounded slice of the layer. New-operator branches ride
 # maintenance (the only green-at-driver query — see the BASELINE.md
 # case file) so they collect strong driver evidence; its cap grew
-# 20 → 21 in round 13 for the matview row, a new operator family that
-# genuinely needs driver pricing (the r12 verdict's stated bar).
+# 20 → 21 in round 13 for the matview row and 21 → 22 for the
+# governance row — each a new operator family that genuinely needs
+# driver pricing (the r12 verdict's stated bar).
 _CORE_BRANCHES = [
     "versioned", "skipping", "dv", "eqdel", "merge", "evolution",
-    "generated", "cbo", "fastagg", "transform", "matview",
+    "generated", "cbo", "fastagg", "transform", "matview", "governance",
 ]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",

@@ -103,9 +103,10 @@ def test_check_partition_is_total_and_disjoint():
     in round 12 when the cbo/fastagg stats-consumer branches joined
     maintenance, the driver-green query; 18 → 20 in round 13 for the
     cbo_star multi-way-ordering/auto-salt row and the transform-
-    partitioning row; 20 → 21 for the incremental-matview row — new
-    operators that need driver pricing ride the green host per the
-    established cap discipline)."""
+    partitioning row; 20 → 21 for the incremental-matview row; 21 → 22
+    for the governance masking/row-policy row — new operators that
+    need driver pricing ride the green host per the established cap
+    discipline)."""
     from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
         _CHECK_SQL,
         WAREHOUSE_QUERIES,
@@ -115,7 +116,7 @@ def test_check_partition_is_total_and_disjoint():
     all_checks: list[str] = []
     for name, branches in WAREHOUSE_QUERIES.items():
         cs = checks_for(branches)
-        assert len(cs) <= 21, f"{name} covers {len(cs)} rows (>21)"
+        assert len(cs) <= 22, f"{name} covers {len(cs)} rows (>22)"
         all_checks.extend(cs)
     assert len(all_checks) == len(set(all_checks)) == len(_CHECK_SQL)
     assert set(all_checks) == set(_CHECK_SQL)
