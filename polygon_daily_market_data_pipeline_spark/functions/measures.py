@@ -142,6 +142,10 @@ def technical_indicator_cols(
       COUNT series: n·Σc² − (Σc)² (n·(n−1)·sample-variance as an exact
       integer; counts stay small, so no BIGINT headroom risk at any SF,
       unlike squaring a monetary series).
+    - ``vol_spike{n}``: rolling z-score anomaly flag on the count
+      series in PURE integer arithmetic — |c−μ|>k·σ rearranged to
+      (n·c − Σc)² > k²·(n·Σc² − (Σc)²) so the comparison is exact on
+      every engine (no float mean/stddev near the boundary; k=3).
 
     Scale: all window functions share one (partition, order) sort — a
     single exchange per symbol partition. Post-aggregation daily grain
@@ -159,6 +163,7 @@ def technical_indicator_cols(
     n_vol = F.count(F.lit(1)).over(w_vol)
     sum_c = F.sum(cnt).over(w_vol)
     sum_c2 = F.sum(cnt * cnt).over(w_vol)
+    dev = n_vol * cnt - sum_c
     return {
         f"sma{sma_n}_c_sum": F.sum(v).over(w_sma),
         f"sma{sma_n}_n": F.count(v).over(w_sma),
@@ -166,6 +171,8 @@ def technical_indicator_cols(
         f"loss{rsi_n}_c": F.sum(F.greatest(-delta, F.lit(0))).over(w_rsi),
         "drawdown_c": F.max(v).over(w_peak) - v,
         f"volvol{vol_n}_num": n_vol * sum_c2 - sum_c * sum_c,
+        f"vol_spike{vol_n}": dev * dev
+        > F.lit(9) * (n_vol * sum_c2 - sum_c * sum_c),
     }
 
 

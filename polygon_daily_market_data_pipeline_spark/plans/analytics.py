@@ -150,7 +150,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                - tv_c AS drawdown_c,
            COUNT(*) OVER w20 * SUM(n_orders * n_orders) OVER w20
                - SUM(n_orders) OVER w20 * SUM(n_orders) OVER w20
-               AS volvol20_num
+               AS volvol20_num,
+           (COUNT(*) OVER w20 * n_orders - SUM(n_orders) OVER w20)
+             * (COUNT(*) OVER w20 * n_orders - SUM(n_orders) OVER w20)
+             > 9 * (COUNT(*) OVER w20 * SUM(n_orders * n_orders) OVER w20
+                    - SUM(n_orders) OVER w20 * SUM(n_orders) OVER w20)
+               AS vol_spike20
     FROM ind
     WINDOW w7  AS (ORDER BY trade_date ROWS BETWEEN 6  PRECEDING AND CURRENT ROW),
            w14 AS (ORDER BY trade_date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),

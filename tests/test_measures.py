@@ -269,3 +269,30 @@ def test_continuous_bars_gap_fill_locf(spark):
     real = out[("A", h(3))]
     assert not real["is_gap"] and real["close_ffill"] == 12.0
     assert not out[("B", h(1))]["is_gap"]  # isolated group, no fabricated rows
+
+
+def test_vol_spike_exact_integer_zscore(spark):
+    # Self-inclusive rolling z caps at (n-1)/sqrt(n), so a k=3 flag
+    # needs n >= 11: eleven flat counts then a 50 must flag exactly at
+    # its own row; flat windows and short heads never flag.
+    counts = [5] * 11 + [50]
+    rows = [
+        ("A", dt.date(2024, 1, d + 1), 100, c) for d, c in enumerate(counts)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date date, tv_c long, n_orders long"
+    )
+    ind = measures.technical_indicator_cols(
+        partition_cols=["symbol"], sma_n=2, rsi_n=2, vol_n=12
+    )
+    out = {
+        r["trade_date"].day: r["vol_spike12"]
+        for r in df.select(
+            "trade_date", *[c.alias(n) for n, c in ind.items()]
+        ).collect()
+    }
+    assert out == {d: (d == 12) for d in range(1, 13)}
+    # hand check day 12: n=12, c=50, S=105, S2=2775 →
+    # dev² = 495² = 245025 > 9·(12·2775 − 105²) = 200475
+    n, c, s, s2 = 12, 50, 105, 2775
+    assert ((n * c - s) ** 2 > 9 * (n * s2 - s * s)) is True
