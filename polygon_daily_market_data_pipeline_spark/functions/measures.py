@@ -183,6 +183,7 @@ def with_tick_durations(
     tiebreak_col: str = "event_id",
     group_cols: "list[str] | None" = None,
     out_col: str = "dur_us",
+    out_bar_col: "str | None" = None,
 ) -> DataFrame:
     """Per-tick holding duration inside an epoch-aligned tumbling bar —
     the exact-integer substrate for TWAP: each tick's value holds from
@@ -193,15 +194,23 @@ def with_tick_durations(
     bar they sum to exactly (bar_end − first_tick).
 
     Scale: one window sort per (groups, bar) partition — the same
-    shuffle the bar aggregation itself needs; no unpartitioned
-    window, no Python."""
+    shuffle the bar aggregation itself needs. Pass ``out_bar_col`` to
+    ALSO keep the bar-start column (epoch micros) and group the bar
+    aggregation on (groups, that column): the groupBy's clustering is
+    then satisfied by the window's own hash partitioning, so Catalyst
+    ELIMINATES the second tick-fact shuffle (plan-pinned in
+    test_plans) — grouping on a re-derived ``window()`` expression
+    instead costs a full extra exchange at 100 TB."""
     us = F.unix_micros(F.col(ts_col))
     bar_start_us = (us - (us % F.lit(every_us))).alias("_bar_start_us")
     parts = [F.col(c) for c in (group_cols or [])]
     w = Window.partitionBy(*parts, bar_start_us).orderBy(ts_col, tiebreak_col)
     next_us = F.unix_micros(F.lead(ts_col).over(w))
     bar_end_us = bar_start_us + F.lit(every_us)
-    return df.withColumn(out_col, F.coalesce(next_us, bar_end_us) - us)
+    out = df.withColumn(out_col, F.coalesce(next_us, bar_end_us) - us)
+    if out_bar_col is not None:
+        out = out.withColumn(out_bar_col, us - (us % F.lit(every_us)))
+    return out
 
 
 def vwap_twap_aggs(

@@ -865,14 +865,22 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         every_us=3_600_000_000,
         group_cols=["event_type"],
+        out_bar_col="bar_us",
     )
-    bars = ticks.groupBy(
-        F.window("ts", "1 hour").start.alias("window_start"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("event_cnt"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        *ohlc_aggs("ts", "value", "event_id"),
-        *vwap_twap_aggs(),
+    # group on the SAME (event_type, bar) the lead() window partitioned
+    # by — the window's hash partitioning already satisfies the
+    # groupBy's clustering, so the tick fact shuffles ONCE (a re-derived
+    # window() grouping expression costs a second full exchange)
+    bars = (
+        ticks.groupBy("event_type", "bar_us")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            *ohlc_aggs("ts", "value", "event_id"),
+            *vwap_twap_aggs(),
+        )
+        .withColumn("window_start", F.timestamp_micros(F.col("bar_us")))
+        .drop("bar_us")
     )
     filled = continuous_bars(
         bars,

@@ -388,3 +388,19 @@ def test_zorder_two_column_pruning_at_bench_scale(spark, tmp_path):
     }
     assert z_hit * 4 <= z_total, (z_hit, z_total)
     print(f"ZORDER-SF01 z={z_hit}/{z_total} sorted={s_hit}/{s_total}")
+
+
+def test_events_hourly_tick_fact_shuffles_once(spark):
+    """The VWAP/TWAP lead() window and the bar groupBy share ONE
+    hash exchange of the tick fact: grouping on the window's own
+    (event_type, bar_us) partitioning keys lets EnsureRequirements
+    eliminate the second shuffle a re-derived window() grouping
+    expression would cost — at 100 TB that is a full extra pass over
+    the ticks."""
+    plan = explain(QUERIES["events_hourly"](spark, SF))
+    tick_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "3600000000" in ln
+    ]
+    assert len(tick_exchanges) == 1, plan
