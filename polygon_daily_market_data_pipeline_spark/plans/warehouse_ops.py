@@ -2289,11 +2289,14 @@ for _c in _STATS_COLS:
 # arithmetic — Σ_p count(p)² via the carried dim attribute, exact money
 # cents of the fact side — under the two plans the sidecar stats chose;
 # n_aux pins the claim bits at 7 (see _cbo_rows docstring).
-# cbo_merge carries one extra round-13 claim bit (8): the filter-aware
-# re-plan — the grown dim plans merge, but the SAME join under a
-# selective predicate whose envelope bound proves the filtered side
-# small must flip back to broadcast, value-identically.
-for _name, _aux in (("cbo_broadcast", 7), ("cbo_merge", 15)):
+# cbo_merge carries two extra round-13 claim bits: (8) the
+# filter-aware re-plan — the grown dim plans merge, but the SAME join
+# under a selective predicate whose envelope bound proves the filtered
+# side small must flip back to broadcast, value-identically; (16) the
+# histogram-refined re-plan — a predicate no file envelope can prune
+# (every file's range covers it) whose exact sidecar bucket counts
+# prove tiny must also flip to a proof-backed broadcast.
+for _name, _aux in (("cbo_broadcast", 7), ("cbo_merge", 31)):
     _CHECK_SQL[_name] = f"""
         SELECT '{_name}',
                (SELECT CAST(SUM(c * c) AS BIGINT) FROM
@@ -2885,8 +2888,14 @@ def _cbo_rows(
     FILTER-AWARE re-plan (round 13): the same join under a predicate
     excluding the growth flips back to broadcast because
     ``filtered_size_bound``'s envelope upper bound proves the filtered
-    dim small, with rows exactly the residual-filtered join's (8);
-    oracle-pinned at 15.
+    dim small, with rows exactly the residual-filtered join's (8) +
+    HISTOGRAM-refined re-plan (round 13 continuation): a count-valued
+    predicate no file envelope can prune — every file's range covers
+    it, so the file bound is the whole grown table — flips to a
+    proof-backed broadcast because the sidecar's exact bucket counts
+    bound the matches under the threshold (``histogram_bounds``
+    through ``filtered_size_bound``, rows_ub_source='histogram'),
+    value-identically again (16); oracle-pinned at 31.
 
     ``cbo_star`` (round 13, VERDICT r12 #1/#2): ``plan_star_join``
     ordering a two-dim star from the sidecar, graded on the order
@@ -2927,7 +2936,10 @@ def _cbo_rows(
         F.count(F.lit(1)).cast("long").alias("dval")
     )
     commit_version(dim.coalesce(1), ddir, stats_cols=["o_orderpriority"])
-    analyze_version(spark, ddir, ["o_orderpriority"], k=_STATS_K)
+    # dval rides the ANALYZE for bit 16's histogram sizing: its sticky
+    # edges span the 5 original counts, so the zz_ growth lands in the
+    # tails and a count-valued predicate stays provably tiny
+    analyze_version(spark, ddir, ["o_orderpriority", "dval"], k=_STATS_K)
     sdir = os.path.join(base, "cbo_dim_sta")
     dim_s = slim.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("dval_s")
@@ -3118,6 +3130,38 @@ def _cbo_rows(
             and "BroadcastHashJoin" in pf
             and "SortMergeJoin" not in pf
             and _cm(jf) == _cm(fact.join(dim_filtered, "o_orderpriority"))
+        )
+        else 0
+    )
+    # bit 16 (round 13 continuation): histogram-refined sizing — a
+    # dval predicate NO file envelope can prune (the original file's
+    # range and both growth files' ranges all cover it, so the file
+    # bound is the whole grown table) but whose exact sidecar bucket
+    # counts prove tiny must flip the join back to a proof-backed
+    # BROADCAST, with rows exactly the residual-filtered join's
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        filtered_size_bound,
+    )
+
+    dmin = int(dim.agg(F.min("dval")).first()[0])
+    hpred = {"dval": (dmin, dmin)}
+    bh = filtered_size_bound(ddir, hpred)
+    jh, dhd = plan_join_with_stats(
+        spark, fact, ddir, "o_orderpriority",
+        broadcast_threshold_rows=64, fact_dir=fdir, dim_predicates=hpred,
+    )
+    ph = physical_plan(jh)
+    dim_h = read_version(spark, ddir).where(F.col("dval") == dmin)
+    claims2 += (
+        16
+        if (
+            bh["rows_ub_source"] == "histogram"
+            and bh["files"] == bh["files_total"]
+            and bh["rows_ub"] <= 64
+            and dhd["strategy"] == "broadcast"
+            and "BroadcastHashJoin" in ph
+            and "SortMergeJoin" not in ph
+            and _cm(jh) == _cm(fact.join(dim_h, "o_orderpriority"))
         )
         else 0
     )
