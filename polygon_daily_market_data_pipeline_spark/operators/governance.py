@@ -32,7 +32,7 @@ import json
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -101,7 +101,10 @@ def set_masking_policy(
       equal tokens, so joins/GROUP BYs on the masked column still
       work. Strings mask to sha2-256 hex; integral types to xxhash64
       wrapped back into the column's type. Other types refuse (no
-      same-type token exists).
+      same-type token exists). An optional ``arg`` string is a SECRET
+      KEY mixed into the hash (sha2(key‖value) / xxhash64(key, value))
+      — without it a low-cardinality or guessable column is
+      rainbow-table-able from the token alone.
     - ``partial``: strings only — last ``arg`` characters visible,
       the rest starred (the credit-card tail convention).
     - ``const``: every non-NULL value reads as ``arg`` cast to the
@@ -207,18 +210,79 @@ def governed_columns(table_dir: str) -> "set[str]":
     return cols
 
 
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: "list[str]", k: int
+) -> DataFrame:
+    """Quasi-identifier groups that re-identify: combinations of
+    ``quasi_cols`` values shared by FEWER than ``k`` rows (k-anonymity,
+    Sweeney 2002 — the privacy bar a governed export is usually held
+    to). One groupBy; NULL quasi values form their own group, exactly
+    as an attacker would treat them. Returns (quasi_cols...,
+    group_size) ordered smallest-first."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < k)
+        .orderBy("group_size", *quasi_cols)
+    )
+
+
+def enforce_k_anonymity(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int,
+    mode: str = "suppress",
+) -> DataFrame:
+    """The export-safe frame: rows in under-k quasi-identifier groups
+    are either dropped (``mode='suppress'`` — the conservative
+    default) or kept with their quasi columns NULLed
+    (``mode='generalize'`` — row counts survive for aggregate
+    consumers; the nulled rows collapse into the NULL group, which is
+    ≥ their own group's size, so the output is k-anonymous whenever
+    the surviving NULL group itself reaches k or the caller re-checks).
+    One window count per group — the same shuffle the violation scan
+    costs; fail-closed: an unknown mode refuses."""
+    if mode not in ("suppress", "generalize"):
+        raise ValueError(f"unknown mode {mode!r} (suppress | generalize)")
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    sized = df.withColumn("_ksize", F.count(F.lit(1)).over(w))
+    if mode == "suppress":
+        return sized.where(F.col("_ksize") >= k).drop("_ksize")
+    small = F.col("_ksize") < k
+    out = sized
+    for c in quasi_cols:
+        dtype = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))[c]
+        out = out.withColumn(
+            c, F.when(small, F.lit(None).cast(dtype)).otherwise(F.col(c))
+        )
+    return out.drop("_ksize")
+
+
 def _mask_expr(col: str, mask: dict, dtype) -> "F.Column":
     kind = mask["kind"]
     c = F.col(col)
     if kind == "null":
         return F.lit(None).cast(dtype)
     if kind == "hash":
+        key = mask.get("arg")
         if isinstance(dtype, StringType):
-            return F.sha2(c, 256)  # sha2(NULL) is NULL — preserved
+            tok = (
+                F.sha2(F.concat(F.lit(str(key)), c), 256)
+                if key is not None
+                else F.sha2(c, 256)
+            )
+            # keyed concat never sees NULL through (concat propagates
+            # NULL), unkeyed sha2(NULL) is NULL — preserved either way
+            return tok
         # integral: 64-bit token wrapped back into the column's type.
         # xxhash64(NULL) returns the seed, not NULL — guard explicitly.
+        tok = (
+            F.xxhash64(F.lit(str(key)), c) if key is not None else F.xxhash64(c)
+        )
         return F.when(c.isNull(), F.lit(None).cast(dtype)).otherwise(
-            F.xxhash64(c).cast(dtype)
+            tok.cast(dtype)
         )
     if kind == "partial":
         n = int(mask["arg"])

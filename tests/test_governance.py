@@ -170,3 +170,54 @@ def test_generation_counter_and_state(spark, gov_table):
     assert gov["gen"] == g2
     assert set(gov["masks"]) == {"email"}
     assert governed_columns(gov_table) >= {"email", "id"}
+
+
+def test_keyed_hash_tokenization(spark, gov_table):
+    set_masking_policy(spark, gov_table, "email", "hash", arg="s3cret")
+    keyed = _by_id(read_governed(spark, gov_table))[1]["email"]
+    drop_masking_policy(gov_table, "email")
+    set_masking_policy(spark, gov_table, "email", "hash")
+    unkeyed = _by_id(read_governed(spark, gov_table))[1]["email"]
+    import hashlib
+
+    # unkeyed token is the plain sha2 an attacker could rainbow-table;
+    # the keyed token is sha2(key || value) — different, and NULL-safe
+    assert unkeyed == hashlib.sha256(b"alice@example.com").hexdigest()
+    assert keyed == hashlib.sha256(b"s3cretalice@example.com").hexdigest()
+    assert keyed != unkeyed
+    drop_masking_policy(gov_table, "email")
+    set_masking_policy(spark, gov_table, "id", "hash", arg="s3cret")
+    ids = {r["id"] for r in read_governed(spark, gov_table).collect()}
+    assert len(ids) == 4 and ids != {1, 2, 3, 4}  # distinct keyed tokens
+
+
+def test_k_anonymity_violations_and_enforcement(spark):
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        enforce_k_anonymity,
+        k_anonymity_violations,
+    )
+
+    rows = (
+        [("30-40", "US", i) for i in range(5)]
+        + [("30-40", "DE", 10), ("30-40", "DE", 11)]
+        + [("40-50", "US", 20)]
+        + [(None, "FR", 30)]
+    )
+    df = spark.createDataFrame(rows, "age string, region string, payload long")
+    viol = k_anonymity_violations(df, ["age", "region"], k=3).collect()
+    assert [(r["age"], r["region"], r["group_size"]) for r in viol] == [
+        (None, "FR", 1),
+        ("40-50", "US", 1),
+        ("30-40", "DE", 2),
+    ]
+    kept = enforce_k_anonymity(df, ["age", "region"], k=3)
+    assert kept.count() == 5
+    assert {r["payload"] for r in kept.collect()} == set(range(5))
+    gen = enforce_k_anonymity(df, ["age", "region"], k=3, mode="generalize")
+    assert gen.count() == 9  # row counts survive
+    nulled = {r["payload"] for r in gen.collect() if r["age"] is None and r["region"] is None}
+    assert nulled == {10, 11, 20, 30}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown mode"):
+        enforce_k_anonymity(df, ["age"], 3, mode="redact")

@@ -245,3 +245,53 @@ def test_quantile_bracket_contains_true_quantile(spark, tmp_path):
     commit_version(df.limit(3), tdir, mode="append", stats_cols=["o_orderkey"])
     assert quantile_bracket(tdir, "o_totalprice", 0.5) is None
     assert quantile_bracket(tdir, "o_totalprice", 0.5, version=0) is not None
+
+
+def test_star_ordering_consumes_histogram_bound(spark, tmp_path):
+    """plan_star_join sizes predicated dims through filtered_size_bound,
+    which now refines with the histogram — a big dim under an
+    envelope-unprunable but histogram-proven-tiny predicate must order
+    (and broadcast) as the small side it provably is."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        plan_star_join,
+    )
+
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small")
+    # big dim: 10k rows, every file spans v∈[0,99] → envelopes prune 0
+    commit_version(
+        spark.createDataFrame(
+            [(i, i % 100, f"p{i}") for i in range(10_000)],
+            "bk long, v long, b_attr string",
+        ).repartition(4),
+        big,
+        stats_cols=["bk", "v"],
+    )
+    analyze_version(spark, big, ["v"], hist_buckets=32)
+    commit_version(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(500)], "sk long, s_attr string"
+        ).coalesce(1),
+        small,
+        stats_cols=["sk"],
+    )
+    fact = spark.createDataFrame(
+        [(i % 100, i % 500, i) for i in range(2_000)],
+        "v long, sk long, fid long",
+    )
+    dims = [(big, "v"), (small, "sk")]
+    pred = [{"v": (0, 0)}, None]
+    joined, dec = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=1_000,
+        dim_predicates=pred,
+    )
+    strategies = [d["strategy"] for d in dec["dims"]]
+    assert strategies == ["broadcast", "broadcast"]
+    # histogram bound (≤400) < small dim (500) → big-filtered FIRST
+    assert dec["order"] == [0, 1]
+    assert joined.count() == 20 * 100  # 20 fact rows at v=0, 100 dim rows
+    # without the predicate the same star demotes the big dim to merge
+    _, dec2 = plan_star_join(
+        spark, fact, dims, broadcast_threshold_rows=1_000
+    )
+    assert [d["strategy"] for d in dec2["dims"]] == ["broadcast", "merge"]
