@@ -160,7 +160,11 @@ def technical_indicator_cols(
     v = F.col(value_c_col)
     delta = v - F.lag(value_c_col).over(base)
     cnt = F.col(cnt_col).cast("long")
-    n_vol = F.count(F.lit(1)).over(w_vol)
+    # count the NON-NULL counts, not the frame rows: SUM skips NULLs,
+    # so a NULL count row must not inflate n in the variance identity
+    # (identical to COUNT(*) on the never-NULL aggregation outputs the
+    # suite feeds this)
+    n_vol = F.count(cnt).over(w_vol)
     sum_c = F.sum(cnt).over(w_vol)
     sum_c2 = F.sum(cnt * cnt).over(w_vol)
     dev = n_vol * cnt - sum_c

@@ -146,7 +146,7 @@ def filtered_size_bound(
     # available even when a kept file lacks footer rows (rows None).
     hist_ub: "int | None" = None
     for col, rng in predicates.items():
-        lo, hi = rng if isinstance(rng, tuple) else (rng, rng)
+        lo, hi = rng if isinstance(rng, (tuple, list)) else (rng, rng)
         hb = histogram_bounds(table_dir, col, lo, hi, version=v)
         if hb is not None:
             hist_ub = hb[1] if hist_ub is None else min(hist_ub, hb[1])
