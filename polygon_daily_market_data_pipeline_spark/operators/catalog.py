@@ -170,16 +170,36 @@ def catalog_sql(
     catalog_dir: str,
     sql: str,
     catalog_version: "int | None" = None,
+    principal: "str | None" = ...,
 ) -> DataFrame:
     """Run SQL over the catalog's pinned tables: every table in the
     snapshot is registered as a temp view at its pinned version, then
     the statement runs — so a multi-table query is consistent by
     construction, and re-running the same statement at the same catalog
     version is deterministic no matter what writers did since. View
-    registration is session-scoped and idempotent (replace)."""
+    registration is session-scoped and idempotent (replace).
+
+    ``principal`` routes every view through ``governance.
+    read_governed`` — the SQL surface CANNOT bypass a table's masking
+    or row-access policies, exactly the Snowflake posture (policies
+    bind to the table, not the query path). Pass a principal name
+    (``None`` = least privilege: nothing exempt) to get the governed
+    views; omit the argument entirely for the legacy raw registration
+    (callers owning their own enforcement). Governance is read at
+    QUERY time by design: the catalog pins DATA versions, never stale
+    access rules."""
     snap = catalog_snapshot(catalog_dir, catalog_version)
     for name, pin in snap.items():
-        read_version(
-            spark, pin["dir"], version=pin["version"]
-        ).createOrReplaceTempView(name)
+        if principal is ...:
+            df = read_version(spark, pin["dir"], version=pin["version"])
+        else:
+            from polygon_daily_market_data_pipeline_spark.operators.governance import (
+                read_governed,
+            )
+
+            df = read_governed(
+                spark, pin["dir"], principal=principal,
+                version=pin["version"],
+            )
+        df.createOrReplaceTempView(name)
     return spark.sql(sql)

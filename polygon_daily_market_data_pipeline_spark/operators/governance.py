@@ -297,10 +297,26 @@ def _mask_expr(col: str, mask: dict, dtype) -> "F.Column":
     raise ValueError(f"unknown mask kind {kind!r}")
 
 
+_ACCESS_LOG = "_access_log.jsonl"
+
+
+def access_history(table_dir: str) -> "list[dict]":
+    """The table's access-history entries (newest last) — what
+    ``read_governed(audit=True)`` recorded: who read, at which data
+    version and governance generation, with which masks and row
+    policies in force. Pure metadata read; empty when never audited."""
+    p = os.path.join(table_dir, _ACCESS_LOG)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
 def read_governed(
     spark: SparkSession,
     table_dir: str,
     principal: "str | None" = None,
+    audit: bool = False,
     **read_kwargs,
 ) -> DataFrame:
     """The table as ``principal`` is allowed to see it: ``read_version``
@@ -310,12 +326,22 @@ def read_governed(
     non-exempt masks applied as projections. Row policies evaluate on
     RAW values, before masking (the Snowflake order). Refuses outright
     when a mask names a column the read's schema lacks — a policy that
-    cannot be applied must never degrade to exposure."""
+    cannot be applied must never degrade to exposure.
+
+    ``audit=True`` appends one access-history line (who read, which
+    data version, governance generation, masks and row policies in
+    force) to ``_access_log.jsonl`` — the warehouse ACCESS_HISTORY
+    analog, read back by ``access_history``. The entry records the
+    PLAN construction (this function builds a lazy DataFrame; Spark
+    may evaluate it zero or many times), which is exactly when the
+    policy decision was taken. One small O_APPEND line per call."""
     gov = governance(table_dir)
     df = read_version(spark, table_dir, **read_kwargs)
+    applied_policies = []
     for name, pol in sorted(gov.get("row_policies", {}).items()):
         if principal is not None and principal in pol["exempt"]:
             continue
+        applied_policies.append(name)
         df = df.where(
             F.coalesce(F.expr(pol["sql"]).cast("boolean"), F.lit(False))
         )
@@ -341,4 +367,23 @@ def read_governed(
                 for c in df.columns
             ]
         )
+    if audit:
+        import datetime as _dt
+
+        from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+            _manifests as _mans,
+        )
+
+        entry = {
+            "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "principal": principal,
+            "version": read_kwargs.get("version")
+            if read_kwargs.get("version") is not None
+            else _mans(table_dir)[-1],
+            "gen": gov.get("gen", 0),
+            "masked_cols": sorted(masks),
+            "row_policies": applied_policies,
+        }
+        with open(os.path.join(table_dir, _ACCESS_LOG), "a") as f:
+            f.write(json.dumps(entry) + "\n")
     return df

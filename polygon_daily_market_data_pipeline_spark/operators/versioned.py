@@ -6029,6 +6029,55 @@ def histogram_bounds(
     return lo_rows, hi_rows
 
 
+def describe_histogram(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: "int | None" = None,
+) -> DataFrame:
+    """DESCRIBE HISTOGRAM: the column's sidecar histogram as a
+    DataFrame — one row per bucket (``bucket``, ``lo``, ``hi``,
+    ``n_rows``) with the below/above tails as buckets -1 and B (their
+    open side closed by the exact min/max envelope) and a trailing
+    ``nan`` bucket when NaN rows were recorded. Metadata-only (zero
+    scan jobs) — the dashboard surface over ``analyze_version``'s
+    counts, the way ``describe_statistics`` surfaces the envelope.
+    Raises KeyError when the column was never analyzed or carries no
+    histogram (non-numeric / NaN extrema / hist_buckets=0)."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    v = versions[-1] if version is None else version
+    analyzed = [
+        pv for pv in versions
+        if pv <= v and os.path.exists(_stats_path(table_dir, pv))
+    ]
+    if not analyzed:
+        raise KeyError(f"no ANALYZE sidecar at or before v{v} in {table_dir}")
+    with open(_stats_path(table_dir, analyzed[-1])) as f:
+        stats = json.load(f)
+    st = stats["columns"].get(col)
+    h = (st or {}).get("hist")
+    if h is None:
+        raise KeyError(f"column {col!r} has no histogram in {table_dir}")
+    edges = h["edges"]
+    mn = _stat_from_json(st["min"]) if st.get("min") is not None else None
+    mx = _stat_from_json(st["max"]) if st.get("max") is not None else None
+    rows = []
+    if h["below"]:
+        rows.append((-1, float(mn), float(edges[0]), h["below"]))
+    for i in range(len(edges) - 1):
+        rows.append((i, float(edges[i]), float(edges[i + 1]), h["counts"][i]))
+    b = len(edges) - 1
+    if h["above"]:
+        rows.append((b, float(edges[-1]), float(mx), h["above"]))
+    if h.get("nan", 0):
+        rows.append((b + 1, None, None, h["nan"]))
+    return spark.createDataFrame(
+        rows, "bucket int, lo double, hi double, n_rows long"
+    )
+
+
 def quantile_bracket(
     table_dir: str,
     col: str,

@@ -221,3 +221,85 @@ def test_k_anonymity_violations_and_enforcement(spark):
 
     with _pytest.raises(ValueError, match="unknown mode"):
         enforce_k_anonymity(df, ["age"], 3, mode="redact")
+
+
+def test_catalog_sql_routes_through_governance(spark, gov_table, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.catalog import (
+        catalog_commit,
+        catalog_sql,
+    )
+
+    set_masking_policy(spark, gov_table, "email", "null", exempt=["auditor"])
+    set_row_access_policy(spark, gov_table, "us", "region = 'US'")
+    cdir = str(tmp_path / "cat")
+    catalog_commit(cdir, {"people": gov_table})
+    q = "SELECT id, email FROM people ORDER BY id"
+    none_rows = catalog_sql(spark, cdir, q, principal=None).collect()
+    assert [r["id"] for r in none_rows] == [1, 3]  # row policy applied
+    assert all(r["email"] is None for r in none_rows)  # mask applied
+    aud = catalog_sql(spark, cdir, q, principal="auditor").collect()
+    assert [r["id"] for r in aud] == [1, 3]  # not exempt from the row policy
+    assert aud[0]["email"] == "alice@example.com"  # exempt from the mask
+    # legacy raw registration (argument omitted) stays available
+    raw = catalog_sql(spark, cdir, q).collect()
+    assert [r["id"] for r in raw] == [1, 2, 3, 4]
+
+
+def test_access_history_audit(spark, gov_table):
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        access_history,
+    )
+
+    assert access_history(gov_table) == []
+    set_masking_policy(spark, gov_table, "email", "hash")
+    set_row_access_policy(spark, gov_table, "us", "region = 'US'")
+    read_governed(spark, gov_table, principal="analyst", audit=True)
+    read_governed(spark, gov_table, principal="analyst")  # unaudited
+    commit_version(
+        spark.createDataFrame([(9, None, None, 1, "US")], SCHEMA),
+        gov_table,
+        mode="append",
+    )
+    read_governed(spark, gov_table, audit=True)
+    hist = access_history(gov_table)
+    assert len(hist) == 2
+    assert hist[0]["principal"] == "analyst" and hist[0]["version"] == 0
+    assert hist[0]["masked_cols"] == ["email"]
+    assert hist[0]["row_policies"] == ["us"]
+    assert hist[1]["principal"] is None and hist[1]["version"] == 1
+    assert hist[1]["gen"] == 2
+
+
+def test_describe_histogram_surface(spark, tmp_path):
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_incremental,
+        analyze_version,
+        describe_histogram,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_version(
+        spark.createDataFrame(
+            [(i, float(10 + i)) for i in range(40)], "id long, v double"
+        ),
+        tdir,
+    )
+    analyze_version(spark, tdir, ["v"], hist_buckets=4)
+    rows = describe_histogram(spark, tdir, "v").collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in rows) == 40
+    assert rows[0]["lo"] == 10.0 and rows[-1]["hi"] == 49.0
+    # growth outside the sticky edges surfaces as envelope-closed tails
+    commit_version(
+        spark.createDataFrame([(99, 500.0), (98, -7.0)], "id long, v double"),
+        tdir,
+        mode="append",
+    )
+    analyze_incremental(spark, tdir)
+    rows2 = describe_histogram(spark, tdir, "v").collect()
+    assert [r["bucket"] for r in rows2] == [-1, 0, 1, 2, 3, 4]
+    below, above = rows2[0], rows2[-1]
+    assert (below["lo"], below["hi"], below["n_rows"]) == (-7.0, 10.0, 1)
+    assert (above["lo"], above["hi"], above["n_rows"]) == (49.0, 500.0, 1)
+    with pytest.raises(KeyError):
+        describe_histogram(spark, tdir, "id")
