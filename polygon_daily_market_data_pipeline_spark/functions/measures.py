@@ -244,11 +244,22 @@ def continuous_bars(
     time_col: str = "window_start",
     group_cols: "list[str] | None" = None,
     ffill_cols: "list[str] | None" = None,
+    grid_filter: "Column | None" = None,
 ) -> DataFrame:
     """Gap-fill a bar series to a CONTINUOUS per-group time grid with
     last-observation-carried-forward — the canonical market-data
     publish shape (a bar exists for every interval of the session even
     when no tick printed; its close carries the prior close).
+
+    ``grid_filter`` (a Column predicate over ``time_col``) restricts
+    the grid to TRADING SESSIONS — e.g. ``dayofweek(window_start)
+    BETWEEN 2 AND 6`` skips weekends, and LOCF then carries Friday's
+    close straight into Monday's first bar. The filter DEFINES the
+    published calendar: an observed bar outside it is dropped with the
+    rest of the off-session grid (route off-session ticks upstream if
+    they must survive), and if it excludes a group's first observed
+    bar the leading ``_ffill`` values are NULL (nothing earlier to
+    carry).
 
     Per group the grid spans that group's own [min, max] observed bar
     (no bars are asserted outside the observed range, so the first
@@ -275,6 +286,8 @@ def continuous_bars(
             )
         ).alias(time_col),
     )
+    if grid_filter is not None:
+        spine = spine.where(grid_filter)
     joined = spine.join(
         bars.withColumn("_present", F.lit(True)),
         on=[*groups, time_col],

@@ -296,3 +296,27 @@ def test_vol_spike_exact_integer_zscore(spark):
     # dev² = 495² = 245025 > 9·(12·2775 − 105²) = 200475
     n, c, s, s2 = 12, 50, 105, 2775
     assert ((n * c - s) ** 2 > 9 * (n * s2 - s * s)) is True
+
+
+def test_continuous_bars_trading_session_filter(spark):
+    # Fri 2024-01-05 and Mon 2024-01-08 daily bars; the weekend grid
+    # rows are excluded by the session filter and LOCF carries Friday's
+    # close straight into Monday
+    bars = spark.createDataFrame(
+        [
+            ("A", dt.datetime(2024, 1, 5), 1, 10.0),
+            ("A", dt.datetime(2024, 1, 9), 1, 12.0),
+        ],
+        "sym string, window_start timestamp, event_cnt long, close double",
+    )
+    out = measures.continuous_bars(
+        bars,
+        every="1 day",
+        group_cols=["sym"],
+        ffill_cols=["close"],
+        grid_filter=F.dayofweek("window_start").between(2, 6),
+    )
+    rows = {r["window_start"].day: r for r in out.collect()}
+    assert sorted(rows) == [5, 8, 9]  # Sat 6 / Sun 7 never published
+    assert rows[8]["is_gap"] and rows[8]["close_ffill"] == 10.0
+    assert not rows[9]["is_gap"] and rows[9]["close_ffill"] == 12.0
