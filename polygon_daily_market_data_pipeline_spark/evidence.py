@@ -141,10 +141,11 @@ def _log_path() -> "Path | None":
     return _DEFAULT_LOG
 
 
-def _oracle_half(sf_dir: str, oracle_sql: str) -> dict:
+def _oracle_half(sf_dir: str, oracle_sql: str, detail: bool = True) -> dict:
     """Run the composed DuckDB oracle locally over the sf_dir parquet
     (same view registration as tools/check_oracle.py) and return the
-    loggable half-record. Any failure degrades to an error field."""
+    loggable half-record (row payloads when ``detail``, per-column
+    digests otherwise). Any failure degrades to an error field."""
     try:
         import duckdb
 
@@ -157,32 +158,65 @@ def _oracle_half(sf_dir: str, oracle_sql: str) -> dict:
         rel = con.sql(oracle_sql)
         ocols = [d[0] for d in rel.description]
         orows = rel.fetchall()
-        return {
+        out = {
             "oracle_fingerprint": fingerprint(
                 ocols, orows, spark_side=False
             ),
-            "oracle_rows": [
+            "oracle_secs": round(time.monotonic() - t0, 3),
+        }
+        if detail:
+            out["oracle_rows"] = [
                 {
                     "raw": [repr(v) for v in r],
                     "norm": [norm_value(v, spark_side=False) for v in r],
                 }
                 for r in orows
-            ],
-            "oracle_secs": round(time.monotonic() - t0, 3),
-        }
+            ]
+        else:
+            out["oracle_col_digests"] = col_digests(
+                ocols, orows, spark_side=False
+            )
+        return out
     except Exception as exc:  # noqa: BLE001 — never break an evaluation
         return {"oracle_error": f"{type(exc).__name__}: {exc}"}
 
 
+def col_digests(cols, rows, spark_side: bool = True) -> "dict[str, str]":
+    """Per-column fingerprint: sha256 over that column's SORTED
+    normalized values, 8 hex chars. The compact census for large
+    result sets (``detail=False``): a later mismatch is attributable
+    to a named COLUMN without storing 2k+ row payloads per
+    evaluation."""
+    import hashlib
+
+    out = {}
+    for i, c in enumerate(cols):
+        h = hashlib.sha256()
+        for line in sorted(norm_value(r[i], spark_side) for r in rows):
+            h.update(line.encode())
+            h.update(b"\n")
+        out[c] = h.hexdigest()[:8]
+    return out
+
+
 def log_eval(
-    query: str, sf_dir: str, cols, rows, oracle_sql: "str | None" = None
+    query: str,
+    sf_dir: str,
+    cols,
+    rows,
+    oracle_sql: "str | None" = None,
+    detail: bool = True,
 ) -> str:
     """Record one evaluation of a warehouse query: append a JSONL line
     to the eval log and print the fingerprint to stdout. Returns the
     (Spark-side) fingerprint. When ``oracle_sql`` is given and
     ``WAREHOUSE_ORACLE_EVAL`` != 0, the DuckDB oracle runs locally too
-    and its fingerprint rides the same record. Never raises — an
-    unwritable log degrades to the stdout line alone."""
+    and its fingerprint rides the same record. ``detail=False`` (the
+    round-14 census mode for row-heavy queries like
+    ``daily_change_pct``, 2399 rows) records per-column digests
+    instead of per-row payloads — column-attributable, bounded size.
+    Never raises — an unwritable log degrades to the stdout line
+    alone."""
     fp = fingerprint(cols, rows, spark_side=True)
     record = {
         "query": query,
@@ -193,18 +227,23 @@ def log_eval(
         "monotonic": round(time.monotonic(), 3),
         "fingerprint": fp,
         "cols": list(cols),
+        "n_rows": len(rows),
+    }
+    if detail:
         # raw repr keeps full float precision; norm is what the hash sees
-        "rows": [
+        record["rows"] = [
             {
                 "raw": [repr(v) for v in r],
                 "norm": [norm_value(v, spark_side=True) for v in r],
             }
             for r in rows
-        ],
-    }
+        ]
+    else:
+        record["col_digests"] = col_digests(cols, rows, spark_side=True)
     tail = ""
     if oracle_sql is not None and os.environ.get(_ORACLE_ENV, "1") != "0":
-        record.update(_oracle_half(sf_dir, oracle_sql))
+        half = _oracle_half(sf_dir, oracle_sql, detail=detail)
+        record.update(half)
         if "oracle_fingerprint" in record:
             record["oracle_match"] = (
                 record["oracle_fingerprint"] == fp

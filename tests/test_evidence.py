@@ -112,6 +112,34 @@ def test_log_eval_appends_jsonl_and_prints(tmp_path, monkeypatch, capsys):
     assert rec["pid"] == os.getpid()
 
 
+def test_log_eval_compact_census_mode(tmp_path, monkeypatch):
+    """detail=False (daily_change_pct's 2399-row census): per-column
+    digests ride the record instead of per-row payloads; the digests
+    attribute a mismatch to a named column and differ when one value
+    moves."""
+    from polygon_daily_market_data_pipeline_spark.evidence import (
+        col_digests,
+        log_eval,
+    )
+
+    log = tmp_path / "eval.jsonl"
+    monkeypatch.setenv("WAREHOUSE_EVAL_LOG", str(log))
+    cols = ["trade_date", "tv_c", "change_ppm"]
+    rows = [("2024-01-05", 123456, 0), ("2024-01-06", 130000, 53011)]
+    fp = log_eval("dcp", "/sf", cols, rows, detail=False)
+    rec = json.loads(log.read_text().splitlines()[0])
+    assert rec["fingerprint"] == fp and rec["n_rows"] == 2
+    assert "rows" not in rec
+    assert rec["col_digests"] == col_digests(cols, rows)
+    # digest is column-attributable: bump one cell, only its column moves
+    bumped = [rows[0], ("2024-01-06", 130000, 53012)]
+    d0, d1 = col_digests(cols, rows), col_digests(cols, bumped)
+    assert d0["tv_c"] == d1["tv_c"] and d0["trade_date"] == d1["trade_date"]
+    assert d0["change_ppm"] != d1["change_ppm"]
+    # digests are row-order-insensitive like the fingerprint
+    assert col_digests(cols, rows[::-1]) == d0
+
+
 def test_log_eval_never_raises_on_unwritable_sink(monkeypatch, capsys):
     from polygon_daily_market_data_pipeline_spark.evidence import log_eval
 
