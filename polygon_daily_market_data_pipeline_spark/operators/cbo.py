@@ -147,7 +147,14 @@ def filtered_size_bound(
     hist_ub: "int | None" = None
     for col, rng in predicates.items():
         lo, hi = rng if isinstance(rng, (tuple, list)) else (rng, rng)
-        hb = histogram_bounds(table_dir, col, lo, hi, version=v)
+        # tolerance contract (ADVICE r13): prune_files keeps the file
+        # and never crashes on bound/stat type mismatches — a string or
+        # datetime bound on a numeric histogrammed column must skip the
+        # refinement for that column, not raise from float(lo)
+        try:
+            hb = histogram_bounds(table_dir, col, lo, hi, version=v)
+        except (TypeError, ValueError):
+            hb = None
         if hb is not None:
             hist_ub = hb[1] if hist_ub is None else min(hist_ub, hb[1])
     rows_ub = rows

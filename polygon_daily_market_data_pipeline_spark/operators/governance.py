@@ -64,8 +64,46 @@ def governance(table_dir: str) -> dict:
         return json.load(f)
 
 
+def _gov_lock(table_dir: str):
+    """Exclusive advisory lock serializing governance read→publish
+    cycles (ADVICE r13, medium): without it two concurrent policy
+    attachments both read gen N and last-writer-wins, silently
+    DROPPING one policy — exposure on a fail-closed surface. flock on
+    a sidecar lockfile; every mutator below goes through this."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _held():
+        lock = _gov_path(table_dir) + ".lock"
+        fd = os.open(lock, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except Exception:  # noqa: BLE001 — fcntl-less platform
+                pass
+            yield
+        finally:
+            os.close(fd)
+
+    return _held()
+
+
 def _publish(table_dir: str, gov: dict) -> int:
-    gov = {**gov, "gen": int(gov.get("gen", 0)) + 1}
+    """Compare-and-set publish: ``gov`` must carry the generation the
+    mutator READ; if the on-disk generation moved since, refuse
+    loudly rather than last-writer-wins (the mutators hold
+    ``_gov_lock`` across read→publish, so this trips only on writers
+    bypassing the lock — defense in depth, not the primary guard)."""
+    on_disk = int(governance(table_dir).get("gen", 0))
+    if int(gov.get("gen", 0)) != on_disk:
+        raise RuntimeError(
+            f"concurrent governance modification on {table_dir}: read "
+            f"gen {gov.get('gen', 0)} but on-disk gen is {on_disk} — "
+            "re-read and retry"
+        )
+    gov = {**gov, "gen": on_disk + 1}
     write_json_sidecar(_gov_path(table_dir), gov)
     return gov["gen"]
 
@@ -135,25 +173,27 @@ def set_masking_policy(
             f"hash mask needs a string or integral column; {col!r} is "
             f"{ftype} — no same-type token exists (use 'null' or 'const')"
         )
-    gov = governance(table_dir)
-    gov["masks"] = {
-        **gov.get("masks", {}),
-        col: {
-            "kind": kind,
-            "arg": arg,
-            "exempt": sorted(set(exempt)),
-            "type": ftype,
-        },
-    }
-    return _publish(table_dir, gov)
+    with _gov_lock(table_dir):
+        gov = governance(table_dir)
+        gov["masks"] = {
+            **gov.get("masks", {}),
+            col: {
+                "kind": kind,
+                "arg": arg,
+                "exempt": sorted(set(exempt)),
+                "type": ftype,
+            },
+        }
+        return _publish(table_dir, gov)
 
 
 def drop_masking_policy(table_dir: str, col: str) -> int:
-    gov = governance(table_dir)
-    if col not in gov.get("masks", {}):
-        raise ValueError(f"no masking policy on {col!r} in {table_dir}")
-    gov["masks"] = {c: m for c, m in gov["masks"].items() if c != col}
-    return _publish(table_dir, gov)
+    with _gov_lock(table_dir):
+        gov = governance(table_dir)
+        if col not in gov.get("masks", {}):
+            raise ValueError(f"no masking policy on {col!r} in {table_dir}")
+        gov["masks"] = {c: m for c, m in gov["masks"].items() if c != col}
+        return _publish(table_dir, gov)
 
 
 def set_row_access_policy(
@@ -177,22 +217,24 @@ def set_row_access_policy(
             f"row policy {name!r} predicate does not analyze against "
             f"{table_dir}'s schema: {e}"
         ) from e
-    gov = governance(table_dir)
-    gov["row_policies"] = {
-        **gov.get("row_policies", {}),
-        name: {"sql": sql, "exempt": sorted(set(exempt))},
-    }
-    return _publish(table_dir, gov)
+    with _gov_lock(table_dir):
+        gov = governance(table_dir)
+        gov["row_policies"] = {
+            **gov.get("row_policies", {}),
+            name: {"sql": sql, "exempt": sorted(set(exempt))},
+        }
+        return _publish(table_dir, gov)
 
 
 def drop_row_access_policy(table_dir: str, name: str) -> int:
-    gov = governance(table_dir)
-    if name not in gov.get("row_policies", {}):
-        raise ValueError(f"no row policy {name!r} in {table_dir}")
-    gov["row_policies"] = {
-        n: p for n, p in gov["row_policies"].items() if n != name
-    }
-    return _publish(table_dir, gov)
+    with _gov_lock(table_dir):
+        gov = governance(table_dir)
+        if name not in gov.get("row_policies", {}):
+            raise ValueError(f"no row policy {name!r} in {table_dir}")
+        gov["row_policies"] = {
+            n: p for n, p in gov["row_policies"].items() if n != name
+        }
+        return _publish(table_dir, gov)
 
 
 def governed_columns(table_dir: str) -> "set[str]":
@@ -285,10 +327,13 @@ def _mask_expr(col: str, mask: dict, dtype) -> "F.Column":
             tok.cast(dtype)
         )
     if kind == "partial":
-        n = int(mask["arg"])
+        # Column API, not interpolated SQL (ADVICE r13): a column name
+        # that is not a bare identifier (spaces, dashes, reserved
+        # words) must mask, not blow up the governed read at analysis
+        n = F.lit(int(mask["arg"]))
         return F.concat(
-            F.expr(f"repeat('*', greatest(length({col}) - {n}, 0))"),
-            F.expr(f"right({col}, {n})"),
+            F.repeat(F.lit("*"), F.greatest(F.length(c) - n, F.lit(0))),
+            F.right(c, n),
         )
     if kind == "const":
         return F.when(c.isNull(), F.lit(None).cast(dtype)).otherwise(
@@ -371,15 +416,23 @@ def read_governed(
         import datetime as _dt
 
         from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-            _manifests as _mans,
+            _resolve_manifest,
+            resolve_tag,
         )
 
+        # resolve the EFFECTIVE data version the same way read_version
+        # did (honoring as_of/tag, not just version=) — the entry must
+        # attribute which data the principal actually read (ADVICE r13)
+        rv = read_kwargs.get("version")
+        if read_kwargs.get("tag") is not None:
+            rv = resolve_tag(table_dir, read_kwargs["tag"])
+        eff_version = _resolve_manifest(
+            table_dir, rv, read_kwargs.get("as_of")
+        ).get("version")
         entry = {
             "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "principal": principal,
-            "version": read_kwargs.get("version")
-            if read_kwargs.get("version") is not None
-            else _mans(table_dir)[-1],
+            "version": eff_version,
             "gen": gov.get("gen", 0),
             "masked_cols": sorted(masks),
             "row_policies": applied_policies,

@@ -1627,7 +1627,12 @@ def _refuse_governed_column(table_dir: str, col: str, op: str) -> None:
         governed_columns,
     )
 
-    if col in governed_columns(table_dir):
+    # Spark SQL resolves identifiers case-insensitively, so the refusal
+    # must too (ADVICE r13): a row policy written "REGION = 'US'" must
+    # block rename/drop of 'region' — otherwise the later governed read
+    # fails with a raw AnalysisException instead of this refusal
+    refusal = {c.casefold() for c in governed_columns(table_dir)}
+    if col.casefold() in refusal:
         raise ValueError(
             f"{op} of {col!r} refused: a masking or row-access policy "
             f"on {table_dir} references it — drop the policy first"

@@ -934,3 +934,37 @@ def test_hot_key_salted_join_targeted_replication(spark):
         .first()
     )
     assert spread[1] == 8 and spread[0] < 4000  # hot key fanned over 8
+
+
+def test_filtered_bound_tolerates_type_mismatched_bound_on_histogram(
+    spark, tmp_path
+):
+    """ADVICE r13: prune_files' tolerance contract (keep the file,
+    never crash on bound/stat type mismatches) must extend to the
+    histogram refinement — a string or datetime bound on a numeric,
+    HISTOGRAMMED column skips the refinement instead of raising from
+    float(lo)."""
+    import datetime as dt
+
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        filtered_size_bound,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_version,
+    )
+
+    t = str(tmp_path / "fsb_mismatch")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    commit_version(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+    analyze_version(spark, t, ["k"])  # k now has a histogram
+    for bad in ("not-a-number", dt.datetime(2024, 1, 5)):
+        bound = filtered_size_bound(t, {"k": (None, bad)})
+        # no crash; no histogram refinement claimed; files kept whole
+        assert bound["rows_ub_source"] == "files"
+        assert bound["files"] == bound["files_total"]
+        assert bound["rows_ub"] == 1000
+    # sanity: a well-typed bound still refines via the histogram
+    ok = filtered_size_bound(t, {"k": (None, 10)})
+    assert ok["rows_ub"] is not None and ok["rows_ub"] < 1000

@@ -303,3 +303,118 @@ def test_describe_histogram_surface(spark, tmp_path):
     assert (above["lo"], above["hi"], above["n_rows"]) == (49.0, 500.0, 1)
     with pytest.raises(KeyError):
         describe_histogram(spark, tdir, "id")
+
+
+def test_concurrent_policy_attachments_both_survive(spark, gov_table):
+    """ADVICE r13 (medium): the read→publish cycle raced — two
+    concurrent attachments could both read gen N and the last writer
+    silently dropped the other's policy. The _gov_lock serializes
+    them; both must be present afterwards."""
+    import threading
+
+    errs = []
+
+    def attach_mask():
+        try:
+            set_masking_policy(spark, gov_table, "email", "null")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def attach_row():
+        try:
+            set_row_access_policy(spark, gov_table, "us", "region = 'US'")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=f)
+        for f in (attach_mask, attach_row, attach_mask, attach_row)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    gov = governance(gov_table)
+    assert "email" in gov["masks"] and "us" in gov["row_policies"]
+    assert gov["gen"] == 4  # one generation per publish, none lost
+
+
+def test_publish_cas_refuses_stale_generation(spark, gov_table):
+    """Defense in depth behind the lock: a publish carrying a stale
+    read generation refuses instead of last-writer-wins."""
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        _publish,
+    )
+
+    stale = governance(gov_table)  # gen 0
+    set_masking_policy(spark, gov_table, "email", "null")  # gen -> 1
+    stale["masks"] = {}
+    with pytest.raises(RuntimeError, match="concurrent governance"):
+        _publish(gov_table, stale)
+    # the attached policy survived the refused write
+    assert "email" in governance(gov_table)["masks"]
+
+
+def test_rename_drop_refusal_is_case_insensitive(spark, gov_table):
+    """ADVICE r13: Spark resolves identifiers case-insensitively, so a
+    policy written "REGION = 'US'" must block rename/drop of 'region'
+    with the friendly refusal, not let it through to a later
+    AnalysisException on the governed read."""
+    set_row_access_policy(spark, gov_table, "us", "REGION = 'US'")
+    with pytest.raises(ValueError, match="policy"):
+        rename_column(gov_table, "region", "geo")
+    with pytest.raises(ValueError, match="policy"):
+        drop_column(gov_table, "region")
+    set_masking_policy(spark, gov_table, "EMAIL".lower(), "null")
+    read_governed(spark, gov_table).collect()  # still analyzes fine
+
+
+def test_partial_mask_on_non_bare_identifier(spark, tmp_path):
+    """ADVICE r13: the partial mask is built with the Column API, so a
+    column name that is not a bare SQL identifier (dash) masks instead
+    of breaking the governed read at analysis time."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    tdir = str(tmp_path / "dashcol")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("card-no", StringType())]
+    )
+    commit_version(
+        spark.createDataFrame([(1, "4111111111111234"), (2, None)], schema),
+        tdir,
+    )
+    set_masking_policy(spark, tdir, "card-no", "partial", arg=4)
+    rows = {r["id"]: r for r in read_governed(spark, tdir).collect()}
+    assert rows[1]["card-no"] == "*" * 12 + "1234"
+    assert rows[2]["card-no"] is None
+
+
+def test_audit_attributes_effective_version_for_asof_and_tag(spark, gov_table):
+    """ADVICE r13: the access-history entry must record the data
+    version the principal ACTUALLY read (honoring as_of/tag), not the
+    table's latest."""
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        access_history,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest,
+        create_tag,
+    )
+
+    create_tag(gov_table, "first")  # pins version 0
+    commit_version(
+        spark.createDataFrame([(9, None, None, 1, "US")], SCHEMA),
+        gov_table,
+        mode="append",
+    )
+    read_governed(spark, gov_table, tag="first", audit=True)
+    read_governed(
+        spark,
+        gov_table,
+        as_of=_load_manifest(gov_table, 0)["committed_at"],
+        audit=True,
+    )
+    read_governed(spark, gov_table, audit=True)
+    versions = [e["version"] for e in access_history(gov_table)]
+    assert versions == [0, 0, 1]
