@@ -198,18 +198,81 @@ def _truncate_str_env(lo: str, hi: str, maxlen: int = _STR_STAT_MAXLEN):
     return None
 
 
+def _footer_record(p: str, cols: list[str]) -> "tuple[int, str, str]":
+    """(rows, stats_json, nulls_json) for one parquet file's footer —
+    the per-file unit of work shared by the driver-side and fanned-out
+    paths of ``_collect_file_stats``."""
+    from polygon_daily_market_data_pipeline_spark.operators.layout import (
+        file_envelope,
+    )
+
+    res = file_envelope(p, cols, with_nulls=True)
+    if res is None:  # empty file: never matches anything
+        return (0, json.dumps(None), json.dumps(None))
+    nrows, env, nulls = res
+
+    def enc_col(c):
+        if env[c] is None:
+            return None
+        lo, hi = env[c]
+        truncated = False
+        if isinstance(lo, str) and isinstance(hi, str):
+            # Delta-style truncation: the manifest must
+            # stay O(files), not O(files × value length)
+            t = _truncate_str_env(lo, hi)
+            if t is None:
+                return None
+            truncated = t != (lo, hi)
+            lo, hi = t
+        try:
+            enc = [_stat_to_json(lo), _stat_to_json(hi)]
+        except TypeError:
+            # unencodable stats type (e.g. BINARY):
+            # record none — the column stays unprunable
+            return None
+        if isinstance(lo, str) or truncated:
+            # third element flags a BOUND-not-VALUE
+            # envelope (ADVICE r11): still sound for
+            # pruning (lo ≤ true min, hi ≥ true max)
+            # but describe_statistics must not surface
+            # it as an exact extremum — positional
+            # readers (rng[0]/rng[1]) are unaffected.
+            # Since ADVICE r12 the flag is written for
+            # EVERY string envelope (0 = exact): an
+            # explicit 0 is the only proof of string
+            # exactness _env_is_exact accepts, because
+            # a pre-flag truncated hi can be SHORTER
+            # than _STR_STAT_MAXLEN (the backoff
+            # branch) and is then indistinguishable
+            # from an exact value by any heuristic.
+            enc.append(1 if truncated else 0)
+        return enc
+
+    enc = {c: enc_col(c) for c in cols}
+    return (nrows, json.dumps(enc), json.dumps(nulls))
+
+
+# Below this many files a commit's footer stats are read in a plain
+# driver loop: each footer is a ~ms metadata read, while the fan-out
+# costs a full Spark job + Arrow/Python-worker round-trip (~1-2 s
+# fixed) — pure overhead that every stats-bearing commit pays. The
+# distributed path takes over where it pays off (wide commits at
+# 100 TB: thousands of footers read where the files live).
+_FOOTER_FANOUT_MIN_FILES = 64
+
+
 def _collect_file_stats(
     spark: SparkSession, table_dir: str, data_dir: str, cols: list[str]
 ) -> dict:
     """{file relpath: {"rows": n, "stats": {col: [minJ, maxJ(, trunc)]
     | None}, "nulls": {col: n_null}}} for every parquet file under
-    ``data_dir`` — footer reads fanned out over executors via
-    mapInPandas; the collected result is file-count-sized, never
-    data-sized. ``nulls`` records only columns whose footer null count
-    is known (absent entries are unprovable, and fast_aggregate treats
-    them conservatively)."""
+    ``data_dir`` — footer reads driver-side below
+    ``_FOOTER_FANOUT_MIN_FILES`` files, fanned out over executors via
+    mapInPandas above it; the collected result is file-count-sized,
+    never data-sized. ``nulls`` records only columns whose footer null
+    count is known (absent entries are unprovable, and fast_aggregate
+    treats them conservatively)."""
     from polygon_daily_market_data_pipeline_spark.operators.layout import (
-        file_envelope,
         list_parquet_files,
     )
 
@@ -217,71 +280,42 @@ def _collect_file_stats(
     if not files:
         return {}
 
-    def read_footers(batches):
-        import pandas as pd
+    if len(files) < _FOOTER_FANOUT_MIN_FILES:
+        collected = [
+            {
+                "path": p,
+                "rows": rec[0],
+                "stats": rec[1],
+                "nulls": rec[2],
+            }
+            for p in files
+            for rec in [_footer_record(p, cols)]
+        ]
+    else:
 
-        for pdf in batches:
-            rows = []
-            for p in pdf["path"]:
-                res = file_envelope(p, cols, with_nulls=True)
-                if res is None:  # empty file: never matches anything
-                    rows.append((p, 0, json.dumps(None), json.dumps(None)))
-                else:
-                    nrows, env, nulls = res
+        def read_footers(batches):
+            import pandas as pd
 
-                    def enc_col(c):
-                        if env[c] is None:
-                            return None
-                        lo, hi = env[c]
-                        truncated = False
-                        if isinstance(lo, str) and isinstance(hi, str):
-                            # Delta-style truncation: the manifest must
-                            # stay O(files), not O(files × value length)
-                            t = _truncate_str_env(lo, hi)
-                            if t is None:
-                                return None
-                            truncated = t != (lo, hi)
-                            lo, hi = t
-                        try:
-                            enc = [_stat_to_json(lo), _stat_to_json(hi)]
-                        except TypeError:
-                            # unencodable stats type (e.g. BINARY):
-                            # record none — the column stays unprunable
-                            return None
-                        if isinstance(lo, str) or truncated:
-                            # third element flags a BOUND-not-VALUE
-                            # envelope (ADVICE r11): still sound for
-                            # pruning (lo ≤ true min, hi ≥ true max)
-                            # but describe_statistics must not surface
-                            # it as an exact extremum — positional
-                            # readers (rng[0]/rng[1]) are unaffected.
-                            # Since ADVICE r12 the flag is written for
-                            # EVERY string envelope (0 = exact): an
-                            # explicit 0 is the only proof of string
-                            # exactness _env_is_exact accepts, because
-                            # a pre-flag truncated hi can be SHORTER
-                            # than _STR_STAT_MAXLEN (the backoff
-                            # branch) and is then indistinguishable
-                            # from an exact value by any heuristic.
-                            enc.append(1 if truncated else 0)
-                        return enc
+            for pdf in batches:
+                rows = [
+                    (p, *_footer_record(p, cols)) for p in pdf["path"]
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["path", "rows", "stats", "nulls"]
+                )
 
-                    enc = {c: enc_col(c) for c in cols}
-                    rows.append((p, nrows, json.dumps(enc), json.dumps(nulls)))
-            yield pd.DataFrame(
-                rows, columns=["path", "rows", "stats", "nulls"]
-            )
-
-    paths = spark.createDataFrame([(p,) for p in files], "path string")
-    n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
-    collected = (
-        paths.repartition(n_tasks)
-        .mapInPandas(
-            read_footers,
-            "path string, rows long, stats string, nulls string",
+        paths = spark.createDataFrame([(p,) for p in files], "path string")
+        n_tasks = max(
+            1, min(len(files), spark.sparkContext.defaultParallelism)
         )
-        .collect()
-    )
+        collected = (
+            paths.repartition(n_tasks)
+            .mapInPandas(
+                read_footers,
+                "path string, rows long, stats string, nulls string",
+            )
+            .collect()
+        )
     out = {}
     for r in collected:
         ent = {"rows": r["rows"], "stats": json.loads(r["stats"])}

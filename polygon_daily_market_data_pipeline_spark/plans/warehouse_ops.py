@@ -3076,7 +3076,14 @@ def _cbo_rows(
 
     # grow the dim past the threshold with never-matching keys (a dim
     # gaining members the fact does not reference), extend stats
-    # incrementally, re-plan the SAME join
+    # incrementally, re-plan the SAME join. The growth only has to
+    # carry the STATISTICS past threshold=64 — every audit value is
+    # growth-independent (zz_ keys never join; the oracle sums over
+    # ord alone) — so a fixed 96-key deterministic sample (the 96
+    # smallest orderkeys: 1.5x the threshold at EVERY sf) replaces the
+    # full 37.5k-row slice the r12 script committed: same claims, same
+    # values, two orders of magnitude less commit/analyze/shuffle work
+    # per evaluation (r14 rent control, VERDICT r13 #2)
     grown = slim.select(
         F.concat(
             F.lit("zz_"), F.col("o_orderkey").cast("string")
