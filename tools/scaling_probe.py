@@ -1843,6 +1843,127 @@ def probe_matview(spark, sf_dir: str) -> None:
     assert pts[-1][3] < pts[-1][2], pts  # refresh beats create at 16x
 
 
+def probe_dsir(spark, sf_dir: str) -> None:
+    """Round-14 probe: DSIR importance resampling (two integer bigram
+    LM passes + a distributed TakeOrdered selection,
+    ``operators/lm_score.py``) is corpus-LINEAR — the per-doubling
+    scaling exponent stays ≈1 as the raw corpus grows 1x/4x/16x with a
+    fixed-size target. At 100 TB the cost is two map-side-combined
+    count passes; nothing quadratic, nothing driver-sized beyond the
+    broadcast LM counts."""
+    from polygon_daily_market_data_pipeline_spark.operators.lm_score import (
+        dsir_log_weights,
+        dsir_select,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where("doc_id % 31 = 4").localCheckpoint(eager=True)
+    n = docs.count()
+    pts = []
+    warmed = False
+    for k in (1, 4, 16):
+        from pyspark.sql import functions as F
+
+        scaled = docs
+        for i in range(1, k):
+            scaled = scaled.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+            )
+        scaled = scaled.repartition(32).persist()
+        scaled.count()
+        if not warmed:
+            dsir_select(
+                dsir_log_weights(scaled, target), 100
+            ).count()  # codegen/worker warm-up, untimed
+            warmed = True
+        t0 = time.monotonic()
+        got = dsir_select(dsir_log_weights(scaled, target), 100).count()
+        dt = time.monotonic() - t0
+        assert got == 100
+        pts.append((k, n * k, dt))
+        scaled.unpersist()
+    slopes = [
+        math.log(pts[i + 1][2] / pts[i][2], 4) for i in range(len(pts) - 1)
+    ]
+    print(
+        "dsir: "
+        + ", ".join(f"{k}x ({rows} rows) {dt:.2f}s" for k, rows, dt in pts)
+        + " — per-4x exponents "
+        + ", ".join(f"{s:.2f}" for s in slopes)
+        + " (≈1 linear)"
+    )
+
+
+def probe_governance(spark, sf_dir: str) -> None:
+    """Round-14 probe: a governed read (row policy + two masks,
+    ``operators/governance.py``) is metadata-driven Catalyst
+    projection/filter — its cost tracks the PLAIN read of the same
+    versioned table as the table grows 1x/4x/16x (ratio ≈1, constant
+    overhead), never a second scan or a per-row Python path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        read_governed,
+        set_masking_policy,
+        set_row_access_policy,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        commit_version,
+        read_version,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice",
+    )
+    n = ords.count()
+    pts = []
+    warmed = False
+    for k in (1, 4, 16):
+        scaled = ords
+        for i in range(1, k):
+            scaled = scaled.unionByName(
+                ords.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n))
+            )
+        base = tempfile.mkdtemp(prefix=f"gov_probe_{k}x_")
+        tdir = f"{base}/t"
+        commit_version(scaled.repartition(16), tdir)
+        set_row_access_policy(spark, tdir, "f_only", "o_orderstatus = 'F'")
+        set_masking_policy(spark, tdir, "o_custkey", "hash")
+        set_masking_policy(spark, tdir, "o_orderpriority", "partial", arg=2)
+        agg = [F.count(F.lit(1)), F.countDistinct("o_custkey")]
+        if not warmed:
+            read_governed(spark, tdir).agg(*agg).collect()
+            read_version(spark, tdir).where("o_orderstatus = 'F'").agg(
+                *agg
+            ).collect()
+            warmed = True
+        t0 = time.monotonic()
+        read_version(spark, tdir).where("o_orderstatus = 'F'").agg(
+            *agg
+        ).collect()
+        dt_plain = time.monotonic() - t0
+        t0 = time.monotonic()
+        read_governed(spark, tdir).agg(*agg).collect()
+        dt_gov = time.monotonic() - t0
+        pts.append((k, n * k, dt_plain, dt_gov))
+        shutil.rmtree(base, ignore_errors=True)
+    print(
+        "governance: "
+        + ", ".join(
+            f"{k}x ({rows} rows) plain={p:.2f}s governed={g:.2f}s"
+            f" (x{g / p:.2f})"
+            for k, rows, p, g in pts
+        )
+        + " — governed read tracks the plain filtered read"
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1868,6 +1989,8 @@ def main() -> None:
         ("lm_update", probe_lm_update),
         ("matview", probe_matview),
         ("ssjoin_state", probe_ssjoin_state),
+        ("dsir", probe_dsir),
+        ("governance", probe_governance),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
