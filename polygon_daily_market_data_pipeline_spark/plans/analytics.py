@@ -234,11 +234,19 @@ def daily_change_pct(
     branch IS the partitioned form and stays parallel."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("trade_date")
-    ).agg(
-        F.sum(cents).alias("tv_c"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # ONE fact scan: the per-key daily aggregate is the finest grain;
+    # the flat daily series is its exact integer re-sum (Σ over keys of
+    # per-key cents/counts — no float ever enters, so the fold equals
+    # the direct per-date aggregate bit-for-bit). At 100 TB this is the
+    # shape anyway: partial-agg to (key, date), then roll up.
+    kdaily = orders.groupBy(
+        F.col("o_orderpriority").alias("k"),
+        F.col("o_orderdate").cast("date").alias("trade_date"),
+    ).agg(F.sum(cents).alias("tv_c"), F.count(F.lit(1)).alias("n_orders"))
+    kdaily = kdaily.persist()
+    daily = kdaily.groupBy("trade_date").agg(
+        F.sum("tv_c").alias("tv_c"),
+        F.sum("n_orders").alias("n_orders"),
     )
     w = Window.orderBy("trade_date")
     prev_c = F.lag("tv_c").over(w)
@@ -260,10 +268,6 @@ def daily_change_pct(
     )
     # per-key twin: same indicators, windows PARTITIONED by key (the
     # parallel 100 TB form), folded back to the date grain
-    kdaily = orders.groupBy(
-        F.col("o_orderpriority").alias("k"),
-        F.col("o_orderdate").cast("date").alias("trade_date"),
-    ).agg(F.sum(cents).alias("tv_c"), F.count(F.lit(1)).alias("n_orders"))
     kind = technical_indicator_cols(
         value_c_col="tv_c",
         cnt_col="n_orders",
@@ -286,6 +290,7 @@ def daily_change_pct(
     if not eager:
         return out
     out = out.localCheckpoint(eager=True)
+    kdaily.unpersist()
     from polygon_daily_market_data_pipeline_spark.evidence import log_eval
 
     log_eval(
