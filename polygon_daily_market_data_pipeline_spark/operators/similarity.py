@@ -786,8 +786,13 @@ def save_quantizers(
     df = spark.createDataFrame(
         rows, "kind string, i int, j int, vec array<double>"
     )
+    # repartition(1), not coalesce(1): coalescing a Python local
+    # relation funnels every pickled slice through one sequential
+    # Python-worker task — measured 3-6 s for a tiny frame vs ~0.3 s
+    # through the shuffle (round 14); parquet-derived frames don't hit
+    # this, local relations do
     return commit_version(
-        df.coalesce(1), model_dir, mode=mode, stats_cols=["kind"]
+        df.repartition(1), model_dir, mode=mode, stats_cols=["kind"]
     )
 
 
