@@ -243,7 +243,10 @@ def daily_change_pct(
         F.col("o_orderpriority").alias("k"),
         F.col("o_orderdate").cast("date").alias("trade_date"),
     ).agg(F.sum(cents).alias("tv_c"), F.count(F.lit(1)).alias("n_orders"))
-    kdaily = kdaily.persist()
+    if eager:
+        # persist only on the materializing path — the lazy twin
+        # (plan_audit/tests) would leak a cached frame per call
+        kdaily = kdaily.persist()
     daily = kdaily.groupBy("trade_date").agg(
         F.sum("tv_c").alias("tv_c"),
         F.sum("n_orders").alias("n_orders"),

@@ -1886,7 +1886,7 @@ _ORACLE_PRELUDE = f"""
     mmrr AS (SELECT doc_id,
                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
              FROM mmrv),
-    -- decontamination oracle: ALL overlapping 3-grams (multiset) of
+    -- decontamination oracle: ALL overlapping 8-grams (multiset) of
     -- the train slice vs the eval slice's DISTINCT gram set
     dtr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
             WHERE doc_id % 5 = 2),
@@ -2531,7 +2531,11 @@ _CHECK_SQL["bpe_stats"] = """
 # aggregate over the appended source (8).
 _CHECK_SQL["result_cache"] = f"""
         SELECT 'result_cache',
-               (SELECT COUNT(DISTINCT o_orderpriority) FROM ord),
+               -- COUNT(*) over DISTINCT, not COUNT(DISTINCT col): the
+               -- Spark side counts groupBy GROUPS, which include a
+               -- NULL group if one ever appears in the data
+               (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT o_orderpriority FROM ord)),
                15,
                (SELECT {_msum('o_totalprice')} FROM ord)
 """
@@ -3259,11 +3263,15 @@ def _cbo_rows(
     # full 37.5k-row slice the r12 script committed: same claims, same
     # values, two orders of magnitude less commit/analyze/shuffle work
     # per evaluation (r14 rent control, VERDICT r13 #2)
-    grown = slim.select(
-        F.concat(
-            F.lit("zz_"), F.col("o_orderkey").cast("string")
-        ).alias("o_orderpriority"),
-        F.col("o_orderkey").cast("long").alias("dval"),
+    grown = (
+        slim.orderBy("o_orderkey")
+        .limit(96)
+        .select(
+            F.concat(
+                F.lit("zz_"), F.col("o_orderkey").cast("string")
+            ).alias("o_orderpriority"),
+            F.col("o_orderkey").cast("long").alias("dval"),
+        )
     )
     commit_version(
         grown.coalesce(2), ddir, mode="append",
@@ -3670,7 +3678,8 @@ def _textstat_rows(spark: SparkSession, sf_dir: str) -> "list[DataFrame]":
     VERDICT r13 #3/#6 — both were pytest-only).
 
     ``corpus_decontam``: the doc_id % 5 == 2 train slice scrubbed
-    against the % 31 == 4 eval slice's distinct 3-gram set
+    against the % 31 == 4 eval slice's distinct 8-gram set
+    (``operators/decontam.py`` DEFAULT_NGRAM)
     (explode → broadcast join → anti-join, ``operators/decontam.py``).
     All three values mechanical: clean docs, contaminated docs, total
     leaked-gram occurrences (the severity signal).

@@ -69,7 +69,15 @@ def load(
 
 
 def rows_by_check(rec: dict) -> dict[str, dict]:
-    # check_name is always the first column of the audit schema
+    # check_name is always the first column of the audit schema.
+    # detail=False census records (round 14: daily_change_pct) carry
+    # per-COLUMN digests instead of row payloads — attribute by column
+    # name so the diff still names the divergent surface
+    if "rows" not in rec:
+        return {
+            col: {"norm": [col, digest], "raw": [col, digest]}
+            for col, digest in rec.get("col_digests", {}).items()
+        }
     return {r["norm"][0]: r for r in rec["rows"]}
 
 
@@ -105,6 +113,19 @@ def census_and_diff(recs: list[dict], query: str, sf: str) -> int:
     cols = by_fp[majority_fp]["cols"]
     for fp in census:
         if fp == majority_fp:
+            continue
+        if "rows" not in by_fp[majority_fp] or "rows" not in by_fp[fp]:
+            # compact census records (detail=False): attribute the
+            # divergence to named COLUMNS via their digests
+            da = by_fp[majority_fp].get("col_digests", {})
+            db = by_fp[fp].get("col_digests", {})
+            print(f"\n--- {fp} vs majority {majority_fp} (col digests) ---")
+            for col in sorted(set(da) | set(db)):
+                if da.get(col) != db.get(col):
+                    print(
+                        f"  column {col}: majority={da.get(col)} "
+                        f"minority={db.get(col)}"
+                    )
             continue
         other = rows_by_check(by_fp[fp])
         print(f"\n--- {fp} vs majority {majority_fp} ---")
