@@ -585,3 +585,40 @@ def test_fast_aggregate_tolerates_empty_files(spark, tmp_path):
     )  # an EMPTY append: one 0-row parquet file
     agg = fast_aggregate(tdir, "b", predicate=("a", None, 9))
     assert (agg["count"], agg["min"], agg["max"]) == (10, 0, 18)
+
+
+def test_footer_stats_driver_and_fanout_paths_identical(spark, tmp_path, monkeypatch):
+    """Round 14 split _collect_file_stats into a driver-side loop
+    (< _FOOTER_FANOUT_MIN_FILES files — each footer a ~ms metadata
+    read) and the mapInPandas fan-out (wide commits). Both paths share
+    _footer_record, and this pins the load-bearing claim: byte-
+    identical manifest entries — rows, encoded envelopes (incl. string
+    truncation flags), null counts — whichever path ran."""
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators import versioned as V
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 2)
+            .alias("n"),
+        )
+        .repartition(6)
+    )
+    data_dir = str(tmp_path / "t")
+    df.write.parquet(data_dir)
+    cols = ["k", "s", "n"]
+    monkeypatch.setattr(V, "_FOOTER_FANOUT_MIN_FILES", 10**9)
+    via_driver = V._collect_file_stats(spark, str(tmp_path), data_dir, cols)
+    monkeypatch.setattr(V, "_FOOTER_FANOUT_MIN_FILES", 0)
+    via_fanout = V._collect_file_stats(spark, str(tmp_path), data_dir, cols)
+    assert via_driver == via_fanout
+    assert len(via_driver) >= 6  # every file present
+    # and the entries are substantive (rows + envelopes + nulls)
+    ent = next(iter(via_driver.values()))
+    assert ent["rows"] > 0 and ent["stats"]["k"] is not None
+    assert "nulls" in ent and ent["nulls"]["n"] > 0
