@@ -183,10 +183,16 @@ def _oracle_half(sf_dir: str, oracle_sql: str, detail: bool = True) -> dict:
 
 def col_digests(cols, rows, spark_side: bool = True) -> "dict[str, str]":
     """Per-column fingerprint: sha256 over that column's SORTED
-    normalized values, 8 hex chars. The compact census for large
-    result sets (``detail=False``): a later mismatch is attributable
-    to a named COLUMN without storing 2k+ row payloads per
-    evaluation."""
+    normalized values, 16 hex chars (widened from 8 in round 15 —
+    ADVICE r14: at 32 bits a digest collision leaves a fingerprint
+    divergence with zero attributable columns; 64 bits puts a
+    collision beyond the flake-investigation horizon). The compact
+    census for large result sets (``detail=False``): a later mismatch
+    is attributable to a named COLUMN without storing 2k+ row payloads
+    per evaluation. Note the per-column sort: a change that re-PAIRS
+    values across rows keeps every column digest equal while the row
+    fingerprint moves — ``tools/eval_log_diff.py`` names that case
+    explicitly."""
     import hashlib
 
     out = {}
@@ -195,7 +201,7 @@ def col_digests(cols, rows, spark_side: bool = True) -> "dict[str, str]":
         for line in sorted(norm_value(r[i], spark_side) for r in rows):
             h.update(line.encode())
             h.update(b"\n")
-        out[c] = h.hexdigest()[:8]
+        out[c] = h.hexdigest()[:16]
     return out
 
 

@@ -96,6 +96,18 @@ def table_size_estimate(
     return {"rows": rows, "bytes": n_bytes, "files": n_files}
 
 
+def _numeric_bound(v) -> bool:
+    """True when ``v`` can soundly parameterize a NUMERIC histogram —
+    the sidecar only records histograms for numeric columns, so a
+    string/date/datetime bound is the caller-side type-mismatch class
+    the tolerance contract covers (skip refinement, keep files whole).
+    ``None`` is an unbounded side and always fine."""
+    import decimal
+    import numbers
+
+    return v is None or isinstance(v, (numbers.Real, decimal.Decimal))
+
+
 def filtered_size_bound(
     table_dir: str,
     predicates: dict,
@@ -150,10 +162,14 @@ def filtered_size_bound(
         # tolerance contract (ADVICE r13): prune_files keeps the file
         # and never crashes on bound/stat type mismatches — a string or
         # datetime bound on a numeric histogrammed column must skip the
-        # refinement for that column, not raise from float(lo)
-        try:
+        # refinement for that column, not raise from float(lo).
+        # ADVICE r14: the tolerance is a TYPE check on the caller's
+        # bound, not a blanket except — a malformed STORED histogram
+        # (sidecar corruption) now raises instead of silently dropping
+        # the refinement.
+        if _numeric_bound(lo) and _numeric_bound(hi):
             hb = histogram_bounds(table_dir, col, lo, hi, version=v)
-        except (TypeError, ValueError):
+        else:
             hb = None
         if hb is not None:
             hist_ub = hb[1] if hist_ub is None else min(hist_ub, hb[1])

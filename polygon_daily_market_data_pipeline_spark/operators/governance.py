@@ -81,8 +81,21 @@ def _gov_lock(table_dir: str):
                 import fcntl
 
                 fcntl.flock(fd, fcntl.LOCK_EX)
-            except Exception:  # noqa: BLE001 — fcntl-less platform
-                pass
+            except Exception:  # noqa: BLE001 — fcntl-less platform / NFS
+                # ADVICE r14 (medium): degrading to no lock must not be
+                # SILENT on a fail-closed surface. The atomic gen-claim
+                # in _publish (O_CREAT|O_EXCL) still refuses concurrent
+                # last-writer-wins, so warn rather than raise.
+                import warnings
+
+                warnings.warn(
+                    f"governance flock unavailable on {lock}: mutators "
+                    "are serialized only by the atomic gen-claim in "
+                    "_publish (concurrent attempts will raise instead "
+                    "of queueing)",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
             yield
         finally:
             os.close(fd)
@@ -93,18 +106,42 @@ def _gov_lock(table_dir: str):
 def _publish(table_dir: str, gov: dict) -> int:
     """Compare-and-set publish: ``gov`` must carry the generation the
     mutator READ; if the on-disk generation moved since, refuse
-    loudly rather than last-writer-wins (the mutators hold
-    ``_gov_lock`` across read→publish, so this trips only on writers
-    bypassing the lock — defense in depth, not the primary guard)."""
+    loudly rather than last-writer-wins. The CAS is ATOMIC (ADVICE
+    r14, medium): publishing gen N+1 requires creating the claim file
+    ``<gov>.gen<N+1>`` with ``O_CREAT|O_EXCL`` — a filesystem-atomic
+    operation even where flock is advisory-only or absent — so two
+    mutators that both read gen N cannot both pass; exactly one wins
+    the claim and the other raises. ``_gov_lock`` remains the primary
+    guard (queueing instead of refusing); this is the backstop that
+    now fails closed instead of check-then-write."""
     on_disk = int(governance(table_dir).get("gen", 0))
-    if int(gov.get("gen", 0)) != on_disk:
+    read_gen = int(gov.get("gen", 0))
+    if read_gen != on_disk:
         raise RuntimeError(
             f"concurrent governance modification on {table_dir}: read "
             f"gen {gov.get('gen', 0)} but on-disk gen is {on_disk} — "
             "re-read and retry"
         )
+    claim = f"{_gov_path(table_dir)}.gen{on_disk + 1}"
+    try:
+        fd = os.open(claim, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent governance modification on {table_dir}: "
+            f"generation {on_disk + 1} already claimed by another "
+            "mutator — re-read and retry (a claim with no matching "
+            f"published generation is a crashed publish; remove {claim} "
+            "to recover)"
+        ) from None
+    os.close(fd)
     gov = {**gov, "gen": on_disk + 1}
     write_json_sidecar(_gov_path(table_dir), gov)
+    # retire the previous generation's claim file; the CURRENT one must
+    # survive (it is what makes the next concurrent publish refuse)
+    try:
+        os.unlink(f"{_gov_path(table_dir)}.gen{on_disk}")
+    except OSError:
+        pass
     return gov["gen"]
 
 

@@ -105,7 +105,16 @@ def quality_model_scores(
     training when given; defaults to the model's coefficient size."""
     from pyspark.ml.functions import vector_to_array
 
-    n = num_features or model.numFeatures
+    # ADVICE r14: `num_features or model.numFeatures` silently treated
+    # an explicit 0 as unset, and a mismatched value surfaced (if at
+    # all) as an opaque JVM dimension error at transform time
+    n = model.numFeatures if num_features is None else num_features
+    if n != model.numFeatures:
+        raise ValueError(
+            f"num_features={n} does not match the trained model's "
+            f"feature space ({model.numFeatures}) — score with the "
+            "hash width the model was trained on"
+        )
     feat = _featurize(
         docs.select(F.col(id_col), F.col(text_col)), text_col, n
     )

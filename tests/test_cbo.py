@@ -968,3 +968,43 @@ def test_filtered_bound_tolerates_type_mismatched_bound_on_histogram(
     # sanity: a well-typed bound still refines via the histogram
     ok = filtered_size_bound(t, {"k": (None, 10)})
     assert ok["rows_ub"] is not None and ok["rows_ub"] < 1000
+
+
+def test_filtered_bound_surfaces_corrupt_stored_histogram(spark, tmp_path):
+    """ADVICE r14: the tolerance above is a TYPE check on the caller's
+    bound, not a blanket except — a malformed STORED histogram
+    (sidecar corruption) must raise, not silently drop the refinement
+    and report the looser file-granular bound as if stats were fine."""
+    import glob
+    import json as _json
+
+    import pytest
+
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        filtered_size_bound,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        analyze_version,
+    )
+
+    t = str(tmp_path / "fsb_corrupt")
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    commit_version(df.repartitionByRange(4, "k"), t, stats_cols=["k"])
+    analyze_version(spark, t, ["k"])
+    sidecars = glob.glob(os.path.join(t, "_stats", "*.json"))
+    assert sidecars, "expected an ANALYZE stats sidecar"
+    corrupted = False
+    for p in sidecars:
+        with open(p) as f:
+            stats = _json.load(f)
+        hist = stats.get("columns", {}).get("k", {}).get("hist")
+        if hist:
+            hist["edges"][0] = "corrupt"
+            with open(p, "w") as f:
+                _json.dump(stats, f)
+            corrupted = True
+    assert corrupted, "expected a histogram for k in the sidecar"
+    # the corrupt edge surfaces from histogram_bounds (string edge vs
+    # float comparison/conversion) instead of being swallowed
+    with pytest.raises((TypeError, ValueError)):
+        filtered_size_bound(t, {"k": (None, 10)})

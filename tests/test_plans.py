@@ -98,14 +98,16 @@ def test_daily_change_per_key_window_is_key_partitioned(spark):
         daily_change_pct,
     )
 
-    plan = explain(daily_change_pct(spark, SF, eager=False))
+    plan = explain(daily_change_pct(spark, SF))
     # the per-key branch partitions its windowspec by the key column
     assert re.search(r"windowspecdefinition\(k#?\d*", plan), plan
-    # and the compared surface is all-BIGINT: no float column survives
-    # to the output schema (the r13 hash-flake class is structurally
-    # impossible)
-    out_types = dict(daily_change_pct(spark, SF, eager=False).dtypes)
+    # and the compared surface is all-BIGINT — r15: including the key
+    # (date_sk yyyymmdd, no DATE column survives): neither the r13
+    # float-ULP class nor a date-rendering difference can flip the hash
+    out_types = dict(daily_change_pct(spark, SF).dtypes)
     assert "double" not in set(out_types.values()) - {"boolean"}, out_types
+    assert "date" not in set(out_types.values()), out_types
+    assert out_types["date_sk"] == "bigint", out_types
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):

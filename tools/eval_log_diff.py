@@ -120,12 +120,35 @@ def census_and_diff(recs: list[dict], query: str, sf: str) -> int:
             da = by_fp[majority_fp].get("col_digests", {})
             db = by_fp[fp].get("col_digests", {})
             print(f"\n--- {fp} vs majority {majority_fp} (col digests) ---")
+            widths = {len(v) for v in (*da.values(), *db.values())}
+            if len(widths) > 1:
+                # col_digests widened 8 -> 16 hex in round 15: records
+                # from different widths differ on EVERY column for free
+                print(
+                    "  records carry different digest widths (8-hex "
+                    "pre-r15 vs 16-hex) — per-column comparison is "
+                    "meaningless across that boundary; re-compare "
+                    "within one code generation (--sha)"
+                )
+                continue
+            n_diff = 0
             for col in sorted(set(da) | set(db)):
                 if da.get(col) != db.get(col):
+                    n_diff += 1
                     print(
                         f"  column {col}: majority={da.get(col)} "
                         f"minority={db.get(col)}"
                     )
+            if n_diff == 0:
+                # ADVICE r14: digests hash each column SORTED
+                # independently, so this combination is reachable —
+                # name it instead of printing an empty diff section
+                print(
+                    "  fingerprints differ but ALL column digests "
+                    "match — cross-column re-pairing of values "
+                    "(same multiset per column, different rows) "
+                    "or a digest collision"
+                )
             continue
         other = rows_by_check(by_fp[fp])
         print(f"\n--- {fp} vs majority {majority_fp} ---")

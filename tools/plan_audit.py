@@ -153,15 +153,6 @@ def audit(sf_dir: str) -> list[dict]:
             df = build_maintenance_union(
                 spark, sf_dir, base, branches=WAREHOUSE_QUERIES[name]
             ).orderBy("check_name")
-        elif name == "daily_change_pct":
-            # round 14: the registered query checkpoints its audit frame
-            # for the evidence census; audit the LAZY twin (the real
-            # agg/window/join plans)
-            from polygon_daily_market_data_pipeline_spark.plans.analytics import (
-                daily_change_pct,
-            )
-
-            df = daily_change_pct(spark, sf_dir, eager=False)
         elif name == "embedding_ann_ivf":
             # round 11: the registered query checkpoints its three audit
             # rows inside worker threads (co-scheduled audits); audit the
