@@ -124,6 +124,17 @@ def main() -> None:
             print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
             return -1.0
 
+    # Canary BRACKET (round 15, VERDICT r14 Next #7): the sentinel also
+    # runs once BEFORE the suite, so a mid-run VM slowdown (r14's 4-8x
+    # event) is visible in the artifact itself — canary_sec_start vs
+    # canary_sec_end far apart = the suite straddled a speed change and
+    # the normalized total is suspect.
+    canary_start = (
+        run_once("zz_canary_start", QUERIES["zz_sentinel_tail"])
+        if "zz_sentinel_tail" in QUERIES
+        else -1.0
+    )
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         timings[name] = run_once(name, fn)
@@ -175,6 +186,12 @@ def main() -> None:
     if canary > 0:
         out["canary_sec"] = canary
         out["value_canary_norm"] = round(total / canary, 1)
+    # the bracket: start-of-suite vs end-of-suite sentinel timings
+    # (the end one is the in-suite zz_sentinel_tail run above)
+    if canary_start > 0:
+        out["canary_sec_start"] = canary_start
+    if canary > 0:
+        out["canary_sec_end"] = canary
 
     # Everything beyond the driver contract goes to BENCH_FULL.json, NOT
     # the printed line: round 8's line carried the per-branch dict and

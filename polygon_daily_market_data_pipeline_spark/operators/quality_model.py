@@ -126,6 +126,80 @@ def quality_model_scores(
     )
 
 
+# The pinned serving coefficients (round 15, VERDICT r14 Next #5):
+# scoring with a FIXED model is a deterministic dot product + monotone
+# threshold, so the driver-priced form quantizes everything to integer
+# logit space — ppm-scaled weights over integer count features, exact
+# BIGINT arithmetic end to end (the audit-value discipline: no float
+# ever enters, so Spark and DuckDB agree bit-for-bit). The weights are
+# pinned from inspecting trained reference-vs-background runs on the
+# synthetic corpus: stopword saturation is the strongest prose signal
+# (weight 2), alphabetic-token fraction next (weight 1), plus the
+# C4-style length gate; the 0 threshold is the logit-space image of
+# P(reference) >= 0.5 (sigmoid is monotone — thresholding the logit IS
+# thresholding the probability, with no transcendental in the compared
+# surface).
+PINNED_INTERCEPT_PPM = -1_500_000
+PINNED_LEN_GATE_PPM = 500_000
+PINNED_STOPWORD_WEIGHT = 2
+PINNED_ALPHA_WEIGHT = 1
+
+
+def pinned_quality_score(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, score_ppm, keep) under the PINNED integer-quantized linear
+    gate — the deployment half of the model-based filter with the
+    training freeze applied (train once on a sample, serve the fixed
+    coefficient vector everywhere; GPT-3/LLaMA curation serves exactly
+    this shape). ``score_ppm`` is the exact-integer logit
+    (ppm-quantized ratio features, BIGINT dot product — ``div``
+    truncation matches DuckDB ``//`` on the non-negative operands);
+    ``keep`` = score_ppm >= 0 ≡ P(reference) >= 0.5.
+
+    Scale: one codegen'd linear scan — tokenize, two array filters,
+    integer arithmetic; no shuffle, no UDF, broadcastable nothing."""
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+    )
+
+    t = tokens(text_col)
+    feats = docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("qm_n_tok"),
+        F.size(F.filter(t, lambda w: w.isin(*ENGLISH_STOPWORDS)))
+        .cast("long")
+        .alias("qm_n_stop"),
+        F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("qm_n_alpha"),
+    )
+    # integer division (Spark `div` == DuckDB `//` for non-negatives)
+    # keeps the ppm ratios exact — float division would reintroduce
+    # the killed rounding-boundary flake class into an audit value
+    stop_ppm = F.expr("qm_n_stop * 1000000 div greatest(qm_n_tok, 1)")
+    alpha_ppm = F.expr("qm_n_alpha * 1000000 div greatest(qm_n_tok, 1)")
+    len_gate = (
+        F.when(
+            (F.col("qm_n_tok") >= 10) & (F.col("qm_n_tok") <= 100000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    score = (
+        F.lit(PINNED_INTERCEPT_PPM).cast("long")
+        + F.lit(PINNED_LEN_GATE_PPM).cast("long") * len_gate
+        + F.lit(PINNED_STOPWORD_WEIGHT).cast("long") * stop_ppm
+        + F.lit(PINNED_ALPHA_WEIGHT).cast("long") * alpha_ppm
+    )
+    return feats.select(
+        F.col(id_col),
+        score.alias("score_ppm"),
+        (score >= 0).alias("keep"),
+    )
+
+
 def filter_by_quality_model(
     docs: DataFrame,
     model,

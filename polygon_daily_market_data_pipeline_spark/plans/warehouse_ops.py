@@ -79,6 +79,9 @@ from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
 from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
     TOKS as _TOKS,
 )
+from polygon_daily_market_data_pipeline_spark.functions.text import (
+    ENGLISH_STOPWORDS as _EN_STOPWORDS,
+)
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
 
 _TS1 = "2024-01-01 00:00:00"
@@ -706,12 +709,13 @@ def _dv_rows(
     sidecar instead of rewriting the touched commit. n_rows/val are the
     SQL-exact complement count/sum (identical oracle arithmetic to the
     copy-on-write row — DV ≡ CoW read equivalence, driver-checked);
-    n_aux pins the MERGE-ON-READ claim: the post-delete version's plan
-    must schedule EXACTLY the pre-delete file set (zero data-file
-    churn — a rewrite would change it). The second row re-checks the
-    same numbers after ``materialize_dv``: the untouched top-half
-    commit's files carried verbatim, the vectored bottom commit
-    rewritten clean, and the manifest's dv map gone. The third row is
+    n_aux is a claim BITMASK (round 15 — the materialize row's
+    identical arithmetic folded in here): bit0 = the post-delete
+    version's plan schedules EXACTLY the pre-delete file set (zero
+    data-file churn — a rewrite would change it); bit1 = after
+    ``materialize_dv`` the untouched top-half commit's files carried
+    verbatim, the vectored bottom commit rewritten clean, and the
+    manifest's dv map gone. The second row is
     the merge-on-read UPDATE (``update_version_vectors``) over the
     materialized table: every 10th surviving order's price is bumped —
     n_rows/val are the SQL-exact post-update complement arithmetic, and
@@ -765,7 +769,6 @@ def _dv_rows(
     # anti-join's right side) — the claim is about DATA files only
     after_data = {f for f in after.inputFiles() if f"{os.sep}_dv{os.sep}" not in f}
     zero_churn = 1 if after_data == all_before else 0
-    dv_row = _summ(after, zero_churn)
     v_m = materialize_dv(spark, tdir, stats_cols=["o_orderkey"])
     after_m = read_version(spark, tdir, version=v_m)
     files_m = set(after_m.inputFiles())
@@ -776,7 +779,18 @@ def _dv_rows(
         and "dv" not in _load_manifest(tdir, v_m)
         else 0
     )
-    mat_row = _summ(after_m, mat_clean)
+    # round 15 (VERDICT r14 Next #3/#5 — the audit-mass freeze): the
+    # former versioned_dv_materialize row carried arithmetic IDENTICAL
+    # to versioned_dv (materialize must preserve the visible rows
+    # exactly; only its layout claim differed), so it folds into this
+    # row's claim bitmask with zero information loss: bit0 = DV
+    # merge-on-read zero data-file churn, bit1 = materialize clean
+    # (untouched commit's files verbatim, vectored commit rewritten,
+    # dv map gone). The materialize WORK still runs — the
+    # merge-on-read UPDATE row below operates on the materialized
+    # table — but one checkpointed frame, one count+sum pass and one
+    # oracle fragment retire, paying for the quality_model_score row.
+    dv_row = _summ(after, zero_churn + 2 * mat_clean)
     # merge-on-read UPDATE on the materialized table: every 10th
     # surviving order gets +100000 — tombstone + appended image, zero
     # data-file churn. val is the SQL-exact post-update sum; n_aux pins
@@ -797,7 +811,6 @@ def _dv_rows(
     upd_row = _summ(after_u, upd_zero_churn)
     return [
         _row(dv_row, "versioned_dv"),
-        _row(mat_row, "versioned_dv_materialize"),
         _row(upd_row, "versioned_update_dv"),
     ]
 
@@ -1764,6 +1777,22 @@ _ORACLE_PRELUDE = f"""
     -- admits (no bands → no candidates)
     dt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
            WHERE doc_id % 17 = 3),
+    -- pinned quality-model serving gate (round 15): exact-integer
+    -- logit over ppm-quantized count features — the same arithmetic
+    -- as operators/quality_model.pinned_quality_score (`//` here ==
+    -- Spark `div` on the non-negative operands)
+    qmt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    qms AS (
+        SELECT -1500000
+               + 500000 * (CASE WHEN len(toks) BETWEEN 10 AND 100000
+                                THEN 1 ELSE 0 END)
+               + 2 * ((len(list_filter(toks, w -> w IN {_EN_STOPWORDS!r}))
+                       * 1000000) // greatest(len(toks), 1))
+               + ((len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                   * 1000000) // greatest(len(toks), 1))
+               AS score_ppm
+        FROM qmt
+    ),
     dsh AS (SELECT doc_id, {_SHINGLES} AS sh FROM dt WHERE len(toks) >= 3),
     adm AS (
         SELECT (SELECT COUNT(DISTINCT list_sort(sh)) FROM dsh)
@@ -2067,23 +2096,14 @@ _CHECK_SQL: dict[str, str] = {
                (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT), 0) FROM ord)
 """,
     "versioned_dv": f"""
+        -- n_aux = 3: bit0 (merge-on-read zero data-file churn) + bit1
+        -- (materialize clean) — the former versioned_dv_materialize
+        -- row's identical row/sum arithmetic folded in (round 15)
         SELECT 'versioned_dv',
                (SELECT COUNT(*) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord)),
-               1,
-               (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT), 0) FROM ord
-                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
-                                                AS BIGINT) FROM ord))
-""",
-    "versioned_dv_materialize": f"""
-        -- identical arithmetic: materialize_dv must preserve the
-        -- visible rows exactly (its claim constant covers the layout)
-        SELECT 'versioned_dv_materialize',
-               (SELECT COUNT(*) FROM ord
-                WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
-                                                AS BIGINT) FROM ord)),
-               1,
+               3,
                (SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT), 0) FROM ord
                 WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 20.0)
                                                 AS BIGINT) FROM ord))
@@ -2560,6 +2580,19 @@ _CHECK_SQL["heavy_hitters"] = """
                       WHERE o_orderpriority IS NOT NULL GROUP BY 1
                       HAVING COUNT(*) * 17 > (SELECT COUNT(*) FROM ord
                           WHERE o_orderpriority IS NOT NULL)))
+"""
+
+# Model-based quality filter, serving half (round 15, VERDICT r14
+# Next #5): the pinned integer-quantized logit gate over the whole
+# documents table — kept count, total scored, exact BIGINT logit sum
+# over the kept set (qms CTE == operators/quality_model.
+# pinned_quality_score arithmetic; training stays pytest-only).
+_CHECK_SQL["quality_model_score"] = """
+        SELECT 'quality_model_score',
+               (SELECT COUNT(*) FROM qms WHERE score_ppm >= 0),
+               (SELECT COUNT(*) FROM qms),
+               (SELECT CAST(COALESCE(SUM(score_ppm), 0) AS BIGINT)
+                FROM qms WHERE score_ppm >= 0)
 """
 
 _CHECK_SQL["versioned_governed"] = """
@@ -3675,7 +3708,8 @@ def _retrieval_rows(
 
 def _textstat_rows(spark: SparkSession, sf_dir: str) -> "list[DataFrame]":
     """Decontamination + BPE training, driver-priced (round 14,
-    VERDICT r13 #3/#6 — both were pytest-only).
+    VERDICT r13 #3/#6 — both were pytest-only); round 15 adds the
+    pinned quality-model serving gate (``quality_model_score``).
 
     ``corpus_decontam``: the doc_id % 5 == 2 train slice scrubbed
     against the % 31 == 4 eval slice's distinct 8-gram set
@@ -3754,7 +3788,32 @@ def _textstat_rows(spark: SparkSession, sf_dir: str) -> "list[DataFrame]":
         ).drop("check_name"),
         "bpe_stats",
     )
-    return [row_dc, row_bpe]
+
+    # quality_model serving gate (round 15, VERDICT r14 Next #5): the
+    # pinned integer-logit scorer over the WHOLE documents table — one
+    # codegen'd linear scan, no shuffle beyond the 1-row agg. n_rows =
+    # docs the gate keeps, n_aux = docs scored, val = exact BIGINT
+    # logit sum over the kept set. Budget-neutral under the r15 freeze:
+    # the versioned_dv_materialize row (identical arithmetic to
+    # versioned_dv) retired into a claim bit the same round.
+    from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+        pinned_quality_score,
+    )
+
+    row_qm = _row(
+        pinned_quality_score(docs).agg(
+            F.coalesce(
+                F.sum(F.col("keep").cast("long")), F.lit(0).cast("long")
+            ).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_aux"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("score_ppm"))),
+                F.lit(0).cast("long"),
+            ).alias("val"),
+        ),
+        "quality_model_score",
+    )
+    return [row_dc, row_bpe, row_qm]
 
 
 def _serving_rows(
@@ -3868,7 +3927,7 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
      ["versioned_v0", "versioned_asof", "versioned_rollback",
       "versioned_changes"]),
     ("dv", lambda s, sf, o, b: _dv_rows(s, o, b),
-     ["versioned_dv", "versioned_dv_materialize", "versioned_update_dv"]),
+     ["versioned_dv", "versioned_update_dv"]),
     ("eqdel", lambda s, sf, o, b: _eqdel_rows(s, o, b),
      ["versioned_eqdel"]),
     ("merge", lambda s, sf, o, b: _merge_rows(s, o, b),
@@ -3927,7 +3986,7 @@ _BRANCH_DEFS: "list[tuple[str, object, list[str]]]" = [
     ("retrieval", lambda s, sf, o, b: _retrieval_rows(s, sf, b),
      ["bm25_rank", "mmr_select"]),
     ("textstats", lambda s, sf, o, b: _textstat_rows(s, sf),
-     ["corpus_decontam", "bpe_stats"]),
+     ["corpus_decontam", "bpe_stats", "quality_model_score"]),
     ("serving", lambda s, sf, o, b: _serving_rows(s, o, b),
      ["result_cache", "heavy_hitters"]),
 ]
@@ -4234,7 +4293,10 @@ def warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning), the round-13 incremental materialized view and
     governance rows, and the round-14 retrieval/text/serving families
     (BM25+MMR, decontamination+BPE, result cache+heavy hitters) — 28
-    oracle-checked audit rows (see module docstring)."""
+    oracle-checked audit rows (see module docstring). Round 15 swapped
+    one row under the audit-mass freeze: the pinned quality-model
+    serving gate (quality_model_score) joined textstats while
+    versioned_dv_materialize folded into versioned_dv's claim bits."""
     return _run_union(
         spark, sf_dir, _CORE_BRANCHES, name="warehouse_maintenance"
     )

@@ -129,3 +129,114 @@ def test_training_is_deterministic(spark):
         for r in quality_model_scores(corpus, m2).collect()
     )
     assert s1 == s2
+
+
+def test_pinned_quality_score_duckdb_parity(spark):
+    """The pinned integer serving gate (round 15) must agree with the
+    DuckDB qms arithmetic BIT-FOR-BIT on organic text — the audit-row
+    contract (warehouse_ops quality_model_score). Exercised over the
+    sf0.001 documents table: every per-doc score_ppm identical."""
+    import duckdb
+
+    from polygon_daily_market_data_pipeline_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+    )
+    from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+        pinned_quality_score,
+    )
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import TOKS
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: (r["score_ppm"], r["keep"])
+        for r in pinned_quality_score(docs).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = {
+        int(i): (int(s), bool(k))
+        for i, s, k in con.sql(
+            f"""
+            WITH qmt AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   -1500000
+                   + 500000 * (CASE WHEN len(toks) BETWEEN 10 AND 100000
+                                    THEN 1 ELSE 0 END)
+                   + 2 * ((len(list_filter(toks,
+                               w -> w IN {ENGLISH_STOPWORDS!r}))
+                           * 1000000) // greatest(len(toks), 1))
+                   + ((len(list_filter(toks,
+                           w -> regexp_matches(w, '[a-z]')))
+                       * 1000000) // greatest(len(toks), 1))
+                   AS score_ppm,
+                   score_ppm >= 0 AS keep
+            FROM qmt
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # the gate discriminates on this corpus (non-vacuous both ways)
+    keeps = [k for _s, k in got.values()]
+    assert any(keeps) and len(got) > 0
+
+
+def test_pinned_quality_score_separates_prose_from_soup(spark):
+    """Prose-like docs (stopword-rich, alphabetic, sane length) score
+    >= 0 (keep); symbol/boilerplate soup scores < 0 (drop)."""
+    from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+        pinned_quality_score,
+    )
+
+    prose = [
+        "the committee published a detailed analysis of the results "
+        "and the report presents evidence supporting the conclusion",
+        "a thorough review of the data explains the methodology and "
+        "the findings were discussed in the historical context",
+    ]
+    soup = [
+        "9183 4711 0042 $$$ ### 22 77 001 13 99 31 555 21 8 4 77",
+        "x1 7z 9q 33 44 55 66 77 88 99 00 11 22 33 44 55",
+    ]
+    rows = {
+        r["doc_id"]: (r["score_ppm"], r["keep"])
+        for r in pinned_quality_score(
+            _docs(spark, prose + soup, start=900)
+        ).collect()
+    }
+    for i in range(len(prose)):
+        assert rows[900 + i][1], rows
+    for i in range(len(soup)):
+        assert not rows[900 + len(prose) + i][1], rows
+
+
+def test_pinned_quality_score_plan_is_map_only(spark):
+    """Scoring is one codegen'd linear scan — no Exchange, no UDF."""
+    from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+        pinned_quality_score,
+    )
+
+    plan = (
+        pinned_quality_score(_docs(spark, _REF, start=300))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_quality_model_scores_rejects_mismatched_num_features(spark):
+    """ADVICE r14: an explicit num_features that differs from the
+    trained model's feature space raises a clear ValueError (and 0 is
+    no longer silently treated as unset)."""
+    import pytest
+
+    model = _model(spark)
+    corpus = _docs(spark, _REF, start=500)
+    for bad in (0, 1 << 10):
+        with pytest.raises(ValueError, match="num_features"):
+            quality_model_scores(corpus, model, num_features=bad)

@@ -109,7 +109,10 @@ def test_check_partition_is_total_and_disjoint():
     (bm25_rank, mmr_select, corpus_decontam, bpe_stats, result_cache,
     heavy_hitters — VERDICT r13 #3/#6) — new operators that need
     driver pricing ride the green host per the established cap
-    discipline)."""
+    discipline. Round 15 held the cap flat under the audit-mass
+    freeze: quality_model_score joined textstats while
+    versioned_dv_materialize (arithmetic-identical to versioned_dv)
+    retired into a claim bit — 28 stays 28)."""
     from polygon_daily_market_data_pipeline_spark.plans.warehouse_ops import (
         _CHECK_SQL,
         WAREHOUSE_QUERIES,

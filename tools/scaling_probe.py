@@ -1964,6 +1964,161 @@ def probe_governance(spark, sf_dir: str) -> None:
     )
 
 
+def probe_footer_stats(spark, sf_dir: str) -> None:
+    """Round 15 (VERDICT r14 Next #8): the _collect_file_stats
+    crossover. Below _FOOTER_FANOUT_MIN_FILES (64) footers are read in
+    a driver loop (~ms metadata reads); above it a mapInPandas fan-out
+    takes over (fixed ~1-2 s job cost amortized over many footers read
+    where the files live). A/B BOTH paths at 16/64/256 files by
+    pinning the threshold each way — the driver loop should win small
+    commits, the fan-out should stop losing (and start winning) around
+    the 64-file threshold, and the fan-out's cost should stay ~flat in
+    file count while the driver loop grows linearly."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators import versioned as V
+
+    # warm the Python worker pool so the first fan-out isn't pool spin-up
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    for n_files in (16, 64, 256):
+        d = tempfile.mkdtemp(prefix=f"probe_footer_{n_files}_")
+        try:
+            (
+                spark.range(0, n_files * 2000)
+                .select(
+                    F.col("id"), (F.col("id") % 97).alias("v")
+                )
+                .repartition(n_files)
+                .write.mode("overwrite")
+                .parquet(f"{d}/data")
+            )
+            line = [f"files={n_files}:"]
+            for mode, thresh in (("driver", 1 << 30), ("fanout", 1)):
+                old = V._FOOTER_FANOUT_MIN_FILES
+                V._FOOTER_FANOUT_MIN_FILES = thresh
+                try:
+                    t0 = _time.monotonic()
+                    out = V._collect_file_stats(
+                        spark, d, f"{d}/data", ["id", "v"]
+                    )
+                    dt = _time.monotonic() - t0
+                finally:
+                    V._FOOTER_FANOUT_MIN_FILES = old
+                assert len(out) == n_files, (len(out), n_files)
+                line.append(f"{mode}={dt:.2f}s")
+            print("footer_stats " + " ".join(line))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_heavy_hitters(spark, sf_dir: str) -> None:
+    """Round 15 (VERDICT r14 Next #8): the exact-heavy-hitters
+    candidate set must stay bounded by k·partitions — flat as rows
+    grow — while wall time stays ~linear (two scans). Scales the
+    orders key column 1x/4x/16x."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        heavy_hitters,
+    )
+    from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "orders").select("o_orderpriority")
+    for k in (1, 4, 16):
+        df = base
+        for _ in range(k - 1):
+            df = df.unionByName(base)
+        df = df.repartition(32).persist()
+        n = df.count()
+        t0 = _time.monotonic()
+        stats: dict = {}
+        hh = heavy_hitters(df, "o_orderpriority", k=16, stats_out=stats)
+        dt = _time.monotonic() - t0
+        print(
+            f"heavy_hitters {k}x({n}r)={dt:.2f}s "
+            f"candidates={stats.get('n_candidates')} "
+            f"(bound k*partitions={16 * 32}) hitters={len(hh)}"
+        )
+        df.unpersist()
+
+
+def probe_salt(spark, sf_dir: str) -> None:
+    """Round 15 (VERDICT r14 Next #8): hot_key_salted_join
+    max-reducer-rows A/B at 1x/4x/16x. A synthetic 30%-hot key (3 of
+    every 10 rows land on key 7) models the skew heavy_hitters would
+    name; the salted plan fans the hot key over 8 reducers so the
+    largest per-reducer key group drops ~8x while cold keys pay no
+    replication. Reports the measured max single-key reducer load
+    (unsalted) vs max (key, salt) load (salted) plus join wall time."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from polygon_daily_market_data_pipeline_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    for k in (1, 4, 16):
+        n = 200_000 * k
+        big = (
+            spark.range(0, n, 1, 32)
+            .select(
+                F.when(F.col("id") % 10 < 3, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .cast("int")
+                .alias("k"),
+                F.col("id").alias("payload"),
+            )
+            .persist()
+        )
+        big.count()
+        small = spark.range(0, 1000).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).alias("attr"),
+        )
+        # reducer-load shape: the largest key group with and without
+        # the hot key fanned over 8 salts (the quantity that OOMs or
+        # straggles a reducer at 100 TB)
+        unsalted_max = (
+            big.groupBy("k").count().agg(F.max("count")).first()[0]
+        )
+        salted_max = (
+            big.withColumn(
+                "_s",
+                F.when(
+                    F.col("k") == 7,
+                    F.pmod(F.xxhash64("k", "payload"), F.lit(8)),
+                ).otherwise(F.lit(0)),
+            )
+            .groupBy("k", "_s")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        t0 = _time.monotonic()
+        plain = big.join(small, "k").count()
+        t1 = _time.monotonic()
+        salted = hot_key_salted_join(big, small, ["k"], [7], n_salts=8)
+        n_salted = salted.count()
+        t2 = _time.monotonic()
+        assert n_salted == plain, (n_salted, plain)
+        print(
+            f"hot_key_salted_join {k}x({n}r): max_reducer_rows "
+            f"unsalted={unsalted_max} salted={salted_max} "
+            f"(x{unsalted_max / max(salted_max, 1):.1f} relief) "
+            f"plain={t1 - t0:.2f}s salted={t2 - t1:.2f}s"
+        )
+        big.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or list(OPS)
@@ -1991,6 +2146,9 @@ def main() -> None:
         ("ssjoin_state", probe_ssjoin_state),
         ("dsir", probe_dsir),
         ("governance", probe_governance),
+        ("footer_stats", probe_footer_stats),
+        ("heavy_hitters", probe_heavy_hitters),
+        ("salt", probe_salt),
     ):
         if extra in names:
             from polygon_daily_market_data_pipeline_spark.session import get_spark
