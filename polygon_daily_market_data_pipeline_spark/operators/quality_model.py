@@ -143,6 +143,14 @@ PINNED_INTERCEPT_PPM = -1_500_000
 PINNED_LEN_GATE_PPM = 500_000
 PINNED_STOPWORD_WEIGHT = 2
 PINNED_ALPHA_WEIGHT = 1
+# The keep threshold sits INSIDE the corpus score distribution (the
+# GPT-3 posture: the cut is chosen for a target keep rate, not at
+# P=0.5 — on this organic-prose synthetic corpus the logit-0 cut
+# keeps 100% of documents, a vacuous gate). 100000 ppm keeps ~55-70%
+# and drops ~30-45% at sf0.001/0.01/0.1 — non-vacuous BOTH ways at
+# every SF, and the comparison is exact-integer so the cut carries no
+# boundary risk.
+PINNED_GATE_PPM = 100_000
 
 
 def pinned_quality_score(
@@ -155,22 +163,38 @@ def pinned_quality_score(
     this shape). ``score_ppm`` is the exact-integer logit
     (ppm-quantized ratio features, BIGINT dot product — ``div``
     truncation matches DuckDB ``//`` on the non-negative operands);
-    ``keep`` = score_ppm >= 0 ≡ P(reference) >= 0.5.
+    ``keep`` = score_ppm >= PINNED_GATE_PPM (a target-keep-rate cut —
+    see the constant's comment; sigmoid is monotone, so any logit
+    threshold IS a probability threshold with no transcendental in
+    the compared surface).
 
-    Scale: one codegen'd linear scan — tokenize, two array filters,
-    integer arithmetic; no shuffle, no UDF, broadcastable nothing."""
+    Scale: one codegen'd linear scan (regexp_count over the
+    space-doubled normalized text, NOT interpreted array-filter HOFs —
+    measured 5x faster on the cold first call and value-identical);
+    integer arithmetic; no shuffle, no UDF, broadcastable nothing.
+
+    The space-doubling trick: the normalized text has single spaces,
+    so ``replace(' ', '  ')`` plus one pad space each end gives every
+    token its OWN flanking spaces — token-bounded patterns like
+    ``' (the|of) '`` then count non-overlapping matches without the
+    lookarounds DuckDB's RE2 lacks, identically in both engines."""
     from polygon_daily_market_data_pipeline_spark.functions.text import (
         ENGLISH_STOPWORDS,
+        normalize_text,
     )
 
-    t = tokens(text_col)
+    norm = normalize_text(text_col)
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" ")
+    )
+    sw_pat = " (" + "|".join(ENGLISH_STOPWORDS) + ") "
     feats = docs.select(
         F.col(id_col),
-        F.size(t).cast("long").alias("qm_n_tok"),
-        F.size(F.filter(t, lambda w: w.isin(*ENGLISH_STOPWORDS)))
+        F.size(F.split(norm, " ")).cast("long").alias("qm_n_tok"),
+        F.regexp_count(spaced, F.lit(sw_pat))
         .cast("long")
         .alias("qm_n_stop"),
-        F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+        F.regexp_count(spaced, F.lit(r" [^ ]*[a-z][^ ]* "))
         .cast("long")
         .alias("qm_n_alpha"),
     )
@@ -196,7 +220,7 @@ def pinned_quality_score(
     return feats.select(
         F.col(id_col),
         score.alias("score_ppm"),
-        (score >= 0).alias("keep"),
+        (score >= PINNED_GATE_PPM).alias("keep"),
     )
 
 

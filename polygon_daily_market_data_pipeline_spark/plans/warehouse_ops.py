@@ -77,6 +77,9 @@ from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
     SHINGLES as _SHINGLES,
 )
 from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
+    NORM as _QM_NORM,
+)
+from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
     TOKS as _TOKS,
 )
 from polygon_daily_market_data_pipeline_spark.functions.text import (
@@ -1780,16 +1783,26 @@ _ORACLE_PRELUDE = f"""
     -- pinned quality-model serving gate (round 15): exact-integer
     -- logit over ppm-quantized count features — the same arithmetic
     -- as operators/quality_model.pinned_quality_score (`//` here ==
-    -- Spark `div` on the non-negative operands)
-    qmt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    -- Spark `div` on the non-negative operands; token-bounded
+    -- regexp counts over the space-doubled normalized text, the
+    -- codegen-friendly form both engines evaluate identically)
+    qmt AS (
+        SELECT doc_id,
+               len(string_split({_QM_NORM}, ' ')) AS n_tok,
+               len(regexp_extract_all(
+                   ' ' || replace({_QM_NORM}, ' ', '  ') || ' ',
+                   ' ({'|'.join(_EN_STOPWORDS)}) ')) AS n_stop,
+               len(regexp_extract_all(
+                   ' ' || replace({_QM_NORM}, ' ', '  ') || ' ',
+                   ' [^ ]*[a-z][^ ]* ')) AS n_alpha
+        FROM documents
+    ),
     qms AS (
         SELECT -1500000
-               + 500000 * (CASE WHEN len(toks) BETWEEN 10 AND 100000
+               + 500000 * (CASE WHEN n_tok BETWEEN 10 AND 100000
                                 THEN 1 ELSE 0 END)
-               + 2 * ((len(list_filter(toks, w -> w IN {_EN_STOPWORDS!r}))
-                       * 1000000) // greatest(len(toks), 1))
-               + ((len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
-                   * 1000000) // greatest(len(toks), 1))
+               + 2 * ((n_stop * 1000000) // greatest(n_tok, 1))
+               + ((n_alpha * 1000000) // greatest(n_tok, 1))
                AS score_ppm
         FROM qmt
     ),
@@ -2589,10 +2602,10 @@ _CHECK_SQL["heavy_hitters"] = """
 # pinned_quality_score arithmetic; training stays pytest-only).
 _CHECK_SQL["quality_model_score"] = """
         SELECT 'quality_model_score',
-               (SELECT COUNT(*) FROM qms WHERE score_ppm >= 0),
+               (SELECT COUNT(*) FROM qms WHERE score_ppm >= 100000),
                (SELECT COUNT(*) FROM qms),
                (SELECT CAST(COALESCE(SUM(score_ppm), 0) AS BIGINT)
-                FROM qms WHERE score_ppm >= 0)
+                FROM qms WHERE score_ppm >= 100000)
 """
 
 _CHECK_SQL["versioned_governed"] = """

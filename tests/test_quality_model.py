@@ -144,7 +144,7 @@ def test_pinned_quality_score_duckdb_parity(spark):
     from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
         pinned_quality_score,
     )
-    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import TOKS
+    from polygon_daily_market_data_pipeline_spark.plans.llm_ops import NORM
     from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
@@ -161,27 +161,34 @@ def test_pinned_quality_score_duckdb_parity(spark):
         int(i): (int(s), bool(k))
         for i, s, k in con.sql(
             f"""
-            WITH qmt AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+            WITH qmt AS (
+                SELECT doc_id,
+                       len(string_split({NORM}, ' ')) AS n_tok,
+                       len(regexp_extract_all(
+                           ' ' || replace({NORM}, ' ', '  ') || ' ',
+                           ' ({'|'.join(ENGLISH_STOPWORDS)}) ')) AS n_stop,
+                       len(regexp_extract_all(
+                           ' ' || replace({NORM}, ' ', '  ') || ' ',
+                           ' [^ ]*[a-z][^ ]* ')) AS n_alpha
+                FROM documents
+            )
             SELECT doc_id,
                    -1500000
-                   + 500000 * (CASE WHEN len(toks) BETWEEN 10 AND 100000
+                   + 500000 * (CASE WHEN n_tok BETWEEN 10 AND 100000
                                     THEN 1 ELSE 0 END)
-                   + 2 * ((len(list_filter(toks,
-                               w -> w IN {ENGLISH_STOPWORDS!r}))
-                           * 1000000) // greatest(len(toks), 1))
-                   + ((len(list_filter(toks,
-                           w -> regexp_matches(w, '[a-z]')))
-                       * 1000000) // greatest(len(toks), 1))
+                   + 2 * ((n_stop * 1000000) // greatest(n_tok, 1))
+                   + ((n_alpha * 1000000) // greatest(n_tok, 1))
                    AS score_ppm,
-                   score_ppm >= 0 AS keep
+                   score_ppm >= 100000 AS keep
             FROM qmt
             """
         ).fetchall()
     }
     assert got == want
-    # the gate discriminates on this corpus (non-vacuous both ways)
+    # the gate discriminates on this corpus (non-vacuous BOTH ways —
+    # the target-keep-rate cut, not a vacuous keep-everything gate)
     keeps = [k for _s, k in got.values()]
-    assert any(keeps) and len(got) > 0
+    assert any(keeps) and not all(keeps)
 
 
 def test_pinned_quality_score_separates_prose_from_soup(spark):
