@@ -129,11 +129,16 @@ def main() -> None:
     # event) is visible in the artifact itself — canary_sec_start vs
     # canary_sec_end far apart = the suite straddled a speed change and
     # the normalized total is suspect.
-    canary_start = (
+    # two runs, keep the SECOND: the first pays the sentinel's one-time
+    # plan/codegen compile, which the end-of-suite sentinel never pays
+    # (same generated code, warm cache) — without this the bracket
+    # reads ~2x apart on a perfectly steady VM
+    canary_start = -1.0
+    if "zz_sentinel_tail" in QUERIES:
         run_once("zz_canary_start", QUERIES["zz_sentinel_tail"])
-        if "zz_sentinel_tail" in QUERIES
-        else -1.0
-    )
+        canary_start = run_once(
+            "zz_canary_start", QUERIES["zz_sentinel_tail"]
+        )
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
