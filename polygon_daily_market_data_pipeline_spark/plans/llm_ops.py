@@ -575,6 +575,11 @@ ANN_QUANT_ORACLE = f"""
            TRUE
     FROM embeddings WHERE vec_id < 100 AND {_slice_sql(_ANN_IVF_SLICE)}
     UNION ALL
+    SELECT 'ivfsq',
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+           TRUE
+    FROM embeddings WHERE vec_id < 100 AND {_slice_sql(_ANN_IVF_SLICE)}
+    UNION ALL
     -- SemDeDup (round 12): the whole corpus is deduplicated, so its
     -- SQL-exact count is COUNT(*); the boolean is the independently
     -- recomputed audit (partition exact, every dropped vector has a
@@ -697,8 +702,16 @@ def embedding_ann_ivf(
     the shared exact rerank: distortion is far below PQ's, so the
     rerank recovers it completely — measured mean recall 1.0 at BOTH
     sf0.01 and sf0.1 (rerank_factor=16) vs the 0.9 floor. This
-    driver-prices the last quantization rung; the IVF+SQ composite
-    shares this coded scan and the audited rerank tail (pytest).
+    driver-prices the last standalone quantization rung.
+
+    ``ivfsq`` — the OTHER composite (FAISS ``IVF{n},SQ8``): coarse
+    cells bound WHICH candidates ride the join, one uint8/dim bounds
+    WHAT rides it; reuses this query's shared centroids AND SQ bounds,
+    so the audit adds no training. Recall is IVF-bounded exactly like
+    ivfpq: measured 0.81 (sf0.01) / 0.77 (sf0.1) at n_probe=6 vs the
+    0.5 floor. With this row the full quantized-index matrix —
+    LSH / IVF / PQ / SQ / IVF+PQ / IVF+SQ, all with true-cosine exact
+    reranks — is driver-priced.
 
     ``ivfpq`` — the COMPOSITE (FAISS IVF{n},PQ{m}): the coarse
     quantizer limits which candidates are touched, PQ codes limit what
@@ -715,6 +728,7 @@ def embedding_ann_ivf(
     stays in tests/test_llm_ops.py."""
     from polygon_daily_market_data_pipeline_spark.operators.similarity import (
         cosine_topk_ivfpq,
+        cosine_topk_ivfsq,
         cosine_topk_pq,
         cosine_topk_sq,
         sq_train_bounds,
@@ -834,7 +848,7 @@ def embedding_ann_ivf(
         )
         return out.localCheckpoint(eager=True) if eager else out
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    with ThreadPoolExecutor(max_workers=6) as ex:
         f_ivf = ex.submit(
             _audit, "ivf", cosine_topk_ivf(emb, q, k=k, centroids=cents),
             0.5,
@@ -849,6 +863,17 @@ def embedding_ann_ivf(
                 emb, q, k=k, rerank_factor=16, bounds=sq_bounds
             ),
             0.9,
+        )
+        # IVF+SQ composite (round 15): reuses the SAME coarse centroids
+        # and SQ bounds — recall is IVF-bounded like ivfpq (measured
+        # 0.81 sf0.01 / 0.77 sf0.1 at n_probe=6 vs the 0.5 floor)
+        f_ivfsq = ex.submit(
+            _audit, "ivfsq",
+            cosine_topk_ivfsq(
+                emb, q, k=k, n_clusters=16, n_probe=6, rerank_factor=16,
+                centroids=cents, bounds=sq_bounds,
+            ),
+            0.5,
         )
         f_pq = ex.submit(
             _audit, "pq",
@@ -867,14 +892,15 @@ def embedding_ann_ivf(
             0.5,
         )
         f_sem = ex.submit(_audit_semdedup)
-        ivf, pq, sq, ivfpq, sem = (
+        ivf, pq, sq, ivfsq, ivfpq, sem = (
             f_ivf.result(), f_pq.result(), f_sq.result(),
-            f_ivfpq.result(), f_sem.result(),
+            f_ivfsq.result(), f_ivfpq.result(), f_sem.result(),
         )
     return (
         ivf.unionByName(ivfpq)
         .unionByName(pq)
         .unionByName(sq)
+        .unionByName(ivfsq)
         .unionByName(sem)
     )
 
