@@ -356,6 +356,39 @@ def test_publish_cas_refuses_stale_generation(spark, gov_table):
     assert "email" in governance(gov_table)["masks"]
 
 
+def test_publish_gen_claim_is_atomic(spark, gov_table):
+    """ADVICE r14 (medium): the CAS backstop is no longer
+    check-then-write — publishing gen N+1 atomically claims
+    ``<gov>.gen<N+1>`` with O_CREAT|O_EXCL, so two mutators that BOTH
+    read gen N cannot both pass even where flock degrades (NFS,
+    fcntl-less hosts): exactly one wins, the other raises with the
+    recovery path in the message."""
+    import os
+
+    from polygon_daily_market_data_pipeline_spark.operators.governance import (
+        _gov_path,
+        _publish,
+    )
+
+    set_masking_policy(spark, gov_table, "email", "null")  # gen -> 1
+    cur = governance(gov_table)
+    # simulate the loser of a claim race: the winner already created
+    # the gen-2 claim file but its sidecar write hasn't landed yet —
+    # the old check-then-write CAS would have let this publish through
+    claim = f"{_gov_path(gov_table)}.gen2"
+    fd = os.open(claim, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    os.close(fd)
+    with pytest.raises(RuntimeError, match="already claimed"):
+        _publish(gov_table, cur)
+    # recovery path named in the message works: remove the stale claim
+    os.unlink(claim)
+    assert _publish(gov_table, cur) == 2
+    # each successful publish retires the PREVIOUS generation's claim
+    # and leaves the current one guarding the next race
+    assert os.path.exists(f"{_gov_path(gov_table)}.gen2")
+    assert not os.path.exists(f"{_gov_path(gov_table)}.gen1")
+
+
 def test_rename_drop_refusal_is_case_insensitive(spark, gov_table):
     """ADVICE r13: Spark resolves identifiers case-insensitively, so a
     policy written "REGION = 'US'" must block rename/drop of 'region'
