@@ -85,6 +85,21 @@ from polygon_daily_market_data_pipeline_spark.plans.llm_ops import (
 from polygon_daily_market_data_pipeline_spark.functions.text import (
     ENGLISH_STOPWORDS as _EN_STOPWORDS,
 )
+from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+    PINNED_ALPHA_WEIGHT as _QM_WA,
+)
+from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+    PINNED_GATE_PPM as _QM_GATE,
+)
+from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+    PINNED_INTERCEPT_PPM as _QM_B0,
+)
+from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+    PINNED_LEN_GATE_PPM as _QM_WL,
+)
+from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
+    PINNED_STOPWORD_WEIGHT as _QM_WS,
+)
 from polygon_daily_market_data_pipeline_spark.sources.tables import load_table
 
 _TS1 = "2024-01-01 00:00:00"
@@ -1798,11 +1813,11 @@ _ORACLE_PRELUDE = f"""
         FROM documents
     ),
     qms AS (
-        SELECT -1500000
-               + 500000 * (CASE WHEN n_tok BETWEEN 10 AND 100000
-                                THEN 1 ELSE 0 END)
-               + 2 * ((n_stop * 1000000) // greatest(n_tok, 1))
-               + ((n_alpha * 1000000) // greatest(n_tok, 1))
+        SELECT {_QM_B0}
+               + {_QM_WL} * (CASE WHEN n_tok BETWEEN 10 AND 100000
+                                  THEN 1 ELSE 0 END)
+               + {_QM_WS} * ((n_stop * 1000000) // greatest(n_tok, 1))
+               + {_QM_WA} * ((n_alpha * 1000000) // greatest(n_tok, 1))
                AS score_ppm
         FROM qmt
     ),
@@ -2600,12 +2615,12 @@ _CHECK_SQL["heavy_hitters"] = """
 # documents table — kept count, total scored, exact BIGINT logit sum
 # over the kept set (qms CTE == operators/quality_model.
 # pinned_quality_score arithmetic; training stays pytest-only).
-_CHECK_SQL["quality_model_score"] = """
+_CHECK_SQL["quality_model_score"] = f"""
         SELECT 'quality_model_score',
-               (SELECT COUNT(*) FROM qms WHERE score_ppm >= 100000),
+               (SELECT COUNT(*) FROM qms WHERE score_ppm >= {_QM_GATE}),
                (SELECT COUNT(*) FROM qms),
                (SELECT CAST(COALESCE(SUM(score_ppm), 0) AS BIGINT)
-                FROM qms WHERE score_ppm >= 100000)
+                FROM qms WHERE score_ppm >= {_QM_GATE})
 """
 
 _CHECK_SQL["versioned_governed"] = """

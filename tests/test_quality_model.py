@@ -192,8 +192,9 @@ def test_pinned_quality_score_duckdb_parity(spark):
 
 
 def test_pinned_quality_score_separates_prose_from_soup(spark):
-    """Prose-like docs (stopword-rich, alphabetic, sane length) score
-    >= 0 (keep); symbol/boilerplate soup scores < 0 (drop)."""
+    """Prose-like docs (stopword-rich, alphabetic, sane length) clear
+    the pinned gate (keep); symbol/boilerplate soup falls far below it
+    (drop)."""
     from polygon_daily_market_data_pipeline_spark.operators.quality_model import (
         pinned_quality_score,
     )
