@@ -87,7 +87,14 @@ def _with_census(name: str, fn):
     pay the census (the r14 evidence-rent lesson — VERDICT r14 Next
     #4). ``SPARK_GRAFT_CENSUS=0`` disables it here too. The census must
     never break an evaluation: any failure returns the un-instrumented
-    result."""
+    result.
+
+    Scale note: the census collects the result to the driver, which is
+    sound HERE because every registered query returns an
+    evaluation-sized frame (audit rows, date-grain series, bounded
+    top-k) by the suite's own design — at production scale the same
+    instrument would census aggregates (fingerprint of partial digests
+    computed executor-side), not row payloads."""
     import functools
 
     @functools.wraps(fn)
