@@ -763,8 +763,8 @@ def embedding_ann_ivf(
     # audit's hit counts are per-query deterministic joins.
     from concurrent.futures import ThreadPoolExecutor
 
-    # emb.count() first: the persisted corpus fills ONCE before the two
-    # prerequisite threads (and later the three audits) scan it.
+    # emb.count() first: the persisted corpus fills ONCE before the
+    # three prerequisite threads (and later the six audits) scan it.
     emb.count()
     with ThreadPoolExecutor(max_workers=3) as ex:
         # Train each quantizer ONCE, jointly, and inject it: ivf +
