@@ -264,3 +264,62 @@ def test_eval_log_diff_reads_both_windows_and_filters_by_sha(tmp_path):
     only_b = eld.load(log, "q", "", sha="bbb")
     assert {r["fingerprint"] for r in only_b} == {"fp_new"}
     assert eld.load(log, "q", "sf0.001") == []
+
+
+def test_eval_log_diff_compact_branch_names_unattributable_cases(
+    tmp_path, capsys
+):
+    """ADVICE r14: the compact (col_digests) diff branch must (a) name
+    the fingerprints-differ-but-all-digests-match case explicitly —
+    reachable because digests hash each column SORTED independently, so
+    a cross-column re-pairing of values moves the row fingerprint while
+    every column digest stays equal — and (b) refuse per-column
+    comparison across the r15 8→16-hex digest-width boundary instead of
+    printing every column as differing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    import eval_log_diff as eld
+
+    def rec(fp, digests):
+        return {
+            "query": "q",
+            "sf_dir": "/sf0.01",
+            "sha": "aaa",
+            "fingerprint": fp,
+            "cols": list(digests),
+            "col_digests": digests,
+        }
+
+    # (a) same digests, different fingerprints — re-pairing / collision
+    recs = [
+        rec("fp_major", {"a": "11111111", "b": "22222222"}),
+        rec("fp_major", {"a": "11111111", "b": "22222222"}),
+        rec("fp_minor", {"a": "11111111", "b": "22222222"}),
+    ]
+    eld.census_and_diff(recs, "q", "/sf0.01")
+    out = capsys.readouterr().out
+    assert "cross-column re-pairing" in out, out
+
+    # (b) mixed widths (pre-r15 8-hex vs 16-hex records)
+    recs = [
+        rec("fp_major", {"a": "1111111111111111", "b": "2222222222222222"}),
+        rec("fp_major", {"a": "1111111111111111", "b": "2222222222222222"}),
+        rec("fp_old", {"a": "11111111", "b": "22222222"}),
+    ]
+    eld.census_and_diff(recs, "q", "/sf0.01")
+    out = capsys.readouterr().out
+    assert "digest widths" in out and "column a" not in out, out
+
+    # and the normal case still attributes to the named column
+    recs = [
+        rec("fp_major", {"a": "1111111111111111", "b": "2222222222222222"}),
+        rec("fp_major", {"a": "1111111111111111", "b": "2222222222222222"}),
+        rec("fp_min2", {"a": "1111111111111111", "b": "3333333333333333"}),
+    ]
+    eld.census_and_diff(recs, "q", "/sf0.01")
+    out = capsys.readouterr().out
+    assert "column b" in out and "column a" not in out, out
