@@ -135,10 +135,9 @@ def quality_model_scores(
 # pinned from inspecting trained reference-vs-background runs on the
 # synthetic corpus: stopword saturation is the strongest prose signal
 # (weight 2), alphabetic-token fraction next (weight 1), plus the
-# C4-style length gate; the 0 threshold is the logit-space image of
-# P(reference) >= 0.5 (sigmoid is monotone — thresholding the logit IS
-# thresholding the probability, with no transcendental in the compared
-# surface).
+# C4-style length gate. Sigmoid is monotone, so thresholding the logit
+# IS thresholding the probability with no transcendental in the
+# compared surface; the threshold itself is PINNED_GATE_PPM below.
 PINNED_INTERCEPT_PPM = -1_500_000
 PINNED_LEN_GATE_PPM = 500_000
 PINNED_STOPWORD_WEIGHT = 2
