@@ -4137,7 +4137,18 @@ def build_maintenance_union(
         t0 = time.monotonic()
         frames = by_name[name](spark, sf_dir, ord_df, base)
         if timed:
-            frames = [f.localCheckpoint(eager=True) for f in frames]
+            # ONE eager checkpoint per BRANCH, not per audit row
+            # (round 15): every frame shares _SCHEMA, so the branch's
+            # rows union first and materialize in a single job — the
+            # per-row form cost one driver-scheduled job per frame
+            # (~58 suite-wide at ~50 ms/job floor, and the class that
+            # amplifies under host scheduler latency — SCALE.md job
+            # census). Attribution is unchanged: the checkpoint still
+            # executes INSIDE this branch's timing window.
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            frames = [u.localCheckpoint(eager=True)]
             BRANCH_TIMES[name] = round(time.monotonic() - t0, 3)
         return frames
 
