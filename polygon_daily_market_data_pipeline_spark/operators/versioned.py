@@ -5701,19 +5701,46 @@ def _kmv_sketch(df: "DataFrame", col: str, k: int) -> "list[str]":
     MERGEABLE: the k smallest distinct hashes of a union are always
     among the union of each side's k smallest — the exactness that
     powers ``analyze_incremental``."""
+    return _kmv_sketches(df, [col], k)[col]
+
+
+def _kmv_leg(df: "DataFrame", col: str, k: int) -> "DataFrame":
     from pyspark.sql import functions as F
 
-    return [
-        r["h"]
-        for r in (
-            df.select(F.md5(F.col(col).cast("string")).alias("h"))
-            .where(F.col("h").isNotNull())
-            .distinct()
-            .orderBy("h")
-            .limit(k)
-            .collect()
+    return (
+        df.select(
+            F.lit(col).alias("src"),
+            F.md5(F.col(col).cast("string")).alias("h"),
         )
-    ]
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_sketches(
+    df: "DataFrame", cols: "list[str]", k: int
+) -> "dict[str, list[str]]":
+    """All columns' KMV sketches in ONE Spark job (round 16, VERDICT
+    r15 #1): the per-column distinct-sort-limit legs union into a
+    single collected frame instead of one co-scheduled job per column
+    — N columns cost one driver-scheduled job, not N, at identical
+    per-leg plans and therefore bit-identical sketch values (each leg
+    is still its own scan + distinct shuffle; only the scheduling
+    fuses). The collect is k rows per column — driver-bounded at any
+    table size."""
+    if not cols:
+        return {}
+    u = _kmv_leg(df, cols[0], k)
+    for c in cols[1:]:
+        u = u.unionByName(_kmv_leg(df, c, k))
+    out: "dict[str, list[str]]" = {c: [] for c in cols}
+    for r in u.collect():
+        out[r["src"]].append(r["h"])
+    for c in cols:
+        out[c].sort()
+    return out
 
 
 def kmv_estimate(ndv_k: int, kmv: "str | None", k: int) -> int:
@@ -5735,13 +5762,11 @@ def kmv_estimate(ndv_k: int, kmv: "str | None", k: int) -> int:
 
 def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
     """One aggregate pass (null counts + TYPED value envelopes) plus
-    one co-scheduled KMV job per column. Envelope values are stored
-    through the same tagged JSON as the manifest's file stats
-    (``_stat_to_json``), so they stay comparable — mergeable — after a
-    round trip; unsupported column types raise there (analyze the
-    prunable/countable columns, not blobs)."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    ONE fused KMV job for all columns (``_kmv_sketches`` — round 16).
+    Envelope values are stored through the same tagged JSON as the
+    manifest's file stats (``_stat_to_json``), so they stay comparable
+    — mergeable — after a round trip; unsupported column types raise
+    there (analyze the prunable/countable columns, not blobs)."""
     from pyspark.sql import functions as F
 
     if not cols:  # df.agg() requires >= 1 expression (ADVICE r11)
@@ -5783,10 +5808,7 @@ def _column_stats(spark, df: DataFrame, cols: "list[str]", k: int) -> dict:
                 F.sum(F.col(c).cast("decimal(38,0)")).alias(f"{c}__sum")
             )
     one = df.agg(*aggs).first()
-    with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:
-        sketches = dict(
-            zip(cols, ex.map(lambda c: _kmv_sketch(df, c, k), cols))
-        )
+    sketches = _kmv_sketches(df, cols, k)
     out = {}
     for c in cols:
         mn, mx = one[f"{c}__min"], one[f"{c}__max"]
@@ -6211,8 +6233,8 @@ def analyze_version(
     reuse_hist_edges: bool = True,
 ) -> dict:
     """ANALYZE: one aggregate pass for null counts and typed value
-    envelopes over every requested column, plus one KMV job per column
-    (co-scheduled), persisted as ``_stats/v{N}.json`` beside the
+    envelopes over every requested column, plus ONE fused KMV job for
+    all columns, persisted as ``_stats/v{N}.json`` beside the
     manifest log (metadata, not a table version — re-analyzing does
     not move the table). Numeric columns additionally record an exact
     equi-width HISTOGRAM (``hist_buckets`` buckets — one further

@@ -4244,8 +4244,38 @@ def _utc_pin(spark: SparkSession) -> _conf_pin:
 def _narrow_shuffle_pin(spark: SparkSession) -> _conf_pin:
     """The streaming branches' micro-batch frames are tiny; bound their
     shuffle width to 8 for the drain (shared reentrant pin — see
-    above)."""
+    above). ``_run_union`` pins the SAME width for the whole audit
+    scope since round 16 (same key ⇒ the values must agree — the
+    reentrant pin asserts it)."""
     return _conf_pin(spark, "spark.sql.shuffle.partitions", "8")
+
+
+def _audit_scheduling_pin(spark: SparkSession) -> "_conf_pin":
+    """Round 16 (VERDICT r15 Next #1): AQE OFF for the audit scope.
+
+    The r15 job census measured the trio at ~790 driver-scheduled
+    Spark jobs/evaluation with AQE on vs ~450 with it off — AQE
+    materializes every query stage as its OWN scheduled job, and on
+    audit-sized frames (a handful of rows after the first aggregate)
+    that runtime re-planning buys nothing while the per-job
+    scheduling floor (~30-50 ms here) couples host scheduler latency
+    into the trio at ~0.8 s per ms of drift (SCALE.md job census —
+    the late-session 39-53 s swings). Every audit value is
+    partition-independent by construction (exact integer counts,
+    decimal money sums, file-set claims — the `_run_union` contract),
+    and the plan-claim bits (cbo) grade HINT-forced joins, so plan
+    choice cannot move with AQE. Interleaved same-session A/B at
+    sf0.1: AQE off + width-8 shuffles ≈ −3 s trio wall AND −335
+    jobs, fingerprints byte-identical.
+
+    At 100 TB this pin stays correct for what it scopes: the audit
+    UNION and claim probes over evaluation-sized frames. The
+    data-sized operator work inside the branches (merges, compaction,
+    scans) is bounded by the ord-slice/corpus inputs whose shuffle
+    width the narrow pin already set; a production deployment sizing
+    those inputs up would widen the pinned width, not re-enable
+    per-stage job materialization for row-count-sized audits."""
+    return _conf_pin(spark, "spark.sql.adaptive.enabled", "false")
 
 
 def _run_union(
@@ -4287,7 +4317,9 @@ def _run_union(
     )
     os.makedirs(base)
     try:
-        with _utc_pin(spark):
+        with _utc_pin(spark), _audit_scheduling_pin(
+            spark
+        ), _narrow_shuffle_pin(spark):
             # eager, lineage-truncating materialization of the (tiny)
             # audit rows: after this the scratch dir is not referenced
             # by any plan
