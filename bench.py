@@ -112,13 +112,33 @@ def main() -> None:
     # audit rows without re-running the whole branch script.
     warehouse_dfs: dict[str, object] = {}
 
+    # Per-query Spark-job counts (round 16, VERDICT r15 #4): the
+    # DAGScheduler's monotone job counter, sampled around each serial
+    # query run, so a scheduler-latency regression (the trio's ~0.8 s
+    # per ms of host-latency coupling — SCALE.md job census)
+    # self-attributes in the artifact the way fingerprints do for
+    # correctness. Streaming queries' micro-batch jobs land in the
+    # window too — correct: they are scheduled jobs the query paid for.
+    jobs: dict[str, int] = {}
+
+    def _n_jobs() -> int:
+        try:
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        except Exception:
+            return -1
+
     def run_once(name: str, fn) -> float:
-        t0 = time.monotonic()
+        t0, j0 = time.monotonic(), _n_jobs()
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             if name.startswith("warehouse_"):
                 warehouse_dfs[name] = df
+            j1 = _n_jobs()
+            if j0 >= 0 and j1 >= j0 and not name.startswith("zz_canary"):
+                # re-timed queries overwrite with the latest sample
+                # (plan-identical re-runs; job counts don't drift)
+                jobs[name] = j1 - j0
             return round(time.monotonic() - t0, 3)
         except Exception as exc:  # keep benching; report the failure
             print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
@@ -182,6 +202,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "jobs": jobs,
         "sf": sf,
     }
     # Machine-speed canary (BASELINE.md): zz_sentinel_tail is a fixed

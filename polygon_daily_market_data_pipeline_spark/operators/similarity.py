@@ -33,6 +33,29 @@ from polygon_daily_market_data_pipeline_spark.partitioning import (
 )
 
 
+def _sq_dists(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Pairwise squared euclidean distances ``||a_i - b_j||²`` via the
+    BLAS expansion ``|a|² - 2a·b + |b|²`` — one matmul instead of the
+    naive ``(a[:,None,:]-b[None,:,:])**2`` broadcast that materializes
+    an n×k×d temporary (round 16: the broadcast form was >half of
+    ``train_quantizers``' wall at sf0.1). Clamped at 0 so rounding
+    can't produce a negative distance under a later sqrt. Argmin/argsort
+    consumers tolerate the expansion's FP rounding: every trainer,
+    assigner, and encoder in this module uses THIS helper, so the
+    repeat-training identities (joint vs separate training,
+    assign-vs-index cell agreement) hold bit-exactly among themselves,
+    and the recall/audit gates grade measured floors with margin, not
+    specific assignments."""
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    d = (
+        (a * a).sum(axis=1)[:, None]
+        - 2.0 * (a @ b.T)
+        + (b * b).sum(axis=1)[None, :]
+    )
+    return np.maximum(d, 0.0, out=d)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -465,7 +488,7 @@ def kmeans_centroids(
             acc_n = {}
             for pdf in batches:
                 m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+                d = _sq_dists(m, b_c.value)
                 a = d.argmin(axis=1)
                 for c in np.unique(a):
                     sel = m[a == c]
@@ -554,9 +577,7 @@ def train_quantizers(
                     continue
                 mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 # coarse-quantizer partials, keyed sub = -1
-                d = ((mat[:, None, :] - b_c.value[None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                d = _sq_dists(mat, b_c.value)
                 a = d.argmin(axis=1)
                 for c in np.unique(a):
                     sel = mat[a == c]
@@ -566,9 +587,7 @@ def train_quantizers(
                 # PQ subspace partials, keyed sub >= 0
                 for s in range(b_b.value.shape[0]):
                     sub = mat[:, s * dsub : (s + 1) * dsub]
-                    d = (
-                        (sub[:, None, :] - b_b.value[s][None, :, :]) ** 2
-                    ).sum(axis=2)
+                    d = _sq_dists(sub, b_b.value[s])
                     a = d.argmin(axis=1)
                     for c in np.unique(a):
                         sel = sub[a == c]
@@ -640,7 +659,7 @@ def ivf_assign(
             if len(pdf) == 0:
                 continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            d = _sq_dists(m, b_c.value)
             a = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -930,7 +949,7 @@ def cosine_topk_ivf(
     @pandas_udf(IntegerType())
     def cell_of(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(m, b_c.value)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     n_probe_ = n_probe
@@ -938,7 +957,7 @@ def cosine_topk_ivf(
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cells(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(m, b_c.value)
         order = np.argsort(d, axis=1)[:, :n_probe_].astype("int32")
         return pd.Series(list(order))
 
@@ -1069,9 +1088,7 @@ def pq_train_codebooks(
                 mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 for s in range(b_b.value.shape[0]):
                     sub = mat[:, s * dsub : (s + 1) * dsub]
-                    d = (
-                        (sub[:, None, :] - b_b.value[s][None, :, :]) ** 2
-                    ).sum(axis=2)
+                    d = _sq_dists(sub, b_b.value[s])
                     a = d.argmin(axis=1)
                     for c in np.unique(a):
                         sel = sub[a == c]
@@ -1138,9 +1155,7 @@ def pq_encode(
             codes = np.empty((len(mat), m), dtype=np.int32)
             for s in range(m):
                 sub = mat[:, s * dsub : (s + 1) * dsub]
-                d = ((sub[:, None, :] - b_b.value[s][None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                d = _sq_dists(sub, b_b.value[s])
                 codes[:, s] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "code": list(codes)}
@@ -1347,14 +1362,12 @@ def cosine_topk_ivfpq(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            dc = ((mat[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            dc = _sq_dists(mat, b_c.value)
             cells = dc.argmin(axis=1).astype("int32")
             codes = np.empty((len(mat), mm), dtype=np.int32)
             for s in range(mm):
                 sub = mat[:, s * dsub : (s + 1) * dsub]
-                d = ((sub[:, None, :] - b_b.value[s][None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                d = _sq_dists(sub, b_b.value[s])
                 codes[:, s] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -1375,7 +1388,7 @@ def cosine_topk_ivfpq(
     )
     code_sq = (books**2).sum(axis=2)
     q_norm = np.sqrt((q_mat**2).sum(axis=1))
-    dq = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    dq = _sq_dists(q_mat, cents)
     probes = np.argsort(dq, axis=1)[:, :n_probe]
     b_lut = spark.sparkContext.broadcast(luts)
     b_sq = spark.sparkContext.broadcast(code_sq)
@@ -1589,7 +1602,7 @@ def cosine_topk_ivfsq(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            dc = ((mat[:, None, :] - b_c.value[None, :, :]) ** 2).sum(axis=2)
+            dc = _sq_dists(mat, b_c.value)
             cells = dc.argmin(axis=1).astype("int32")
             codes = np.rint(
                 np.clip((mat - b_lo.value) * b_sc.value, 0.0, 255.0)
@@ -1609,7 +1622,7 @@ def cosine_topk_ivfsq(
     q_ids = qp[id_col].to_numpy()
     q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
     q_norm = np.sqrt((q_mat**2).sum(axis=1))
-    dq = ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    dq = _sq_dists(q_mat, cents)
     probes = np.argsort(dq, axis=1)[:, :n_probe]
     b_q = spark.sparkContext.broadcast(q_mat)
     b_qn = spark.sparkContext.broadcast(q_norm)
