@@ -288,6 +288,7 @@ def bm25_index_commit(
     mode: str = "overwrite",
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: "DataFrame | None" = None,
 ) -> int:
     """Persist the BM25 index as a VERSIONED postings table — one row
     per (term, doc, tf); doc lengths are derivable (dl = Σ tf per doc)
@@ -304,7 +305,13 @@ def bm25_index_commit(
 
     if mode not in ("overwrite", "update"):
         raise ValueError(f"unknown mode {mode!r}")
-    postings, _dl = bm25_postings(docs, id_col, text_col)
+    if postings is None:
+        # ``postings``: a caller that already holds this batch's
+        # postings frame (e.g. a filtered slice of a persisted corpus
+        # explode) passes it to skip the re-tokenize/re-explode —
+        # committed rows are identical because postings are a per-doc
+        # map (filter commutes with the explode).
+        postings, _dl = bm25_postings(docs, id_col, text_col)
     return commit_version(
         postings,
         index_dir,

@@ -222,7 +222,15 @@ class CorpusDedupSink:
         if survivors.isEmpty():
             return
         survivors.write.mode("append").parquet(self.docs_path)
-        band_index(survivors).write.mode("append").parquet(self.bands_path)
+        # The survivors' band rows are a subset of ``new_bands`` (bands
+        # are a deterministic per-row map of (doc_id, text), and
+        # survivors ⊆ batch with identical text), so filter the
+        # already-computed checkpointed bands instead of re-shingling
+        # and re-MinHashing the survivor docs — the appended index rows
+        # are value-identical, at half the per-batch signature cost.
+        new_bands.join(
+            F.broadcast(survivors.select("doc_id")), "doc_id"
+        ).write.mode("append").parquet(self.bands_path)
 
     def attach(self, stream: DataFrame, checkpoint_dir: str) -> StreamingQuery:
         """Wire the sink to a streaming DataFrame of (doc_id, text)."""
