@@ -61,6 +61,12 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the per-node change flag rides the update projection (round
+        # 16): new < old ⟺ a non-null neighbor min beat the label —
+        # exactly the rows the former post-hoc updated⋈labels
+        # inequality join found, now a column on the checkpointed
+        # frame, so the convergence probe is a narrow limit-1 scan of
+        # materialized blocks instead of a join + shuffle per round
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -68,17 +74,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where("chg").limit(1).count()
+        labels = updated.drop("chg")
         if changed == 0:
             break
     return labels

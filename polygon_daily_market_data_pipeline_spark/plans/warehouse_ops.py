@@ -413,7 +413,7 @@ def _skipping_rows(
     # mirrored by the oracle: CAST(FLOOR(MAX(o_orderkey)/20.0) AS BIGINT)
     # — FLOOR, because DuckDB's bare CAST(double AS BIGINT) rounds to
     # nearest while Python // truncates (doubles are exact here)
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     hi = mx // 20
     # TWO key-disjoint append commits (≈ bottom/top half), each
     # range-partitioned: the scan prunes across both, and the delete
@@ -551,7 +551,7 @@ def _matview_rows(
         "o_orderstatus",
         F.col("o_totalprice").cast(_MONEY_DEC).alias("o_totalprice"),
     )
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     half = mx // 2
     cut = mx - mx // 10
     src = os.path.join(base, "mv_src")
@@ -747,7 +747,7 @@ def _dv_rows(
     )
 
     tdir = os.path.join(base, "dv_vt")
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     hi = mx // 20
     half = mx // 2
     commit_version(
@@ -980,21 +980,32 @@ def _merge_rows(
     # zero-rewrite claim: EVERY pre-merge data file — bottom half
     # included — still scheduled by the post-merge plan.
     tdir2 = os.path.join(base, "merge_mor_vt")
-    commit_version(
-        v0df.where(F.col("o_orderkey") <= half).repartitionByRange(
-            4, "o_orderkey"
-        ),
-        tdir2,
-        stats_cols=["o_orderkey"],
+    # the MOR target starts from the IDENTICAL two-commit state the COW
+    # target had before its merge — materialize it as a file-level copy
+    # of that state (round 16) instead of re-running the two
+    # filter+range-shuffle+write commits: manifests reference
+    # table-relative dirs, so the copy IS those commits, and both
+    # priced operators (merge_version COW above / MOR below) still run
+    # end-to-end against their own table. The copy happens AFTER the
+    # COW merge only in program order — it copies only the v0/v1
+    # manifests' dirs, which the COW merge never mutates (copy-on-write
+    # writes NEW dirs), minus the later manifests/sidecars.
+    from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+        _load_manifest as _lm,
+        _versions_dir as _vd,
     )
-    commit_version(
-        v0df.where(F.col("o_orderkey") > half).repartitionByRange(
-            4, "o_orderkey"
-        ),
-        tdir2,
-        mode="append",
-        stats_cols=["o_orderkey"],
-    )
+
+    keep_dirs: "set[str]" = set()
+    for ver in (0, 1):
+        keep_dirs.update(_lm(tdir, ver)["dirs"])
+    os.makedirs(_vd(tdir2))
+    for d in keep_dirs:
+        shutil.copytree(os.path.join(tdir, d), os.path.join(tdir2, d))
+    for ver in (0, 1):
+        shutil.copy2(
+            os.path.join(_vd(tdir), f"{ver}.json"),
+            os.path.join(_vd(tdir2), f"{ver}.json"),
+        )
     all_before = set(read_version(spark, tdir2).inputFiles())
     v_mor = merge_version(
         spark,
@@ -1477,7 +1488,7 @@ def _cdc_rows(
     src = os.path.join(base, "cdc_src")
     dst = os.path.join(base, "cdc_dst")
     ckpt = os.path.join(base, "cdc_ckpt")
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     off = 10 ** len(str(mx))
     key = F.col("o_orderkey")
     slim = ord_df.select(
@@ -1589,7 +1600,7 @@ def _compact_rows(
     )
 
     tdir = os.path.join(base, "compact_vt")
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     half = mx // 2
     key = F.col("o_orderkey")
     commit_version(
@@ -1654,7 +1665,7 @@ def _bloom_rows(
     )
 
     tdir = os.path.join(base, "bloom_vt")
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     commit_version(ord_df.repartition(8), tdir, bloom_cols=["o_orderkey"])
     scan, stats = scan_version_with_stats(
         spark, tdir, {}, eq={"o_orderkey": mx}
@@ -2737,7 +2748,7 @@ def _stats_rows(
 
     tdir = os.path.join(base, "stats_vt")
     slim = ord_df.select(*_STATS_COLS)
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     half = mx // 2
     # coalesce, not repartitionByRange: the envelope MERGE is what the
     # row audits (min/max across all files), which holds under any file
@@ -2923,7 +2934,7 @@ def _wap_rows(
     )
 
     tdir = os.path.join(base, "wap_vt")
-    mxk = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mxk = _ord_max(ord_df)
     shift = 10 ** len(str(mxk))
     commit_version(
         ord_df.repartitionByRange(4, "o_orderkey"),
@@ -3485,7 +3496,7 @@ def _fastagg_rows(
     )
 
     slim = ord_df.select("o_orderkey", "o_custkey", "o_totalprice")
-    mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+    mx = _ord_max(ord_df)
     half = mx // 2
     tdir = os.path.join(base, "fastagg_vt")
     commit_version(
@@ -4161,6 +4172,26 @@ def _ord_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _ORD_CACHE[key] = df
     return df
+
+
+def _ord_max(ord_df: DataFrame) -> int:
+    """max(o_orderkey) of the shared ord slice, memoized ON the frame
+    object (round 16): nine branch scripts derive their key offsets
+    from this one deterministic scalar, and before the memo each ran
+    its own aggregate job for it (~9 scheduled jobs per trio
+    evaluation for one number). The attribute rides the per-(app,
+    sf_dir) cached slice from ``_ord_slice``, so a fresh frame (plan
+    audits, tests) just computes it once for itself. Benign under the
+    8-thread branch co-schedule: racing computes produce the same
+    value."""
+    mx = getattr(ord_df, "_spark_graft_ord_max", None)
+    if mx is None:
+        mx = ord_df.agg(F.max("o_orderkey")).first()[0]
+        try:
+            ord_df._spark_graft_ord_max = mx
+        except Exception:  # noqa: BLE001 — memo is best-effort
+            pass
+    return mx
 
 
 def build_maintenance_union(
