@@ -117,7 +117,14 @@ def _with_census(name: str, fn):
                 detail=False,
             )
             return ck
-        except Exception:  # noqa: BLE001 — evidence must never break an eval
+        except Exception as exc:  # noqa: BLE001 — evidence must never break an eval
+            # loud breadcrumb (ADVICE r15): a silent fallback would let
+            # a census regression surface only as a driver red with no
+            # eval-log entry and no hint the census itself failed
+            print(
+                f"CENSUS-SKIP {name}: {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
             return out
 
     return wrapped

@@ -101,11 +101,29 @@ def _numeric_bound(v) -> bool:
     the sidecar only records histograms for numeric columns, so a
     string/date/datetime bound is the caller-side type-mismatch class
     the tolerance contract covers (skip refinement, keep files whole).
-    ``None`` is an unbounded side and always fine."""
+    ``None`` is an unbounded side and always fine. NaN and bool are
+    rejected (ADVICE r15): NaN comparisons would yield an arbitrary
+    refinement instead of the skip the tolerance contract intends, and
+    a bool bound is a type mismatch that merely happens to subclass
+    int."""
     import decimal
+    import math
     import numbers
 
-    return v is None or isinstance(v, (numbers.Real, decimal.Decimal))
+    if v is None:
+        return True
+    if isinstance(v, bool) or not isinstance(
+        v, (numbers.Real, decimal.Decimal)
+    ):
+        return False
+    try:
+        return not math.isnan(float(v))
+    except (ValueError, OverflowError):
+        # a Decimal too large for float is numeric and non-NaN; the
+        # histogram-bounds arithmetic below handles it via float(inf)
+        # semantics no worse than the envelope path — keep files whole
+        # by skipping refinement (the safe direction)
+        return False
 
 
 def filtered_size_bound(

@@ -107,6 +107,7 @@ def mix_rates_for_token_budget(
     weight_col: str,
     target_shares: "dict[str, float]",
     total_budget: float,
+    avail: "dict[str, float] | None" = None,
 ) -> "dict[str, float]":
     """Solve the mixing-plan side of :func:`stratified_sample`: given
     per-stratum TARGET SHARES of a total token budget (e.g. 60% en /
@@ -124,12 +125,20 @@ def mix_rates_for_token_budget(
     recorded-None sidecar sum the same way, so the two planners never
     diverge."""
     _check_shares(target_shares)  # fail BEFORE the corpus scan
-    avail = {
-        r[0]: float(r[1]) if r[1] is not None else 0.0
-        for r in df.groupBy(strata_col)
-        .agg(F.sum(weight_col))
-        .collect()
-    }
+    if avail is None:
+        avail = {
+            r[0]: float(r[1]) if r[1] is not None else 0.0
+            for r in df.groupBy(strata_col)
+            .agg(F.sum(weight_col))
+            .collect()
+        }
+    else:
+        # a caller that already aggregated per-stratum availability
+        # (the same SUM this pass would run) hands it in and skips the
+        # scan; float() matches the scan path's coercion exactly
+        avail = {
+            k: float(v) if v is not None else 0.0 for k, v in avail.items()
+        }
     return _solve_mix_rates(avail, target_shares, total_budget)
 
 

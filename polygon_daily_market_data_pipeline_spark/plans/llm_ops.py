@@ -1522,8 +1522,12 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = docs.groupBy("lang").agg(F.sum("n_chars").alias("have")).collect()
     avail = {r["lang"]: int(r["have"]) for r in agg}
     budget = float(sum(avail.values()))
+    # the planner consumes the SAME per-lang SUM aggregated above —
+    # hand it in (avail=) instead of re-scanning the corpus (round 16;
+    # int → float is exact at these magnitudes, the scan path's own
+    # coercion)
     rates = mix_rates_for_token_budget(
-        docs, "lang", "n_chars", PLAN_SHARES, budget
+        docs, "lang", "n_chars", PLAN_SHARES, budget, avail=avail
     )
     plan_rows = [
         (
@@ -1543,7 +1547,13 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en") & (F.col("doc_id") % 7 == 2)
     )
     k = docs.count() // 5
-    sel = dsir_select(dsir_log_weights(docs, target), k)
+    # the selection feeds TWO union legs ('dsir' per-lang rollup and
+    # 'dsir_w' weight sum); eagerly checkpoint the k-row frame so the
+    # two-LM scoring pipeline behind it computes once, not once per
+    # leg (round 16 — values identical, the legs read the same rows)
+    sel = dsir_select(dsir_log_weights(docs, target), k).localCheckpoint(
+        eager=True
+    )
     dsir = (
         sel.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
         .groupBy(F.lit("dsir").alias("split"), F.col("lang"))

@@ -295,3 +295,20 @@ def test_star_ordering_consumes_histogram_bound(spark, tmp_path):
         spark, fact, dims, broadcast_threshold_rows=1_000
     )
     assert [d["strategy"] for d in dec2["dims"]] == ["broadcast", "merge"]
+
+
+def test_numeric_bound_rejects_nan_and_bool():
+    """ADVICE r15: a NaN (or bool) predicate bound must SKIP histogram
+    refinement — NaN comparisons would yield an arbitrary refinement
+    instead of the tolerance contract's keep-files-whole skip."""
+    from polygon_daily_market_data_pipeline_spark.operators.cbo import (
+        _numeric_bound,
+    )
+
+    assert _numeric_bound(None) is True
+    assert _numeric_bound(1) is True
+    assert _numeric_bound(1.5) is True
+    assert _numeric_bound(float("nan")) is False
+    assert _numeric_bound(True) is False
+    assert _numeric_bound(False) is False
+    assert _numeric_bound("9") is False
