@@ -1,9 +1,10 @@
 """Dump ``explain("formatted")`` for every registered query to
-``plans/r16/<query>_<tag>.txt`` (round-16 optimization evidence).
+``plans/$SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt`` (optimization-round
+evidence; the dir defaults to ``r17``).
 
 Usage::
 
-    python tools/dump_plans.py <tag> [sf_dir] [query ...]
+    SPARK_GRAFT_PLANS_DIR=r17 python tools/dump_plans.py <tag> [sf_dir] [query ...]
 
 The two ``*_stream`` queries are skipped (their builders RUN the stream
 to a memory sink — the returned frame's plan is a memory scan; their
@@ -39,7 +40,7 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     only = set(sys.argv[3:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = _REPO / "plans" / "r16"
+    out_dir = _REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r17")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = (
