@@ -312,6 +312,17 @@ def bm25_index_commit(
         # committed rows are identical because postings are a per-doc
         # map (filter commutes with the explode).
         postings, _dl = bm25_postings(docs, id_col, text_col)
+    else:
+        # Guard the override's shape (ADVICE r16 #2): a frame missing
+        # the (term, id, tf) columns bm25_topk_from_index expects would
+        # commit a corrupt index without error. The caller remains
+        # responsible for the override being THIS corpus's postings.
+        missing = {"term", id_col, "tf"} - set(postings.columns)
+        if missing:
+            raise ValueError(
+                f"postings override lacks column(s) {sorted(missing)} — "
+                f"expected the bm25_postings shape (term, {id_col}, tf)"
+            )
     return commit_version(
         postings,
         index_dir,

@@ -134,8 +134,13 @@ def mix_rates_for_token_budget(
         }
     else:
         # a caller that already aggregated per-stratum availability
-        # (the same SUM this pass would run) hands it in and skips the
-        # scan; float() matches the scan path's coercion exactly
+        # hands it in and skips the scan; float() matches the scan
+        # path's coercion exactly. CONTRACT (ADVICE r16 #4): ``avail``
+        # must be the exact per-stratum SUM(weight_col) over ``df`` —
+        # every stratum present in df, no stale entries — or the rates
+        # silently diverge from the scan path this fast-path claims to
+        # match. The one in-repo caller (corpus_split_counts) passes
+        # the collect of that very aggregate.
         avail = {
             k: float(v) if v is not None else 0.0 for k, v in avail.items()
         }

@@ -5972,27 +5972,58 @@ def _histograms(
     rather than under-count). All counts are exact integers: the
     histogram is a statistic on the never-wrong surface, additively
     mergeable when edges are identical."""
+    if not edge_map:
+        return {}
+    # The edge doubles ride a 1-row broadcast ARRAY column instead of
+    # inline literals (round 17, VERDICT r16 #5): a literal double is
+    # inlined into the generated code, so every new edge set used to
+    # produce a distinct source text and a fresh whole-stage-codegen
+    # compile (measured: the first ANALYZE of each table doubled by
+    # compile time). With the edges as an attribute, the generated
+    # source depends only on the SHAPE (column count, bucket count) —
+    # two tables with 32-bucket histograms over the same number of
+    # columns share one compiled class. The comparisons below are the
+    # SAME expressions over the SAME float64 values (element_at of the
+    # exact edge doubles), so every count is bit-identical — the
+    # merge/tail/NaN laws in tests/test_histogram_stats.py pin it. The
+    # build side is a LocalTableScan (driver-local collect, no extra
+    # Spark job) and the single joined row is referenced, not copied,
+    # per probe row.
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cols = list(edge_map)
+    edges_row = spark.createDataFrame(
+        [tuple([float(x) for x in edge_map[c]] for c in cols)],
+        StructType(
+            [
+                StructField(f"__hedges_{i}", ArrayType(DoubleType()), False)
+                for i in range(len(cols))
+            ]
+        ),
+    )
     aggs = []
-    for c, edges in edge_map.items():
+    for ci, c in enumerate(cols):
+        edges = edge_map[c]
         v = F.col(c).cast("double")
         b = len(edges) - 1
-        aggs.append(F.sum((v < edges[0]).cast("long")).alias(f"{c}__hb"))
+
+        def e(k: int, _ci=ci) -> "F.Column":
+            return F.element_at(F.col(f"__hedges_{_ci}"), k + 1)
+
+        aggs.append(F.sum((v < e(0)).cast("long")).alias(f"{c}__hb"))
         # Spark comparison semantics order NaN greater than everything,
         # so the above-tail must exclude it or NaN rows double-count
         # into both `above` and `nan`
         aggs.append(
-            F.sum(((v > edges[-1]) & ~F.isnan(v)).cast("long")).alias(
+            F.sum(((v > e(b)) & ~F.isnan(v)).cast("long")).alias(
                 f"{c}__ha"
             )
         )
         aggs.append(F.sum(F.isnan(v).cast("long")).alias(f"{c}__hn"))
         for i in range(b):
-            lo, hi = edges[i], edges[i + 1]
-            cond = (v >= lo) & ((v <= hi) if i == b - 1 else (v < hi))
+            cond = (v >= e(i)) & ((v <= e(i + 1)) if i == b - 1 else (v < e(i + 1)))
             aggs.append(F.sum(cond.cast("long")).alias(f"{c}__h{i}"))
-    if not aggs:
-        return {}
-    one = df.agg(*aggs).first()
+    one = df.crossJoin(F.broadcast(edges_row)).agg(*aggs).first()
     out = {}
     for c, edges in edge_map.items():
         b = len(edges) - 1

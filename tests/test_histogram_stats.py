@@ -312,3 +312,16 @@ def test_numeric_bound_rejects_nan_and_bool():
     assert _numeric_bound(True) is False
     assert _numeric_bound(False) is False
     assert _numeric_bound("9") is False
+    # the Decimal/overflow edge branches (ADVICE r16 #5): Decimal NaN
+    # skips refinement; an int too large for float exercises the
+    # OverflowError branch (skip, keep files whole). A huge Decimal is
+    # NOT that branch: float(Decimal('1e400')) is inf, and an inf bound
+    # is sound in the histogram-bounds comparisons (selects the
+    # everything/nothing side exactly) — pinned so a future "fix" that
+    # starts raising there shows up as a test diff.
+    from decimal import Decimal
+
+    assert _numeric_bound(Decimal("2.5")) is True
+    assert _numeric_bound(Decimal("NaN")) is False
+    assert _numeric_bound(10**400) is False
+    assert _numeric_bound(Decimal("1e400")) is True
