@@ -1609,8 +1609,15 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the planner's one aggregate pass (strata-sized collect), plus the
     # same aggregate for the pricing arithmetic — both are single-column
-    # scans reduced map-side; the emitted frame is |strata| rows
-    agg = docs.groupBy("lang").agg(F.sum("n_chars").alias("have")).collect()
+    # scans reduced map-side; the emitted frame is |strata| rows. The
+    # per-lang doc counts ride the same job (round 17): the DSIR top-k
+    # below needs the corpus doc count, which is exactly Σ per-lang
+    # counts — the former standalone docs.count() was a second full
+    # scan for a number this aggregate already implies.
+    agg = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("have"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()
     avail = {r["lang"]: int(r["have"]) for r in agg}
     budget = float(sum(avail.values()))
     # the planner consumes the SAME per-lang SUM aggregated above —
@@ -1637,7 +1644,9 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.where(
         (F.col("lang") == "en") & (F.col("doc_id") % 7 == 2)
     )
-    k = docs.count() // 5
+    # COUNT(*) = Σ per-lang counts exactly (a NULL lang still forms a
+    # group), so the top-k budget needs no second corpus scan
+    k = sum(int(r["n_docs"]) for r in agg) // 5
     # the selection feeds TWO union legs ('dsir' per-lang rollup and
     # 'dsir_w' weight sum); eagerly checkpoint the k-row frame so the
     # two-LM scoring pipeline behind it computes once, not once per
