@@ -213,12 +213,18 @@ def mmr_rerank(
     embedding). Relevance scores are min-max normalized per query so
     ``lam`` means the same thing whatever the retriever's scale.
 
-    Scale shape: one broadcast join attaches vectors to the
-    CANDIDATE-sized frame, then one ``applyInPandas`` group per query
-    runs the greedy loop over its own ≤ |candidates| rows — the
-    quadratic lives inside a per-query candidate set (k·rerank_factor
-    sized), never the corpus. ``lam=1`` degenerates to pure relevance
-    order (pinned by test)."""
+    Scale shape: the CANDIDATE side broadcasts into one scan of the
+    vectors table (round 17, guide §3.1 — the former direction
+    broadcast the corpus-sized ``vectors``, which caps out at the 8 GB
+    broadcast limit long before a real embedding table does; the
+    candidate set is top-k-sized by construction and broadcasts at any
+    corpus size), then one ``applyInPandas`` group per query runs the
+    greedy loop over its own ≤ |candidates| rows — the quadratic lives
+    inside a per-query candidate set (k·rerank_factor sized), never
+    the corpus. Join direction cannot move values: the greedy pick is
+    row-order-independent (min-max normalization, argmax ties broken
+    by lowest id). ``lam=1`` degenerates to pure relevance order
+    (pinned by test)."""
     import numpy as np
     import pandas as pd
 
@@ -226,8 +232,9 @@ def mmr_rerank(
         DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
-    joined = candidates.select("query_id", id_col, score_col).join(
-        F.broadcast(vectors.select(id_col, vec_col)), id_col
+    joined = vectors.select(id_col, vec_col).join(
+        F.broadcast(candidates.select("query_id", id_col, score_col)),
+        id_col,
     )
     out_schema = StructType(
         [

@@ -1139,7 +1139,14 @@ def _corpus_stream_rows(
         .where(F.col("doc_id") % 17 == 3)
         .select("doc_id", "text")
     )
-    off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0]))
+    # one agg job for both setup scalars (round 17, §2.4): the id-shift
+    # offset needs max(doc_id), the fed count needs COUNT(*) — the
+    # frame is static, so counting before the drain equals the former
+    # post-drain docs.count()
+    _st = docs.agg(
+        F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).first()
+    off = 10 ** len(str(_st["mx"]))
     dup = docs.select(
         (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
     )
@@ -1167,7 +1174,7 @@ def _corpus_stream_rows(
             .start()
         )
         q.awaitTermination()
-    fed = 2 * docs.count()  # dup is a 1:1 id-shifted copy of docs
+    fed = 2 * int(_st["n"])  # dup is a 1:1 id-shifted copy of docs
     row = sink.admitted().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(fed).alias("n_aux"),
@@ -3695,40 +3702,53 @@ def _retrieval_rows(
     try:
         n_post = postings.count()
         idx = os.path.join(base, "bm25_idx")
-        # both index halves commit slices of the PERSISTED postings
-        # frame (round 16): postings are a per-doc map, so filtering
-        # the corpus explode by doc parity commits exactly the rows a
-        # fresh per-half explode would — at zero re-tokenize cost
-        bm25_index_commit(
-            docs, idx,
-            postings=postings.where(F.col("doc_id") % 2 == 0),
-        )
-        bm25_index_commit(
-            docs, idx, mode="update",
-            postings=postings.where(F.col("doc_id") % 2 == 1),
-        )
-        # the committed-index count is exact from the manifest's footer
-        # row counts (fast_count — zero Spark jobs; falls back to a
-        # scan only when metadata cannot prove it)
-        from polygon_daily_market_data_pipeline_spark.operators.versioned import (
-            fast_count,
-        )
+        # The FRESH k=20 ranking reads only the persisted postings —
+        # independent of the commit → serve-from-index chain below, so
+        # it runs in a sibling thread (guide §2.6, the trio's
+        # co-scheduling pattern; round 17). Values cannot move with
+        # scheduling: both rankings are exact deterministic pipelines
+        # over frozen inputs, and the served == fresh claim compares
+        # them only after both complete.
+        from concurrent.futures import ThreadPoolExecutor
 
-        idx_count = fast_count(idx)
-        if idx_count is None:
-            idx_count = read_version(spark, idx).count()
-        incremental_exact = idx_count == n_post
-        topk_idx = bm25_topk_from_index(spark, idx, _BM_QUERIES, k=5)
-        served = [
-            (r["query_id"], r["rank"], r["doc_id"])
-            for r in topk_idx.collect()
-        ]
-        # one fresh k=20 ranking serves BOTH the top-5 claim (its
-        # rank <= 5 prefix) and the MMR candidate set (query 0)
-        top20 = bm25_topk(
-            None, _BM_QUERIES, k=20, postings=postings,
-            doc_lens=doc_lens,
-        ).collect()
+        with ThreadPoolExecutor(max_workers=1) as _ex:
+            f_top20 = _ex.submit(
+                lambda: bm25_topk(
+                    None, _BM_QUERIES, k=20, postings=postings,
+                    doc_lens=doc_lens,
+                ).collect()
+            )
+            # both index halves commit slices of the PERSISTED postings
+            # frame (round 16): postings are a per-doc map, so filtering
+            # the corpus explode by doc parity commits exactly the rows
+            # a fresh per-half explode would — at zero re-tokenize cost
+            bm25_index_commit(
+                docs, idx,
+                postings=postings.where(F.col("doc_id") % 2 == 0),
+            )
+            bm25_index_commit(
+                docs, idx, mode="update",
+                postings=postings.where(F.col("doc_id") % 2 == 1),
+            )
+            # the committed-index count is exact from the manifest's
+            # footer row counts (fast_count — zero Spark jobs; falls
+            # back to a scan only when metadata cannot prove it)
+            from polygon_daily_market_data_pipeline_spark.operators.versioned import (
+                fast_count,
+            )
+
+            idx_count = fast_count(idx)
+            if idx_count is None:
+                idx_count = read_version(spark, idx).count()
+            incremental_exact = idx_count == n_post
+            topk_idx = bm25_topk_from_index(spark, idx, _BM_QUERIES, k=5)
+            served = [
+                (r["query_id"], r["rank"], r["doc_id"])
+                for r in topk_idx.collect()
+            ]
+            # one fresh k=20 ranking serves BOTH the top-5 claim (its
+            # rank <= 5 prefix) and the MMR candidate set (query 0)
+            top20 = f_top20.result()
         fresh = [
             (r["query_id"], r["rank"], r["doc_id"])
             for r in top20
@@ -3755,16 +3775,23 @@ def _retrieval_rows(
         vecs = load_table(spark, sf_dir, "embeddings").select(
             F.col("vec_id").alias("doc_id"), "embedding"
         )
-        n_cand = cand.join(
-            F.broadcast(vecs.select("doc_id")), "doc_id"
-        ).count()
+        # ONE embeddings scan serves the whole MMR block (round 17):
+        # the candidate geometry is ≤20 rows, so checkpoint the
+        # semi-joined vectors once — the former shape scanned the
+        # embeddings table three times (the n_cand broadcast build and
+        # once per mmr_rerank broadcast). n_cand is unchanged: both
+        # sides are unique on doc_id, so |cand ⋉ vecs| = |vecs ⋉ cand|.
+        cvecs = vecs.join(
+            F.broadcast(cand.select("doc_id")), "doc_id"
+        ).localCheckpoint(eager=True)
+        n_cand = cvecs.count()
         flat = [
             (r["rank"], r["doc_id"])
-            for r in mmr_rerank(cand, vecs, k=5, lam=1.0).collect()
+            for r in mmr_rerank(cand, cvecs, k=5, lam=1.0).collect()
         ]
         div = [
             (r["rank"], r["doc_id"])
-            for r in mmr_rerank(cand, vecs, k=5, lam=0.5).collect()
+            for r in mmr_rerank(cand, cvecs, k=5, lam=0.5).collect()
         ]
         cand_ids = {r["doc_id"] for r in cand_rows}
         k_eff = min(5, n_cand)
