@@ -142,6 +142,94 @@ def _pair_counts(ex: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_jaccard_pairs(
+    sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri/Bayardo
+    ssjoin family; round 17, VERDICT r16 #6): under ANY global total
+    order of shingles, a pair with J(A,B) >= t must share its smallest
+    common shingle inside BOTH docs' prefixes of size
+    n − ceil(t·n) + 1.
+
+    Proof: let C = A∩B with |C| = i; J >= t forces
+    i >= t·max(na, nb) (since na+nb−i >= max(na,nb)), hence
+    i >= o_A = ceil(t·na) and i >= o_B. Let c* = min(C) under the
+    order. If c* lay outside A's prefix, the >= pa = na − o_A + 1
+    elements of A ordered before c* would all be outside C (c* is C's
+    minimum), leaving i <= na − pa = o_A − 1 < o_A — contradiction;
+    symmetrically for B. So c* collides in the prefix self-join:
+    candidates ⊇ every qualifying pair, with NO recall caveat (the
+    df_cap path can in principle miss an all-hot-shingle pair; this
+    cannot). The exact-Jaccard verify then computes |A∩B| over the
+    FULL postings, so emitted values are exact and the output is the
+    exhaustive pair set.
+
+    The global order is (document frequency ASC, shingle ASC): the
+    hottest keys sort LAST and drop out of the prefixes, so the
+    skew-prone stop-shingles never enter the self-join unless a doc is
+    nearly all-boilerplate — the df-cap's skew protection, derived
+    instead of configured. ceil(t·n) is computed in INTEGER arithmetic
+    from Fraction(threshold) so a float ulp can never shorten a prefix
+    (which would break completeness).
+
+    One extra shuffle vs the exhaustive plan (the df count + the
+    per-doc rank window share one exchange on doc_id), repaid
+    quadratically: the self-join input halves at t=0.5 and its hottest
+    keys vanish, and the verify join is candidate-bounded."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold)).limit_denominator(10**9)
+    p_, q_ = frac.numerator, frac.denominator
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    dfq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("_df", "s")
+    w_doc = Window.partitionBy("doc_id")
+    # o_min = ceil(t·n) = (n·p + q − 1) div q exactly; prefix keeps
+    # ranks 1 .. n − o_min + 1
+    ranked = (
+        ex.join(dfq, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(w_rank).alias("_r"),
+            F.count(F.lit(1)).over(w_doc).alias("_n"),
+        )
+    )
+    # integral `div`, never float division — exact at any n
+    o_min = F.expr(f"(_n * {p_} + {q_ - 1}) div {q_}")
+    pref = ranked.where(F.col("_r") <= F.col("_n") - o_min + 1).select(
+        "doc_id", "s"
+    )
+    cands = (
+        pref.alias("x")
+        .join(pref.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify over the FULL postings (the minhash_lsh
+    # verify shape): candidate-bounded, emitted values exact
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cands.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = _jaccard_from_inter(inter, sizes).where(
+        F.col("jaccard") >= threshold
+    )
+    result = unpersist_after_action(out, (ex,))
+    result._cached_inputs = (result,)
+    return result
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -149,6 +237,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     df_cap: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
 
@@ -181,7 +270,22 @@ def jaccard_pairs(
     shingle is hotter than ``df_cap`` (at high thresholds such pairs
     share many shingles, making all-hot effectively impossible).
     Opt-in: callers must pass ``df_cap`` explicitly; the default stays
-    exhaustive."""
+    exhaustive.
+
+    ``prefix_filter=True`` (round 17) selects the PREFIX-FILTERING plan
+    instead (``_prefix_jaccard_pairs``): provably recall-COMPLETE
+    candidates (no cap caveat), the skew guard derived from the
+    df-ascending prefix order, and an exact full-postings verify —
+    output identical to the exhaustive plan at any threshold."""
+    if prefix_filter:
+        if df_cap is not None:
+            raise ValueError(
+                "prefix_filter replaces df_cap (its prefix order is the "
+                "skew guard); pass one or the other"
+            )
+        return _prefix_jaccard_pairs(
+            _with_shingles(df, id_col, text_col, shingle_n), threshold
+        )
     sh = _with_shingles(df, id_col, text_col, shingle_n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
